@@ -1,0 +1,64 @@
+"""Fixture-table catalog: load + normalize the driver-generated parquet.
+
+The reference enumerates its "catalog" via Kubernetes discovery
+(ServerPreferredResources, /root/reference/pkg/export/export.go:98-128);
+our catalog is the fixed fixture star schema described in FIXTURES.md §B.
+``load_table`` is the single entry point every query uses, so type
+normalization (ns-timestamp conversion, NTZ semantics) happens in exactly
+one place.
+
+Scale note: `spark.read.parquet` gives splittable, column-pruned,
+predicate-pushdown scans for free; at 100 TB the same call reads a
+partitioned directory tree — nothing here assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with normalized types.
+
+    events.ts arrives as parquet TIMESTAMP(NANOS,false): Spark reads it
+    (under spark.sql.legacy.parquet.nanosAsLong) as raw ns-since-epoch
+    long; actual fixture precision is µs (verified sub-µs == 0 at every
+    sf), so `timestamp_micros(ts div 1000)` is lossless. We convert to
+    TIMESTAMP_NTZ to match the naive-timestamp semantics DuckDB and the
+    other fixture tables (timestamp_ntz in parquet ms) use.
+    """
+    configure(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

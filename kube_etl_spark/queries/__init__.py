@@ -1,0 +1,7 @@
+"""Query modules — importing this package populates the registry.
+
+One module per SURVEY.md §2 operator family. Each module is pure
+declaration: PySpark DataFrame expressions + the paired DuckDB oracle.
+"""
+
+from . import aggregates  # noqa: F401

@@ -1,0 +1,76 @@
+"""SparkSession construction and session-level normalization.
+
+Two paths:
+  * ``get_spark()`` — build our own local session (tests, bench.py).
+  * ``configure(spark)`` — normalize a session we did NOT build (the
+    driver hands us one); applies only runtime-settable SQL confs.
+
+Scale notes (100 TB design intent): every conf here is also correct on a
+real cluster — AQE handles skew/coalescing at runtime, the shuffle
+partition count is a local-mode override only (on a cluster you would
+leave AQE's coalescing to pick it), and session timezone pinned to UTC
+makes timestamp semantics machine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session that touches our
+# tables (including the driver's). Keys must all be dynamic confs.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic, DuckDB-comparable timestamp semantics.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+    # type for; read as raw long ns and convert in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime join-strategy switch, skew split,
+    # partition coalescing. The single most important 100 TB knob.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs / toPandas (vectorized batches).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A static conf on some builds — session defaults must cover it.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kube-etl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized from the environment.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) controls local parallelism; shuffle
+    partitions default to the same so a local run has one post-shuffle
+    partition per core (AQE coalesces further when partitions are tiny).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.mergeSchema", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
