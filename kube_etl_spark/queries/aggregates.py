@@ -120,3 +120,259 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("q_agg_approx_distinct", tags=("A4",), oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: approximate count-distinct (HLL++; rows-only — sketch differs
+    from DuckDB's HLL, so only cardinality/shape is checked). At 100 TB
+    this replaces exact distinct's full shuffle with fixed-size sketches
+    merged map-side."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    tags=("A5",),
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dsum_sql(money_sql('o_totalprice'))} AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5a: ROLLUP — hierarchical subtotals (status → status+priority → total)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    tags=("A5",),
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dsum_sql(money_sql('o_totalprice'))} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b: CUBE — all grouping combinations."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    tags=("A5",),
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       {dsum_sql(money_sql('o_totalprice'))} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5c: explicit GROUPING SETS via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               {dsum_sql(money_sql('o_totalprice'))} AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    tags=("A6",),
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY o_custkey
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: HAVING — post-aggregation filter."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_agg_stats",
+    tags=("A7",),
+    oracle="""
+SELECT c_mktsegment,
+       ROUND(stddev_samp(c_acctbal), 4) AS bal_stddev,
+       ROUND(var_samp(c_acctbal), 4) AS bal_var,
+       ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS bal_key_corr
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: statistical aggregates (tol: rounded to 4dp — engines use
+    different single-pass variance algorithms)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("bal_var"),
+            F.round(
+                F.corr("c_acctbal", F.col("c_custkey").cast("double")), 4
+            ).alias("bal_key_corr"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_agg_percentile",
+    tags=("A8",),
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: exact percentiles with linear interpolation (tol 4dp).
+
+    Uses exact `percentile` (sort-based); the 100 TB path is
+    percentile_approx (t-digest, fixed memory) — exposed as
+    q_agg_percentile_approx (rows-only)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_agg_percentile_approx", tags=("A8",), oracle=None)
+def q_agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b: approximate percentile — the fixed-memory sketch used at
+    scale (rows-only: sketch differs from DuckDB's)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_collect",
+    tags=("A9",),
+    oracle="""
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: collect_set — nest rows into an array (sorted + joined for
+    deterministic comparison)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("nations")
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q_agg_conditional",
+    tags=("A10",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: conditional aggregation (count-if via sum-of-case)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_disc"),
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bulk"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

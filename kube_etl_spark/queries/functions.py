@@ -1,0 +1,253 @@
+"""Scalar function families (SURVEY.md §2.7, F1-F8).
+
+The reference's scalar repertoire is strings.Contains/HasSuffix/Split,
+path concat, Sprintf, default-if-empty (/root/reference/syncer/
+controllers/krmsyncer_controller.go:106,157,572; pkg/export/export.go:
+137-150); everything beyond is EXT. All expressions here are JVM-side
+builtins (whole-stage codegen — no Python in the hot path).
+
+Cross-engine parity notes (Spark vs DuckDB oracle):
+  * floor/ceil return LONG in Spark, DOUBLE in DuckDB → cast BIGINT.
+  * size() is INT in Spark, len() BIGINT in DuckDB → cast.
+  * pmod has no DuckDB builtin → ((x % m) + m) % m.
+  * ln() may differ by 1 ulp across libm → ROUND(..., 6).
+  * arrays are compared as joined strings (hash-stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_string_funcs",
+    tags=("F1",),
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_name, 1, 4) AS name_prefix,
+       length(p_name) AS name_len,
+       trim('  ' || p_name || ' ') AS name_trimmed,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       CAST(p_name LIKE '%wid%' AS INTEGER) AS is_widget
+FROM part
+WHERE p_partkey <= 400
+ORDER BY p_partkey
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: string functions — substr/case/trim/concat/split/regexp/like."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 400)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.substring("p_name", 1, 4).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+                "name_trimmed"
+            ),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+            F.col("p_name").like("%wid%").cast("int").alias("is_widget"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_date_funcs",
+    tags=("F2",),
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_2002,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: date/time functions — year/month/trunc/diff/add_months/epoch."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.datediff(
+                F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate")
+            )
+            .cast("long")
+            .alias("days_to_2002"),
+            F.date_format(F.add_months(F.col("o_orderdate"), 3), "yyyy-MM-dd").alias(
+                "plus3mo"
+            ),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+            .alias("epoch_sec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_math_funcs",
+    tags=("F3",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice) AS price_rounded,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+       sqrt(l_extendedprice) AS price_sqrt,
+       round(ln(l_extendedprice + 1), 6) AS price_ln
+FROM lineitem
+WHERE l_orderkey <= 300
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: math functions — round/abs/floor/ceil/pmod/sqrt/ln.
+
+    sqrt is IEEE correctly-rounded (identical everywhere); ln rounded
+    to 6dp to absorb possible 1-ulp libm differences.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 0).alias("price_rounded"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_quantity").alias("qty_floor"),
+            F.ceil("l_quantity").alias("qty_ceil"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod7"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_array_funcs",
+    tags=("F4",),
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER) AS has_spark,
+       array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 60), ' '))), ',') AS head_vocab
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: array functions — split/size/contains/distinct/sort, compared
+    as joined strings so hashing is engine-stable."""
+    toks = F.split(F.col("text"), " ")
+    head_toks = F.split(F.substring(F.col("text"), 1, 60), " ")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+            F.array_join(F.array_sort(F.array_distinct(head_toks)), ",").alias(
+                "head_vocab"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("q_map_funcs", tags=("F5",), oracle=None)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: map functions (rows-only: DuckDB map syntax differs) —
+    labels/annotations-style string→string maps
+    (krmsyncer_controller.go:568-569)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    labels = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        labels.alias("labels"),
+        F.map_keys(labels).alias("label_keys"),
+        F.element_at(labels, "type").alias("type_label"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q_json_funcs",
+    tags=("F6",),
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       CAST(json_extract_string(props, '$.missing') IS NULL AS INTEGER) AS missing_is_null
+FROM events
+WHERE event_id < 400
+ORDER BY event_id
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: JSON extraction from an open-content column (the
+    preserve-unknown-fields analog: schema lives outside the engine)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            F.get_json_object("props", "$.missing").isNull().cast("int").alias(
+                "missing_is_null"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_hash_funcs",
+    tags=("F8",),
+    oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256
+FROM customer
+WHERE c_custkey <= 300
+ORDER BY c_custkey
+""",
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: deterministic content hashes (the exact-dedup primitive)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.md5("c_name").alias("name_md5"),
+            F.sha2("c_name", 256).alias("name_sha256"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,183 @@
+"""Scans, sources and sinks (SURVEY.md §2.1, S1-S10).
+
+The reference's batch pipeline is: discovery scan → full list → derived
+path → serialize → zip sink (/root/reference/pkg/export/export.go:64-168,
+pkg/sink/zip.go:22-53). Spark equivalents here:
+  S1 catalog enumeration  → per-table scans unioned
+  S2 scan+project         → parquet scan with pruning/pushdown
+  S5 partitioned sink     → write.partitionBy(...).parquet + re-read
+  S6 row serialization    → to_json(struct(...)) (JSON ≡ YAML declared)
+  S7 multi-doc decode     → from_json(array) + explode
+  S10 spec/status split   → two projections of one frame, dual write
+
+Scale notes: S2's plan must show PushedFilters + a pruned ReadSchema;
+S5's partitionBy mirrors the reference's <ns>/<group>/<kind> layout and
+gives partition-pruned downstream reads.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, load_table
+from ..registry import query
+
+_CATALOG_COUNT_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+)
+
+
+@query(
+    "q_catalog_scan",
+    tags=("S1",),
+    oracle=f"SELECT * FROM ({_CATALOG_COUNT_SQL}) ORDER BY table_name",
+)
+def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: catalog enumeration — scan every table the catalog lists
+    (ServerPreferredResources analog, export.go:98-128)."""
+    dfs = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("table_name")
+
+
+@query(
+    "q_scan_project",
+    tags=("S2",),
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: scan + narrow projection — column pruning and predicate
+    pushdown reach the parquet reader (the reference always fetches the
+    full object: a missed pushdown, krmsyncer_controller.go:509-516)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_to_json",
+    tags=("S6",),
+    oracle="""
+SELECT r_regionkey,
+       '{"r_regionkey":' || CAST(r_regionkey AS VARCHAR)
+         || ',"r_name":"' || r_name || '"}' AS doc
+FROM region
+ORDER BY r_regionkey
+""",
+)
+def q_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: serialize a row to a JSON document (YAML-marshal analog,
+    export.go:152; JSON declared equivalent per SURVEY §2.1)."""
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        "r_regionkey",
+        F.to_json(F.struct("r_regionkey", "r_name")).alias("doc"),
+    ).orderBy("r_regionkey")
+
+
+@query(
+    "q_from_json_explode",
+    tags=("S7",),
+    oracle="""
+SELECT event_id, doc_idx, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events CROSS JOIN (VALUES (0), (1)) AS d(doc_idx)
+WHERE event_id < 300
+ORDER BY event_id, doc_idx
+""",
+)
+def q_from_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: multi-document decode — parse a 2-doc JSON stream into N rows
+    (YAMLOrJSONDecoder loop analog, syncer/integration/krmsyncer_test.go:174-187).
+    Each event's props is duplicated into a 2-element JSON array, parsed
+    with from_json, and exploded with position."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    stream = F.concat(F.lit("["), F.col("props"), F.lit(","), F.col("props"), F.lit("]"))
+    docs = F.from_json(stream, "array<struct<k:int>>")
+    return (
+        ev.select("event_id", F.posexplode(docs).alias("doc_idx", "doc"))
+        .select("event_id", "doc_idx", F.col("doc.k").alias("k"))
+        .orderBy("event_id", "doc_idx")
+    )
+
+
+@query(
+    "q_sink_partitioned",
+    tags=("S5",),
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: partitioned sink round-trip — write orders partitioned by
+    status (the <ns>/<group>/<kind>/<name> zip-layout analog,
+    export.go:150-158 + zip.go:38-45), re-read, count per partition.
+    The oracle is the same count on the source table, so the check
+    proves the sink wrote every row into the right partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"kube_etl_spark_sink_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "n")
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_split_spec_status",
+    tags=("S10",),
+    oracle="""
+SELECT part, COUNT(*) AS n FROM (
+  SELECT 'spec' AS part, o_orderkey FROM orders WHERE o_totalprice > 0
+  UNION ALL
+  SELECT 'status' AS part, o_orderkey FROM orders WHERE o_orderstatus IN ('F','O','P')
+)
+GROUP BY part
+ORDER BY part
+""",
+)
+def q_split_spec_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: dual-endpoint write — one frame split into spec/status
+    projections written separately (krmsyncer_controller.go:592-622);
+    declared as the union of both projections' counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    spec = orders.filter(F.col("o_totalprice") > 0).select(
+        F.lit("spec").alias("part"), "o_orderkey"
+    )
+    status = orders.filter(F.col("o_orderstatus").isin("F", "O", "P")).select(
+        F.lit("status").alias("part"), "o_orderkey"
+    )
+    return (
+        spec.unionByName(status)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("part")
+    )

@@ -1,0 +1,239 @@
+"""Window functions (SURVEY.md §2.5, W1-W6).
+
+W6 is the REF-grounded one: the informer cache materializes
+latest-state-per-key (/root/reference/syncer/controllers/
+krmsyncer_controller.go:327-375) — exactly `row_number()==1` over the
+key ordered by descending version/time. The same helper
+(`latest_state`) is reused by the CDC compaction path (streaming/cdc.py).
+
+Determinism: every window ORDER BY ends in a unique key so rank/lag
+results are stable across partitionings (and across engines).
+
+Scale notes: window partitionBy is one hash shuffle on the key; frames
+are evaluated with a streaming buffer per partition — no quadratic
+blowup. Skewed keys (one user with 10⁹ events) are the risk at 100 TB;
+for those paths, pre-aggregate or salt before windowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def latest_state(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Latest row per key — the informer-cache compaction (W6/REF).
+
+    Used by both the batch query below and the CDC upsert pipeline.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "q_window_rank",
+    tags=("W1",),
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM customer
+WHERE c_custkey <= 1000
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_mktsegment, rn
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking family over a per-segment window."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "q_window_topk_group",
+    bench=True,
+    tags=("W2",),
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def q_window_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-k per group — rank filter ≤ k; Catalyst pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so each
+    partition keeps only k rows."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q_window_lag_lead",
+    tags=("W3",),
+    oracle="""
+SELECT user_id, event_id, event_type,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       FIRST_VALUE(event_id) OVER w AS first_event
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, event_id
+""",
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: analytic lag/lead/first over per-user event time."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.first("event_id").over(w).alias("first_event"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_window_running_sum",
+    tags=("W4",),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_value
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, event_id
+""",
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running aggregate with an explicit ROWS frame (decimal-exact
+    so prefix sums are order-independent bit-for-bit)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_window_range_frame",
+    tags=("W5",),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW
+       ) AS n_near
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: RANGE frame over a numeric ordering key — counts orders whose
+    orderkey lies within 10000 below the current row's."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey").asc())
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_near"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_last_state",
+    tags=("W6",),
+    oracle="""
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def q_window_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (REF): latest state per key — the informer-cache/CDC
+    compaction (krmsyncer_controller.go:327-375) as a window query."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+        .orderBy("user_id")
+    )
