@@ -4,4 +4,13 @@ One module per SURVEY.md §2 operator family. Each module is pure
 declaration: PySpark DataFrame expressions + the paired DuckDB oracle.
 """
 
-from . import aggregates, filters, functions, joins, scans, setops, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    filters,
+    functions,
+    joins,
+    llm,
+    scans,
+    setops,
+    windows,
+)

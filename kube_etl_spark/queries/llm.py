@@ -1,0 +1,738 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.10, L1-L6 + the
+mandated extension surface: dedup family, similarity search, text
+analysis). All EXT provenance — the reference (gke-labs/kube-etl) has no
+analytics operators; BASELINE.json's north star mandates these
+first-class for the 100 TB pipeline.
+
+Scale design notes (the whole point of this module):
+  * Exact dedup (L1) is one hash-shuffle on sha256(text) — the hash is
+    computed map-side so the shuffle carries 32-byte keys, not documents.
+  * MinHash+LSH (L2) is the scale path for fuzzy dedup: signatures are
+    k array_min's over xxhash64 (all JVM codegen, no Python), banding
+    turns the O(n²) pair space into per-band hash-shuffles, and only
+    band-colliding candidate pairs pay the exact-Jaccard verification.
+  * Brute-force n-gram Jaccard (the oracle-checkable companion) is
+    deliberately restricted to a small id range: it is the correctness
+    anchor for the LSH path, not the scale path.
+  * k-NN: brute-force cosine is broadcast(queries) ⋈ all candidates —
+    linear scan, no shuffle of the big side; the IVF variant prunes the
+    scan to one centroid bucket, the shape that survives 10⁹ vectors.
+  * Everything stays in pyspark.sql.functions (whole-stage codegen);
+    no Python UDF appears anywhere in this module.
+
+Fixture tables: documents(doc_id, text, lang, source, n_chars),
+embeddings(vec_id, embedding array<float>, label) — FIXTURES.md §B.
+Duplicates are synthesized in-query (the fixtures are dup-free), with
+the identical augmentation in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Shared text helpers (Spark side) + their SQL twins (oracle side).
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(col, " ")
+
+
+def _shingles(tok: F.Column) -> F.Column:
+    """Distinct 3-word shingles (1-based element_at; i in 0..size-3)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tok, i + 1),
+                F.element_at(tok, i + 2),
+                F.element_at(tok, i + 3),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+# English-ish stopword list shared by lang-id / quality scoring.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+def _stopword_hits(tok: F.Column) -> F.Column:
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return F.size(F.filter(tok, lambda t: F.array_contains(sw, t)))
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    bench=True,
+    tags=("L1",),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM aug
+GROUP BY sha256(text)
+ORDER BY keep_id
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash — group on sha2(text), keep the
+    lowest doc_id (deterministic winner). One shuffle keyed on the
+    32-byte digest; documents never cross the wire twice."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        aug.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — fuzzy dedup: oracle-checkable brute-force anchor + MinHash-LSH scale path
+# ---------------------------------------------------------------------------
+
+# Near-duplicate synthesis shared by both fuzzy variants: doc_id < 40 get a
+# perturbed copy (two appended tokens) at doc_id + 200000; 3-gram Jaccard of
+# copy vs original is ~(n-2)/(n+2) — high, while unrelated word-salad docs
+# share almost no 3-gram shingles.
+_NEARDUP_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 200000, text || ' qq zz' FROM documents WHERE doc_id < 40
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str, limit: int = 120) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.filter(F.col("doc_id") < limit).unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    tags=("L2",),
+    oracle=f"""
+WITH aug AS ({_NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 anchor: brute-force 3-gram Jaccard near-dup pairs on a bounded
+    id range. This is the exactness oracle for the LSH path below — the
+    brute force is O(n²) by construction and intentionally small."""
+    sh = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_K = 32  # signature length
+_LSH_BANDS = 8  # 8 bands × 4 rows: P(candidate | J=0.9) ≈ 1 - (1-0.9⁴)⁸ ≈ .998
+
+
+@query("q_dedup_fuzzy", tags=("L2",), oracle=None)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: MinHash + LSH banding fuzzy dedup (rows-only:
+    xxhash64 has no DuckDB twin; correctness is anchored by
+    q_dedup_ngram_jaccard which this must agree with on the high-J pairs).
+
+    Pipeline (all codegen'd builtins, no UDF):
+      shingle → k minhashes (array_min over xxhash64(shingle, seed))
+      → band ids (hash of 4-minhash slices) → explode bands →
+      shuffle on (band, band_hash) → same-bucket candidate pairs →
+      exact-Jaccard verification on candidates only.
+    At 100 TB the only all-data shuffles are the k·cheap band shuffles;
+    the quadratic step touches candidate pairs only."""
+    sh = _neardup_corpus(spark, sf_dir, limit=10**9).select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    sig = sh.select(
+        "doc_id",
+        "s",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("s"), lambda t: F.xxhash64(t, F.lit(i))))
+                for i in range(_MINHASH_K)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "s", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    tags=("L2",),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents WHERE doc_id < 100
+),
+th AS (
+  SELECT doc_id, CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, 16)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+FROM bits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c: SimHash document signature (16-bit, md5-derived token hashes
+    so DuckDB computes the identical value). Sign-sum each bit over the
+    distinct-token set; two near-dup docs differ in few bits. Linear
+    scan + two keyed aggregations — no pair space at all."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
+    )
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"))
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash16")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product in double (same order as DuckDB's
+    list_dot_product, so values are bit-comparable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_COS_SQL = (
+    "list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@query(
+    "q_knn_cosine",
+    bench=True,
+    tags=("L3",),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND({_COS_SQL.replace('qv', 'q.v').replace('cv', 'c.v')}, 4) AS cos
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+r AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM p
+)
+SELECT qid, rn AS rank, cid, cos
+FROM r WHERE rn <= 3
+ORDER BY qid, rank
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: brute-force cosine top-k. broadcast(queries) ⋈ all
+    candidates — the big side is scanned once, never shuffled; top-k via
+    rank-filter window partitioned by query id. Rank on the 4dp-rounded
+    cosine with cid tiebreak so ordering is engine-independent."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cos, 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "cid", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
+@query("q_knn_ivf", tags=("L3",), oracle=None)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF-style pruned k-NN (rows-only; anchored by
+    q_knn_cosine). Deterministic 'centroids' = vectors with vec_id < 16;
+    every vector is assigned to its nearest centroid (one broadcast
+    pass), and each query probes ONLY its own centroid's bucket — at
+    10⁹ vectors this turns a full scan into a 1/16 scan (nprobe=1).
+    On a real corpus the centroids come from k-means; the assignment /
+    probe plumbing here is identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # assign: argmin over broadcast centroids (tie → lowest centroid_id)
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "centroid_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("centroid_id").alias("cc"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        cand.join(
+            F.broadcast(q), (F.col("qc") == F.col("cc")) & (F.col("qid") != F.col("cid"))
+        )
+        .select("qid", "cid", F.round(cos, 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "cid", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    tags=("L2", "L3"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 150
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label = b.label AS same_label,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+ORDER BY vec_a, vec_b
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2d: embedding-cosine near-duplicate pairs (cos ≥ 0.8) on a
+    bounded id range — the semantic-dedup correctness anchor; the scale
+    path reuses q_knn_ivf's bucketing to prune the pair space."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.8)
+        .select("vec_a", "vec_b", "same_label", F.round("c", 4).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L5 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    bench=True,
+    tags=("L4",),
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus statistics by language — token/char distributions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", F.size(_tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 4).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_token_count",
+    tags=("L4",),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: token counting — whitespace split + a BPE-ish regex
+    tokenizer (letters / digit-runs / other symbols)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+            F.size(
+                F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+            ).alias("n_re_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_lang_id",
+    tags=("L4",),
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS sw_ratio
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sw_ratio > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       ROUND(AVG(sw_ratio), 4) AS avg_sw_ratio
+FROM scored
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: language-ID heuristic — stopword-hit ratio thresholded to an
+    'is English' prediction, evaluated against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(F.col("text"))
+    scored = docs.select(
+        "lang",
+        (_stopword_hits(tok).cast("double") / F.size(tok)).alias("sw_ratio"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("sw_ratio") > 0.04, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred_en"),
+            F.round(F.avg("sw_ratio"), 4).alias("avg_sw_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_quality_score",
+    tags=("L4",),
+    oracle=f"""
+SELECT doc_id,
+       ROUND(
+         0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500, 1.0)
+         + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                                       t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                        / n_chars),
+         4) AS quality
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4d: document quality scoring — weighted blend of length,
+    stopword ratio, and non-alphanumeric-symbol penalty (the classic
+    pretraining-filter features)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = _tokens(F.col("text"))
+    punct = F.size(F.expr(r"regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+    quality = (
+        0.4 * F.least(F.col("n_chars").cast("double") / 500, F.lit(1.0))
+        + 0.3 * (_stopword_hits(tok).cast("double") / F.size(tok))
+        + 0.3 * (F.lit(1.0) - punct.cast("double") / F.col("n_chars"))
+    )
+    return docs.select("doc_id", F.round(quality, 4).alias("quality")).orderBy("doc_id")
+
+
+@query(
+    "q_fingerprint",
+    tags=("L4",),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 200)
+)
+SELECT doc_id, MIN(md5(s)) AS fingerprint
+FROM sh
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e: document fingerprint — lexicographic-min md5 over 3-gram
+    shingles (a 1-hash MinHash; winnowing's degenerate case). Identical
+    hex in both engines, so exact-checkable."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.array_min(
+                F.transform(_shingles(_tokens(F.col("text"))), lambda s: F.md5(s))
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_text_tf",
+    tags=("L5",),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, tf, df,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+FROM tf, n
+ORDER BY tf DESC, term ASC
+LIMIT 20
+""",
+)
+def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: term frequency + document frequency + TF-IDF, top-20 terms.
+    One explode + one shuffle keyed on term; df via count-distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — multimodal join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_join",
+    tags=("L6",),
+    oracle="""
+SELECT e.label,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(d.n_chars AS DOUBLE)), 4) AS avg_chars,
+       COUNT(DISTINCT d.lang) AS n_langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label
+ORDER BY e.label
+""",
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: text ⋈ embedding by id — the canonical multimodal align step
+    (doc_id = vec_id in the fixtures); per-cluster corpus profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("label")
+    )
