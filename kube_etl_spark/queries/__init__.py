@@ -12,5 +12,6 @@ from . import (  # noqa: F401
     llm,
     scans,
     setops,
+    streamlike,
     windows,
 )

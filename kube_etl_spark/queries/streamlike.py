@@ -1,0 +1,241 @@
+"""Streaming-operator batch equivalents (SURVEY.md §2.9, ST1-ST7).
+
+Each q_stream_*/q_cdc_* runs the SAME builder code that the real
+Structured Streaming pipelines use (kube_etl_spark/streaming/*) — the
+builders are mode-agnostic DataFrame transforms, so running them on the
+batch events fixture IS the declared batch-equivalent semantics the
+DuckDB oracle checks. The true streaming behavior (watermarks dropping
+late rows, micro-batch MERGE idempotence, availableNow replay) is
+asserted in tests/test_streaming.py and tests/test_sync.py.
+
+Reference provenance: ST6/ST7 are the KRMSyncer's actual data path
+(idempotent SSA upsert + NotFound retraction,
+/root/reference/syncer/controllers/krmsyncer_controller.go:586-624,
+417-423, 489-504); windows/watermarks are EXT (the reference has none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from ..streaming import windowed
+from ..streaming.cdc import latest_op
+
+
+@query(
+    "q_stream_tumbling",
+    bench=True,
+    tags=("ST1",),
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: tumbling 1-hour event-time window (epoch-aligned, so the
+    batch oracle is date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed.tumbling(ev, "1 hour").orderBy("window_start")
+
+
+@query(
+    "q_stream_sliding",
+    tags=("ST2",),
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+         AS window_start,
+       COUNT(*) AS n_events
+FROM events, (SELECT unnest(range(0, 4)) AS k) k
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding 1h/15m window — every event lands in exactly 4
+    windows; oracle generates the 4 slide offsets per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed.sliding(ev, "1 hour", "15 minutes").orderBy("window_start")
+
+
+@query(
+    "q_stream_session",
+    tags=("ST3",),
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: per-user session windows, 30-minute gap; a gap ≥ 30m starts
+    a new session (session end is exclusive). Oracle = gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed.session(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+@query(
+    "q_stream_watermark",
+    tags=("ST4",),
+    oracle="""
+WITH o AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts < wm - INTERVAL '10 minutes' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       COUNT(*) AS n_total
+FROM o
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch analog: late-data accounting under a 10-minute
+    watermark with per-row advancement in arrival order (event_id).
+    The real micro-batch drop behavior is asserted in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed.late_data_accounting(ev, "10 minutes")
+
+
+@query(
+    "q_stream_dedup",
+    tags=("ST5",),
+    oracle="""
+WITH aug AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE event_id < 500
+),
+d AS (SELECT DISTINCT * FROM aug)
+SELECT event_type, COUNT(*) AS n_events
+FROM d
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: dedup by event_id — the duplicated delivery case (an
+    at-least-once source re-emits events; copies are byte-identical).
+    Streaming twin: dropDuplicates within watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    aug = ev.unionByName(ev.filter(F.col("event_id") < 500))
+    return (
+        aug.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def _with_op(ev: DataFrame) -> DataFrame:
+    """events as a CDC op-log keyed on user_id: 'error' ⇒ delete
+    (the NotFound retraction analog), anything else ⇒ upsert."""
+    return ev.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert"),
+    )
+
+
+@query(
+    "q_cdc_upsert",
+    tags=("ST6",),
+    oracle="""
+SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (REF): last-writer-wins upsert compaction with deletes —
+    the destination-state MERGE the KRMSyncer performs per event
+    (krmsyncer_controller.go:586-624), as one batch compaction using
+    the same latest_op helper the streaming StateTable sink uses."""
+    ops = _with_op(load_table(spark, sf_dir, "events"))
+    last = latest_op(ops, ["user_id"], ["ts", "event_id"])
+    return (
+        last.filter(F.col("op") != "delete")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_cdc_apply_oplog",
+    tags=("ST7",),
+    oracle="""
+WITH last AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+ops AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value
+  FROM last
+)
+SELECT COALESCE(c.c_custkey, o.user_id) AS key,
+       CASE WHEN o.op = 'upsert' THEN o.value ELSE c.c_acctbal END AS final_value,
+       CASE WHEN o.op = 'upsert' THEN 'oplog' ELSE 'snapshot' END AS src
+FROM customer c FULL JOIN ops o ON c.c_custkey = o.user_id
+WHERE o.op IS NULL OR o.op <> 'delete'
+ORDER BY key
+""",
+)
+def q_cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 (REF): apply an op-log to a snapshot — full-outer MERGE where
+    upserts override/insert and deletes remove (delete propagation,
+    krmsyncer_controller.go:489-504). Snapshot = customer keyed by
+    c_custkey; op-log = events keyed by user_id."""
+    snap = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ops = latest_op(
+        _with_op(load_table(spark, sf_dir, "events")), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "op", "value")
+    merged = snap.join(ops, snap.c_custkey == ops.user_id, "full")
+    return (
+        merged.filter(F.col("op").isNull() | (F.col("op") != "delete"))
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("key"),
+            F.when(F.col("op") == "upsert", F.col("value"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("final_value"),
+            F.when(F.col("op") == "upsert", "oplog")
+            .otherwise("snapshot")
+            .alias("src"),
+        )
+        .orderBy("key")
+    )

@@ -1,0 +1,131 @@
+"""CDC: upsert/delete op-log application (ST6/ST7) and an idempotent
+streaming MERGE sink.
+
+Reference provenance: the KRMSyncer is exactly this pipeline — watch
+events are upserts (server-side apply, idempotent,
+/root/reference/syncer/controllers/krmsyncer_controller.go:586-599) or
+retractions (source NotFound → destination Delete, :417-423, 489-504).
+Last-writer-wins per key; at-least-once delivery made exactly-once in
+*effect* by idempotent application.
+
+Spark design:
+  * `latest_op` / `apply_oplog` are pure DataFrame compactions — the
+    batch semantics of MERGE, shared by the registry queries and the
+    streaming sink.
+  * `StateTable` is a parquet-backed upsert target whose `merge_batch`
+    is idempotent on (key, seq): replaying a micro-batch (at-least-once
+    delivery after a failure) converges to the same state because the
+    winner per key is decided by seq, not arrival. Commit is an atomic
+    directory swap (write new → rename), the same trick as a
+    transactional table format in miniature; on a real deployment this
+    is `MERGE INTO` on Delta/Iceberg — the calling convention
+    (foreachBatch(state.merge_batch)) is identical.
+
+Scale notes: each merge shuffles only (old ∪ batch) on the key — with a
+partitioned state table and partition-pruned reads the old side touches
+only affected partitions. The compaction window is one hash shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def latest_op(oplog: DataFrame, key_cols: list[str], seq_cols: list[str]) -> DataFrame:
+    """Last op per key, ordered by seq_cols (all descending)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])
+    return (
+        oplog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_oplog(
+    snapshot: DataFrame,
+    oplog: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """ST7 batch semantics: full-outer MERGE of a snapshot with the last
+    op per key. Columns: snapshot rows survive unless the last op is a
+    delete; upserts override or insert. Payload columns = all non-key,
+    non-op columns of the op-log (names must differ from snapshot's)."""
+    last = latest_op(oplog, [key], ["__seq"]) if "__seq" in oplog.columns else oplog
+    snap = snapshot.alias("s")
+    ops = last.alias("o")
+    joined = snap.join(ops, F.col(f"s.{key}") == F.col(f"o.{key}"), "full")
+    return joined.filter(
+        F.col(f"o.{op_col}").isNull() | (F.col(f"o.{op_col}") != delete_value)
+    )
+
+
+class StateTable:
+    """Parquet-backed keyed state with idempotent MERGE (the destination
+    cluster analog). Not concurrency-safe across writers — one streaming
+    query owns a state table, matching the reference's one-controller-
+    per-destination model (ST8's registry enforces that)."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], seq_col: str):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.seq_col = seq_col
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge_batch(self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete") -> None:
+        """Idempotent MERGE: union old state (tagged as upserts) with the
+        batch, keep the max-seq row per key, drop keys whose winner is a
+        delete. Replaying the same batch is a no-op (same winners)."""
+        old = self.read()
+        incoming = batch
+        if old is not None:
+            incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
+                batch, allowMissingColumns=True
+            )
+        winners = latest_op(incoming, self.key_cols, [self.seq_col])
+        new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
+        self._atomic_overwrite(new_state)
+
+    def _atomic_overwrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def run_cdc_stream(
+    stream: DataFrame,
+    state: StateTable,
+    checkpoint_dir: str,
+    op_col: str = "op",
+) -> None:
+    """Wire an op-log stream into the state table via foreachBatch and
+    block until all available data is processed (availableNow). The
+    foreachBatch function is idempotent (merge keyed on seq), so
+    at-least-once redelivery after restart converges — the reference's
+    SSA-apply trick (krmsyncer_controller.go:586-599) in Spark terms."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        state.merge_batch(batch, op_col=op_col)
+
+    (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

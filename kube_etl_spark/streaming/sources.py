@@ -1,0 +1,53 @@
+"""Stream-source helpers for tests and replay tooling.
+
+The reference's source is a Kubernetes watch (one per GVK,
+/root/reference/syncer/controllers/krmsyncer_controller.go:283-325);
+the Spark-native equivalents are file/Kafka streams. `chunked_file_stream`
+turns any batch DataFrame into a deterministic multi-micro-batch file
+stream: rows are split into ordered chunk files, file mtimes force the
+FileStreamSource's processing order, and maxFilesPerTrigger=1 yields one
+micro-batch per chunk — so tests can replay a fixture as a stream with a
+known arrival order (what watermark/late-data assertions need).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def chunked_file_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    directory: str,
+    n_chunks: int,
+    order_col: str,
+) -> DataFrame:
+    """Materialize df (ordered by order_col) as n_chunks json files and
+    return a file-source streaming DataFrame that replays them one
+    micro-batch per chunk, in order."""
+    os.makedirs(directory, exist_ok=True)
+    schema = df.schema
+    rows = df.orderBy(order_col).toJSON().collect()
+    per = max(1, (len(rows) + n_chunks - 1) // n_chunks)
+    now = time.time()
+    for i in range(0, len(rows), per):
+        chunk_path = os.path.join(directory, f"chunk-{i // per:05d}.json")
+        with open(chunk_path, "w") as f:
+            f.write("\n".join(rows[i : i + per]))
+        # mtime drives FileStreamSource ordering; space them 10s apart.
+        os.utime(chunk_path, (now + (i // per) * 10, now + (i // per) * 10))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(directory)
+    )
+
+
+def events_with_arrival_order(events: DataFrame) -> DataFrame:
+    """The events fixture in arrival order (event_id = arrival seq),
+    ts cast for json round-tripping."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))

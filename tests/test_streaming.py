@@ -1,0 +1,192 @@
+"""Real Structured Streaming behavior (the part the DuckDB oracle can't
+check): windowed aggregation parity between batch and streaming runs of
+the SAME builder, watermark late-row dropping across micro-batches, and
+idempotent CDC MERGE under replay.
+
+Mirrors the reference's test strategy tier 2 (live end-to-end,
+SURVEY.md §5): drive the actual runtime, assert effects."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kube_etl_spark.catalog import load_table
+from kube_etl_spark.streaming import windowed
+from kube_etl_spark.streaming.cdc import StateTable, latest_op, run_cdc_stream
+from kube_etl_spark.streaming.sources import chunked_file_stream
+
+from .conftest import SMOKE_SF
+
+
+def _run_stream_to_memory(stream_df, name: str, output_mode: str = "complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    # ms truncation: the json round-trip through chunked_file_stream
+    # keeps millisecond precision, so align the batch side to it.
+    ev = load_table(spark, SMOKE_SF, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+    )
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=4, order_col="event_id")
+    return ev, stream
+
+
+def test_tumbling_stream_matches_batch(spark, events_stream):
+    """The tumbling builder gives identical results in batch and
+    streaming mode (ST1's mode-agnosticism claim, executed)."""
+    ev, stream = events_stream
+    batch = {
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in windowed.tumbling(ev).collect()
+    }
+    _run_stream_to_memory(windowed.tumbling(stream), "t_tumbling")
+    streamed = {
+        (r["window_start"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    assert streamed == batch
+
+
+def test_session_stream_matches_batch(spark, events_stream):
+    """Session windows: streaming (with watermark, required for session
+    aggregation) equals batch on fully-replayed in-order data."""
+    ev, stream = events_stream
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in windowed.session(ev).collect()
+    }
+    _run_stream_to_memory(
+        windowed.session(stream.withWatermark("ts", "100 days")), "t_session"
+    )
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    assert streamed == batch
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST4 for real: a row arriving in a later run with event time far
+    behind the advanced watermark is excluded from its window's final
+    (append-mode) result. Two availableNow runs over one checkpoint =
+    two guaranteed separate micro-batches (also exercises restart
+    recovery: the watermark survives in the checkpoint)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def _arrive(path, rows):
+        spark.createDataFrame(
+            [(i, t, 1, "a", 1.0, "{}") for i, t in rows], schema
+        ).coalesce(1).write.mode("overwrite").json(str(path))
+
+    def _run():
+        stream = spark.readStream.schema(schema).json(str(src) + "/*")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("start"), "n")
+        )
+        emitted: dict[str, int] = {}
+
+        def _collect(batch, _bid):
+            for r in batch.collect():
+                emitted[r["start"]] = r["n"]
+
+        q = (
+            agg.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        # a window is emitted exactly once across the checkpoint's
+        # lifetime, so merging runs cannot double-count
+        return emitted
+
+    from datetime import datetime as dt
+
+    # run 1: on-time data advances the watermark to 11:50
+    _arrive(src / "b1", [(1, dt(2024, 1, 1, 10, 0)), (2, dt(2024, 1, 1, 10, 30)), (3, dt(2024, 1, 1, 12, 0))])
+    got = _run()
+    # run 2: an hours-late row for the (closed) 10:00 window + a pusher
+    _arrive(src / "b2", [(4, dt(2024, 1, 1, 10, 5)), (5, dt(2024, 1, 1, 14, 0))])
+    got.update(_run())
+    # Event 4 (10:05) arrived after the watermark passed 11:00, so the
+    # finalized 10:00 window holds only events 1 and 2.
+    assert got.get("2024-01-01 10:00:00") == 2
+    # The 12:00 window finalized in run 2 (watermark 13:50) with 1 row.
+    assert got.get("2024-01-01 12:00:00") == 1
+
+
+def test_cdc_state_merge_idempotent(spark, tmp_path):
+    """ST6: replaying the same op-log through the StateTable (simulated
+    at-least-once redelivery) leaves the state unchanged, and deletes
+    remove keys — the SSA-apply idempotence the reference relies on."""
+    oplog = spark.createDataFrame(
+        [
+            (1, 10, "upsert", 100.0),
+            (2, 10, "upsert", 150.0),   # overrides seq 1
+            (3, 20, "upsert", 200.0),
+            (4, 30, "upsert", 300.0),
+            (5, 30, "delete", None),    # removes key 30
+        ],
+        "seq long, key long, op string, value double",
+    )
+    state = StateTable(spark, str(tmp_path / "state"), ["key"], "seq")
+    state.merge_batch(oplog)
+    first = sorted((r["key"], r["value"]) for r in state.read().collect())
+    assert first == [(10, 150.0), (20, 200.0)]
+    # replay (redelivery) — must converge, not duplicate or resurrect
+    state.merge_batch(oplog)
+    assert sorted((r["key"], r["value"]) for r in state.read().collect()) == first
+    # late-arriving older op for key 10 must lose (seq-based winner)
+    state.merge_batch(
+        spark.createDataFrame([(1, 10, "upsert", 100.0)], "seq long, key long, op string, value double")
+    )
+    assert sorted((r["key"], r["value"]) for r in state.read().collect()) == first
+
+
+def test_cdc_streaming_replay_matches_batch_compaction(spark, tmp_path):
+    """End-to-end ST6/ST7: replay the events fixture as a file stream
+    through foreachBatch + StateTable; final state equals the one-shot
+    batch compaction (latest_op) of the same op-log."""
+    ev = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", "delete").otherwise("upsert"),
+        )
+        .select(
+            F.col("event_id").alias("seq"),
+            F.col("user_id").alias("key"),
+            "op",
+            "value",
+        )
+    )
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "oplog"), n_chunks=3, order_col="seq")
+    state = StateTable(spark, str(tmp_path / "state"), ["key"], "seq")
+    run_cdc_stream(stream, state, str(tmp_path / "ckpt"))
+    got = sorted((r["key"], r["seq"], r["value"]) for r in state.read().collect())
+    expect = sorted(
+        (r["key"], r["seq"], r["value"])
+        for r in latest_op(ev, ["key"], ["seq"]).filter(F.col("op") != "delete").collect()
+    )
+    assert got == expect

@@ -1,0 +1,185 @@
+"""KRMSyncer-engine golden tests — the Spark analog of the reference's
+integration corpus (/root/reference/syncer/integration/cases/*: basic,
+spec, resourceid, glob, pull, pull-glob, suspend) plus the controller
+unit tables (glob validation, field filtering, delete propagation,
+fan-out). Each case: rule table + op-log in, destination state out,
+compared against the hand-derived golden expectation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kube_etl_spark.streaming.cdc import StateTable
+from kube_etl_spark.streaming.sync import (
+    compile_sync,
+    normalize_rules,
+    sync_to_state,
+    validate_rules,
+)
+
+OBJ_SCHEMA = (
+    "seq long, op string, group string, version string, kind string, "
+    "namespace string, name string, labels map<string,string>, "
+    "annotations map<string,string>, "
+    "spec struct<foo:string,resourceID:string>, status struct<bar:string>"
+)
+
+RULE_SCHEMA = (
+    "syncer_name string, suspend boolean, mode string, rule_group string, "
+    "rule_version string, rule_kind string, namespaces array<string>, "
+    "sync_fields array<string>"
+)
+
+
+def _oplog(spark):
+    """3 objects across 3 CRDs + one update + one delete — the shape of
+    syncer/integration/testdata/object.yaml replayed as a watch stream."""
+    rows = [
+        # TestCRD object: created, then spec/status updated
+        (1, "upsert", "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default", "obj1",
+         {"app": "x"}, {"note": "n1"}, ("foo-v1", "rid-1"), ("bar-v1",)),
+        (2, "upsert", "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default", "obj1",
+         {"app": "x"}, {"note": "n1"}, ("foo-v2", "rid-1"), ("bar-v2",)),
+        # KCC object (glob family)
+        (3, "upsert", "kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource", "prod", "obj2",
+         {}, {}, ("kfoo", "rid-2"), ("kbar",)),
+        # Fake KCC-family object in another namespace
+        (4, "upsert", "fake.cnrm.cloud.google.com", "v1", "FakeObject", "dev", "obj3",
+         {}, {}, ("ffoo", None), ("fbar",)),
+        # deleted object: created then retracted (NotFound analog)
+        (5, "upsert", "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default", "gone",
+         {}, {}, ("g", "rid-g"), ("gb",)),
+        (6, "delete", "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default", "gone",
+         None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, OBJ_SCHEMA)
+
+
+def _rules(spark, rows):
+    return spark.createDataFrame(rows, RULE_SCHEMA)
+
+
+def _final_state(spark, tmp_path, rules_rows, oplog=None):
+    """Compile rules against the op-log and materialize per-syncer state."""
+    changes = compile_sync(oplog if oplog is not None else _oplog(spark), _rules(spark, rules_rows))
+    states = sync_to_state(
+        changes,
+        lambda name: StateTable(
+            spark, str(tmp_path / f"dest-{name}"),
+            ["group", "version", "kind", "namespace", "name"], "seq",
+        ),
+    )
+    return {
+        name: {
+            (r["namespace"], r["name"]): (
+                tuple(r["spec"]) if r["spec"] is not None else None,
+                tuple(r["status"]) if r["status"] is not None else None,
+            )
+            for r in st.read().collect()
+        }
+        for name, st in states.items()
+    }
+
+
+TESTCRD_RULE = ("s1", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, None)
+
+
+def test_case_basic_status_only_default(spark, tmp_path):
+    """cases/basic: default sync_fields ⇒ only status is synced
+    (types.go:37-39); latest update wins; the deleted object is absent."""
+    state = _final_state(spark, tmp_path, [TESTCRD_RULE])
+    assert state == {"s1": {("default", "obj1"): (None, ("bar-v2",))}}
+
+
+def test_case_spec_and_status(spark, tmp_path):
+    """cases/spec: sync_fields [spec,status] copies both documents."""
+    rule = ("s1", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, ["spec", "status"])
+    state = _final_state(spark, tmp_path, [rule])
+    assert state == {"s1": {("default", "obj1"): (("foo-v2", "rid-1"), ("bar-v2",))}}
+
+
+def test_case_resourceid_nested_projection(spark, tmp_path):
+    """cases/resourceid: sync_fields [spec.resourceID] rebuilds a spec
+    holding only resourceID (krmsyncer_controller.go:571-582)."""
+    rule = ("s1", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, ["spec.resourceID"])
+    state = _final_state(spark, tmp_path, [rule])
+    assert state == {"s1": {("default", "obj1"): ((None, "rid-1"), None)}}
+
+
+def test_case_glob_fanout(spark, tmp_path):
+    """cases/glob: *.cnrm.cloud.google.com with */* matches both KCC-
+    family objects (and NOT the TestCRD)."""
+    rule = ("sg", False, "push", "*.cnrm.cloud.google.com", "*", "*", None, ["spec", "status"])
+    state = _final_state(spark, tmp_path, [rule])
+    assert set(state["sg"]) == {("prod", "obj2"), ("dev", "obj3")}
+
+
+def test_case_pull_mode_and_default(spark, tmp_path):
+    """cases/pull: empty mode defaults to pull (types.go:77); the
+    dataflow is identical, mode is routing metadata."""
+    rule = ("sp", False, None, "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, None)
+    rules = normalize_rules(_rules(spark, [rule]))
+    assert rules.select("mode").first()["mode"] == "pull"
+    state = _final_state(spark, tmp_path, [rule])
+    assert state == {"sp": {("default", "obj1"): (None, ("bar-v2",))}}
+
+
+def test_case_suspend(spark, tmp_path):
+    """cases/suspend: suspended syncer produces nothing (expected.yaml
+    is empty; krmsyncer_controller.go:83-93)."""
+    rule = ("ss", True, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, None)
+    assert _final_state(spark, tmp_path, [rule]) == {}
+
+
+def test_namespace_inlist(spark, tmp_path):
+    """Namespace in-list: the glob rule restricted to [prod] drops the
+    dev-namespace object (krmsyncer_controller.go:462-474)."""
+    rule = ("sn", False, "push", "*.cnrm.cloud.google.com", "*", "*", ["prod"], ["status"])
+    state = _final_state(spark, tmp_path, [rule])
+    assert set(state["sn"]) == {("prod", "obj2")}
+
+
+def test_fanout_multiple_syncers(spark, tmp_path):
+    """One event × N matching syncers ⇒ N destination writes
+    (krmsyncer_controller.go:431-530): duplicates by design."""
+    state = _final_state(
+        spark, tmp_path,
+        [TESTCRD_RULE, ("s2", False, "pull", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, ["spec"])],
+    )
+    assert set(state) == {"s1", "s2"}
+    assert state["s1"][("default", "obj1")] == (None, ("bar-v2",))
+    assert state["s2"][("default", "obj1")] == (("foo-v2", "rid-1"), None)
+
+
+@pytest.mark.parametrize(
+    "group,version,kind,valid",
+    [
+        ("e2e.gkelabs.io", "v1alpha1", "TestCRD", True),     # no wildcard
+        ("*.cnrm.cloud.google.com", "*", "*", True),          # legal KCC glob
+        ("*.cnrm.cloud.google.com", "v1", "*", False),        # version not *
+        ("*.cnrm.cloud.google.com", "*", "Thing", False),     # kind not *
+        ("*.example.com", "*", "*", False),                   # non-KCC glob group
+        ("e2e.gkelabs.io", "*", "TestCRD", False),            # stray wildcard
+    ],
+)
+def test_glob_validation_table(spark, group, version, kind, valid):
+    """TestValidateRule's table (krmsyncer_glob_test.go:24-89)."""
+    rules = normalize_rules(
+        _rules(spark, [("s", False, "push", group, version, kind, None, None)])
+    )
+    assert validate_rules(rules).first()["valid"] is valid
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """Replaying the full op-log a second time (at-least-once
+    redelivery) leaves every destination state unchanged."""
+    changes = compile_sync(_oplog(spark), _rules(spark, [TESTCRD_RULE]))
+    st = StateTable(
+        spark, str(tmp_path / "dest"),
+        ["group", "version", "kind", "namespace", "name"], "seq",
+    )
+    st.merge_batch(changes.drop("syncer_name", "mode"))
+    first = sorted(map(str, st.read().collect()))
+    st.merge_batch(changes.drop("syncer_name", "mode"))
+    assert sorted(map(str, st.read().collect())) == first
