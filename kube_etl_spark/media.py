@@ -1,0 +1,101 @@
+"""Multimodal (image/audio/video) column support — BASELINE.json's
+mandated extension surface. No reference analog (the reference syncs
+Kubernetes objects only).
+
+Model: media lives in DataFrames as an opaque `binary` payload column
+plus typed metadata (media_type, byte length, decoded features). The
+decode/feature-extract/resize/frame-sample operators run as Arrow-
+batched `mapInPandas` passes — the Spark-side plumbing (schema,
+batching, partitioning) is real and tested; the actual codec calls are
+STUBBED because no image/audio library ships in this container:
+
+  * `decode_features(..., codec="fake")` (default) — a deterministic
+    byte-derived fake decoder, so the whole pipeline is exactly
+    reproducible and oracle-checkable.
+  * `codec="real"` — raises NotImplementedError at the exact call site
+    where PIL/libav decoding would plug in.
+
+Scale notes: binary payloads ride the scan; mapInPandas streams Arrow
+batches so a 100 MB image row never materializes per-row Python
+objects. Feature extraction is embarrassingly parallel — no shuffle at
+all; downstream joins happen on the compact metadata, never the bytes
+(project the binary column away before any shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, duration_ms int, checksum long"
+)
+
+
+def attach_payload(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Fixture adapter: treat each document's utf-8 bytes as an opaque
+    media payload (the fixtures ship no real binaries)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic byte-derived pseudo-features (width, height,
+    duration_ms, checksum). Stands in for the codec so tests and the
+    DuckDB oracle can reproduce it from byte length + content."""
+    n = len(payload)
+    checksum = sum(payload[:16]) if n else 0
+    return (n % 64 + 1, n % 37 + 1, n % 1000, checksum)
+
+
+def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode each payload into typed features via mapInPandas (one
+    Arrow batch per Python call). codec='real' marks where PIL/libav
+    would be wired in."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio decoding needs PIL/libav, not shipped in "
+            "this container; plug the codec into _decode_batch below"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                    "width": feats.str[0].astype("int32"),
+                    "height": feats.str[1].astype("int32"),
+                    "duration_ms": feats.str[2].astype("int32"),
+                    "checksum": feats.str[3].astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_decode_batch, MEDIA_FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> DataFrame:
+    """Video frame sampling: 1 row → N frame rows (media_id, frame_idx,
+    frame_ts_ms). The fake codec derives the frame count from the fake
+    duration; a real codec would emit decoded frame payloads."""
+    feats = decode_features(media, codec=codec)
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.floor(F.col("duration_ms") / every_ms), F.lit(0)))
+        ).alias("frame_idx"),
+        "duration_ms",
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * every_ms).cast("int").alias("frame_ts_ms"),
+    )

@@ -1,0 +1,87 @@
+"""The `kube-etl export` batch pipeline, Spark-first (SURVEY.md §3.1).
+
+Reference (all /root/reference/pkg/export/export.go): discover every
+listable resource type (:98-128), full List per type (:130), derive the
+hierarchical path `<ns>/<group>/<kind>/<name>.yaml` with defaulting
+(""-namespace → "_cluster", ""-group → "core", :136-150), serialize each
+object (:152), write into a zip (:158, pkg/sink/zip.go:38-45).
+
+Spark mapping: the "catalog" is our fixture table list; each table is
+scanned once; the derived-path projection is when/coalesce/concat_ws;
+serialization is to_json(struct(*)); the zip becomes a directory tree
+partitioned by (table_name) — partition values in paths, exactly the
+reference's layout trick, but splittable and parallel.
+
+Scale: the reference Lists each type unpaginated into memory
+(export.go:130 — its scalability cliff) and writes sequentially; here
+every table scan is partitioned, the only "shuffle" is the sink write,
+and output files are sized by Spark's file writer, not one-file-per-
+object (100 TB of 1-object files would be a small-files disaster —
+the layout keeps the path as a COLUMN, giving the same addressability
+without the filesystem blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TABLES, load_table
+
+# Per-table (namespace-ish, name-ish) column mapping — the analog of the
+# object's metadata fields used for path derivation.
+_KEYS: dict[str, tuple[str, str]] = {
+    "region": ("r_name", "r_regionkey"),
+    "nation": ("n_name", "n_nationkey"),
+    "customer": ("c_mktsegment", "c_custkey"),
+    "supplier": ("s_name", "s_suppkey"),
+    "part": ("p_brand", "p_partkey"),
+    "orders": ("o_orderpriority", "o_orderkey"),
+    "lineitem": ("l_returnflag", "l_orderkey"),
+    "events": ("event_type", "event_id"),
+    "documents": ("lang", "doc_id"),
+    "embeddings": ("label", "vec_id"),
+}
+
+
+def export_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table → (table_name, path, payload): derived hierarchical
+    path with empty-segment defaulting + JSON serialization of the row."""
+    ns_col, name_col = _KEYS[name]
+    df = load_table(spark, sf_dir, name)
+    ns = F.when(
+        F.col(ns_col).cast("string").isNull() | (F.col(ns_col).cast("string") == ""),
+        "_cluster",
+    ).otherwise(F.col(ns_col).cast("string"))
+    path = F.concat_ws("/", ns, F.lit("core"), F.lit(name), F.concat(F.col(name_col).cast("string"), F.lit(".json")))
+    return df.select(
+        F.lit(name).alias("table_name"),
+        path.alias("path"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
+    )
+
+
+def run_export(spark: SparkSession, sf_dir: str, out_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, int]:
+    """The full export job: scan every catalog table, derive paths,
+    write one partitioned JSON dataset (partition column = table_name,
+    the zip-directory analog). Returns per-table row counts. Errors are
+    accumulated per-table and raised joined at the end, matching
+    errors.Join in export.go:99-167."""
+    counts: dict[str, int] = {}
+    errs: list[str] = []
+    frames = []
+    for t in tables:
+        try:
+            frames.append(export_table(spark, sf_dir, t))
+        except Exception as ex:  # tolerate per-type failure, keep going
+            errs.append(f"{t}: {ex}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out.write.mode("overwrite").partitionBy("table_name").json(out_dir)
+    back = spark.read.json(out_dir)
+    for row in back.groupBy("table_name").count().collect():
+        counts[row["table_name"]] = row["count"]
+    if errs:
+        raise RuntimeError("; ".join(errs))
+    return counts

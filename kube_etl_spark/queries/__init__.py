@@ -10,8 +10,10 @@ from . import (  # noqa: F401
     functions,
     joins,
     llm,
+    mediaq,
     scans,
     setops,
     streamlike,
+    udfs,
     windows,
 )
