@@ -11,8 +11,10 @@ from . import (  # noqa: F401
     joins,
     llm,
     mediaq,
+    scale,
     scans,
     setops,
+    subqueries,
     streamlike,
     udfs,
     windows,

@@ -190,3 +190,46 @@ def test_cdc_streaming_replay_matches_batch_compaction(spark, tmp_path):
         for r in latest_op(ev, ["key"], ["seq"]).filter(F.col("op") != "delete").collect()
     )
     assert got == expect
+
+
+def test_stateful_tracker_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state accumulates over
+    micro-batches; the final emitted snapshot per user equals the batch
+    aggregate over all events."""
+    from kube_etl_spark.streaming.stateful import user_activity_tracker
+
+    ev = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=3, order_col="event_id")
+    snapshots: dict[int, tuple] = {}
+
+    def _collect(batch, _bid):
+        for r in batch.collect():
+            # update-mode: later batches overwrite earlier snapshots
+            snapshots[r["user_id"]] = (r["n_events"], round(r["total_value"], 6), r["last_ts"])
+
+    q = (
+        user_activity_tracker(stream)
+        .writeStream.foreachBatch(_collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    expect = {
+        r["user_id"]: (r["n"], round(r["total"], 6), r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert snapshots == expect
