@@ -318,6 +318,119 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_clusters",
+    tags=("L2",),
+    oracle=f"""
+WITH RECURSIVE
+aug AS ({_NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+),
+p AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (SELECT x AS a, y AS b FROM p UNION SELECT y, x FROM p),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM sh
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id,
+       (src = MIN(node)) AS is_canonical
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: duplicate-cluster resolution — connected components over the
+    near-dup pair graph (edges = 3-gram Jaccard ≥ 0.5), canonical doc =
+    min doc_id per component. Iterative min-label propagation: each
+    round is one join + groupBy (all shuffle-keyed on doc_id), with
+    localCheckpoint truncating lineage per round — the pattern that
+    holds at 10⁹ nodes, where components converge in O(graph diameter)
+    rounds, not O(n). Oracle: DuckDB recursive-CTE transitive closure."""
+    sh = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+    )
+    edges = pairs.union(pairs.select("y", "x")).localCheckpoint(eager=True)
+    labels = sh.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(20):  # diameter bound; fixture graph converges in ≤2
+        neighbor_min = (
+            edges.join(labels, edges.x == labels.doc_id)
+            .groupBy(F.col("y").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_string_similarity",
+    tags=("L2",),
+    oracle="""
+WITH d AS (SELECT doc_id, substr(text, 1, 30) AS p FROM documents WHERE doc_id < 20)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.p, b.p) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+)
+def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: edit-distance similarity (Levenshtein on 30-char prefixes,
+    bounded pair range) — the character-level companion to token-level
+    Jaccard; at scale, run it only on LSH/fingerprint candidates."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.substring("text", 1, 30).alias("p"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L3 — similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -367,18 +480,23 @@ ORDER BY qid, rank
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 baseline: brute-force cosine top-k. broadcast(queries) ⋈ all
     candidates — the big side is scanned once, never shuffled; top-k via
-    rank-filter window partitioned by query id. Rank on the 4dp-rounded
-    cosine with cid tiebreak so ordering is engine-independent."""
+    rank-filter window partitioned by query id. Norms are computed once
+    per vector BEFORE the pair join (1 fold per vector, not 2 extra
+    folds per pair — at 10⁹ candidates that's the difference between
+    3n·k and n·k dot products). Rank on the 4dp-rounded cosine with cid
+    tiebreak so ordering is engine-independent."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
     )
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
     )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
