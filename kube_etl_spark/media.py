@@ -83,6 +83,67 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.mapInPandas(_decode_batch, MEDIA_FEATURES_SCHEMA)
 
 
+def resize(media: DataFrame, max_dim: int = 32, codec: str = "fake") -> DataFrame:
+    """Image resize: payload → payload' with target dimensions. The fake
+    codec truncates bytes proportionally (deterministic); a real codec
+    would decode-scale-reencode at the marked seam. Output schema keeps
+    the payload opaque-binary + typed size metadata, so downstream ops
+    are codec-agnostic."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real resize needs PIL; plug into _resize_batch below"
+        )
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _shrink(payload: bytes) -> bytes:
+                w, h, _, _ = _fake_decode(payload)
+                scale = min(1.0, max_dim / max(w, h))
+                keep = max(1, int(len(payload) * scale))
+                return payload[:keep]
+
+            out = pdf["payload"].map(_shrink)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                    "n_bytes": out.str.len().astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _resize_batch,
+        "media_id long, media_type string, payload binary, n_bytes long",
+    )
+
+
+def audio_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Audio feature extraction (duration, sample-rate, loudness proxy).
+    Fake codec derives them from bytes; the real seam would call
+    soundfile/libav."""
+    if codec == "real":
+        raise NotImplementedError("real audio decode needs libav/soundfile")
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].str.len()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": (n % 1000).astype("int32"),
+                    "sample_rate": ((n % 3).map({0: 16000, 1: 22050, 2: 44100})).astype("int32"),
+                    "mean_amplitude": pdf["payload"]
+                    .map(lambda b: (sum(b[:32]) / max(1, len(b[:32]))) / 255.0)
+                    .astype("float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _feat, "media_id long, duration_ms int, sample_rate int, mean_amplitude double"
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> DataFrame:
     """Video frame sampling: 1 row → N frame rows (media_id, frame_idx,
     frame_ts_ms). The fake codec derives the frame count from the fake

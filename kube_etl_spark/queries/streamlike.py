@@ -239,3 +239,46 @@ def q_cdc_apply_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "q_stream_stream_join",
+    tags=("ST8", "J8"),
+    oracle="""
+SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '10 minutes'
+ORDER BY click_id, purchase_id
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch semantics: click→purchase
+    attribution within a 10-minute window per user. This exact
+    time-range condition is what makes the STREAMING version's state
+    bounded — each side keeps only rows inside the watermarked interval
+    (the real stream-stream run is tests/test_streaming.py's
+    attribution test). At 100 TB the join shuffles both sides on
+    user_id once; the interval predicate prunes within partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+        .orderBy("click_id", "purchase_id")
+    )

@@ -1,0 +1,67 @@
+"""spark-submit entrypoint scripts, driven end-to-end in-process (the
+CLI layer the k8s manifests invoke)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from .conftest import SMOKE_SF
+
+
+def test_run_export_cli(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_export
+
+    out = str(tmp_path / "exp")
+    run_export.main(["--input", SMOKE_SF, "--output", out])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["exported"]["region"] == 5
+    assert spark.read.json(out).count() > 0
+
+
+def test_run_syncer_cli_once(spark, tmp_path):
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+
+    rules = [
+        {
+            "syncer_name": "s1",
+            "suspend": False,
+            "mode": "push",
+            "rule_group": "e2e.gkelabs.io",
+            "rule_version": "v1alpha1",
+            "rule_kind": "TestCRD",
+            "namespaces": [],
+            "sync_fields": ["spec", "status"],
+        }
+    ]
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+
+    oplog_dir = tmp_path / "oplog"
+    oplog_dir.mkdir()
+    rows = [
+        {"seq": 1, "op": "upsert", "group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "namespace": "default", "name": "obj1",
+         "labels": {}, "annotations": {},
+         "spec": {"foo": "f1", "resourceID": "r1"}, "status": {"bar": "b1"}},
+        {"seq": 2, "op": "upsert", "group": "other.io", "version": "v1",
+         "kind": "Thing", "namespace": "default", "name": "skipme",
+         "labels": {}, "annotations": {}, "spec": None, "status": None},
+    ]
+    (oplog_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    run_syncer.main([
+        "--rules", str(rules_path),
+        "--oplog", str(oplog_dir),
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--once",
+    ])
+    state = spark.read.parquet(str(tmp_path / "state" / "s1"))
+    got = state.collect()
+    assert len(got) == 1
+    assert got[0]["name"] == "obj1"
+    assert got[0]["spec"]["foo"] == "f1"
+    assert got[0]["status"]["bar"] == "b1"
