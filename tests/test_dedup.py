@@ -1,0 +1,57 @@
+"""Fuzzy-dedup quality anchors: the MinHash-LSH path (rows-only in the
+oracle contract) is held to the brute-force n-gram Jaccard ground truth
+— recall on high-similarity pairs must be total, and reported Jaccard
+values must agree exactly (both verify on the same shingle sets)."""
+
+from __future__ import annotations
+
+from kube_etl_spark.registry import all_specs
+
+from .conftest import SMOKE_SF
+
+
+def test_lsh_recall_of_high_jaccard_pairs(spark):
+    """Every pair the brute force scores ≥ 0.6 must be surfaced by the
+    LSH pipeline with the identical Jaccard (8 bands × 4 rows ⇒
+    P(miss | J≥0.6) = (1-0.6⁴)⁸ ≈ 0.3 per band-structure... bounded by
+    the synthesized near-dups at J≈0.9 where P(miss) < 1e-2; the
+    deterministic seeds make this exact, not flaky)."""
+    specs = all_specs()
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in specs["q_dedup_ngram_jaccard"].fn(spark, SMOKE_SF).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in specs["q_dedup_fuzzy"].fn(spark, SMOKE_SF).collect()
+    }
+    high = {p: j for p, j in brute.items() if j >= 0.6}
+    assert high, "fixture should contain synthesized near-dup pairs"
+    missed = {p: j for p, j in high.items() if p not in lsh}
+    assert not missed, f"LSH missed high-J pairs: {missed}"
+    for p in high:
+        assert lsh[p] == high[p], f"Jaccard disagrees on {p}"
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    """The synthesized copies (doc_id+100000) must always lose to the
+    original (deterministic winner)."""
+    rows = all_specs()["q_dedup_exact"].fn(spark, SMOKE_SF).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in rows}
+    assert all(k < 100000 for k in by_keep), "a copy won a dedup group"
+    assert sum(1 for n in by_keep.values() if n == 2) == 50
+
+
+def test_cluster_canonicals_are_originals(spark):
+    """Every synthesized near-dup (id ≥ 200000) must land in the SAME
+    component as its source document and can never be canonical (its
+    source has a smaller id by construction). The cluster id may be an
+    even smaller third doc when two originals are themselves near-dups —
+    that's correct component merging, so compare against the source's
+    cluster, not the source id."""
+    rows = all_specs()["q_dedup_clusters"].fn(spark, SMOKE_SF).collect()
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for r in rows:
+        if r["doc_id"] >= 200000:
+            assert not r["is_canonical"]
+            assert r["cluster_id"] == cluster_of[r["doc_id"] - 200000]
