@@ -282,3 +282,36 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "purchase_id", "user_id")
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "q_rollup_multires",
+    tags=("ST1", "rollup"),
+    oracle="""
+SELECT bucket_start, resolution, n_events, total_value FROM (
+  SELECT date_trunc('hour', ts) AS bucket_start, '1 hour' AS resolution,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('day', ts), '1 day',
+         COUNT(*),
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+  FROM events GROUP BY 1
+)
+ORDER BY resolution, bucket_start
+""",
+)
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour + day buckets),
+    batch semantics of the continuously-maintained table in
+    streaming/rollup.py (whose stream≡batch equality is asserted in
+    tests/test_streaming.py). Epoch-aligned windows ⇒ date_trunc oracle."""
+    from ..streaming.rollup import rollup_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        rollup_aggregate(ev, "1 hour")
+        .unionByName(rollup_aggregate(ev, "1 day"))
+        .orderBy("resolution", "bucket_start")
+    )

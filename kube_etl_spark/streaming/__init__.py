@@ -8,4 +8,4 @@ semantics); tests/test_streaming.py runs the same builders on real
 file streams with watermarks and availableNow triggers.
 """
 
-from . import cdc, sources, sync, windowed  # noqa: F401
+from . import cdc, rollup, sources, stateful, sync, windowed  # noqa: F401

@@ -338,3 +338,32 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     assert sorted(seen) == sorted(r["event_id"] for r in ev.collect())
     assert len(seen) == len(set(seen))
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path):
+    """Multi-resolution continuous rollup: after replaying the stream,
+    the maintained bucket table equals the one-shot batch rollup at
+    every resolution (and buckets updated across several micro-batches
+    hold the cumulative value, not the last increment)."""
+    from kube_etl_spark.streaming.rollup import rollup_aggregate, run_continuous_rollup
+
+    ev = load_table(spark, SMOKE_SF, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).select("event_id", "ts", "value")
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=4, order_col="event_id")
+    state = StateTable(
+        spark, str(tmp_path / "rollup"), ["bucket_start", "resolution"], "__seq"
+    )
+    run_continuous_rollup(
+        stream, state, str(tmp_path / "ckpt"), resolutions=("1 hour", "1 day"),
+        watermark="365 days",  # keep all buckets open: full replay must equal batch
+    )
+    got = {
+        (r["bucket_start"], r["resolution"]): (r["n_events"], r["total_value"])
+        for r in state.read().collect()
+    }
+    expect = {}
+    for res in ("1 hour", "1 day"):
+        for r in rollup_aggregate(ev, res).collect():
+            expect[(r["bucket_start"], r["resolution"])] = (r["n_events"], r["total_value"])
+    assert got == expect
