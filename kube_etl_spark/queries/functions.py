@@ -251,3 +251,104 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_string_funcs2",
+    tags=("F1",),
+    oracle="""
+SELECT doc_id,
+       translate(substr(text, 1, 12), 'ae', '43') AS leeted,
+       lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+       rpad(lang, 5, '.') AS padded_lang,
+       repeat(lang, 2) AS lang2,
+       reverse(substr(text, 1, 8)) AS rev8
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+""",
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1b: second string family — translate / lpad / rpad / repeat /
+    reverse (all JVM builtins with exact DuckDB twins)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.translate(F.substring("text", 1, 12), "ae", "43").alias("leeted"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+            F.rpad("lang", 5, ".").alias("padded_lang"),
+            F.repeat("lang", 2).alias("lang2"),
+            F.reverse(F.substring("text", 1, 8)).alias("rev8"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_date_funcs2",
+    tags=("F2",),
+    oracle="""
+SELECT o_orderkey,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(date_part('week', o_orderdate) AS INTEGER) AS iso_week,
+       CAST(date_part('quarter', o_orderdate) AS INTEGER) AS qtr
+FROM orders
+WHERE o_orderkey < 300
+ORDER BY o_orderkey
+""",
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2b: second date family — last_day, ISO day-of-week (weekday+1),
+    ISO week number, quarter."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+            F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_conditional_funcs",
+    tags=("F7",),
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS tier,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       greatest(c_acctbal, 0.0) AS bal_floor0,
+       least(CAST(c_nationkey AS DOUBLE), 10.0) AS nk_cap10
+FROM customer
+WHERE c_custkey <= 300
+ORDER BY c_custkey
+""",
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: conditional family — CASE tiers, NULLIF+COALESCE defaulting
+    (the ""→default trick from export.go:137-145), greatest/least."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("rich")
+            .alias("tier"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg_or_other"
+            ),
+            F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+            F.least(F.col("c_nationkey").cast("double"), F.lit(10.0)).alias("nk_cap10"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the engine's core invariants —
+the randomized tier the reference lacks (SURVEY.md §5: 'no
+property-based tests' there; we add them):
+
+  * exact.py determinism: decimal aggregation is partition-order
+    independent (THE property that makes oracle hashing sound);
+  * salted_join ≡ plain join on arbitrary key distributions (incl.
+    pathological all-one-key skew);
+  * CDC latest_op/apply semantics: applying an op-log equals replaying
+    it in any chunking.
+
+Data volumes are tiny (tens of rows) — these probe semantics, not scale;
+deadlines are disabled because Spark job latency dwarfs hypothesis'
+defaults.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROPS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, cents) rows: money quantized to 2dp like the fixtures
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=-10**7, max_value=10**7),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@PROPS
+@given(rows=rows_strategy, nparts=st.integers(min_value=1, max_value=7))
+def test_decimal_sum_partition_invariant(spark, rows, nparts):
+    """dsum over decimal is identical for every partitioning of the same
+    rows — the determinism exact.py promises."""
+    from kube_etl_spark.exact import dsum, money
+
+    df = spark.createDataFrame(
+        [(k, c / 100.0) for k, c in rows], "k int, v double"
+    )
+    a = (
+        df.repartition(1)
+        .groupBy("k").agg(dsum(money("v")).alias("s"))
+        .collect()
+    )
+    b = (
+        df.repartition(nparts)
+        .groupBy("k").agg(dsum(money("v")).alias("s"))
+        .collect()
+    )
+    assert sorted((r["k"], r["s"]) for r in a) == sorted((r["k"], r["s"]) for r in b)
+
+
+@PROPS
+@given(
+    fact=st.lists(st.integers(min_value=0, max_value=3), min_size=0, max_size=40),
+    dim=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=6),
+)
+def test_salted_join_equals_plain_join(spark, fact, dim):
+    """Salting never changes join results — including all-rows-one-key
+    skew and empty sides."""
+    from kube_etl_spark.queries.scale import salted_join
+
+    fdf = spark.createDataFrame([(k,) for k in fact], "fk int")
+    ddf = spark.createDataFrame(
+        [(k, f"d{k}-{i}") for i, k in enumerate(set(dim))], "dk int, payload string"
+    )
+    plain = sorted(
+        (r["fk"], r["payload"])
+        for r in fdf.join(ddf, fdf.fk == ddf.dk).collect()
+    )
+    salted = sorted(
+        (r["fk"], r["payload"])
+        for r in salted_join(fdf, ddf, "fk", "dk").collect()
+    )
+    assert salted == plain
+
+
+@PROPS
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.booleans(),                            # is_delete
+            st.integers(min_value=0, max_value=999),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=1, max_value=29),
+)
+def test_oplog_apply_chunking_invariant(spark, tmp_path_factory, ops, split):
+    """Applying an op-log in one MERGE equals applying it in two chunks
+    (any split point) — the micro-batch-boundary independence the CDC
+    sink needs."""
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    schema = "seq long, key long, op string, value long"
+    rows = [
+        (i, k, "delete" if d else "upsert", v) for i, (k, d, v) in enumerate(ops)
+    ]
+    split = min(split, len(rows))
+
+    def final_state(chunks):
+        st_dir = tmp_path_factory.mktemp("state")
+        table = StateTable(spark, str(st_dir / "t"), ["key"], "seq")
+        for chunk in chunks:
+            if chunk:
+                table.merge_batch(spark.createDataFrame(chunk, schema))
+        out = table.read()
+        return sorted(
+            (r["key"], r["seq"], r["value"]) for r in (out.collect() if out is not None else [])
+        )
+
+    assert final_state([rows]) == final_state([rows[:split], rows[split:]])
