@@ -376,3 +376,40 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_argmax",
+    tags=("A1",),
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 + o_orderkey)
+         AS biggest_order,
+       MAX(o_totalprice) AS biggest_price,
+       arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000 - o_orderkey)
+         AS smallest_order
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1b: arg-max/arg-min aggregates (max_by/min_by) — 'which row won'
+    without a self-join or window. Tie-break is encoded into one exact
+    bigint ordering key (cents * 10^7 ± orderkey) because composite
+    orderings aren't portable to the oracle; exact for |price| < 9e8."""
+
+    def _price_key(sign: int):
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+        return cents * F.lit(10000000) + F.lit(sign) * F.col("o_orderkey")
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", _price_key(1)).alias("biggest_order"),
+            F.max("o_totalprice").alias("biggest_price"),
+            F.min_by("o_orderkey", _price_key(-1)).alias("smallest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
