@@ -565,6 +565,97 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_BITS = 3  # bits (planes) per table — controls bucket selectivity
+_LSH_TABLES = 10  # independent tables — controls recall
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = _LSH_BITS * _LSH_TABLES) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (seed 42) for signed-random-
+    projection LSH — generated driver-side once, broadcast as a literal
+    (n_planes × dim floats: trivially small at any scale)."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@query("q_knn_lsh", tags=("L3",), oracle=None)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: multi-table LSH ANN (signed random projection; rows-only —
+    value-correctness + recall vs the exact ranking asserted in
+    tests/test_dedup.py). Each of L=10 tables hashes v into a k=3-bit
+    bucket (sign of v·h_p per plane); a candidate is probed if it shares
+    ANY table's bucket with the query — P(probe) = 1-(1-(1-θ/π)^k)^L,
+    ≈0.93 for θ≈69° (the fixture's nearest-neighbor regime). Search is
+    an explode-by-table + equi-join on (table, bucket): all shuffles
+    keyed, candidate set ~bucket-sized per table, never all-pairs. k
+    scales up with corpus size to keep buckets bounded (3 bits is sized
+    to this fixture; 10⁹ vectors wants ~20+ bits and more tables)."""
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _bit(plane: list[float]) -> F.Column:
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sum(
+                    (_bit(planes[t * _LSH_BITS + b]) * F.lit(1 << b) for b in range(1, _LSH_BITS)),
+                    _bit(planes[t * _LSH_BITS]),
+                ).alias("bucket"),
+            )
+            for t in range(_LSH_TABLES)
+        ]
+    )
+    bucketed = (
+        emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .withColumn("tb", F.explode(tables))
+        .select("vec_id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "tbl",
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.col("tbl").alias("ctbl"),
+        F.col("bucket").alias("cbucket"),
+    )
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("ctbl"))
+            & (F.col("bucket") == F.col("cbucket"))
+            & (F.col("qid") != F.col("cid")),
+        )
+        .select("qid", "qv", "qn", "cid", "cv", "cn")
+        .dropDuplicates(["qid", "cid"])
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        cand.select("qid", "cid", F.round(cos, 4).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "cid", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
 @query(
     "q_dedup_embedding",
     tags=("L2", "L3"),

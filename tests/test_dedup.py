@@ -55,3 +55,40 @@ def test_cluster_canonicals_are_originals(spark):
         if r["doc_id"] >= 200000:
             assert not r["is_canonical"]
             assert r["cluster_id"] == cluster_of[r["doc_id"] - 200000]
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    """LSH-bucketed ANN quality: (a) every reported cosine equals the
+    exactly-computed cosine for that pair (bucketing prunes candidates,
+    it must never distort values); (b) top-1 recall vs the exact
+    ranking is at least 50% (8 Rademacher-free Gaussian planes give
+    high same-bucket probability for near neighbors). Deterministic —
+    hyperplanes are seeded."""
+    specs = all_specs()
+    exact_rows = specs["q_knn_cosine"].fn(spark, SMOKE_SF).collect()
+    from pyspark.sql import functions as F
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot
+
+    emb = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    all_cos = {
+        (r["qid"], r["cid"]): r["cos"]
+        for r in c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cos, 4).alias("cos"))
+        .collect()
+    }
+    lsh_rows = specs["q_knn_lsh"].fn(spark, SMOKE_SF).collect()
+    assert lsh_rows, "LSH ANN returned nothing"
+    for r in lsh_rows:
+        assert all_cos[(r["qid"], r["cid"])] == r["cos"]
+    exact_top1 = {r["qid"]: r["cid"] for r in exact_rows if r["rank"] == 1}
+    lsh_top1 = {r["qid"]: r["cid"] for r in lsh_rows if r["rank"] == 1}
+    hits = sum(1 for qid, cid in exact_top1.items() if lsh_top1.get(qid) == cid)
+    assert hits * 2 >= len(exact_top1), f"top-1 recall too low: {hits}/{len(exact_top1)}"
