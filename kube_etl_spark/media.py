@@ -47,11 +47,14 @@ def attach_payload(docs: DataFrame, media_type: str = "image") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic byte-derived pseudo-features (width, height,
-    duration_ms, checksum). Stands in for the codec so tests and the
-    DuckDB oracle can reproduce it from byte length + content."""
+    """Deterministic pseudo-features (width, height, duration_ms,
+    checksum). Sizes derive from BYTE length; the checksum sums the
+    first 16 CODEPOINTS of the utf-8 decode — chosen so a SQL oracle
+    can reproduce every field from the source text for any content
+    (octet_length(encode(text)) / ascii(substr(text, i, 1))), not just
+    ASCII where bytes and codepoints coincide."""
     n = len(payload)
-    checksum = sum(payload[:16]) if n else 0
+    checksum = sum(ord(ch) for ch in payload.decode("utf-8", errors="replace")[:16])
     return (n % 64 + 1, n % 37 + 1, n % 1000, checksum)
 
 

@@ -75,13 +75,14 @@ def run_export(spark: SparkSession, sf_dir: str, out_dir: str, tables: tuple[str
             frames.append(export_table(spark, sf_dir, t))
         except Exception as ex:  # tolerate per-type failure, keep going
             errs.append(f"{t}: {ex}")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    out.write.mode("overwrite").partitionBy("table_name").json(out_dir)
-    back = spark.read.json(out_dir)
-    for row in back.groupBy("table_name").count().collect():
-        counts[row["table_name"]] = row["count"]
+    if frames:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        out.write.mode("overwrite").partitionBy("table_name").json(out_dir)
+        back = spark.read.json(out_dir)
+        for row in back.groupBy("table_name").count().collect():
+            counts[row["table_name"]] = row["count"]
     if errs:
         raise RuntimeError("; ".join(errs))
     return counts

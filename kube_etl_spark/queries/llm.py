@@ -44,8 +44,11 @@ def _tokens(col: F.Column) -> F.Column:
 
 
 def _shingles(tok: F.Column) -> F.Column:
-    """Distinct 3-word shingles (1-based element_at; i in 0..size-3)."""
-    return F.array_distinct(
+    """Distinct 3-word shingles (1-based element_at; i in 0..size-3).
+    Guarded for size<3: F.sequence(0, size-3) would otherwise descend
+    (step −1) into element_at(tok, 0), a hard error — short documents
+    get an empty shingle set, matching the oracle's empty range()."""
+    sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(tok) - 3),
             lambda i: F.concat_ws(
@@ -56,6 +59,7 @@ def _shingles(tok: F.Column) -> F.Column:
             ),
         )
     )
+    return F.when(F.size(tok) >= 3, sh).otherwise(F.array().cast("array<string>"))
 
 
 _SHINGLES_SQL = (
@@ -892,19 +896,22 @@ LIMIT 20
 )
 def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: term frequency + document frequency + TF-IDF, top-20 terms.
-    One explode + one shuffle keyed on term; df via count-distinct."""
+    One explode + one shuffle keyed on term; df via count-distinct.
+    n_docs joins in as a 1-row broadcast (a driver-side .count() here
+    would be an eager second full scan of the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
     return (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
             ).alias("tfidf"),
         )
         .orderBy(F.col("tf").desc(), F.col("term").asc())

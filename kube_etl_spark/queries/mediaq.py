@@ -23,11 +23,11 @@ from ..registry import query
     oracle="""
 SELECT doc_id AS media_id,
        'image' AS media_type,
-       n_chars AS n_bytes,
-       CAST(n_chars % 64 + 1 AS INTEGER) AS width,
-       CAST(n_chars % 37 + 1 AS INTEGER) AS height,
-       CAST(n_chars % 1000 AS INTEGER) AS duration_ms,
-       CAST(list_sum(list_transform(range(1, least(n_chars, 16) + 1),
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 37 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 1000 AS INTEGER) AS duration_ms,
+       CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
                                     i -> ascii(substr(text, i, 1)))) AS BIGINT)
          AS checksum
 FROM documents
@@ -49,7 +49,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT d.doc_id AS media_id,
        CAST(t.k AS INTEGER) AS frame_idx,
        CAST(t.k * 250 AS INTEGER) AS frame_ts_ms
-FROM (SELECT doc_id, n_chars % 1000 AS dur FROM documents WHERE doc_id < 50) d,
+FROM (SELECT doc_id, octet_length(encode(text)) % 1000 AS dur
+      FROM documents WHERE doc_id < 50) d,
      LATERAL unnest(range(0, greatest(dur // 250, 0) + 1)) AS t(k)
 ORDER BY media_id, frame_idx
 """,

@@ -18,7 +18,6 @@ gives partition-pruned downstream reads.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,10 +136,9 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the same count on the source table, so the check
     proves the sink wrote every row into the right partition."""
     orders = load_table(spark, sf_dir, "orders")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"kube_etl_spark_sink_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # per-run unique dir: a fixed path would race against concurrent
+    # runs (driver gate + pytest + bench share this machine)
+    out_dir = tempfile.mkdtemp(prefix="kube_etl_spark_sink_")
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out_dir)
     return (
         spark.read.parquet(out_dir)

@@ -3,8 +3,8 @@
 W6 is the REF-grounded one: the informer cache materializes
 latest-state-per-key (/root/reference/syncer/controllers/
 krmsyncer_controller.go:327-375) — exactly `row_number()==1` over the
-key ordered by descending version/time. The same helper
-(`latest_state`) is reused by the CDC compaction path (streaming/cdc.py).
+key ordered by descending version/time. The streaming CDC path has a
+seq-typed twin of the same compaction (streaming/cdc.latest_op).
 
 Determinism: every window ORDER BY ends in a unique key so rank/lag
 results are stable across partitionings (and across engines).
@@ -24,12 +24,12 @@ from ..catalog import load_table
 from ..registry import query
 
 
-def latest_state(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+def latest_state(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Latest row per key — the informer-cache compaction (W6/REF).
-
-    Used by both the batch query below and the CDC upsert pipeline.
-    """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    order_cols must end in a unique column (the module's determinism
+    rule); all are applied descending. The streaming CDC path has its
+    own seq-typed twin (streaming/cdc.latest_op)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -226,14 +226,11 @@ ORDER BY user_id
 )
 def q_window_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 (REF): latest state per key — the informer-cache/CDC
-    compaction (krmsyncer_controller.go:327-375) as a window query."""
+    compaction (krmsyncer_controller.go:327-375) via the latest_state
+    helper."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        latest_state(ev, ["user_id"], ["ts", "event_id"])
         .select("user_id", "event_id", "event_type", "ts")
         .orderBy("user_id")
     )

@@ -98,13 +98,21 @@ class StateTable:
         self._atomic_overwrite(new_state)
 
     def _atomic_overwrite(self, df: DataFrame) -> None:
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        """Version-dir + symlink pointer swap. self.path is a symlink to
+        the current version directory; publishing = os.rename of a new
+        symlink over it, which POSIX guarantees atomic — a crash at any
+        point leaves the pointer on a complete old or complete new
+        version, never nothing (the two-rename directory dance has a
+        lost-state window between the renames). On object stores this
+        role is played by a transactional table format's commit log."""
+        version = f"{self.path}.v-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(version)
+        old_target = os.readlink(self.path) if os.path.islink(self.path) else None
+        tmp_link = f"{self.path}.ln-{uuid.uuid4().hex[:8]}"
+        os.symlink(version, tmp_link)
+        os.rename(tmp_link, self.path)  # atomic publish
+        if old_target is not None:
+            shutil.rmtree(old_target, ignore_errors=True)
 
 
 def run_cdc_stream(

@@ -53,17 +53,20 @@ def run_continuous_rollup(
 
     Each resolution is its own streaming aggregation (they share the
     source); update-mode foreachBatch receives changed buckets only and
-    upserts them keyed on (bucket_start, resolution). seq = a constant:
-    a re-emitted bucket always carries the newest cumulative values, so
-    last-write-wins per key is exactly right.
+    upserts them keyed on (bucket_start, resolution). seq = the
+    bucket's cumulative n_events: monotonic in bucket completeness and
+    independent of batch numbering, so a restart with a fresh
+    checkpoint (batch ids reset to 0) can never lose newer cumulative
+    values to stale state — the more-complete row always wins, and an
+    equal-seq tie implies identical values.
     """
     for i, length in enumerate(resolutions):
         agg = rollup_aggregate(stream.withWatermark("ts", watermark), length)
 
-        def _upsert(batch: DataFrame, batch_id: int) -> None:
+        def _upsert(batch: DataFrame, _batch_id: int) -> None:
             state.merge_batch(
                 batch.withColumn("op", F.lit("upsert")).withColumn(
-                    "__seq", F.lit(batch_id)
+                    "__seq", F.col("n_events")
                 )
             )
 

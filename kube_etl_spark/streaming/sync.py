@@ -37,7 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-KCC_SUFFIX = "cnrm.cloud.google.com"
+# Leading dot required: '*.evilcnrm.cloud.google.com' must NOT validate
+# (krmsyncer_controller.go:105-116 matches the '.cnrm.…' dotted family).
+KCC_SUFFIX = ".cnrm.cloud.google.com"
 ALWAYS_KEPT = ("group", "version", "kind", "namespace", "name", "labels", "annotations")
 VALID_SYNC_FIELDS = ("spec", "status", "spec.resourceID")
 

@@ -160,6 +160,7 @@ def test_fanout_multiple_syncers(spark, tmp_path):
         ("*.cnrm.cloud.google.com", "v1", "*", False),        # version not *
         ("*.cnrm.cloud.google.com", "*", "Thing", False),     # kind not *
         ("*.example.com", "*", "*", False),                   # non-KCC glob group
+        ("*.evilcnrm.cloud.google.com", "*", "*", False),     # dot-less suffix spoof
         ("e2e.gkelabs.io", "*", "TestCRD", False),            # stray wildcard
     ],
 )
