@@ -352,3 +352,76 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_array_funcs2",
+    tags=("F4",),
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+       toks[1:5] AS first5,
+       len(flatten([toks[1:3], toks[4:5]])) AS n_flat,
+       array_to_string(list_reverse(toks[1:3]), '|') AS rev3,
+       list_contains(toks, 'the') AS has_the,
+       toks[-1] AS last_tok
+FROM t
+ORDER BY doc_id
+""",
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4b: second array family — slice, flatten, reverse, contains,
+    negative indexing (element_at(-1))."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.slice(toks, 1, 5).alias("first5"),
+            F.size(F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 2)))).alias(
+                "n_flat"
+            ),
+            F.array_join(F.reverse(F.slice(toks, 1, 3)), "|").alias("rev3"),
+            F.array_contains(toks, "the").alias("has_the"),
+            F.element_at(toks, -1).alias("last_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_regex_funcs",
+    tags=("F1",),
+    oracle="""
+SELECT doc_id,
+       regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+       len(regexp_extract_all(text, '\\b[a-z]{5}\\b')) AS n_5letter,
+       regexp_matches(text, 'data.*table|table.*data') AS mentions_both,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
+FROM documents
+WHERE doc_id < 80
+ORDER BY doc_id
+""",
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1c: regex family — global replace, extract-all count, boolean
+    match, group extraction. Patterns restricted to the RE2 ∩ Java
+    common subset so both engines agree."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+                "devoweled"
+            ),
+            F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{5}\\b', 0)")).alias(
+                "n_5letter"
+            ),
+            F.col("text").rlike("data.*table|table.*data").alias("mentions_both"),
+            F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        )
+        .orderBy("doc_id")
+    )
