@@ -31,7 +31,7 @@ SELECT p_partkey,
        upper(p_name) AS name_upper,
        lower(p_brand) AS brand_lower,
        substr(p_name, 1, 4) AS name_prefix,
-       length(p_name) AS name_len,
+       CAST(length(p_name) AS BIGINT) AS name_len,
        trim('  ' || p_name || ' ') AS name_trimmed,
        concat_ws('|', p_brand, p_type) AS brand_type,
        string_split(p_name, ' ')[1] AS first_word,
@@ -52,7 +52,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("p_name").alias("name_upper"),
             F.lower("p_brand").alias("brand_lower"),
             F.substring("p_name", 1, 4).alias("name_prefix"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("bigint").alias("name_len"),
             F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
                 "name_trimmed"
             ),
@@ -70,9 +70,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("F2",),
     oracle="""
 SELECT o_orderkey,
-       year(o_orderdate) AS order_year,
-       month(o_orderdate) AS order_month,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS month_start,
        CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_2002,
        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
@@ -88,8 +88,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") <= 500)
         .select(
             "o_orderkey",
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
             F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
             F.datediff(
                 F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate")
@@ -380,9 +380,9 @@ def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.slice(toks, 1, 5).alias("first5"),
-            F.size(F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 2)))).alias(
-                "n_flat"
-            ),
+            F.size(F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 2))))
+            .cast("bigint")
+            .alias("n_flat"),
             F.array_join(F.reverse(F.slice(toks, 1, 3)), "|").alias("rev3"),
             F.array_contains(toks, "the").alias("has_the"),
             F.element_at(toks, -1).alias("last_tok"),
@@ -417,9 +417,9 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
                 "devoweled"
             ),
-            F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{5}\\b', 0)")).alias(
-                "n_5letter"
-            ),
+            F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{5}\\b', 0)"))
+            .cast("bigint")
+            .alias("n_5letter"),
             F.col("text").rlike("data.*table|table.*data").alias("mentions_both"),
             F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         )

@@ -345,7 +345,7 @@ WITH od AS (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
   FROM orders GROUP BY o_custkey, o_orderdate
 )
-SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS matched_orderkey
+SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP_NS) AS ts, o.o_orderkey AS matched_orderkey
 FROM events e
 ASOF LEFT JOIN od o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id

@@ -281,7 +281,8 @@ bits AS (
   GROUP BY doc_id, b.bit
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash16
 FROM bits
 GROUP BY doc_id
 ORDER BY doc_id
@@ -429,7 +430,7 @@ def q_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.p"), F.col("b.p")).alias("edit_dist"),
+            F.levenshtein(F.col("a.p"), F.col("b.p")).cast("bigint").alias("edit_dist"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -505,7 +506,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
         .select("qid", "cid", F.round(cos, 4).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("qid", "rank", "cid", "cos")
         .orderBy("qid", "rank")
@@ -562,7 +563,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(q), (F.col("qc") == F.col("cc")) & (F.col("qid") != F.col("cid"))
         )
         .select("qid", "cid", F.round(cos, 4).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("qid", "rank", "cid", "cos")
         .orderBy("qid", "rank")
@@ -653,7 +654,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         cand.select("qid", "cid", F.round(cos, 4).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
         .select("qid", "rank", "cid", "cos")
         .orderBy("qid", "rank")
@@ -760,10 +761,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select(
             "doc_id",
-            F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+            F.size(_tokens(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
             F.size(
                 F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
-            ).alias("n_re_tokens"),
+            ).cast("bigint").alias("n_re_tokens"),
         )
         .orderBy("doc_id")
     )

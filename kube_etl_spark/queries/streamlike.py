@@ -30,7 +30,7 @@ from ..streaming.cdc import latest_op
     bench=True,
     tags=("ST1",),
     oracle="""
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
 FROM events
@@ -49,8 +49,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_sliding",
     tags=("ST2",),
     oracle="""
-SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
-         AS window_start,
+SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+            AS TIMESTAMP_NS) AS window_start,
        COUNT(*) AS n_events
 FROM events, (SELECT unnest(range(0, 4)) AS k) k
 GROUP BY 1
@@ -82,7 +82,7 @@ s AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM o
 )
-SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start, COUNT(*) AS n_events
 FROM s
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
@@ -288,7 +288,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup_multires",
     tags=("ST1", "rollup"),
     oracle="""
-SELECT bucket_start, resolution, n_events, total_value FROM (
+SELECT CAST(bucket_start AS TIMESTAMP_NS) AS bucket_start, resolution, n_events, total_value FROM (
   SELECT date_trunc('hour', ts) AS bucket_start, '1 hour' AS resolution,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value

@@ -91,7 +91,7 @@ def q_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LATERAL_SQL_SPARK = """
 SELECT doc_id, tok, n
 FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents WHERE doc_id < 10)
-     JOIN LATERAL (SELECT length(tok) AS n)
+     JOIN LATERAL (SELECT CAST(length(tok) AS BIGINT) AS n)
 ORDER BY doc_id, tok, n
 """
 

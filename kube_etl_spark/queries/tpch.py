@@ -33,7 +33,7 @@ def _rev() -> F.Column:
     oracle=f"""
 SELECT l_orderkey,
        {dsum_sql(_REV)} AS revenue,
-       o_orderdate, o_orderpriority
+       CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
-    IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -83,13 +83,13 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: vectorized pandas UDF (Arrow batches) — tokenize and count;
     one Python invocation per batch, not per row."""
 
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(LongType())
     def n_tokens(text: pd.Series) -> pd.Series:
-        return text.str.split(" ").str.len().astype("int32")
+        return text.str.split(" ").str.len().astype("int64")
 
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(LongType())
     def n_unique(text: pd.Series) -> pd.Series:
-        return text.str.split(" ").map(lambda t: len(set(t))).astype("int32")
+        return text.str.split(" ").map(lambda t: len(set(t))).astype("int64")
 
     return (
         load_table(spark, sf_dir, "documents")
@@ -119,7 +119,7 @@ def q_udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     what Catalyst would run natively."""
     schema = StructType(
         [
-            StructField("c_custkey", IntegerType()),
+            StructField("c_custkey", LongType()),
             StructField("c_mktsegment", StringType()),
             StructField("zscore", DoubleType()),
         ]
@@ -130,7 +130,7 @@ def q_udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = ((bal - bal.mean()) / bal.std(ddof=1)).round(4)
         return pd.DataFrame(
             {
-                "c_custkey": pdf["c_custkey"].astype("int32"),
+                "c_custkey": pdf["c_custkey"].astype("int64"),
                 "c_mktsegment": pdf["c_mktsegment"],
                 "zscore": z,
             }
@@ -140,7 +140,7 @@ def q_udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 500)
         .select(
-            F.col("c_custkey").cast("int").alias("c_custkey"),
+            "c_custkey",
             "c_mktsegment",
             "c_acctbal",
         )

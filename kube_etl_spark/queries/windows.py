@@ -64,10 +64,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             "c_acctbal",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .orderBy("c_mktsegment", "rn")
     )
@@ -100,7 +100,7 @@ def q_window_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
@@ -215,7 +215,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_last_state",
     tags=("W6",),
     oracle="""
-SELECT user_id, event_id, event_type, ts FROM (
+SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP_NS) AS ts FROM (
   SELECT user_id, event_id, event_type, ts,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
