@@ -67,6 +67,16 @@ def compare(spark_df, oracle_df: pd.DataFrame, max_report: int = 5) -> list[str]
     if list(sp.columns) != list(oc.columns):
         problems.append(f"columns differ: spark={list(sp.columns)} oracle={list(oc.columns)}")
         return problems
+    # dtype parity: a typed value-hash (arrow bytes) would treat
+    # int32 vs int64 or ns vs µs timestamps as mismatches, so hold the
+    # queries to exact dtype agreement as well
+    for c in sp.columns:
+        if str(sp[c].dtype) != str(oc[c].dtype):
+            problems.append(
+                f"dtype differs col {c}: spark={sp[c].dtype} oracle={oc[c].dtype}"
+            )
+    if problems:
+        return problems
     if len(sp) != len(oc):
         problems.append(f"row count differs: spark={len(sp)} oracle={len(oc)}")
         return problems
