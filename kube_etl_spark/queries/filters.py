@@ -249,9 +249,13 @@ def q_filter_not_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RULE_ROWS = [
     ("exact", "e2e.gkelabs.io", "v1", "TestCRD"),
     ("kcc_glob_ok", "*.cnrm.cloud.google.com", "*", "*"),
+    ("kcc_exact_group_glob_ok", "kcc.cnrm.cloud.google.com", "*", "*"),
+    ("kcc_apex_glob_ok", "cnrm.cloud.google.com", "*", "*"),
     ("bad_version_glob", "e2e.gkelabs.io", "*", "TestCRD"),
     ("bad_kind_glob", "e2e.gkelabs.io", "v1", "*"),
     ("bad_group_glob", "*.example.com", "*", "*"),
+    ("bad_spoof_suffix", "*.evilcnrm.cloud.google.com", "*", "*"),
+    ("bad_embedded_glob", "apps", "v1", "Deploy*"),
     ("kcc_exact", "kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource"),
 ]
 
@@ -264,8 +268,10 @@ _RULE_VALUES = ", ".join(f"('{a}', '{b}', '{c}', '{d}')" for a, b, c, d in _RULE
     oracle=f"""
 SELECT rule_name,
        CAST(
-         (NOT (grp LIKE '*%' OR version = '*' OR kind = '*'))
-         OR (grp LIKE '%.cnrm.cloud.google.com' AND grp LIKE '*%'
+         (NOT (grp LIKE '%*%' OR version LIKE '%*%' OR kind LIKE '%*%'))
+         OR ((grp = '*.cnrm.cloud.google.com'
+              OR grp LIKE '%.cnrm.cloud.google.com'
+              OR grp = 'cnrm.cloud.google.com')
              AND version = '*' AND kind = '*')
        AS INTEGER) AS valid
 FROM (VALUES {_RULE_VALUES}) AS r(rule_name, grp, version, kind)
@@ -273,17 +279,24 @@ ORDER BY rule_name
 """,
 )
 def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: rule validation — glob only legal for the KCC suffix family
-    with version and kind both '*' (krmsyncer_controller.go:105-116)."""
+    """P8: rule validation — exact validateRule semantics
+    (krmsyncer_controller.go:105-116): '*' anywhere makes a glob rule;
+    legal only when group is KCC-family (literal *.cnrm glob, dotted
+    suffix, or apex) AND version and kind are both '*'."""
     rules = spark.createDataFrame(
         _RULE_ROWS, "rule_name string, grp string, version string, kind string"
     )
     has_glob = (
-        F.col("grp").startswith("*") | (F.col("version") == "*") | (F.col("kind") == "*")
+        F.col("grp").contains("*")
+        | F.col("version").contains("*")
+        | F.col("kind").contains("*")
     )
     kcc_glob = (
-        F.col("grp").endswith(".cnrm.cloud.google.com")
-        & F.col("grp").startswith("*")
+        (
+            (F.col("grp") == "*.cnrm.cloud.google.com")
+            | F.col("grp").endswith(".cnrm.cloud.google.com")
+            | (F.col("grp") == "cnrm.cloud.google.com")
+        )
         & (F.col("version") == "*")
         & (F.col("kind") == "*")
     )

@@ -9,9 +9,9 @@ Last-writer-wins per key; at-least-once delivery made exactly-once in
 *effect* by idempotent application.
 
 Spark design:
-  * `latest_op` / `apply_oplog` are pure DataFrame compactions — the
-    batch semantics of MERGE, shared by the registry queries and the
-    streaming sink.
+  * `latest_op` is the pure DataFrame compaction — the batch
+    semantics of MERGE, shared by the registry queries (ST6/ST7) and
+    the streaming sink.
   * `StateTable` is a parquet-backed upsert target whose `merge_batch`
     is idempotent on (key, seq): replaying a micro-batch (at-least-once
     delivery after a failure) converges to the same state because the
@@ -46,37 +46,26 @@ def latest_op(oplog: DataFrame, key_cols: list[str], seq_cols: list[str]) -> Dat
     )
 
 
-def apply_oplog(
-    snapshot: DataFrame,
-    oplog: DataFrame,
-    key: str,
-    op_col: str = "op",
-    delete_value: str = "delete",
-) -> DataFrame:
-    """ST7 batch semantics: full-outer MERGE of a snapshot with the last
-    op per key. Columns: snapshot rows survive unless the last op is a
-    delete; upserts override or insert. Payload columns = all non-key,
-    non-op columns of the op-log (names must differ from snapshot's)."""
-    last = latest_op(oplog, [key], ["__seq"]) if "__seq" in oplog.columns else oplog
-    snap = snapshot.alias("s")
-    ops = last.alias("o")
-    joined = snap.join(ops, F.col(f"s.{key}") == F.col(f"o.{key}"), "full")
-    return joined.filter(
-        F.col(f"o.{op_col}").isNull() | (F.col(f"o.{op_col}") != delete_value)
-    )
-
-
 class StateTable:
     """Parquet-backed keyed state with idempotent MERGE (the destination
     cluster analog). Not concurrency-safe across writers — one streaming
     query owns a state table, matching the reference's one-controller-
     per-destination model (ST8's registry enforces that)."""
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], seq_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        seq_col: str | list[str],
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = key_cols
-        self.seq_col = seq_col
+        # one or more ordering columns; ties on the first break on the
+        # next, so winners are deterministic when callers provide a
+        # full ordering (see rollup.py for why that matters)
+        self.seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
 
     def read(self) -> DataFrame | None:
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
@@ -86,14 +75,16 @@ class StateTable:
     def merge_batch(self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete") -> None:
         """Idempotent MERGE: union old state (tagged as upserts) with the
         batch, keep the max-seq row per key, drop keys whose winner is a
-        delete. Replaying the same batch is a no-op (same winners)."""
+        delete. Replaying the same batch is a no-op (same winners).
+        A NULL op (schema-permissive sources omitting the field) is
+        treated as an upsert — never silently dropped."""
         old = self.read()
-        incoming = batch
+        incoming = batch.withColumn(op_col, F.coalesce(F.col(op_col), F.lit("upsert")))
         if old is not None:
             incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
-                batch, allowMissingColumns=True
+                incoming, allowMissingColumns=True
             )
-        winners = latest_op(incoming, self.key_cols, [self.seq_col])
+        winners = latest_op(incoming, self.key_cols, self.seq_cols)
         new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
         self._atomic_overwrite(new_state)
 
@@ -109,10 +100,15 @@ class StateTable:
         df.write.mode("overwrite").parquet(version)
         old_target = os.readlink(self.path) if os.path.islink(self.path) else None
         tmp_link = f"{self.path}.ln-{uuid.uuid4().hex[:8]}"
-        os.symlink(version, tmp_link)
+        # link target must be relative to the LINK's directory — an
+        # as-given relative path would resolve against the CWD and
+        # dangle (version dirs always sit beside the link, so basename
+        # is correct for relative and absolute state paths alike)
+        os.symlink(os.path.basename(version), tmp_link)
         os.rename(tmp_link, self.path)  # atomic publish
         if old_target is not None:
-            shutil.rmtree(old_target, ignore_errors=True)
+            old_dir = os.path.join(os.path.dirname(self.path), os.path.basename(old_target))
+            shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def run_cdc_stream(

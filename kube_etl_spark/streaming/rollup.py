@@ -54,11 +54,15 @@ def run_continuous_rollup(
     Each resolution is its own streaming aggregation (they share the
     source); update-mode foreachBatch receives changed buckets only and
     upserts them keyed on (bucket_start, resolution). seq = the
-    bucket's cumulative n_events: monotonic in bucket completeness and
-    independent of batch numbering, so a restart with a fresh
-    checkpoint (batch ids reset to 0) can never lose newer cumulative
-    values to stale state — the more-complete row always wins, and an
-    equal-seq tie implies identical values.
+    bucket's cumulative (n_events, total_value): n_events is monotonic
+    in bucket completeness and independent of batch numbering, so a
+    restart with a fresh checkpoint (batch ids reset to 0) can never
+    lose newer cumulative values to stale state — the more-complete row
+    wins. total_value is the deterministic tie-break for the edge where
+    two runs admitted DIFFERENT same-sized subsets of late rows (equal
+    counts, different sums): the winner is then arbitrary in principle
+    but stable across replays, which idempotence needs. Construct the
+    StateTable with seq_col=["__seq", "total_value"].
     """
     for i, length in enumerate(resolutions):
         agg = rollup_aggregate(stream.withWatermark("ts", watermark), length)

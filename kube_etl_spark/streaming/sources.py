@@ -16,7 +16,6 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def chunked_file_stream(
@@ -46,8 +45,3 @@ def chunked_file_stream(
         .json(directory)
     )
 
-
-def events_with_arrival_order(events: DataFrame) -> DataFrame:
-    """The events fixture in arrival order (event_id = arrival seq),
-    ts cast for json round-tripping."""
-    return events.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -66,26 +66,39 @@ def normalize_rules(rules: DataFrame) -> DataFrame:
     )
 
 
-def validate_rules(rules: DataFrame) -> DataFrame:
-    """P8: accept/reject each rule with a reason column.
-
-    Legal shapes (krmsyncer_controller.go:105-116):
-      * no wildcard anywhere, or
-      * rule_group = `*.<something>cnrm.cloud.google.com` AND
-        rule_version = '*' AND rule_kind = '*'.
-    """
-    is_group_glob = F.col("rule_group").startswith("*.")
-    kcc_glob = is_group_glob & F.col("rule_group").endswith(KCC_SUFFIX)
-    any_wild = (
-        is_group_glob | (F.col("rule_version") == "*") | (F.col("rule_kind") == "*")
+def _is_kcc_group() -> F.Column:
+    """The reference's isKCC test (krmsyncer_controller.go:108-110):
+    the literal glob `*.cnrm.cloud.google.com`, any group with the
+    dotted suffix, or the bare apex group."""
+    g = F.col("rule_group")
+    return (
+        (g == "*" + KCC_SUFFIX) | g.endswith(KCC_SUFFIX) | (g == KCC_SUFFIX[1:])
     )
-    fully_wild = kcc_glob & (F.col("rule_version") == "*") & (F.col("rule_kind") == "*")
+
+
+def validate_rules(rules: DataFrame) -> DataFrame:
+    """P8: accept/reject each rule with a reason column — the exact
+    validateRule semantics (krmsyncer_controller.go:105-116): a '*'
+    ANYWHERE in group/version/kind makes the rule a glob rule, and a
+    glob rule is legal only when the group is KCC-family AND version
+    and kind are both exactly '*'."""
+    has_glob = (
+        F.col("rule_group").contains("*")
+        | F.col("rule_version").contains("*")
+        | F.col("rule_kind").contains("*")
+    )
+    legal_glob = (
+        _is_kcc_group() & (F.col("rule_version") == "*") & (F.col("rule_kind") == "*")
+    )
     bad_fields = F.exists(
         "sync_fields", lambda x: ~x.isin(*[F.lit(v) for v in VALID_SYNC_FIELDS])
     )
     reason = (
         F.when(bad_fields, "invalid sync_fields entry")
-        .when(any_wild & ~fully_wild, "glob only legal as *.cnrm group with */* version+kind")
+        .when(
+            has_glob & ~legal_glob,
+            "glob only legal for version/kind when group is KCC (e.g. *.cnrm.cloud.google.com)",
+        )
         .otherwise(F.lit(None).cast("string"))
     )
     return rules.withColumn("reject_reason", reason).withColumn(
@@ -94,22 +107,39 @@ def validate_rules(rules: DataFrame) -> DataFrame:
 
 
 def rule_match_condition(obj: DataFrame, rules: DataFrame) -> F.Column:
-    """The per-event match predicate (krmsyncer_controller.go:456-474)."""
+    """The per-event match predicate — exact ruleMatchesGVK semantics
+    (krmsyncer_controller.go:395-407):
+      * KCC glob rule with the literal group `*.cnrm.cloud.google.com`
+        → event group matched by the DOT-LESS suffix
+        'cnrm.cloud.google.com' (the apex group itself matches);
+      * other KCC glob rule (exact group, version/kind '*') → event
+        group must equal the rule group literally;
+      * non-glob rule → exact (group, version, kind) equality.
+    Then the namespace in-list (:462-474)."""
+    is_kcc_glob = (
+        (
+            (rules["rule_group"] == "*" + KCC_SUFFIX)
+            | rules["rule_group"].endswith(KCC_SUFFIX)
+            | (rules["rule_group"] == KCC_SUFFIX[1:])
+        )
+        & (rules["rule_version"] == "*")
+        & (rules["rule_kind"] == "*")
+    )
+    star_glob = rules["rule_group"] == "*" + KCC_SUFFIX
     exact = (
         (obj["group"] == rules["rule_group"])
         & (obj["version"] == rules["rule_version"])
         & (obj["kind"] == rules["rule_kind"])
     )
-    glob = (
-        rules["rule_group"].startswith("*.")
-        & (rules["rule_version"] == "*")
-        & (rules["rule_kind"] == "*")
-        & obj["group"].endswith(F.expr("substr(rule_group, 2)"))
+    gvk_match = (
+        (is_kcc_glob & star_glob & obj["group"].endswith(KCC_SUFFIX[1:]))
+        | (is_kcc_glob & ~star_glob & (obj["group"] == rules["rule_group"]))
+        | (~is_kcc_glob & exact)
     )
     ns_ok = (F.size(rules["namespaces"]) == 0) | F.array_contains(
         rules["namespaces"], obj["namespace"]
     )
-    return (exact | glob) & ns_ok
+    return gvk_match & ns_ok
 
 
 def project_sync_fields(matched: DataFrame) -> DataFrame:
@@ -119,22 +149,29 @@ def project_sync_fields(matched: DataFrame) -> DataFrame:
     rebuilds a spec struct containing only resourceID
     (krmsyncer_controller.go:571-582)."""
     has = lambda f: F.array_contains("sync_fields", f)  # noqa: E731
+    # Null literals take the INPUT's spec/status types, so the engine
+    # works for any payload schema, not just the test fixture's.
+    spec_type = matched.schema["spec"].dataType
+    status_type = matched.schema["status"].dataType
+    spec_fields = [f.name for f in spec_type.fields]
+    rid_only = F.struct(
+        *[
+            (F.col(f"spec.{name}") if name == "resourceID" else F.lit(None).cast(
+                dict(zip(spec_fields, [fl.dataType for fl in spec_type.fields]))[name]
+            )).alias(name)
+            for name in spec_fields
+        ]
+    )
     spec = (
         F.when(has("spec"), F.col("spec"))
         .when(
             has("spec.resourceID"),
-            F.when(
-                F.col("spec.resourceID").isNotNull(),
-                F.struct(
-                    F.lit(None).cast("string").alias("foo"),
-                    F.col("spec.resourceID").alias("resourceID"),
-                ),
-            ),
+            F.when(F.col("spec.resourceID").isNotNull(), rid_only),
         )
-        .otherwise(F.lit(None).cast("struct<foo:string,resourceID:string>"))
+        .otherwise(F.lit(None).cast(spec_type))
     )
     status = F.when(has("status"), F.col("status")).otherwise(
-        F.lit(None).cast("struct<bar:string>")
+        F.lit(None).cast(status_type)
     )
     return matched.select(
         "syncer_name",
@@ -171,11 +208,21 @@ def sync_to_state(
     (syncer_name) destination via idempotent MERGE — the two-cluster
     write fan-out. `make_state(syncer_name) -> StateTable`. Returns the
     state tables written. (The streaming driver wraps compile_sync +
-    this routing inside foreachBatch — see tests/test_sync.py.)"""
-    states: dict[str, object] = {}
-    for row in changes.select("syncer_name").distinct().collect():
-        name = row["syncer_name"]
-        st = make_state(name)
-        st.merge_batch(changes.filter(F.col("syncer_name") == name).drop("syncer_name", "mode"))
-        states[name] = st
-    return states
+    this routing inside foreachBatch — see tests/test_sync.py.)
+
+    The compiled changes are persisted for the duration of the fan-out:
+    without it, the broadcast join + projection would recompute once
+    per destination (plus once for the name-discovery collect)."""
+    changes = changes.persist()
+    try:
+        states: dict[str, object] = {}
+        for row in changes.select("syncer_name").distinct().collect():
+            name = row["syncer_name"]
+            st = make_state(name)
+            st.merge_batch(
+                changes.filter(F.col("syncer_name") == name).drop("syncer_name", "mode")
+            )
+            states[name] = st
+        return states
+    finally:
+        changes.unpersist()

@@ -352,7 +352,8 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
     ).select("event_id", "ts", "value")
     stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=4, order_col="event_id")
     state = StateTable(
-        spark, str(tmp_path / "rollup"), ["bucket_start", "resolution"], "__seq"
+        spark, str(tmp_path / "rollup"), ["bucket_start", "resolution"],
+        ["__seq", "total_value"],
     )
     run_continuous_rollup(
         stream, state, str(tmp_path / "ckpt"), resolutions=("1 hour", "1 day"),

@@ -157,6 +157,10 @@ def test_fanout_multiple_syncers(spark, tmp_path):
     [
         ("e2e.gkelabs.io", "v1alpha1", "TestCRD", True),     # no wildcard
         ("*.cnrm.cloud.google.com", "*", "*", True),          # legal KCC glob
+        ("kcc.cnrm.cloud.google.com", "*", "*", True),        # exact KCC group, wild v/k
+        ("cnrm.cloud.google.com", "*", "*", True),            # apex KCC group, wild v/k
+        ("*", "v1", "Pod", False),                            # bare group wildcard
+        ("apps", "v1", "Deploy*", False),                     # embedded kind glob
         ("*.cnrm.cloud.google.com", "v1", "*", False),        # version not *
         ("*.cnrm.cloud.google.com", "*", "Thing", False),     # kind not *
         ("*.example.com", "*", "*", False),                   # non-KCC glob group
