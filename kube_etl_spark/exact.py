@@ -86,6 +86,19 @@ def davg_sql(dec_expr: str) -> str:
     return f"ROUND({dsum_sql(dec_expr)} / COUNT({dec_expr}), 4)"
 
 
+def revenue() -> Column:
+    """The TPC-H revenue term l_extendedprice * (1 - l_discount), in
+    exact decimal — THE precision-critical recipe; defined once so
+    every query (and its oracle twin below) shares identical casts."""
+    return money("l_extendedprice") * (F.lit(1).cast("decimal(3,0)") - rate("l_discount"))
+
+
+REVENUE_SQL = (
+    f"{money_sql('l_extendedprice')} * "
+    f"(CAST(1 AS DECIMAL(3,0)) - {rate_sql('l_discount')})"
+)
+
+
 def r4(c: Column) -> Column:
     """Round a derived double to 4dp (use only on unstructured reals)."""
     return F.round(c, 4)

@@ -15,23 +15,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exact import davg, davg_sql, dsum, dsum_sql, money, money_sql, qty, rate, rate_sql
+from ..exact import (
+    REVENUE_SQL,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+    money,
+    money_sql,
+    qty,
+    rate,
+    rate_sql,
+    revenue,
+)
 from ..registry import query
 
 _Q1_CUTOFF = "1998-09-02 00:00:00"
 
-# Exact-decimal term recipes shared by Spark and oracle (see exact.py).
+# Exact-decimal term recipes shared by Spark and oracle; the revenue
+# (disc-price) factor itself lives in exact.py so every module shares
+# one copy of the precision-critical casts.
 _EXT = money_sql("l_extendedprice")
-_DISC1 = f"(CAST(1 AS DECIMAL(3,0)) - {rate_sql('l_discount')})"
 _TAX1 = f"(CAST(1 AS DECIMAL(3,0)) + {rate_sql('l_tax')})"
 
 
-def _disc_price() -> F.Column:
-    return money("l_extendedprice") * (F.lit(1).cast("decimal(3,0)") - rate("l_discount"))
-
-
 def _charge() -> F.Column:
-    return _disc_price() * (F.lit(1).cast("decimal(3,0)") + rate("l_tax"))
+    return revenue() * (F.lit(1).cast("decimal(3,0)") + rate("l_tax"))
 
 
 @query(
@@ -44,8 +53,8 @@ SELECT
   l_linestatus,
   {dsum_sql(money_sql('l_quantity'))} AS sum_qty,
   {dsum_sql(_EXT)} AS sum_base_price,
-  {dsum_sql(f'{_EXT} * {_DISC1}')} AS sum_disc_price,
-  {dsum_sql(f'{_EXT} * {_DISC1} * {_TAX1}')} AS sum_charge,
+  {dsum_sql(REVENUE_SQL)} AS sum_disc_price,
+  {dsum_sql(f'{REVENUE_SQL} * {_TAX1}')} AS sum_charge,
   {davg_sql(money_sql('l_quantity'))} AS avg_qty,
   {davg_sql(_EXT)} AS avg_price,
   {davg_sql(rate_sql('l_discount'))} AS avg_disc,
@@ -65,7 +74,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(qty("l_quantity")).alias("sum_qty"),
             dsum(money("l_extendedprice")).alias("sum_base_price"),
-            dsum(_disc_price()).alias("sum_disc_price"),
+            dsum(revenue()).alias("sum_disc_price"),
             dsum(_charge()).alias("sum_charge"),
             davg(qty("l_quantity")).alias("avg_qty"),
             davg(money("l_extendedprice")).alias("avg_price"),

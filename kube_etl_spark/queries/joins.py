@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exact import dsum, dsum_sql, money_sql
+from ..exact import REVENUE_SQL, dsum, dsum_sql, money_sql, revenue
 from ..registry import query
 
 
@@ -85,7 +85,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J3",),
     oracle=f"""
 SELECT n_name,
-       {dsum_sql(f"{money_sql('l_extendedprice')} * (CAST(1 AS DECIMAL(3,0)) - CAST(l_discount AS DECIMAL(4,2)))")} AS revenue
+       {dsum_sql(REVENUE_SQL)} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -105,9 +105,6 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice").cast("decimal(14,2)") * (
-        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(4,2)")
-    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
@@ -119,7 +116,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum(revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 

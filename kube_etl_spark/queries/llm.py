@@ -215,9 +215,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),
     )
     rows_per_band = _MINHASH_K // _LSH_BANDS
+    # Only (doc_id, band, bucket) rides the band shuffle — exploding the
+    # shingle arrays 8× would make the "cheap" band shuffles carry the
+    # whole corpus 8 times over at the 100 TB target.
     bands = sig.select(
         "doc_id",
-        "s",
         F.explode(
             F.array(
                 *[
@@ -234,7 +236,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "s", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -244,13 +246,15 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact-Jaccard verification only for the candidate pairs: join the
+    # shingle sets back by id (two keyed joins on the small pair set)
+    shingles = sh.select("doc_id", "s")
+    cand = (
+        cand.join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
     )
     jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
@@ -776,15 +780,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH scored AS (
   SELECT lang,
-         CAST(len(list_filter(string_split(text, ' '),
-                              t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
-           / len(string_split(text, ' ')) AS sw_ratio
+         CAST(CAST(len(list_filter(string_split(text, ' '),
+                                   t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS DECIMAL(12,8)) AS sw_ratio
   FROM documents
 )
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN sw_ratio > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
-       ROUND(AVG(sw_ratio), 4) AS avg_sw_ratio
+       ROUND(CAST(SUM(sw_ratio) AS DOUBLE) / COUNT(*), 4) AS avg_sw_ratio
 FROM scored
 GROUP BY lang
 ORDER BY lang
@@ -795,9 +799,13 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     'is English' prediction, evaluated against the labeled lang column."""
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(F.col("text"))
+    # quantize the per-row ratio to decimal so the group average is an
+    # exact (order-independent) decimal sum — exact.py's rule applied
     scored = docs.select(
         "lang",
-        (_stopword_hits(tok).cast("double") / F.size(tok)).alias("sw_ratio"),
+        (_stopword_hits(tok).cast("double") / F.size(tok))
+        .cast("decimal(12,8)")
+        .alias("sw_ratio"),
     )
     return (
         scored.groupBy("lang")
@@ -806,7 +814,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("sw_ratio") > 0.04, 1).otherwise(0))
             .cast("bigint")
             .alias("n_pred_en"),
-            F.round(F.avg("sw_ratio"), 4).alias("avg_sw_ratio"),
+            F.round(
+                F.sum("sw_ratio").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_sw_ratio"),
         )
         .orderBy("lang")
     )
@@ -867,11 +877,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
+        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
+        .filter(F.size("s") > 0)  # oracle's unnest drops shingle-less docs
         .select(
             "doc_id",
-            F.array_min(
-                F.transform(_shingles(_tokens(F.col("text"))), lambda s: F.md5(s))
-            ).alias("fingerprint"),
+            F.array_min(F.transform(F.col("s"), lambda s: F.md5(s))).alias("fingerprint"),
         )
         .orderBy("doc_id")
     )

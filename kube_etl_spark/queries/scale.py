@@ -88,6 +88,7 @@ def q_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select("l_returnflag", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())  # COUNT(DISTINCT) excludes NULLs
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_parts"))

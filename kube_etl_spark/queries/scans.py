@@ -136,9 +136,13 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the same count on the source table, so the check
     proves the sink wrote every row into the right partition."""
     orders = load_table(spark, sf_dir, "orders")
-    # per-run unique dir: a fixed path would race against concurrent
-    # runs (driver gate + pytest + bench share this machine)
-    out_dir = tempfile.mkdtemp(prefix="kube_etl_spark_sink_")
+    # one dir per PROCESS (pid-salted): concurrent runs cannot race,
+    # and repeated invocations in one process reuse/overwrite the same
+    # dir instead of leaking a copy per call
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"kube_etl_spark_sink_{os.getpid()}_{os.path.basename(sf_dir.rstrip(chr(47)))}",
+    )
     orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out_dir)
     return (
         spark.read.parquet(out_dir)

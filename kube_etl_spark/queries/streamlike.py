@@ -69,7 +69,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ST3",),
     oracle="""
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS brk
@@ -78,7 +78,7 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM o
 )

@@ -16,14 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exact import dsum, dsum_sql, money, money_sql, rate, rate_sql
+from ..exact import REVENUE_SQL as _REV
+from ..exact import dsum, dsum_sql, revenue as _rev
 from ..registry import query
-
-_REV = f"{money_sql('l_extendedprice')} * (CAST(1 AS DECIMAL(3,0)) - {rate_sql('l_discount')})"
-
-
-def _rev() -> F.Column:
-    return money("l_extendedprice") * (F.lit(1).cast("decimal(3,0)") - rate("l_discount"))
 
 
 @query(

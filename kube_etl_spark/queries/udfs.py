@@ -55,7 +55,9 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     declare the UDF surface."""
 
     @F.udf(returnType=StringType())
-    def derive_path(lang: str, source: str, doc_id: int) -> str:
+    def derive_path(lang: str, source: str, doc_id: int) -> str | None:
+        if source is None or doc_id is None:
+            return None  # match SQL || propagation, never the string "None"
         lang = lang if lang else "und"  # the ""→default trick (export.go:137-145)
         return f"{lang}/{source}/{doc_id}.json"
 

@@ -27,14 +27,12 @@ from ..registry import query
 def latest_state(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """Latest row per key — the informer-cache compaction (W6/REF).
     order_cols must end in a unique column (the module's determinism
-    rule); all are applied descending. The streaming CDC path has its
-    own seq-typed twin (streaming/cdc.latest_op)."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    rule); all are applied descending. Delegates to the ONE shared
+    compaction (streaming/cdc.latest_op) so the batch query and the
+    streaming MERGE sink can never drift apart."""
+    from ..streaming.cdc import latest_op
+
+    return latest_op(df, key_cols, order_cols)
 
 
 @query(
