@@ -180,20 +180,43 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_map_funcs", tags=("F5",), oracle=None)
+@query(
+    "q_map_funcs",
+    tags=("F5",),
+    oracle="""
+SELECT event_id,
+       array_to_string(
+         list_sort(list_transform(
+           map_entries(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}),
+           e -> e.key || '=' || e.value)),
+         ',') AS labels_str,
+       CAST(cardinality(MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)}) AS BIGINT)
+         AS n_labels,
+       event_type AS type_label
+FROM events
+WHERE event_id < 300
+ORDER BY event_id
+""",
+)
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5: map functions (rows-only: DuckDB map syntax differs) —
-    labels/annotations-style string→string maps
-    (krmsyncer_controller.go:568-569)."""
+    """F5: map functions — labels/annotations-style string→string maps
+    (krmsyncer_controller.go:568-569). The map is compared as a
+    key-sorted joined string (maps are unordered; the sort makes the
+    value-hash engine-stable), plus cardinality and element_at."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     labels = F.create_map(
         F.lit("type"), F.col("event_type"),
         F.lit("user"), F.col("user_id").cast("string"),
     )
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries(labels), lambda e: F.concat(e.key, F.lit("="), e.value)
+        )
+    )
     return ev.select(
         "event_id",
-        labels.alias("labels"),
-        F.map_keys(labels).alias("label_keys"),
+        F.array_join(entries, ",").alias("labels_str"),
+        F.size(F.map_keys(labels)).cast("bigint").alias("n_labels"),
         F.element_at(labels, "type").alias("type_label"),
     ).orderBy("event_id")
 

@@ -121,3 +121,18 @@ def test_headliners_stay_jvm_side(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """The partitioned-sink layout (the zip-directory analog) must give
+    partition-pruned reads: filtering on the partition column shows a
+    PartitionFilters entry and no full-data scan of other partitions."""
+    orders = spark.read.parquet(f"{SMOKE_SF}/orders.parquet")
+    out = str(tmp_path / "sink")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "o_orderstatus" in pf, f"partition filter not pushed: {pf}"

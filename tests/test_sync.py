@@ -188,3 +188,71 @@ def test_replay_idempotent(spark, tmp_path):
     first = sorted(map(str, st.read().collect()))
     st.merge_batch(changes.drop("syncer_name", "mode"))
     assert sorted(map(str, st.read().collect())) == first
+
+
+def test_streaming_sync_multibatch(spark, tmp_path):
+    """The full syncer pipeline driven as a real multi-micro-batch
+    stream: creates in batch 1, an update + new object in batch 2, a
+    delete in batch 3 — final destination state equals the one-shot
+    batch compile over the whole op-log (the two-cluster e2e test's
+    shape, krmsyncer_controller_test.go:151-238)."""
+    import json
+    import os
+
+    rules = _rules(spark, [("s1", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, ["spec", "status"])])
+    rows = [
+        {"seq": 1, "op": "upsert", "group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "namespace": "default", "name": "a",
+         "labels": {}, "annotations": {}, "spec": {"foo": "a1", "resourceID": "ra"},
+         "status": {"bar": "sa1"}},
+        {"seq": 2, "op": "upsert", "group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "namespace": "default", "name": "a",
+         "labels": {}, "annotations": {}, "spec": {"foo": "a2", "resourceID": "ra"},
+         "status": {"bar": "sa2"}},
+        {"seq": 3, "op": "upsert", "group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "namespace": "default", "name": "b",
+         "labels": {}, "annotations": {}, "spec": {"foo": "b1", "resourceID": "rb"},
+         "status": {"bar": "sb1"}},
+        {"seq": 4, "op": "delete", "group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "namespace": "default", "name": "a",
+         "labels": None, "annotations": None, "spec": None, "status": None},
+    ]
+    src = tmp_path / "oplog"
+    src.mkdir()
+    import time as _t
+    now = _t.time()
+    for i, chunk in enumerate([rows[:2], rows[2:3], rows[3:]]):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in chunk))
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.schema(OBJ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state = StateTable(
+        spark, str(tmp_path / "dest"),
+        ["group", "version", "kind", "namespace", "name"], "seq",
+    )
+
+    def _merge(batch, _bid):
+        changes = compile_sync(batch, rules)
+        state.merge_batch(changes.drop("syncer_name", "mode"))
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {
+        r["name"]: (tuple(r["spec"]) if r["spec"] else None,
+                    tuple(r["status"]) if r["status"] else None)
+        for r in state.read().collect()
+    }
+    # 'a' was updated then deleted; only 'b' survives with its payload
+    assert got == {"b": (("b1", "rb"), ("sb1",))}
