@@ -201,19 +201,36 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact-Jaccard verification on candidates only.
     At 100 TB the only all-data shuffles are the k·cheap band shuffles;
     the quadratic step touches candidate pairs only."""
-    sh = _neardup_corpus(spark, sf_dir, limit=10**9).select(
-        "doc_id", _shingles(_tokens(F.col("text"))).alias("s")
+    # spread the CPU-heavy shingle+minhash map over all cores — the
+    # parquet split count (2 at sf0.1) would otherwise cap parallelism
+    n_parts = spark.sparkContext.defaultParallelism
+    sh = (
+        _neardup_corpus(spark, sf_dir, limit=10**9)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
     )
-    sig = sh.select(
+    # One STRING hash per shingle, then k minhash families by re-hashing
+    # the resulting 8-byte long with k seeds: 32 string-hash passes
+    # collapse to 1 string pass + 32 fixed-width long hashes (ANSI-safe,
+    # unlike multiplicative mixing which overflows under ANSI mode).
+    base = sh.withColumn("hs", F.transform(F.col("s"), lambda t: F.xxhash64(t)))
+    # materialize (shingles, signature) ONCE: the plan branches into the
+    # band self-join (2×), the signature estimate join (2×), and the
+    # exact-verify join (2×) — without this the shingle+minhash subtree
+    # recomputes six times (measured 3× slower at sf0.1)
+    sig = base.select(
         "doc_id",
         "s",
         F.array(
             *[
-                F.array_min(F.transform(F.col("s"), lambda t: F.xxhash64(t, F.lit(i))))
+                F.array_min(
+                    F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
+                )
                 for i in range(_MINHASH_K)
             ]
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
+    sh = sig.select("doc_id", "s")
     rows_per_band = _MINHASH_K // _LSH_BANDS
     # Only (doc_id, band, bucket) rides the band shuffle — exploding the
     # shingle arrays 8× would make the "cheap" band shuffles carry the
@@ -249,18 +266,39 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact-Jaccard verification only for the candidate pairs: join the
-    # shingle sets back by id (two keyed joins on the small pair set)
+    # Two-stage verification (the textbook LSH shape):
+    #  1. estimate Jaccard from the 32-hash signatures (256 bytes/doc,
+    #     cheap join-back) and prune — est-J of a true-0.6 pair has
+    #     σ≈0.087, so a 0.35 cutoff is ~2.9σ of headroom;
+    #  2. exact-Jaccard on the survivors only, joining the (heavy)
+    #     shingle arrays just for that small set.
+    sigs = sig.select("doc_id", "sig")
+    est = (
+        cand.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "ga"), "doc_a")
+        .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "gb"), "doc_b")
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("ga"), F.col("gb"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ).cast("double")
+            / F.lit(_MINHASH_K),
+        )
+        .filter(F.col("est_j") >= 0.35)
+        .select("doc_a", "doc_b")
+    )
     shingles = sh.select("doc_id", "s")
-    cand = (
-        cand.join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+    survivors = (
+        est.join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
     )
     jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
         F.array_union("sa", "sb")
     )
     return (
-        cand.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        survivors.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
