@@ -303,3 +303,160 @@ def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.select(
         "rule_name", (~has_glob | kcc_glob).cast("int").alias("valid")
     ).orderBy("rule_name")
+
+
+# ---------------------------------------------------------------------------
+# Syncer status write-back (VERDICT r1 gap #2): the Reconcile loop's
+# condition updates rendered as a table. Fixture: four syncers covering
+# the three condition branches (krmsyncer_controller.go:83-100, 238-246)
+# plus a namespace-scoped glob syncer; a discovery GVK catalog; a tiny
+# op-log. The engine path is streaming/sync.py:syncer_status — this
+# query only binds the fixture.
+_SYNCER_RULE_ROWS = [
+    # (syncer, suspend, mode, group, version, kind, namespaces, sync_fields)
+    ("s_active", False, "pull", "e2e.gkelabs.io", "v1", "TestCRD", None, None),
+    ("s_active", False, "pull", "kcc.cnrm.cloud.google.com", "*", "*", None, None),
+    ("s_globfleet", False, "push", "*.cnrm.cloud.google.com", "*", "*", ["prod"], None),
+    ("s_suspended", True, "pull", "apps", "v1", "Deployment", None, None),
+    ("s_invalid", False, "pull", "e2e.gkelabs.io", "*", "TestCRD", None, None),
+    ("s_invalid", False, "pull", "batch", "v1", "Job", None, None),
+]
+
+_SYNCER_CATALOG_ROWS = [
+    ("e2e.gkelabs.io", "v1", "TestCRD"),
+    ("kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource"),
+    ("kcc.cnrm.cloud.google.com", "v1beta2", "KCCResource"),
+    ("sql.cnrm.cloud.google.com", "v1beta1", "SQLInstance"),
+    ("cnrm.cloud.google.com", "v1", "Apex"),
+    ("apps", "v1", "Deployment"),
+    ("batch", "v1", "Job"),
+]
+
+_SYNCER_OPLOG_ROWS = [
+    ("e2e.gkelabs.io", "v1", "TestCRD", "prod", 1),
+    ("kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource", "dev", 2),
+    ("sql.cnrm.cloud.google.com", "v1beta1", "SQLInstance", "prod", 3),
+    ("apps", "v1", "Deployment", "prod", 4),
+    ("cnrm.cloud.google.com", "v1", "Apex", "dev", 5),
+    ("e2e.gkelabs.io", "v1", "TestCRD", "dev", 6),
+]
+
+
+def _sql_rows(rows) -> str:
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR[])"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, list):
+            return "[" + ", ".join(f"'{x}'" for x in v) + "]"
+        if isinstance(v, int):
+            return str(v)
+        return f"'{v}'"
+
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+_INVALID_GLOB_SQL_MSG = (
+    "glob only legal for version/kind when group is KCC "
+    "(e.g. *.cnrm.cloud.google.com)"
+)
+
+# The match predicate, ANSI-SQL mirror of sync.rule_match_condition.
+_GVK_MATCH_SQL = """
+     (r.is_kcc_glob AND r.rule_group = '*.cnrm.cloud.google.com'
+      AND {o}.grp LIKE '%cnrm.cloud.google.com')
+  OR (r.is_kcc_glob AND r.rule_group <> '*.cnrm.cloud.google.com'
+      AND {o}.grp = r.rule_group)
+  OR (NOT r.is_kcc_glob AND {o}.grp = r.rule_group
+      AND {o}.version = r.rule_version AND {o}.kind = r.rule_kind)
+"""
+
+
+@query(
+    "q_syncer_status",
+    tags=("S3", "P8", "P9"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_SYNCER_RULE_ROWS)}
+),
+val AS (
+  SELECT *,
+    (rule_group LIKE '%*%' OR rule_version LIKE '%*%' OR rule_kind LIKE '%*%')
+      AND NOT ((rule_group = '*.cnrm.cloud.google.com'
+                OR rule_group LIKE '%.cnrm.cloud.google.com'
+                OR rule_group = 'cnrm.cloud.google.com')
+               AND rule_version = '*' AND rule_kind = '*') AS invalid,
+    ((rule_group = '*.cnrm.cloud.google.com'
+      OR rule_group LIKE '%.cnrm.cloud.google.com'
+      OR rule_group = 'cnrm.cloud.google.com')
+     AND rule_version = '*' AND rule_kind = '*') AS is_kcc_glob
+  FROM rules
+),
+per AS (
+  SELECT syncer_name,
+         MAX(CASE WHEN suspend THEN 1 ELSE 0 END) AS suspended,
+         CAST(COUNT(*) AS BIGINT) AS n_rules,
+         CAST(SUM(CASE WHEN invalid THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+  FROM val GROUP BY syncer_name
+),
+active AS (
+  SELECT v.* FROM val v JOIN per p USING (syncer_name)
+  WHERE p.suspended = 0 AND p.n_invalid = 0
+),
+catalog(grp, version, kind) AS (VALUES {_sql_rows(_SYNCER_CATALOG_ROWS)}),
+gvks AS (
+  SELECT r.syncer_name,
+         COUNT(DISTINCT c.grp || '|' || c.version || '|' || c.kind) AS matched_gvks
+  FROM catalog c JOIN active r ON {_GVK_MATCH_SQL.format(o='c')}
+  GROUP BY r.syncer_name
+),
+oplog(grp, version, kind, namespace, seq) AS (VALUES {_sql_rows(_SYNCER_OPLOG_ROWS)}),
+seqs AS (
+  SELECT r.syncer_name, MAX(o.seq) AS last_sync_seq
+  FROM oplog o JOIN active r
+    ON ({_GVK_MATCH_SQL.format(o='o')})
+   AND (r.namespaces IS NULL OR len(r.namespaces) = 0
+        OR list_contains(r.namespaces, o.namespace))
+  GROUP BY r.syncer_name
+)
+SELECT p.syncer_name,
+       CASE WHEN p.suspended = 1 THEN 'Suspended'
+            WHEN p.n_invalid > 0 THEN 'InvalidRule'
+            ELSE 'Active' END AS condition,
+       CASE WHEN p.suspended = 1 THEN 'SuspendedBySpec'
+            WHEN p.n_invalid > 0 THEN 'InvalidGlob'
+            ELSE 'Active' END AS reason,
+       CASE WHEN p.suspended = 1 THEN 'Controller is suspended'
+            WHEN p.n_invalid > 0 THEN '{_INVALID_GLOB_SQL_MSG}'
+            ELSE 'Controller is active' END AS message,
+       p.n_rules, p.n_invalid,
+       CAST(COALESCE(g.matched_gvks, 0) AS BIGINT) AS matched_gvks,
+       CAST(COALESCE(s.last_sync_seq, -1) AS BIGINT) AS last_sync_seq
+FROM per p LEFT JOIN gvks g USING (syncer_name) LEFT JOIN seqs s USING (syncer_name)
+ORDER BY p.syncer_name
+""",
+)
+def q_syncer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syncer status write-back analog: per-syncer Condition rows
+    (Suspended / InvalidRule / Active with reason + message), matched-GVK
+    count from discovery expansion, and last applied op-log seq —
+    mirroring Reconcile's Status().Update
+    (krmsyncer_controller.go:77-100, 238-246)."""
+    from ..streaming.sync import syncer_status
+
+    rules = spark.createDataFrame(
+        _SYNCER_RULE_ROWS,
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>",
+    )
+    catalog = spark.createDataFrame(
+        _SYNCER_CATALOG_ROWS, "group string, version string, kind string"
+    )
+    oplog = spark.createDataFrame(
+        _SYNCER_OPLOG_ROWS,
+        "group string, version string, kind string, namespace string, seq bigint",
+    )
+    return syncer_status(rules, catalog, oplog).orderBy("syncer_name")

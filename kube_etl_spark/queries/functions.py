@@ -384,7 +384,7 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents WHERE doc_id < 50)
 SELECT doc_id,
-       toks[1:5] AS first5,
+       array_to_string(toks[1:5], ' ') AS first5,
        len(flatten([toks[1:3], toks[4:5]])) AS n_flat,
        array_to_string(list_reverse(toks[1:3]), '|') AS rev3,
        list_contains(toks, 'the') AS has_the,
@@ -395,14 +395,19 @@ ORDER BY doc_id
 )
 def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4b: second array family — slice, flatten, reverse, contains,
-    negative indexing (element_at(-1))."""
+    negative indexing (element_at(-1)).
+
+    Output columns are all scalar: the sliced array is emitted through
+    array_join (not raw array<string>) because the driver's correctness
+    canonicalizer sorts rows by every column and cannot sort arrays.
+    """
     toks = F.split(F.col("text"), " ")
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 50)
         .select(
             "doc_id",
-            F.slice(toks, 1, 5).alias("first5"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("first5"),
             F.size(F.flatten(F.array(F.slice(toks, 1, 3), F.slice(toks, 4, 2))))
             .cast("bigint")
             .alias("n_flat"),

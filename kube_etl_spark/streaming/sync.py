@@ -106,7 +106,9 @@ def validate_rules(rules: DataFrame) -> DataFrame:
     )
 
 
-def rule_match_condition(obj: DataFrame, rules: DataFrame) -> F.Column:
+def rule_match_condition(
+    obj: DataFrame, rules: DataFrame, check_namespace: bool = True
+) -> F.Column:
     """The per-event match predicate — exact ruleMatchesGVK semantics
     (krmsyncer_controller.go:395-407):
       * KCC glob rule with the literal group `*.cnrm.cloud.google.com`
@@ -136,6 +138,11 @@ def rule_match_condition(obj: DataFrame, rules: DataFrame) -> F.Column:
         | (is_kcc_glob & ~star_glob & (obj["group"] == rules["rule_group"]))
         | (~is_kcc_glob & exact)
     )
+    if not check_namespace:
+        # GVK-only matching — discovery expansion (expandRule) applies
+        # the rule to server-advertised GVKs, which carry no namespace
+        # (krmsyncer_controller.go:200-233).
+        return gvk_match
     ns_ok = (F.size(rules["namespaces"]) == 0) | F.array_contains(
         rules["namespaces"], obj["namespace"]
     )
@@ -198,6 +205,86 @@ def compile_sync(oplog: DataFrame, rules: DataFrame) -> DataFrame:
     )
     matched = oplog.join(F.broadcast(active), rule_match_condition(oplog, active))
     return project_sync_fields(matched)
+
+
+INVALID_GLOB_MSG = (
+    "glob only legal for version/kind when group is KCC "
+    "(e.g. *.cnrm.cloud.google.com)"
+)
+
+
+def syncer_status(
+    rules: DataFrame, catalog: DataFrame, oplog: DataFrame
+) -> DataFrame:
+    """The Reconcile status write-back, as a table: one row per syncer
+    with the condition the reference would set on the KRMSyncer CR —
+    Suspended (suspend gate, krmsyncer_controller.go:83-93),
+    InvalidRule/InvalidGlob (rule expansion failure aborts the whole
+    reconcile, :238-246), else Active (:95-100) — plus the observable
+    progress the controller derives: matched-GVK count (discovery
+    expansion of valid rules against the server catalog, :200-233) and
+    the last applied op-log seq for the syncer's scope.
+
+    `catalog` is the discovery analog: (group, version, kind) rows the
+    server advertises. `oplog` carries (group, version, kind, namespace,
+    seq). Scale: per-syncer rollups are tiny keyed aggregates; the rule
+    sides broadcast; the only data-sized input is the op-log, reduced
+    map-side to MAX(seq) per syncer.
+    """
+    val = validate_rules(normalize_rules(rules))
+    per = val.groupBy("syncer_name").agg(
+        F.max(F.col("suspend").cast("int")).alias("suspended"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rules"),
+        F.sum((~F.col("valid")).cast("int")).cast("bigint").alias("n_invalid"),
+        F.min(F.when(~F.col("valid"), F.col("reject_reason"))).alias("first_reject"),
+    )
+    # A syncer with ANY invalid rule syncs nothing: the reference
+    # returns the expansion error before starting watchers (:238-246).
+    healthy = per.filter((F.col("suspended") == 0) & (F.col("n_invalid") == 0)).select(
+        "syncer_name"
+    )
+    active = val.join(F.broadcast(healthy), "syncer_name")
+    gvks = (
+        catalog.join(
+            F.broadcast(active), rule_match_condition(catalog, active, check_namespace=False)
+        )
+        .groupBy("syncer_name")
+        .agg(F.count_distinct("group", "version", "kind").alias("matched_gvks"))
+    )
+    seqs = (
+        oplog.join(F.broadcast(active), rule_match_condition(oplog, active))
+        .groupBy("syncer_name")
+        .agg(F.max("seq").alias("last_sync_seq"))
+    )
+    cond = (
+        F.when(F.col("suspended") == 1, F.lit("Suspended"))
+        .when(F.col("n_invalid") > 0, F.lit("InvalidRule"))
+        .otherwise(F.lit("Active"))
+    )
+    reason = (
+        F.when(F.col("suspended") == 1, F.lit("SuspendedBySpec"))
+        .when(F.col("n_invalid") > 0, F.lit("InvalidGlob"))
+        .otherwise(F.lit("Active"))
+    )
+    message = (
+        F.when(F.col("suspended") == 1, F.lit("Controller is suspended"))
+        .when(F.col("n_invalid") > 0, F.col("first_reject"))
+        .otherwise(F.lit("Controller is active"))
+    )
+    return (
+        per.join(gvks, "syncer_name", "left")
+        .join(seqs, "syncer_name", "left")
+        .select(
+            "syncer_name",
+            cond.alias("condition"),
+            reason.alias("reason"),
+            message.alias("message"),
+            "n_rules",
+            "n_invalid",
+            F.coalesce("matched_gvks", F.lit(0)).cast("bigint").alias("matched_gvks"),
+            F.coalesce("last_sync_seq", F.lit(-1)).cast("bigint").alias("last_sync_seq"),
+        )
+    )
 
 
 def sync_to_state(

@@ -29,13 +29,12 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO masking of unhashable cells: the driver's
+    # canonicalizer sorts rows by every column as-is and crashes on
+    # array/map/struct outputs, so the local replica must crash the
+    # same way. Queries must emit scalar columns only (array_join /
+    # to_json any nested value).
     df = df.reindex(sorted(df.columns), axis=1)
-    # Stringify unhashable cells (lists/arrays/dicts) so sorting works.
-    for c in df.columns:
-        if df[c].map(lambda v: isinstance(v, (list, dict, tuple))).any() or str(
-            df[c].dtype
-        ) == "object" and df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
-            df[c] = df[c].map(lambda v: str(list(v)) if v is not None and not isinstance(v, (str, float, int)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
     return df.reset_index(drop=True)
 

@@ -256,3 +256,42 @@ def test_streaming_sync_multibatch(spark, tmp_path):
     }
     # 'a' was updated then deleted; only 'b' survives with its payload
     assert got == {"b": (("b1", "rb"), ("sb1",))}
+
+
+def test_syncer_status_conditions(spark):
+    """Status write-back analog (krmsyncer_controller.go:77-100, 238-246):
+    Suspended beats InvalidRule beats Active; an invalid rule poisons the
+    whole syncer (reconcile aborts before watchers start); matched-GVK
+    count comes from discovery expansion; last_sync_seq honors the
+    namespace in-list."""
+    from kube_etl_spark.streaming.sync import syncer_status
+
+    rules = _rules(spark, [
+        ("ok", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, None),
+        ("ok", False, "push", "*.cnrm.cloud.google.com", "*", "*", ["prod"], None),
+        ("bad", False, "push", "apps", "*", "Deployment", None, None),
+        ("bad", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD", None, None),
+        ("off", True, "push", "*.example.com", "*", "*", None, None),  # suspend wins
+    ])
+    catalog = spark.createDataFrame(
+        [("e2e.gkelabs.io", "v1alpha1", "TestCRD"),
+         ("kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource"),
+         ("fake.cnrm.cloud.google.com", "v1", "FakeObject"),
+         ("apps", "v1", "Deployment")],
+        "group string, version string, kind string",
+    )
+    oplog = _oplog(spark).select("group", "version", "kind", "namespace", "seq")
+    got = {
+        r["syncer_name"]: (r["condition"], r["reason"], r["n_rules"], r["n_invalid"],
+                           r["matched_gvks"], r["last_sync_seq"])
+        for r in syncer_status(rules, catalog, oplog).collect()
+    }
+    assert got == {
+        # TestCRD exact (1 GVK) + cnrm dotless-suffix glob (2 GVKs);
+        # seq: TestCRD any-ns (1,2,5,6) + cnrm-family ONLY in prod (3) -> 6
+        "ok": ("Active", "Active", 2, 0, 3, 6),
+        "bad": ("InvalidRule", "InvalidGlob", 2, 1, 0, -1),
+        # suspended: even its (invalid) rule is never validated-reported —
+        # the reference returns before rule expansion
+        "off": ("Suspended", "SuspendedBySpec", 1, 1, 0, -1),
+    }
