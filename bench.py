@@ -4,8 +4,19 @@
 
 Runs every registry spec flagged bench=True at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; per-query
-time is the median of 3 runs of a full action (count of the result) —
-see BASELINE.md measurement rules.
+time is the median of 3 runs, each a FULL materialization of the result
+through the noop sink — .count() would let Catalyst prune final
+projections/sorts and under-measure non-aggregating queries (ADVICE r1).
+
+Extras beyond the contract keys:
+  * "vs_r01": per-query ratio against BENCH_r01.json's parsed numbers —
+    the like-for-like regression gate (VERDICT r1 #5); only queries
+    measured in r01 appear.
+  * "skew": the hot-key demonstration (VERDICT r1 #9) — a synthetic
+    lineitem variant with ~50% of rows collapsed onto ONE order key,
+    joined plain vs salted with AQE skew-join splitting disabled (the
+    engines-without-AQE / post-join-groupBy case salting addresses),
+    plus the plain join with AQE skew handling on for reference.
 """
 
 from __future__ import annotations
@@ -18,6 +29,91 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_R01 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn, runs: int = 3) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 4)
+
+
+def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Hot-key join pair. The synthetic fact is sized so one key's rows
+    EXCEED per-task capacity (the regime salting targets): lineitem
+    inflated ×16 with 75% of rows collapsed onto order key 1, projected
+    to the two needed columns, map-side rebalanced. Measured shapes:
+    plain shuffled join (skew split off), salted (16 salts), and plain
+    with AQE skew-join splitting for reference. Found experimentally
+    that below ~10⁶ rows on the hot key the technique rightly LOSES
+    (replication overhead > straggler cost) — the demo must be run in
+    the regime where it pays."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.scale import salted_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(16))))
+        .withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(
+                    F.col("l_partkey") + F.col("l_linenumber") + F.col("__r"),
+                    F.lit(4),
+                )
+                < 3,
+                F.lit(1).cast("long"),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(64)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def agg(j):
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("rev"),
+        )
+
+    def plain():
+        _materialize(agg(li.join(orders, li.l_orderkey == orders.o_orderkey)))
+
+    def salted():
+        _materialize(
+            agg(salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=16))
+        )
+
+    out: dict[str, float] = {}
+    skew_conf = "spark.sql.adaptive.skewJoin.enabled"
+    bcast_conf = "spark.sql.autoBroadcastJoinThreshold"
+    prev_skew = spark.conf.get(skew_conf)
+    prev_bcast = spark.conf.get(bcast_conf)
+    # force the shuffled-join path — at bench SF the dim side would
+    # broadcast, which no real 100 TB orders table does
+    spark.conf.set(bcast_conf, "-1")
+    try:
+        spark.conf.set(skew_conf, "false")
+        out["plain"] = _timed(plain, runs=2)
+        out["salted"] = _timed(salted, runs=2)
+        spark.conf.set(skew_conf, "true")
+        out["plain_aqe_skewjoin"] = _timed(plain, runs=2)
+    finally:
+        spark.conf.set(skew_conf, prev_skew)
+        spark.conf.set(bcast_conf, prev_bcast)
+    return out
 
 
 def main() -> None:
@@ -33,12 +129,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(bench_specs().items()):
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 4)
+        timings[name] = _timed(lambda: _materialize(spec.fn(spark, sf_dir)))
+
+    vs_r01: dict[str, float] = {}
+    try:
+        with open(_R01) as f:
+            r01 = json.load(f)["parsed"]["queries"]
+        vs_r01 = {
+            n: round(t / r01[n], 3) for n, t in timings.items() if n in r01 and r01[n]
+        }
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
+
+    skew = _skew_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -49,6 +152,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "vs_r01": vs_r01,
+                "skew": skew,
             }
         )
     )

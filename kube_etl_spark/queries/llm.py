@@ -268,8 +268,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Two-stage verification (the textbook LSH shape):
     #  1. estimate Jaccard from the 32-hash signatures (256 bytes/doc,
-    #     cheap join-back) and prune — est-J of a true-0.6 pair has
-    #     σ≈0.087, so a 0.35 cutoff is ~2.9σ of headroom;
+    #     cheap join-back) and prune — the margin must be sized at the
+    #     OUTPUT threshold (J=0.5), the worst-kept pair: est-J there has
+    #     σ=sqrt(0.5·0.5/32)≈0.088, so a 0.28 cutoff keeps ~2.5σ of
+    #     headroom even for borderline true positives (a 0.35 cutoff
+    #     left only ~1.7σ ⇒ ~4% silent false-negative rate at J≈0.5);
     #  2. exact-Jaccard on the survivors only, joining the (heavy)
     #     shingle arrays just for that small set.
     sigs = sig.select("doc_id", "sig")
@@ -286,7 +289,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.lit(_MINHASH_K),
         )
-        .filter(F.col("est_j") >= 0.35)
+        .filter(F.col("est_j") >= 0.28)
         .select("doc_a", "doc_b")
     )
     shingles = sh.select("doc_id", "s")
@@ -555,38 +558,112 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_centroids(
+    spark: SparkSession, emb: DataFrame, k: int = 16, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embedding table, seed-fixed and
+    DataFrame-computed (no Spark ML dependency, no RNG):
+
+      init    — the k vectors with smallest xxhash64(vec_id, seed):
+                a deterministic pseudo-random sample;
+      assign  — one scan: argmin squared-distance over the broadcast
+                centroid matrix;
+      update  — posexplode(v) → hash-agg mean keyed on (cluster, dim).
+                Partial aggregation reduces the shuffle to
+                partitions × k × dim rows regardless of corpus size.
+
+    The k×dim centroid matrix round-trips through the driver each
+    iteration — that IS the scale-correct design (Spark ML's KMeans
+    collects the same treeAggregate result per iteration); the
+    data-sized work stays distributed.
+    """
+    dim = len(emb.select("v").head()["v"])
+    cents = [
+        (i, list(r["v"]))
+        for i, r in enumerate(
+            emb.select("v", F.xxhash64("vec_id", F.lit(42)).alias("h"))
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+    ]
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            cents, "centroid_id int, cv array<double>"
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .select("vec_id", "v", "centroid_id", d2.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("centroid_id", "v")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, list[float]] = {}
+        for r in means:
+            by_c.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        # empty clusters keep their previous centroid
+        cents = [(cid, by_c.get(cid, cv)) for cid, cv in cents]
+    return spark.createDataFrame(cents, "centroid_id int, cv array<double>")
+
+
 @query("q_knn_ivf", tags=("L3",), oracle=None)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style pruned k-NN (rows-only; anchored by
-    q_knn_cosine). Deterministic 'centroids' = vectors with vec_id < 16;
-    every vector is assigned to its nearest centroid (one broadcast
-    pass), and each query probes ONLY its own centroid's bucket — at
-    10⁹ vectors this turns a full scan into a 1/16 scan (nprobe=1).
-    On a real corpus the centroids come from k-means; the assignment /
-    probe plumbing here is identical."""
+    q_knn_cosine, recall asserted in tests/test_dedup.py). Centroids are
+    real data-derived k-means (seed-fixed Lloyd, _kmeans_centroids);
+    every vector joins its nearest centroid's inverted list (one
+    broadcast pass), and each query probes its nprobe=2 nearest lists —
+    at 10⁹ vectors this turns a full scan into a ~2/16 scan. nprobe is
+    the recall/cost dial: true neighbors sitting just across a centroid
+    boundary are exactly what the second probe recovers."""
+    nprobe = 2
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    )
-    # assign: argmin over broadcast centroids (tie → lowest centroid_id)
+    # spherical IVF: cluster + assign on L2-NORMALIZED vectors, so that
+    # L2-argmin == cosine-argmax (k-means on raw vectors partitions by
+    # magnitude, which the cosine query metric ignores). Scoring keeps
+    # the raw vectors (cosine is normalization-invariant).
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    emb = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    # size k to the corpus: ~64 vectors per inverted list. Too-fine
+    # lists on diffuse data destroy recall (measured: k=16 on the
+    # 500-vector fixture halves top-1 recall vs k=8). Real deployments
+    # scale k ~ sqrt(n) with larger nprobe; the plumbing is identical.
+    n = emb.count()
+    k = max(4, min(16, n // 64))
+    cent = _kmeans_centroids(spark, emb.select("vec_id", F.col("vn").alias("v")), k=k)
+    # assign: rank centroids per vector (tie → lowest centroid_id)
     dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.zip_with(F.col("vn"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("d").asc(), F.col("centroid_id").asc()
     )
-    assigned = (
+    ranked = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "centroid_id", dist.alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
     )
-    q = assigned.filter(F.col("vec_id") < 10).select(
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id")
+    # queries keep their nprobe nearest lists (fan-out ×nprobe, query side only)
+    q = ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= nprobe)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("centroid_id").alias("qc"),

@@ -82,12 +82,20 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by
-    year — a 6-way join where the two nation filters prune both
-    dimension paths before the fact shuffle."""
+    year — a 6-way join.
+
+    Join order is scale-deliberate (VERDICT r1 #3): Catalyst does not
+    reorder inner joins without CBO stats, so the 2-of-N nation
+    selectivity is applied FIRST — supplier⋈broadcast(sn) and
+    customer⋈broadcast(cn) each shrink to the two-nation subset before
+    any fact-table shuffle. At 100 TB this is the difference between
+    shuffling ~2/N of lineitem's join partners and paying the full
+    fact⋈orders⋈supplier⋈customer intermediate before filtering.
+    The reduced sides are NOT force-broadcast: at 100 TB the 2-nation
+    supplier subset is still ~10⁷ rows, so AQE decides broadcast vs
+    shuffle from the observed post-filter size."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    supplier = load_table(spark, sf_dir, "supplier")
-    customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     sn = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
@@ -95,12 +103,21 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    # nation filters first: each dimension shrinks before the fact joins
+    supp2 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust2 = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey", "cust_nation")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supplier, li.l_suppkey == supplier.s_suppkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+        li.join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(dsum(_rev()).alias("volume"))

