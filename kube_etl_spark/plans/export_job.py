@@ -44,24 +44,89 @@ _KEYS: dict[str, tuple[str, str]] = {
 }
 
 
-def export_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def export_table(
+    spark: SparkSession, sf_dir: str, name: str, serialization: str = "json"
+) -> DataFrame:
     """One table → (table_name, path, payload): derived hierarchical
-    path with empty-segment defaulting + JSON serialization of the row."""
+    path with empty-segment defaulting + serialization of the row.
+
+    serialization='json' (default, oracle-checked) uses to_json — pure
+    JVM. serialization='yaml' matches the reference's output format
+    (export.go:152 marshals via sigs.k8s.io/yaml, i.e. JSON-equivalent
+    YAML): rows serialize JVM-side to JSON first, then an Arrow-batched
+    mapInPandas converts payloads to YAML text per partition — Python
+    touches only the already-serialized strings, never row structs."""
+    if serialization not in ("json", "yaml"):
+        raise ValueError(f"serialization must be json|yaml, got {serialization!r}")
     ns_col, name_col = _KEYS[name]
     df = load_table(spark, sf_dir, name)
     ns = F.when(
         F.col(ns_col).cast("string").isNull() | (F.col(ns_col).cast("string") == ""),
         "_cluster",
     ).otherwise(F.col(ns_col).cast("string"))
-    path = F.concat_ws("/", ns, F.lit("core"), F.lit(name), F.concat(F.col(name_col).cast("string"), F.lit(".json")))
-    return df.select(
+    path = F.concat_ws(
+        "/",
+        ns,
+        F.lit("core"),
+        F.lit(name),
+        F.concat(F.col(name_col).cast("string"), F.lit(f".{serialization}")),
+    )
+    out = df.select(
         F.lit(name).alias("table_name"),
         path.alias("path"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
     )
+    if serialization == "yaml":
+        out = out.mapInPandas(_json_payloads_to_yaml, schema=out.schema)
+    return out
 
 
-def run_export(spark: SparkSession, sf_dir: str, out_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, int]:
+def _json_payloads_to_yaml(batches):
+    """mapInPandas worker: JSON payload column → YAML text (the exact
+    transform sigs.k8s.io/yaml performs: parse JSON, dump YAML with
+    sorted keys)."""
+    import json as _json
+
+    import yaml as _yaml
+
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["payload"] = [
+            _yaml.safe_dump(_json.loads(p), sort_keys=True, default_flow_style=False)
+            for p in pdf["payload"]
+        ]
+        yield pdf
+
+
+def materialize_tree(df: DataFrame, root: str) -> int:
+    """Write each (path, payload) row as a real file under `root` — the
+    reference's one-file-per-object zip layout (pkg/sink/zip.go:38-45),
+    for interop with consumers of that layout. Runs on the executors
+    (foreachPartition); needs `root` on a shared filesystem. This is the
+    INTEROP path for control-plane-sized exports — for data-scale
+    exports use run_export's partitioned dataset (one file per object at
+    100 TB is a small-files disaster). Returns the number of files."""
+    import os as _os
+
+    def _write(rows):
+        for r in rows:
+            p = _os.path.join(root, r["path"])
+            _os.makedirs(_os.path.dirname(p), exist_ok=True)
+            with open(p, "w") as f:
+                f.write(r["payload"])
+
+    df.select("path", "payload").foreachPartition(_write)
+    n = df.count()
+    return n
+
+
+def run_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    serialization: str = "json",
+) -> dict[str, int]:
     """The full export job: scan every catalog table, derive paths,
     write one partitioned JSON dataset (partition column = table_name,
     the zip-directory analog). Returns per-table row counts. Errors are
@@ -72,7 +137,7 @@ def run_export(spark: SparkSession, sf_dir: str, out_dir: str, tables: tuple[str
     frames = []
     for t in tables:
         try:
-            frames.append(export_table(spark, sf_dir, t))
+            frames.append(export_table(spark, sf_dir, t, serialization=serialization))
         except Exception as ex:  # tolerate per-type failure, keep going
             errs.append(f"{t}: {ex}")
     if frames:

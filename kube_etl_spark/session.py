@@ -47,6 +47,30 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> str:
+    """Toggle the streaming state store between the default in-memory
+    HDFS-backed provider and RocksDB. At 100 TB-scale streaming state
+    (millions of keys per stateful operator), the in-memory provider
+    OOMs the executors; RocksDB spills state to local disk with bounded
+    memory and is the production choice. Runtime-settable: picked up by
+    queries STARTED after the change. Returns the previous value."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = ""
+    if enabled:
+        spark.conf.set(key, ROCKSDB_STATE_STORE)
+    elif prev:
+        spark.conf.unset(key)
+    return prev
+
+
 def get_spark(
     app_name: str = "kube-etl-spark",
     cpus: int | None = None,

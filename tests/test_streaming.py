@@ -368,3 +368,143 @@ def test_continuous_rollup_matches_batch(spark, tmp_path):
         for r in rollup_aggregate(ev, res).collect():
             expect[(r["bucket_start"], r["resolution"])] = (r["n_events"], r["total_value"])
     assert got == expect
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """ST5b: dropDuplicatesWithinWatermark — unlike dropDuplicates, the
+    dedup state for a key is DROPPED once the watermark passes it, so
+    state stays bounded on an infinite stream (the 100 TB requirement);
+    redeliveries inside the delay are still removed. Stream result must
+    equal batch distinct when all redeliveries fall inside the delay."""
+    ev = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))))
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "ts", "user_id")
+    )
+    dup = ev.unionByName(ev)
+    stream = chunked_file_stream(
+        spark, dup.orderBy("event_id"), str(tmp_path / "src"), n_chunks=4, order_col="event_id"
+    )
+    seen: list[int] = []
+
+    def _collect(batch, _bid):
+        seen.extend(r["event_id"] for r in batch.collect())
+
+    q = (
+        stream.withWatermark("ts", "100 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert sorted(seen) == sorted(r["event_id"] for r in ev.collect())
+    assert len(seen) == len(set(seen))
+
+
+def test_update_mode_sink(spark, tmp_path):
+    """Update-mode output: each micro-batch emits only CHANGED windows
+    (not the full result like complete mode, not only finalized windows
+    like append mode). Last-update-per-window must equal the batch
+    aggregate, and windows spanning micro-batches must be emitted more
+    than once (proving incremental updates actually flow)."""
+    ev = load_table(spark, SMOKE_SF, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).select("event_id", "ts", "value")
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=4, order_col="event_id")
+    updates: list[tuple] = []
+
+    def _collect(batch, bid):
+        updates.extend((r["ws"], r["n"], r["tv"]) for r in batch.collect())
+
+    q = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "n", "tv")
+        .writeStream.foreachBatch(lambda b, i: _collect(b, i))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    # last emitted update per window == batch result
+    last: dict = {}
+    for ws, n, tv in updates:
+        last[ws] = (n, tv)
+    batch = {
+        r["ws"]: (r["n"], r["tv"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "n", "tv")
+        .collect()
+    }
+    assert last == batch
+    # incrementality: at least one window updated across >1 micro-batch
+    from collections import Counter
+
+    emit_counts = Counter(ws for ws, _, _ in updates)
+    assert any(c > 1 for c in emit_counts.values()), "no window updated incrementally"
+    # update mode emitted fewer rows than complete mode would (4 batches × all windows)
+    assert len(updates) < 4 * len(batch) or len(batch) == 1
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The RocksDB state-store toggle: the same stateful stream (windowed
+    agg + dedup state) produces identical results under
+    RocksDBStateStoreProvider — the provider changes WHERE state lives
+    (bounded memory + local disk, the production 100 TB choice), never
+    results. Asserts the conf actually took effect on the running query."""
+    from kube_etl_spark.session import ROCKSDB_STATE_STORE, use_rocksdb_state_store
+
+    ev = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))))
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    dup = ev.unionByName(ev)
+    stream = chunked_file_stream(
+        spark, dup.orderBy("event_id"), str(tmp_path / "src"), n_chunks=3, order_col="event_id"
+    )
+    rows: list[tuple] = []
+
+    def _collect(batch, _bid):
+        rows.extend((r["ws"], r["n"]) for r in batch.collect())
+
+    prev = use_rocksdb_state_store(spark)
+    try:
+        assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_STATE_STORE
+        q = (
+            stream.withWatermark("ts", "100 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+            .writeStream.foreachBatch(_collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        use_rocksdb_state_store(spark, enabled=False)
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    last: dict = {}
+    for ws, n in rows:
+        last[ws] = n
+    batch = {
+        r["ws"]: r["n"]
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert last == batch
