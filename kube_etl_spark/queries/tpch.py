@@ -248,3 +248,100 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(25)
     )
+
+
+@query(
+    "q_tpch_q14_promo_share",
+    tags=("TPCH",),
+    oracle=f"""
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                               ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+               / {dsum_sql(_REV)}, 4) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-03-01 00:00:00'
+""",
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — a ratio of two conditional
+    decimal sums over one date-pruned scan (both sums come from the SAME
+    join pass; no second scan). The date predicate pushes to the
+    lineitem scan; part joins once. Division happens on the two exact
+    decimal totals, so the 4dp round is on an unstructured real."""
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-03-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(22,6)")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / dsum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q5_local_volume",
+    tags=("TPCH",),
+    oracle=f"""
+SELECT n_name, {dsum_sql(_REV)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume per nation in one region —
+    the join carries an EXTRA non-key equality (s_nationkey =
+    c_nationkey, 'local' semantics) on top of the key equijoin, and the
+    region filter prunes the broadcast nation dimension before any fact
+    shuffle (region⋈nation is dim-side, broadcast; the date window
+    pushes to the orders scan)."""
+    lo = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # region-pruned nation list: tiny, broadcast everywhere it's needed
+    nat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )

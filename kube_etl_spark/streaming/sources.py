@@ -27,10 +27,23 @@ def chunked_file_stream(
 ) -> DataFrame:
     """Materialize df (ordered by order_col) as n_chunks json files and
     return a file-source streaming DataFrame that replays them one
-    micro-batch per chunk, in order."""
+    micro-batch per chunk, in order.
+
+    The collect below is deliberate and CAPPED: this builder exists to
+    replay bounded test fixtures with a deterministic arrival order
+    (mtime-spaced files), which requires driver-side file writes. It is
+    not a data-path operator — production streams come straight from
+    readStream file/Kafka sources; the cap makes misuse loud instead of
+    an OOM."""
+    cap = 1_000_000
     os.makedirs(directory, exist_ok=True)
     schema = df.schema
-    rows = df.orderBy(order_col).toJSON().collect()
+    rows = df.orderBy(order_col).limit(cap + 1).toJSON().collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"chunked_file_stream is a fixture-replay helper capped at {cap} rows; "
+            "stream production data with spark.readStream directly"
+        )
     per = max(1, (len(rows) + n_chunks - 1) // n_chunks)
     now = time.time()
     for i in range(0, len(rows), per):
