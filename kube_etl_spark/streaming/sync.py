@@ -287,6 +287,38 @@ def syncer_status(
     )
 
 
+class DestinationRegistry:
+    """The remote-cluster client cache, Spark-shaped: destinations are
+    keyed on (namespace, secret_name) and built lazily exactly once —
+    mirroring getOrCreateRemoteCluster's keyed cache
+    (krmsyncer_controller.go:327-375: key = "<ns>/<secret>", hit returns
+    the cached cluster; miss resolves the credential, builds the client,
+    caches it). Here a "destination" is whatever the factory returns
+    (StateTable, writer, catalog handle); credential resolution is the
+    `resolve_credential` hook — the seam where a real deployment reads
+    its kubeconfig/connection secret. Failures are NOT cached (the
+    reference returns the error and retries next reconcile)."""
+
+    def __init__(self, factory, resolve_credential=None):
+        self._factory = factory
+        self._resolve = resolve_credential or (lambda ns, name: {"namespace": ns, "secret": name})
+        self._cache: dict[str, object] = {}
+
+    def get_or_create(self, namespace: str, secret_name: str):
+        key = f"{namespace}/{secret_name}"
+        if key in self._cache:
+            return self._cache[key]
+        cred = self._resolve(namespace, secret_name)
+        if cred is None:
+            raise KeyError(f"secret {key} does not contain a credential")
+        dest = self._factory(cred)
+        self._cache[key] = dest
+        return dest
+
+    def __len__(self) -> int:
+        return len(self._cache)
+
+
 def sync_to_state(
     changes: DataFrame,
     make_state,

@@ -295,3 +295,40 @@ def test_syncer_status_conditions(spark):
         # the reference returns before rule expansion
         "off": ("Suspended", "SuspendedBySpec", 1, 1, 0, -1),
     }
+
+
+def test_destination_registry_caches_per_namespace_secret(spark, tmp_path):
+    """S4 analog: destinations build once per (namespace, secret) key and
+    are reused on every later lookup (getOrCreateRemoteCluster's cache,
+    krmsyncer_controller.go:327-375); resolution failures are not cached
+    so the next reconcile retries."""
+    from kube_etl_spark.streaming.sync import DestinationRegistry
+
+    built = []
+
+    def factory(cred):
+        built.append(cred)
+        return StateTable(
+            spark, str(tmp_path / f"d-{cred['namespace']}-{cred['secret']}"),
+            ["group", "version", "kind", "namespace", "name"], "seq",
+        )
+
+    secrets = {("prod", "kc-a"): "cred-a", ("prod", "kc-b"): "cred-b"}
+
+    def resolve(ns, name):
+        return {"namespace": ns, "secret": name} if (ns, name) in secrets else None
+
+    reg = DestinationRegistry(factory, resolve)
+    a1 = reg.get_or_create("prod", "kc-a")
+    a2 = reg.get_or_create("prod", "kc-a")  # cache hit: same object, no rebuild
+    b = reg.get_or_create("prod", "kc-b")
+    assert a1 is a2 and a1 is not b
+    assert len(built) == 2 and len(reg) == 2
+    # missing secret errors and is retried (not negatively cached)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        reg.get_or_create("dev", "missing")
+    secrets[("dev", "missing")] = "late"
+    assert reg.get_or_create("dev", "missing") is not None
+    assert len(reg) == 3
