@@ -1078,3 +1078,261 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 pretraining-pipeline additions: chunking, PII scrubbing,
+# repetition quality, benchmark-contamination detection.
+
+
+@query(
+    "q_text_chunk",
+    tags=("L4", "L5"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 40
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) / 24 AS BIGINT) AS chunk_id,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(len(toks[st:least(st + 31, len(toks))]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[st:least(st + 31, len(toks))], ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id
+""",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT): sliding-window document chunking — size-32 token
+    windows at stride 24 (8-token overlap), the standard shape for
+    context-window packing / embedding-index prep. One narrow pass:
+    tokenize once, explode the start offsets (sequence), slice per
+    chunk. No shuffle at all — chunking is embarrassingly parallel and
+    stays in whole-stage codegen."""
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", toks.alias("toks"))
+    )
+    chunk = F.slice(F.col("toks"), F.col("st"), 32)
+    return (
+        docs.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(24))
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("st") - 1) / 24).cast("bigint").alias("chunk_id"),
+            F.col("st").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "q_pii_scrub",
+    tags=("L4",),
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       right(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g'), 48) AS scrub_tail
+FROM aug
+ORDER BY doc_id
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): PII scrubbing — detect + redact emails and phone
+    numbers (regex families restricted to the RE2 ∩ Java common subset).
+    The fixture text carries no PII, so a deterministic synthetic email
+    + phone per doc is appended first IN BOTH ENGINES — the scrubber
+    then has real work whose counts the oracle checks. Pure per-row
+    regexp: JVM codegen, no shuffle, safe at any scale."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-123-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    # Spark SQL string literals process backslash escapes, so regexes
+    # embedded in F.expr need their backslashes doubled.
+    email_sql = _EMAIL_RE.replace("\\", "\\\\")
+    phone_sql = _PHONE_RE.replace("\\", "\\\\")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            F.size(F.expr(f"regexp_extract_all(t, '{email_sql}', 0)"))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.expr(f"regexp_extract_all(t, '{phone_sql}', 0)"))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.expr(f"right(regexp_replace(regexp_replace(t, '{email_sql}', '<EMAIL>'), '{phone_sql}', '<PHONE>'), 48)").alias("scrub_tail"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    tags=("L4",),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 200 AND len(string_split(text, ' ')) >= 5
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 3),
+                        i -> array_to_string(toks[i:i+4], ' ')) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+         AS rep_ratio
+FROM g
+ORDER BY doc_id
+""",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): repetition quality metric — the duplicate-5-gram
+    fraction per document (the Gopher-rules family: high repetition ⇒
+    low-quality/boilerplate text, filtered before pretraining). All
+    array ops per-row (transform/sequence/array_distinct): no Python,
+    no shuffle."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 4),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double") / F.size("grams"),
+                4,
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_contamination",
+    tags=("L4", "L2"),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+),
+probes AS (
+  SELECT doc_id AS probe_id,
+         array_to_string(string_split(text, ' ')[1:8], ' ') AS probe
+  FROM documents WHERE doc_id < 5
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(string_split(text, ' ')) - 6),
+                          i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))
+         )) AS gram
+  FROM aug
+  WHERE len(string_split(text, ' ')) >= 8
+)
+SELECT p.probe_id,
+       CAST(COUNT(DISTINCT CASE WHEN g.doc_id <> p.probe_id
+                                THEN g.doc_id END) AS BIGINT) AS n_contaminated
+FROM probes p LEFT JOIN grams g ON g.gram = p.probe
+GROUP BY p.probe_id
+ORDER BY p.probe_id
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L2 (EXT): benchmark-contamination detection — count corpus
+    documents sharing an 8-gram with each probe (the first 8 tokens of
+    docs 0-4 stand in for benchmark strings; the corpus is augmented
+    with the same +100000 synthetic copies the dedup family uses, so
+    each probe has a guaranteed contaminated hit). Scale shape: the
+    corpus explodes to distinct 8-grams ONCE and equi-joins the
+    broadcast probe set — a hash join on the gram key, NOT a contains()
+    nested-loop scan per probe; at 100 TB the grams would be hashed
+    (the string key here keeps the DuckDB oracle exact)."""
+    toks = F.split(F.col("text"), " ")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    probes = (
+        docs.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_join(F.slice(toks, 1, 8), " ").alias("probe"),
+        )
+    )
+    grams = (
+        aug.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 7),
+                        lambda i: F.array_join(F.slice(F.col("toks"), i, 8), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(grams, grams.gram == probes.probe, "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("doc_id") != F.col("probe_id"), F.col("doc_id"))
+            )
+            .cast("bigint")
+            .alias("n_contaminated")
+        )
+        .orderBy("probe_id")
+    )
