@@ -19,6 +19,12 @@ def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="/root/testdata/sf0.001")
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--serialization",
+        choices=("json", "yaml"),
+        default="json",
+        help="payload format; yaml matches the reference's sigs.Marshal output",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -28,7 +34,7 @@ def main(argv: list[str]) -> None:
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-export").getOrCreate())
-    counts = run_export(spark, args.input, args.output)
+    counts = run_export(spark, args.input, args.output, serialization=args.serialization)
     print(json.dumps({"exported": counts, "output": args.output}))
     if owned:  # don't tear down a session we joined (tests)
         spark.stop()

@@ -65,3 +65,20 @@ def test_run_syncer_cli_once(spark, tmp_path):
     assert got[0]["name"] == "obj1"
     assert got[0]["spec"]["foo"] == "f1"
     assert got[0]["status"]["bar"] == "b1"
+
+
+def test_run_export_cli_yaml(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import yaml
+
+    import run_export
+
+    out = str(tmp_path / "expy")
+    run_export.main(["--input", SMOKE_SF, "--output", out, "--serialization", "yaml"])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["exported"]["region"] == 5
+    back = spark.read.json(out)
+    row = back.filter("table_name = 'region'").first()
+    assert row["path"].endswith(".yaml")
+    obj = yaml.safe_load(row["payload"])
+    assert "r_name" in obj and "r_regionkey" in obj

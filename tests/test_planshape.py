@@ -174,3 +174,21 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     )
     pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
     assert "o_orderstatus" in pf, f"partition filter not pushed: {pf}"
+
+
+def test_contamination_is_hash_join(spark):
+    """The contamination probe join must be a broadcast HASH join on the
+    gram key — a contains()-style nested loop over the corpus would be
+    quadratic-ish at 100 TB."""
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q_text_chunk", "q_repetition_ratio", "q_pii_scrub"])
+def test_text_ops_stay_jvm_side(spark, name):
+    """The round-2 text operators are pure pyspark.sql.functions: no
+    Python evaluation may appear in their plans."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
