@@ -128,3 +128,36 @@ def test_ivf_recall_vs_exact(spark):
     ivf_top1 = {r["qid"]: r["cid"] for r in ivf_rows if r["rank"] == 1}
     hits = sum(1 for qid, cid in exact_top1.items() if ivf_top1.get(qid) == cid)
     assert hits * 2 >= len(exact_top1), f"top-1 recall too low: {hits}/{len(exact_top1)}"
+
+
+def test_chunking_reassembles_to_original(spark):
+    """Chunk-coverage invariant: dropping each chunk's 8-token overlap
+    (keeping tokens [1..stride] of every chunk, plus the final chunk's
+    tail) reconstructs the original token sequence exactly — no token
+    lost or duplicated by the windowing."""
+    from pyspark.sql import functions as F
+    from kube_etl_spark.catalog import load_table
+
+    rows = all_specs()["q_text_chunk"].fn(spark, SMOKE_SF).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SMOKE_SF, "documents")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            toks = c["chunk_text"].split(" ")
+            assert c["n_tokens"] == len(toks)
+            # overlap region must agree with what the previous chunk said
+            if i < len(chunks) - 1:
+                rebuilt.extend(toks[:24])
+            else:
+                rebuilt.extend(toks)
+        assert rebuilt == docs[doc_id], f"doc {doc_id} reassembly mismatch"

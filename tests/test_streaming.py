@@ -508,3 +508,41 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
         .collect()
     }
     assert last == batch
+
+
+def test_rate_source_through_window_builder(spark, tmp_path):
+    """Source-agnosticism: the tumbling builder runs unchanged on a
+    rate-micro-batch source (synthetic clock ticks) — proving the
+    windowed operators care only about (ts, value) columns, not where
+    the stream comes from (file, Kafka, rate...)."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 60000)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 10).cast("double").alias("value"),
+            F.col("value").alias("event_id"),
+            F.lit(1).alias("user_id"),
+        )
+    )
+    got: list[tuple] = []
+
+    def _collect(batch, _bid):
+        got.extend(
+            (r["window_start"], r["n_events"]) for r in windowed.tumbling(batch).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    assert got, "rate source produced no windows"
+    # every generated row lands in exactly one window
+    assert sum(n for _, n in got) == 50
