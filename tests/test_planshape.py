@@ -192,3 +192,60 @@ def test_text_ops_stay_jvm_side(spark, name):
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_cbo_reorders_joins_with_stats(spark, tmp_path):
+    """The counterpart to the hand-ordered Q7: WITH table-level + column
+    stats and CBO on, Catalyst itself moves the selective dimension join
+    below the fact join even when the SQL writes the bad order. This is
+    the stats story for 100 TB deployments — ANALYZE TABLE buys the
+    reorder Q7 had to encode by hand (we hand-order because parquet-path
+    reads carry no stats)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbodemo LOCATION '{tmp_path}/wh'")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try:
+        for src, t in (("lineitem", "li"), ("orders", "ord"), ("customer", "cust")):
+            spark.read.parquet(f"{SMOKE_SF}/{src}.parquet").write.mode(
+                "overwrite"
+            ).saveAsTable(f"cbodemo.{t}")
+            spark.sql(f"ANALYZE TABLE cbodemo.{t} COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE cbodemo.li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        spark.sql("ANALYZE TABLE cbodemo.ord COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        spark.sql("ANALYZE TABLE cbodemo.cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        # written order: fact ⋈ fact FIRST, selective dim last (the Q7 trap)
+        opt = (
+            spark.sql(
+                """
+                SELECT count(*) FROM cbodemo.li
+                JOIN cbodemo.ord ON l_orderkey = o_orderkey
+                JOIN cbodemo.cust ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                """
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+        )
+
+        def joins(p):
+            out = []
+            if p.nodeName() == "Join":
+                out.append(p)
+            for i in range(p.children().length()):
+                out.extend(joins(p.children().apply(i)))
+            return out
+
+        jlist = joins(opt)
+        assert len(jlist) == 2
+        # the DEEPEST join must be ord⋈cust (no lineitem in its subtree):
+        # CBO moved the selective dim below the fact despite the SQL order
+        deepest = jlist[-1].toString()
+        assert "c_mktsegment" in deepest and "l_orderkey" not in deepest, (
+            f"CBO did not reorder; deepest join subtree:\n{deepest[:500]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)
+        spark.sql("DROP DATABASE IF EXISTS cbodemo CASCADE")
