@@ -1336,3 +1336,111 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@query(
+    "q_split_train_test",
+    tags=("L4", "L1"),
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6')
+              THEN 'train'
+              WHEN substr(md5(text), 1, 1) IN ('7','8','9','a','b')
+              THEN 'valid' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM tagged
+GROUP BY split
+ORDER BY split
+""",
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): deterministic content-hash train/valid/test split —
+    the standard leakage-safe way to partition a pretraining corpus
+    (splitting on CONTENT hash keeps exact duplicates in the same
+    split, unlike doc_id splits; md5 is used because both engines agree
+    on it byte-for-byte). ~44/31/25 buckets by first hex digit. Pure
+    map-side; the only shuffle is the 3-group rollup."""
+    digit = F.substring(F.md5(F.col("text")), 1, 1)
+    split = (
+        F.when(digit.isin(*"0123456"), "train")
+        .when(digit.isin(*"789ab"), "valid")
+        .otherwise("test")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_quality_filter_pipeline",
+    tags=("L4",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+  FROM documents WHERE doc_id < 300
+),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_toks,
+         CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+           / len(toks) AS sw_ratio,
+         CASE WHEN len(toks) >= 5 THEN
+           1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 3),
+                        i -> array_to_string(toks[i:i+4], ' ')))) AS DOUBLE)
+               / (len(toks) - 4)
+         ELSE 1.0 END AS rep_ratio
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       ROUND(sw_ratio, 4) AS sw_ratio,
+       ROUND(rep_ratio, 4) AS rep_ratio,
+       (n_toks >= 20 AND sw_ratio > 0.01 AND rep_ratio < 0.5) AS keep
+FROM m
+ORDER BY doc_id
+""",
+)
+def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): the composed keep/drop pretraining filter — length,
+    stopword-density, and repetition gates evaluated in ONE pass per
+    document (the production shape: metrics fused into a single
+    projection; never one scan per metric). All builtin array/lambda
+    expressions, zero shuffle before the final ordered output."""
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", toks.alias("toks"))
+    )
+    n = F.size("toks")
+    sw_ratio = _stopword_hits(F.col("toks")).cast("double") / n
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+    )
+    rep = F.when(
+        n >= 5,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / (n - 4),
+    ).otherwise(F.lit(1.0))
+    m = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_toks"),
+        F.round(sw_ratio, 4).alias("sw_ratio"),
+        F.round(rep, 4).alias("rep_ratio"),
+        (
+            (n >= 20) & (sw_ratio > 0.01) & (rep < 0.5)
+        ).alias("keep"),
+    )
+    return m.orderBy("doc_id")
