@@ -249,3 +249,37 @@ def test_cbo_reorders_joins_with_stats(spark, tmp_path):
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)
         spark.sql("DROP DATABASE IF EXISTS cbodemo CASCADE")
+
+
+def test_runtime_bloom_filter_reaches_fact_side(spark):
+    """Third leg of the join-selectivity story (beside hand-ordering and
+    CBO): the runtime Bloom-filter rewrite injects a bloom_filter_agg
+    built from the SELECTIVE dim side as a semi-join filter on the fact
+    side, so dim selectivity prunes fact rows before the shuffle. On by
+    default in our sessions; the size thresholds are lowered here only
+    because smoke data sits under the production 10 MB/10 GB defaults."""
+    app_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev_app = spark.conf.get(app_key)
+    prev_bcast = spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(app_key, "1KB")
+        spark.conf.set(bcast_key, "-1")  # shuffled join: the filter's target case
+        li = spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SMOKE_SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, "runtime bloom filter not injected"
+        # built over the dim join key, applied against the fact side
+        assert "o_orderkey" in next(
+            l for l in opt.splitlines() if "bloom_filter_agg" in l
+        )
+    finally:
+        spark.conf.set(app_key, prev_app)
+        spark.conf.set(bcast_key, prev_bcast)
