@@ -232,3 +232,40 @@ def q_window_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type", "ts")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_window_distribution",
+    tags=("W1",),
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WHERE c_custkey < 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+ORDER BY c_custkey
+""",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1b: distribution window functions — ntile bucketing,
+    percent_rank, cume_dist per segment (the balance-percentile family
+    the rank query doesn't cover). Deterministic ordering via the
+    (c_acctbal, c_custkey) composite sort key; both ratios are exact
+    rationals of identical row counts, so the 6dp round is tie-free."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("c_custkey")
+    )
