@@ -546,3 +546,36 @@ def test_rate_source_through_window_builder(spark, tmp_path):
     assert got, "rate source produced no windows"
     # every generated row lands in exactly one window
     assert sum(n for _, n in got) == 50
+
+
+def test_streaming_state_metrics_observed(spark, tmp_path):
+    """Operational observability: the state-store metrics the 100 TB
+    operator watches (numRowsTotal growing with keyed state, memory
+    used) are exposed through query progress — the signal that drives
+    'switch to RocksDB' / 'tighten the watermark' decisions."""
+    ev = (
+        load_table(spark, SMOKE_SF, "events")
+        .withColumn("ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp"))))
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "ts", "user_id")
+    )
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=2, order_col="event_id")
+    q = (
+        stream.withWatermark("ts", "100 days")
+        .dropDuplicates(["event_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    q.stop()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in (p["stateOperators"] if isinstance(p, dict) else p.stateOperators or [])
+    ]
+    assert state_rows, "no state operator metrics in progress"
+    # dedup state must have accumulated one row per distinct event_id
+    assert max(state_rows) == 200
