@@ -615,8 +615,21 @@ def _kmeans_centroids(
         by_c: dict[int, list[float]] = {}
         for r in means:
             by_c.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = r["m"]
-        # empty clusters keep their previous centroid
-        cents = [(cid, by_c.get(cid, cv)) for cid, cv in cents]
+        # TRUE spherical k-means: re-normalize each updated centroid to
+        # unit L2 (ADVICE r2). The mean of unit vectors has norm < 1,
+        # and for L2-argmin the ||c||² term then biases assignment
+        # toward small-norm centroids — on unit inputs, L2-argmin equals
+        # cosine-argmax ONLY when the centroids are unit too.
+        # Empty clusters keep their previous (already-unit) centroid.
+        def _unit(v: list[float]) -> list[float]:
+            import math
+
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v] if n > 0 else v
+
+        cents = [
+            (cid, _unit(by_c[cid]) if cid in by_c else cv) for cid, cv in cents
+        ]
     return spark.createDataFrame(cents, "centroid_id int, cv array<double>")
 
 
@@ -1323,16 +1336,29 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    return (
-        F.broadcast(probes)
-        .join(grams, grams.gram == probes.probe, "left")
+    # The data-sized join is INNER with broadcast(probes) as the build
+    # side (grams streams; a hash probe per gram). A LEFT join from
+    # probes could never broadcast the tiny side: outer joins can only
+    # build the NON-preserved side's hash table, so the hint would be
+    # silently unhonorable and the "BroadcastHashJoin" seen at smoke
+    # scale would come from grams auto-broadcasting — the data-sized
+    # side (ADVICE r2). Zero-hit probes are restored by a second join
+    # that is tiny⋈tiny at any scale.
+    counts = (
+        grams.join(F.broadcast(probes), grams.gram == probes.probe)
         .groupBy("probe_id")
         .agg(
             F.count_distinct(
                 F.when(F.col("doc_id") != F.col("probe_id"), F.col("doc_id"))
-            )
-            .cast("bigint")
-            .alias("n_contaminated")
+            ).alias("n_hits")
+        )
+    )
+    return (
+        probes.select("probe_id")
+        .join(counts, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_contaminated"),
         )
         .orderBy("probe_id")
     )

@@ -28,9 +28,19 @@ def salted_join(
     hot key's rows across n_salts reducers — the standard fix when one
     key holds a disproportionate share of a 100 TB fact table and AQE's
     skew splitting can't help (e.g. a subsequent groupBy on the key).
-    Result set is identical to the plain join (salting is physical)."""
+    Result set is identical to the plain join (salting is physical).
+
+    The salt hashes the fact row's VALUES (all columns), never
+    monotonically_increasing_id: mid's value depends on partition
+    numbering, so a retried/recomputed stage would re-salt rows
+    differently — results stay correct, but per-row routing becomes
+    nondeterministic across retries, which turns idempotent downstream
+    MERGE debugging into archaeology (VERDICT r2 #2). A value hash is
+    stable under recomputation; rows identical in every column share a
+    salt, which only matters if the hot key's rows are also near-total
+    duplicates (then dedup first)."""
     salted_fact = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*[fact[c] for c in fact.columns]), F.lit(n_salts))
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -29,14 +29,19 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 _SCALAR_SQL = """
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 4 * (SELECT AVG(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
 ORDER BY o_orderkey
 """
 
 
 @query("q_scalar_subquery", tags=("SQ",), oracle=_SCALAR_SQL)
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery — folded into a broadcast scalar."""
+    """Uncorrelated scalar subquery — folded into a broadcast scalar.
+
+    Threshold is 1.5×AVG deliberately: o_totalprice is ~uniform on
+    [1k, 500k] so max ≈ 2×avg — a larger multiplier selects ZERO rows
+    and the correctness check degenerates to a vacuous 0=0 match
+    (VERDICT r2 #1). 1.5× keeps thousands of rows at every fixture SF."""
     return _sql(spark, sf_dir, _SCALAR_SQL)
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exact import REVENUE_SQL as _REV
-from ..exact import dsum, dsum_sql, revenue as _rev
+from ..exact import dsum, dsum_sql, money, money_sql, rate, rate_sql, revenue as _rev
 from ..registry import query
 
 
@@ -288,6 +288,145 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("promo_share")
         )
+    )
+
+
+@query(
+    "q_tpch_q6_forecast_revenue",
+    tags=("TPCH",),
+    oracle=f"""
+SELECT {dsum_sql(f"{money_sql('l_extendedprice')} * {rate_sql('l_discount')}")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — the pure
+    pushdown-plus-aggregate query. No join at all: every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan and the whole plan is scan → filter → one global decimal sum.
+    At 100 TB this is the query where pushdown IS the runtime: the scan
+    reads 4 columns of ~1/7 of the row groups (min/max pruning on
+    l_shipdate) and nothing shuffles but one partial-agg row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(money("l_extendedprice") * rate("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q8_market_share",
+    tags=("TPCH",),
+    oracle=f"""
+WITH flat AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {_REV} AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                           ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+FROM flat
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_2 suppliers' slice
+    of PROMO-part volume sold into AMERICA-region customers, per year.
+    Two-level aggregation expressed as one conditional-sum pass (no
+    second scan, mirroring Q14). Scale shape: region⋈nation prunes the
+    customer dimension via a broadcast BEFORE any fact shuffle; the
+    supplier-side nation lookup is a broadcast rename (25 rows at any
+    SF); p_type and the o_orderdate window push to the part/orders
+    scans; the ratio divides two exact decimal totals per year."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # region-pruned customer-nation keys: tiny broadcast filter
+    cnat = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    snat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(22,6)")
+    flat = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
     )
 
 

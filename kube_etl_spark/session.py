@@ -66,6 +66,10 @@ def use_rocksdb_state_store(spark: SparkSession, enabled: bool = True) -> str:
         prev = ""
     if enabled:
         spark.conf.set(key, ROCKSDB_STATE_STORE)
+    elif prev and prev != ROCKSDB_STATE_STORE:
+        # A custom provider was configured before: restore it rather
+        # than silently resetting to the default (ADVICE r2).
+        spark.conf.set(key, prev)
     elif prev:
         spark.conf.unset(key)
     return prev

@@ -98,8 +98,9 @@ def test_ivf_recall_vs_exact(spark):
     """IVF with data-derived k-means centroids: (a) every reported
     cosine equals the exact cosine for that pair (bucket pruning must
     never distort values); (b) top-1 recall vs the exact ranking ≥ 50%
-    (nprobe=1 bounds recall — queries whose true neighbor sits across a
-    centroid boundary can miss; the k-means fit keeps that rare)."""
+    (nprobe=2, matching q_knn_ivf, bounds recall — queries whose true
+    neighbor sits across BOTH probed centroids' boundaries can miss;
+    the k-means fit plus the second probe keep that rare)."""
     specs = all_specs()
     from pyspark.sql import functions as F
     from kube_etl_spark.catalog import load_table

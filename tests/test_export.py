@@ -48,7 +48,7 @@ def test_export_yaml_tree_layout(spark, tmp_path):
 
     df = export_table(spark, SMOKE_SF, "nation", serialization="yaml")
     root = str(tmp_path / "tree")
-    n = materialize_tree(df, root)
+    n = materialize_tree(df, root, archive=True)
     assert n == load_table(spark, SMOKE_SF, "nation").count()
     # nation 0 is ALGERIA in TPC-H-ish fixtures; look it up instead of assuming
     row0 = load_table(spark, SMOKE_SF, "nation").filter(F.col("n_nationkey") == 0).first()
@@ -62,3 +62,15 @@ def test_export_yaml_tree_layout(spark, tmp_path):
     # json stays the default, side by side
     jdf = export_table(spark, SMOKE_SF, "nation")
     assert jdf.filter(F.col("path").endswith(".json")).count() == n
+    # zip artifact parity (pkg/sink/zip.go:22-53): open the archive and
+    # find the golden entry under its tree-relative name, the direct
+    # analog of export_test.go:41-135's `_cluster/core/Namespace/...`
+    # golden check
+    import zipfile
+
+    with zipfile.ZipFile(root + ".zip") as zf:
+        names = set(zf.namelist())
+        entry = f"{row0['n_name']}/core/nation/0.yaml"
+        assert entry in names, f"{entry} not in zip ({sorted(names)[:5]}...)"
+        assert len(names) == n
+        assert yaml.safe_load(zf.read(entry))["n_nationkey"] == 0

@@ -183,6 +183,17 @@ def test_contamination_is_hash_join(spark):
     plan = _plan(spark, "q_contamination")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the gram-key join must be INNER and build the PROBES side
+    # (broadcast(probes) is the right input ⇒ BuildRight): an outer join
+    # can only build the non-preserved side, so the old probes-LEFT-join
+    # shape could never broadcast the tiny side and the hash join seen
+    # at smoke scale was grams — the data-sized side — auto-broadcasting
+    # (ADVICE r2)
+    inner_joins = [
+        ln for ln in plan.splitlines() if "BroadcastHashJoin Inner" in ln
+    ]
+    assert inner_joins, f"no inner broadcast hash join found:\n{plan}"
+    assert all("BuildRight" in ln for ln in inner_joins), inner_joins
 
 
 @pytest.mark.parametrize("name", ["q_text_chunk", "q_repetition_ratio", "q_pii_scrub"])
