@@ -17,6 +17,9 @@ Extras beyond the contract keys:
     joined plain vs salted with AQE skew-join splitting disabled (the
     engines-without-AQE / post-join-groupBy case salting addresses),
     plus the plain join with AQE skew handling on for reference.
+  * "udf": builtin vs Arrow pandas UDF vs row-at-a-time Python UDF on
+    identical tokenize-and-count work (VERDICT r2 #8) — the measured
+    basis for the builtins-first rule in docs/architecture.md.
 """
 
 from __future__ import annotations
@@ -116,6 +119,43 @@ def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Builtins-first evidence (VERDICT r2 #8): the same tokenize-and-
+    count work over every documents.text three ways — JVM builtin
+    (split+size inside whole-stage codegen), Arrow-batched pandas UDF,
+    and row-at-a-time Python UDF. The measured ordering documents WHY
+    the engine keeps registered-query hot paths Python-free and treats
+    pandas UDFs as the fallback, not the default."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from kube_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf(LongType())
+    def n_tok_pandas(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int64")
+
+    @F.udf(LongType())
+    def n_tok_python(text: str) -> int:
+        return len(text.split(" "))
+
+    variants = {
+        "builtin": F.size(F.split("text", " ")).cast("long"),
+        "pandas_udf": n_tok_pandas("text"),
+        "python_udf": n_tok_python("text"),
+    }
+    return {
+        name: _timed(
+            lambda c=col: _materialize(docs.select("doc_id", c.alias("n_tokens"))),
+            runs=2,
+        )
+        for name, col in variants.items()
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -142,6 +182,7 @@ def main() -> None:
         pass
 
     skew = _skew_bench(spark, sf_dir)
+    udf = _udf_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -154,6 +195,7 @@ def main() -> None:
                 "sf": sf,
                 "vs_r01": vs_r01,
                 "skew": skew,
+                "udf": udf,
             }
         )
     )

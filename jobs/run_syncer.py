@@ -39,14 +39,15 @@ def load_rules(spark, path: str):
     except ImportError:
         rows = json.loads(text)
     cols = (
-        "syncer_name suspend mode rule_group rule_version rule_kind "
-        "namespaces sync_fields".split()
+        "syncer_name syncer_namespace suspend mode rule_group rule_version "
+        "rule_kind namespaces sync_fields remote_secret".split()
     )
     data = [tuple(r.get(c) for c in cols) for r in rows]
     schema = (
-        "syncer_name string, suspend boolean, mode string, rule_group string, "
-        "rule_version string, rule_kind string, namespaces array<string>, "
-        "sync_fields array<string>"
+        "syncer_name string, syncer_namespace string, suspend boolean, "
+        "mode string, rule_group string, rule_version string, "
+        "rule_kind string, namespaces array<string>, "
+        "sync_fields array<string>, remote_secret string"
     )
     return spark.createDataFrame(data, schema)
 
@@ -57,31 +58,63 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--oplog", required=True)
     ap.add_argument("--state", required=True)
     ap.add_argument("--checkpoint", required=True)
+    ap.add_argument(
+        "--secrets",
+        default=None,
+        help="JSON file mapping '<ns>/<name>' -> credential for push-mode "
+        "kubeconfig Secret resolution; omitted = resolve everything "
+        "(local demo). Unresolvable secrets skip the syncer, as the "
+        "reference does (krmsyncer_controller.go:479-484)",
+    )
     ap.add_argument("--once", action="store_true", help="availableNow instead of continuous")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     from kube_etl_spark.session import configure
     from kube_etl_spark.streaming.cdc import StateTable
-    from kube_etl_spark.streaming.sync import compile_sync, sync_to_state
+    from kube_etl_spark.streaming.sync import (
+        DestinationRegistry,
+        compile_sync,
+        sync_to_destinations,
+    )
 
     spark = configure(SparkSession.builder.appName("kube-etl-syncer").getOrCreate())
     rules = load_rules(spark, args.rules)
     stream = spark.readStream.schema(OBJ_SCHEMA).json(args.oplog)
 
+    key_cols = ["group", "version", "kind", "namespace", "name"]
+
+    # Mode-aware destinations (krmsyncer_controller.go:477-487): every
+    # pull syncer lands in the LOCAL state table; each push syncer lands
+    # in the remote destination named by its kubeconfig Secret, built
+    # lazily once per (namespace, secret) — here a per-remote StateTable
+    # under state/remote/, in a real deployment the remote catalog the
+    # resolved credential points at.
+    local_dest = StateTable(spark, f"{args.state}/local", key_cols, "seq")
+    secrets = {}
+    if args.secrets:
+        with open(args.secrets) as f:
+            secrets = json.load(f)
+    registry = DestinationRegistry(
+        factory=lambda cred: StateTable(
+            spark,
+            f"{args.state}/remote/{cred['namespace']}~{cred['secret']}",
+            key_cols,
+            "seq",
+        ),
+        resolve_credential=(
+            (lambda ns, name: {"namespace": ns, "secret": name}
+             if f"{ns}/{name}" in secrets else None)
+            if args.secrets else None
+        ),
+    )
+
     def _merge(batch, _bid):
         changes = compile_sync(batch, rules)
-        sync_to_state(
-            changes,
-            lambda name: StateTable(
-                spark,
-                f"{args.state}/{name}",
-                ["group", "version", "kind", "namespace", "name"],
-                "seq",
-            ),
-        )
+        _written, skipped = sync_to_destinations(changes, rules, local_dest, registry)
+        for name, why in skipped.items():
+            print(f"skipped syncer {name}: {why}", file=sys.stderr)
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -188,7 +188,7 @@ _MINHASH_K = 32  # signature length
 _LSH_BANDS = 8  # 8 bands × 4 rows: P(candidate | J=0.9) ≈ 1 - (1-0.9⁴)⁸ ≈ .998
 
 
-@query("q_dedup_fuzzy", tags=("L2",), oracle=None)
+@query("q_dedup_fuzzy", tags=("L2",), oracle=None, bench=True)
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 scale path: MinHash + LSH banding fuzzy dedup (rows-only:
     xxhash64 has no DuckDB twin; correctness is anchored by

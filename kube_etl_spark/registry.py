@@ -38,70 +38,74 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of __spark_entry__.queries() (CORRECTNESS_r01.json was exactly
 # the first 50 registrations in module-import order, which starved whole
 # operator families of a driver-green row). This list pins the window:
-# a curated, all-oracle-backed spread with at least one query from every
-# SURVEY §2 family — A/P/F/J (anchors), W1-W6, O1-O5, S1-S10+syncer
-# status, U1-U4, ST1-ST8, L1-L6, TPC-H, subqueries, pivot. Everything
-# not listed keeps registration order after these. Rows-only sketches
+# a curated, all-oracle-backed spread. ROTATION POLICY (ADVICE r2): the
+# window is re-curated each round so queries without a driver hash-green
+# row in ANY prior CORRECTNESS_r*.json get a slot, while a core of
+# family anchors (flagship, reference rule engine, one per §2 family)
+# stays pinned every round so regressions in the load-bearing paths
+# surface immediately. Queries rotated OUT remain covered by the local
+# oracle-parity suite (tests/test_parity.py runs all of them) and keep
+# their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
+#
+# Round-3 window: 20 anchors (r01∪r02 driver-green) + the 28
+# oracle-backed queries with no driver row in r01/r02 + the 2 new
+# TPC-H queries. With this rotation, every oracle-backed registered
+# query has a driver hash row across r01∪r02∪r03.
 PRIORITY: tuple[str, ...] = (
-    # anchors: one per already-green family so every family stays green
+    # pinned anchors — one per §2 family, all r01/r02 driver-green
     "q_agg_groupby",        # A1 flagship
     "q_validate_rules",     # P8 — reference rule engine
     "q_rules_fanout",       # J9/P9 — reference fan-out semantics
     "q_join_star",          # J3 bench headliner
     "q_join_asof",          # J10 custom operator
-    "q_array_funcs2",       # F4 — the round-1 hard fail, now scalar-only
-    "q_json_funcs",         # F6
-    # windows W1-W6 (zero driver rows in round 1)
-    "q_window_rank",
-    "q_window_topk_group",
-    "q_window_lag_lead",
-    "q_window_running_sum",
-    "q_window_range_frame",
-    "q_window_last_state",
-    # order/set-ops O1-O5
-    "q_orderby_multi",
-    "q_topk",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    # scans/sinks S1,S2,S5,S6,S7,S10 + syncer status write-back
-    "q_catalog_scan",
-    "q_scan_project",
-    "q_sink_partitioned",
-    "q_to_json",
-    "q_from_json_explode",
-    "q_split_spec_status",
-    "q_syncer_status",
-    # UDF surface U1-U4
-    "q_udf_scalar",
-    "q_udf_pandas",
-    "q_udaf_grouped_map",
-    "q_udtf_explode",
-    # streaming batch-twins ST1-ST8
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_dedup",
-    "q_cdc_upsert",
-    "q_cdc_apply_oplog",
-    "q_stream_stream_join",
-    # LLM-pipeline L1-L6
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_knn_cosine",
-    "q_text_stats",
-    "q_token_count",
-    "q_fingerprint",
-    "q_text_tf",
-    "q_multimodal_join",
-    # composite workloads: TPC-H, subqueries, pivot
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q7_nation_volume",
-    "q_scalar_subquery",
-    "q_pivot",
+    "q_array_funcs2",       # F4 — the round-1 hard fail, keep pinned
+    "q_scalar_subquery",    # SQ — r02's vacuous slot, now non-vacuous (r3)
+    "q_window_rank",        # W1
+    "q_topk",               # O2
+    "q_catalog_scan",       # S1
+    "q_syncer_status",      # S/P8 status write-back
+    "q_udf_pandas",         # U2
+    "q_stream_tumbling",    # ST1
+    "q_cdc_upsert",         # ST6 — reference upsert sink semantics
+    "q_cdc_apply_oplog",    # ST7 — reference delete propagation
+    "q_dedup_exact",        # L1 bench headliner
+    "q_knn_cosine",         # L3 bench headliner
+    "q_text_stats",         # L4 bench headliner
+    "q_multimodal_join",    # L6
+    "q_tpch_q3_shipping_priority",  # TPCH bench headliner
+    # rotated IN: no driver correctness row in r01 or r02
+    "q_exists_subquery",
+    "q_not_in_subquery",
+    "q_correlated_scalar",
+    "q_lateral",
+    "q_unpivot",
+    "q_union_distinct",
+    "q_window_distribution",
+    "q_join_skew_salted",
+    "q_agg_two_phase",
+    "q_dedup_clusters",
+    "q_string_similarity",
+    "q_dedup_embedding",
+    "q_lang_id",
+    "q_quality_score",
+    "q_text_chunk",
+    "q_pii_scrub",
+    "q_repetition_ratio",
+    "q_contamination",
+    "q_split_train_test",
+    "q_quality_filter_pipeline",
+    "q_media_features",
+    "q_media_frames",
+    "q_rollup_multires",
+    "q_tpch_q19_bracket_predicates",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q14_promo_share",
+    "q_tpch_q5_local_volume",
+    # new this round
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q8_market_share",
 )
 
 
@@ -136,13 +140,24 @@ def _ensure_loaded() -> None:
 
 def all_specs() -> dict[str, QuerySpec]:
     """Registry in driver-visible order: PRIORITY window first, then the
-    remaining specs in registration order."""
+    remaining specs in registration order.
+
+    A PRIORITY name that failed to register (renamed, import error in
+    its module) is WARNED about and dropped rather than raised (ADVICE
+    r2): one bad name must not take down every entrypoint — the next
+    registration-order query slides into the window instead."""
     _ensure_loaded()
     missing = [n for n in PRIORITY if n not in _REGISTRY]
     if missing:
-        raise KeyError(f"PRIORITY names not registered: {missing}")
+        import warnings
+
+        warnings.warn(
+            f"PRIORITY names not registered (dropped from the window): {missing}",
+            stacklevel=2,
+        )
+    head = [n for n in PRIORITY if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(PRIORITY)]
-    return {n: _REGISTRY[n] for n in (*PRIORITY, *rest)}
+    return {n: _REGISTRY[n] for n in (*head, *rest)}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -319,6 +319,89 @@ class DestinationRegistry:
         return len(self._cache)
 
 
+def syncer_routes(rules: DataFrame) -> dict[str, tuple[str, str, str | None]]:
+    """Routing metadata per syncer, from the syncer CR analog:
+    name -> (mode, syncer_namespace, remote_secret). Mode defaults to
+    pull (types.go:77); the secret ref lives on the CR's
+    spec.remote.clusterConfig.kubeConfigSecretRef and the Secret must
+    sit in the CR's own namespace (getRemoteClient,
+    krmsyncer_controller.go:540-545). Driver-side collect is correct
+    here: the rule table is the tiny config relation the reference
+    re-Lists on every event."""
+    cols = rules.columns
+    ns = (
+        F.coalesce(F.col("syncer_namespace"), F.lit("default"))
+        if "syncer_namespace" in cols
+        else F.lit("default")
+    )
+    secret = (
+        F.col("remote_secret") if "remote_secret" in cols
+        else F.lit(None).cast("string")
+    )
+    mode = (
+        F.when(F.col("mode").isNull() | (F.col("mode") == ""), "pull")
+        .otherwise(F.col("mode"))
+    )
+    return {
+        r["syncer_name"]: (r["m"], r["ns"], r["sec"])
+        for r in rules.select(
+            "syncer_name", mode.alias("m"), ns.alias("ns"), secret.alias("sec")
+        )
+        .distinct()
+        .collect()
+    }
+
+
+def sync_to_destinations(
+    changes: DataFrame,
+    rules: DataFrame,
+    local_dest,
+    registry: "DestinationRegistry",
+) -> tuple[dict[str, object], dict[str, str]]:
+    """Mode-aware write fan-out — the reference's destination selection
+    (krmsyncer_controller.go:477-487): push-mode changes MERGE into the
+    REMOTE destination built from the syncer's kubeconfig Secret
+    (getRemoteClient, :534-559, cached per (namespace, secret) by
+    `registry`); pull-mode changes MERGE into the LOCAL destination
+    (`local_dest`, the local cluster — shared by every pull syncer).
+    A push syncer with no secret ref, or whose secret can't resolve,
+    is skipped and reported — the reference logs the error and
+    continues with the next rule (:479-484, 535-537).
+
+    Returns (written, skipped): destination per synced syncer_name, and
+    skip reason per unroutable one. The compiled changes are persisted
+    for the duration of the fan-out so the broadcast join + projection
+    compute once, not once per destination."""
+    routes = syncer_routes(rules)
+    changes = changes.persist()
+    try:
+        written: dict[str, object] = {}
+        skipped: dict[str, str] = {}
+        for row in changes.select("syncer_name").distinct().collect():
+            name = row["syncer_name"]
+            mode, ns, secret = routes[name]
+            if mode == "push":
+                if secret is None:
+                    # getRemoteClient: "KubeConfigSecretRef not specified"
+                    skipped[name] = "KubeConfigSecretRef not specified"
+                    continue
+                try:
+                    dest = registry.get_or_create(ns, secret)
+                except KeyError as ex:
+                    # "Failed to get remote client" -> continue (:479-484)
+                    skipped[name] = str(ex)
+                    continue
+            else:
+                dest = local_dest
+            dest.merge_batch(
+                changes.filter(F.col("syncer_name") == name).drop("syncer_name", "mode")
+            )
+            written[name] = dest
+        return written, skipped
+    finally:
+        changes.unpersist()
+
+
 def sync_to_state(
     changes: DataFrame,
     make_state,
@@ -328,6 +411,11 @@ def sync_to_state(
     write fan-out. `make_state(syncer_name) -> StateTable`. Returns the
     state tables written. (The streaming driver wraps compile_sync +
     this routing inside foreachBatch — see tests/test_sync.py.)
+
+    This is the mode-BLIND harness used by the projection golden tests
+    (one isolated destination per syncer). Production routing is
+    `sync_to_destinations`, which implements the reference's
+    push-remote / pull-local destination selection.
 
     The compiled changes are persisted for the duration of the fan-out:
     without it, the broadcast join + projection would recompute once

@@ -23,8 +23,15 @@ def test_contract_shape(spark):
 def test_correctness_window_is_curated():
     """The driver hash-checks only the FIRST 50 queries() entries
     (CORRECTNESS_r01.json proved it). Pin the invariants: the window is
-    exactly the PRIORITY list, every entry is oracle-backed, and every
-    SURVEY §2 family has at least one slot."""
+    exactly the PRIORITY list, every entry is oracle-backed, every
+    SURVEY §2 family has at least one slot, and the window ROTATES: any
+    oracle-backed query with no driver hash row in any prior
+    CORRECTNESS_r*.json must hold a slot this round (ADVICE r2 — no
+    query stays permanently driver-unchecked)."""
+    import glob
+    import json
+    import os
+
     from kube_etl_spark.registry import PRIORITY, all_specs
 
     specs = all_specs()
@@ -33,5 +40,17 @@ def test_correctness_window_is_curated():
     assert all(specs[n].oracle is not None for n in first50)
     families = {t[0] for n in first50 for t in specs[n].tags if t and t[0].isupper()}
     assert {"A", "P", "F", "J", "W", "O", "S", "U", "L", "T"} <= families
-    st = [n for n in first50 if n.startswith(("q_stream", "q_cdc"))]
-    assert len(st) >= 7, f"streaming underrepresented in window: {st}"
+    st = [n for n in first50 if n.startswith(("q_stream", "q_cdc", "q_rollup"))]
+    assert len(st) >= 3, f"streaming underrepresented in window: {st}"
+
+    # rotation: nothing oracle-backed may remain permanently unchecked
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            seen |= set(json.load(f))
+    never = [
+        n for n, s in specs.items()
+        if s.oracle is not None and n not in seen and n not in set(first50)
+    ]
+    assert not never, f"oracle-backed queries never driver-checked and not in window: {never}"

@@ -27,6 +27,7 @@ def test_run_syncer_cli_once(spark, tmp_path):
     rules = [
         {
             "syncer_name": "s1",
+            "syncer_namespace": "default",
             "suspend": False,
             "mode": "push",
             "rule_group": "e2e.gkelabs.io",
@@ -34,7 +35,18 @@ def test_run_syncer_cli_once(spark, tmp_path):
             "rule_kind": "TestCRD",
             "namespaces": [],
             "sync_fields": ["spec", "status"],
-        }
+            "remote_secret": "kc-1",
+        },
+        {
+            "syncer_name": "s2",
+            "suspend": False,
+            "mode": "pull",
+            "rule_group": "e2e.gkelabs.io",
+            "rule_version": "v1alpha1",
+            "rule_kind": "TestCRD",
+            "namespaces": [],
+            "sync_fields": ["status"],
+        },
     ]
     rules_path = tmp_path / "rules.json"
     rules_path.write_text(json.dumps(rules))
@@ -59,12 +71,21 @@ def test_run_syncer_cli_once(spark, tmp_path):
         "--checkpoint", str(tmp_path / "ckpt"),
         "--once",
     ])
-    state = spark.read.parquet(str(tmp_path / "state" / "s1"))
-    got = state.collect()
+    # push syncer s1 lands in the remote destination derived from its
+    # kubeconfig Secret; pull syncer s2 lands in the local destination
+    # (krmsyncer_controller.go:477-487) — two different state tables
+    remote = spark.read.parquet(str(tmp_path / "state" / "remote" / "default~kc-1"))
+    got = remote.collect()
     assert len(got) == 1
     assert got[0]["name"] == "obj1"
     assert got[0]["spec"]["foo"] == "f1"
     assert got[0]["status"]["bar"] == "b1"
+    local = spark.read.parquet(str(tmp_path / "state" / "local"))
+    lgot = local.collect()
+    assert len(lgot) == 1
+    assert lgot[0]["name"] == "obj1"
+    assert lgot[0]["spec"] is None  # s2 syncs status only
+    assert lgot[0]["status"]["bar"] == "b1"
 
 
 def test_run_export_cli_yaml(spark, tmp_path, capsys):

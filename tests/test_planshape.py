@@ -36,6 +36,25 @@ def test_flagship_pushdown_and_pruning(spark):
         assert col not in read, f"{col} read but unused"
 
 
+def test_q6_pure_pushdown_aggregate(spark):
+    """Q6's entire selectivity must reach the parquet scan: all three
+    predicate families pushed (date range, discount band, quantity cap),
+    only the 4 needed columns of 11 read, no shuffle except the
+    single-row partial-agg exchange, no join. At 100 TB, this plan shape
+    IS the query's runtime."""
+    plan = _plan(spark, "q_tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    pushed = next(ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    for frag in ("l_shipdate", "l_discount", "LessThan(l_quantity,24"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read, f"{col} read but unused"
+    assert "HashAggregate" in plan
+
+
 def test_scan_project_prunes(spark):
     plan = _plan(spark, "q_scan_project")
     read = next(line for line in plan.splitlines() if "ReadSchema" in line)

@@ -332,3 +332,56 @@ def test_destination_registry_caches_per_namespace_secret(spark, tmp_path):
     secrets[("dev", "missing")] = "late"
     assert reg.get_or_create("dev", "missing") is not None
     assert len(reg) == 3
+
+
+def test_mode_routing_distinct_destinations(spark, tmp_path):
+    """The reference's destination selection (krmsyncer_controller.go:
+    477-487): push-mode changes land in the remote destination built
+    from the syncer's kubeconfig Secret (getRemoteClient :534-559),
+    pull-mode changes land in the LOCAL destination, and a push syncer
+    whose secret can't resolve is skipped-and-reported, not fatal
+    (:479-484). Two modes ⇒ two different state tables."""
+    from kube_etl_spark.streaming.sync import (
+        DestinationRegistry,
+        sync_to_destinations,
+    )
+
+    rule_schema = RULE_SCHEMA + ", syncer_namespace string, remote_secret string"
+    rules = spark.createDataFrame(
+        [
+            ("pusher", False, "push", "e2e.gkelabs.io", "v1alpha1", "TestCRD",
+             None, ["spec", "status"], "prod", "kc-a"),
+            ("puller", False, "pull", "e2e.gkelabs.io", "v1alpha1", "TestCRD",
+             None, None, None, None),
+            ("lost", False, "push", "*.cnrm.cloud.google.com", "*", "*",
+             None, None, "prod", None),  # no secret ref
+        ],
+        rule_schema,
+    )
+    changes = compile_sync(_oplog(spark), rules)
+    key_cols = ["group", "version", "kind", "namespace", "name"]
+    local = StateTable(spark, str(tmp_path / "local"), key_cols, "seq")
+    built = []
+
+    def factory(cred):
+        built.append(cred)
+        return StateTable(
+            spark, str(tmp_path / f"remote-{cred['namespace']}-{cred['secret']}"),
+            key_cols, "seq",
+        )
+
+    reg = DestinationRegistry(factory)
+    written, skipped = sync_to_destinations(changes, rules, local, reg)
+
+    # push → remote (its own table), pull → local, lost → skipped
+    assert set(written) == {"pusher", "puller"}
+    assert written["puller"] is local
+    assert written["pusher"] is not local
+    assert built == [{"namespace": "prod", "secret": "kc-a"}]
+    assert skipped == {"lost": "KubeConfigSecretRef not specified"}
+    # the two destinations saw their own syncer's projection
+    remote_rows = {r["name"]: r for r in written["pusher"].read().collect()}
+    local_rows = {r["name"]: r for r in local.read().collect()}
+    assert remote_rows["obj1"]["spec"]["foo"] == "foo-v2"  # spec synced
+    assert local_rows["obj1"]["spec"] is None  # default = status only
+    assert local_rows["obj1"]["status"]["bar"] == "bar-v2"
