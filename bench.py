@@ -126,7 +126,6 @@ def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
     and row-at-a-time Python UDF. The measured ordering documents WHY
     the engine keeps registered-query hot paths Python-free and treats
     pandas UDFs as the fallback, not the default."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -134,13 +133,16 @@ def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    @F.pandas_udf(LongType())
-    def n_tok_pandas(text: pd.Series) -> pd.Series:
+    # no type hints: bench.py uses `from __future__ import annotations`,
+    # which turns them into strings pandas_udf's inference can't resolve
+    def _tok_pandas(text):
         return text.str.split(" ").str.len().astype("int64")
 
-    @F.udf(LongType())
-    def n_tok_python(text: str) -> int:
+    def _tok_python(text):
         return len(text.split(" "))
+
+    n_tok_pandas = F.pandas_udf(_tok_pandas, LongType())
+    n_tok_python = F.udf(_tok_python, LongType())
 
     variants = {
         "builtin": F.size(F.split("text", " ")).cast("long"),

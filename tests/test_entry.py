@@ -54,3 +54,22 @@ def test_correctness_window_is_curated():
         if s.oracle is not None and n not in seen and n not in set(first50)
     ]
     assert not never, f"oracle-backed queries never driver-checked and not in window: {never}"
+
+
+def test_priority_degrades_gracefully(monkeypatch):
+    """A renamed/failed-to-import PRIORITY name must WARN and drop, not
+    raise (ADVICE r2: one bad name used to hard-fail every entrypoint —
+    bench, export, tests)."""
+    import warnings
+
+    from kube_etl_spark import registry
+
+    bad = (*registry.PRIORITY[:5], "q_definitely_not_registered")
+    monkeypatch.setattr(registry, "PRIORITY", bad)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        specs = registry.all_specs()
+    assert any("q_definitely_not_registered" in str(w.message) for w in caught)
+    assert "q_definitely_not_registered" not in specs
+    assert list(specs)[:5] == list(bad[:5])  # survivors keep window order
+    assert len(specs) == len(registry._REGISTRY)

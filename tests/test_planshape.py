@@ -55,6 +55,19 @@ def test_q6_pure_pushdown_aggregate(spark):
     assert "HashAggregate" in plan
 
 
+def test_q8_dims_broadcast_and_pushdown(spark):
+    """Q8's dimension prunes must stay broadcast-side (region-pruned
+    customer nations, the 25-row supplier-nation rename) and the date
+    window must reach the orders scan — the fact tables must never
+    shuffle for a dimension lookup."""
+    plan = _plan(spark, "q_tpch_q8_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    assert any("p_type" in ln and "PROMO" in ln for ln in pushed), pushed
+
+
 def test_scan_project_prunes(spark):
     plan = _plan(spark, "q_scan_project")
     read = next(line for line in plan.splitlines() if "ReadSchema" in line)
