@@ -1093,6 +1093,67 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_domain_mixture",
+    tags=("L4", "L5"),
+    oracle="""
+WITH per AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents
+  GROUP BY source
+),
+sh AS (
+  SELECT source, n_docs, n_chars,
+         CAST(n_chars AS DOUBLE) / SUM(CAST(n_chars AS DOUBLE)) OVER () AS share
+  FROM per
+)
+SELECT source, n_docs, n_chars,
+       ROUND(share, 4) AS share,
+       ROUND(sqrt(share) / SUM(sqrt(share)) OVER (), 4) AS weight
+FROM sh
+ORDER BY source
+""",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): data-mixing weights per source domain —
+    the sampling-ratio step of a pretraining pipeline. Per-source size
+    share plus the temperature-scaled multinomial weight
+    w(s) ∝ share(s)^α with α=0.5 (the standard upsample-the-tail
+    recipe from multilingual LM training), normalized to sum to 1.
+
+    Scale shape: one map-side-combined groupBy over the corpus reduces
+    100 TB to one row per SOURCE; the empty-frame windows that compute
+    the two normalizers act on that post-aggregate relation (dozens of
+    rows at any corpus size), so the single-partition window is safe by
+    construction. α=0.5 is sqrt — IEEE-exact in both engines, unlike a
+    general pow."""
+    w_all = Window.partitionBy()
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    share = F.col("n_chars").cast("double") / F.sum(
+        F.col("n_chars").cast("double")
+    ).over(w_all)
+    w_raw = F.sqrt(share)
+    return (
+        per.select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(share, 4).alias("share"),
+            F.round(w_raw / F.sum(w_raw).over(w_all), 4).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-2 pretraining-pipeline additions: chunking, PII scrubbing,
 # repetition quality, benchmark-contamination detection.

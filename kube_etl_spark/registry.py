@@ -63,8 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "q_scalar_subquery",    # SQ — r02's vacuous slot, now non-vacuous (r3)
     "q_window_rank",        # W1
     "q_topk",               # O2
-    "q_catalog_scan",       # S1
-    "q_syncer_status",      # S/P8 status write-back
+    "q_syncer_status",      # S3/P8 status write-back (keeps S covered)
     "q_udf_pandas",         # U2
     "q_stream_tumbling",    # ST1
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
@@ -106,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     # new this round
     "q_tpch_q6_forecast_revenue",
     "q_tpch_q8_market_share",
+    "q_domain_mixture",
 )
 
 
