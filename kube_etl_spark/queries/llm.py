@@ -1531,3 +1531,222 @@ def q_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
     )
     return m.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 pretraining-pipeline additions: sequence packing, deterministic
+# shuffle-sharding, stratified sampling, embedding quantization.
+
+
+@query(
+    "q_pack_sequences",
+    tags=("L4", "L5"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // 512 AS BIGINT) AS first_seq,
+       CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+FROM c
+ORDER BY source, doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): concat-and-chunk sequence packing — the
+    standard pretraining tokenization layout (concatenate a shard's
+    documents in order, cut every CAP tokens; docs may span a cut).
+    Emits, per document, the fixed-length training sequences it lands
+    in: first_seq/last_seq = floor boundaries of its token interval
+    [cum_before, cum_before + n_tokens) at CAP=512.
+
+    Scale shape: one window per SOURCE shard (running sum, ROWS frame)
+    — sources pack independently, so the shuffle is hashpartition(
+    source) and the sort is per-shard, exactly how a 100 TB corpus is
+    packed in practice (per-shard sequential layout, shards parallel).
+    No Python, no global sort, no join: the whole operator is one
+    whole-stage-codegen projection over a windowed cumulative sum."""
+    cap = F.lit(512)
+    n_tokens = F.size(_tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_tokens.alias("n_tokens")
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        t.withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / cap).cast("bigint").alias("first_seq"),
+            F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / cap)
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q_shuffle_order",
+    tags=("L4",),
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS hx
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY substr(hx, 1, 1) ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+ORDER BY shard, pos
+""",
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT, round 3): deterministic global training-order shuffle —
+    every epoch-0 data-loading pipeline needs a reproducible random
+    permutation of the corpus, sharded so no machine ever materializes
+    the whole order. shard = first hex digit of md5(doc_id:seed) (16
+    shards), pos = rank of the full hash within the shard.
+
+    Scale shape: this is the shuffle-without-a-global-sort pattern —
+    hashpartition(shard) + per-shard sort, never a total order. At
+    100 TB the alternative (ORDER BY rand() over the corpus) is a
+    range-partition global sort; this form gives the same statistical
+    shuffle with only a hash exchange, and shard files can be written
+    partitionBy(shard) so readers stream shards independently."""
+    hx = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    digit = F.substring(F.col("hx"), 1, 1)
+    w = Window.partitionBy(digit).orderBy("hx", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", hx.alias("hx"))
+        .select(
+            "doc_id",
+            F.conv(digit, 16, 10).cast("int").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "q_sample_stratified",
+    tags=("L4",),
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 20
+ORDER BY source, rn
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT, round 3): deterministic stratified sampling — exactly
+    n=20 documents per source stratum, chosen by hash order (md5 of
+    doc_id + salt), the reproducible eval-set / inspection-sample
+    recipe (unlike Bernoulli sampleBy, the stratum count is EXACT and
+    re-runs pick the same rows).
+
+    Scale shape: rank-within-stratum is a hashpartition(source) window;
+    W2's WindowGroupLimit pushes the rn<=20 filter into the window
+    operator so each task keeps a 20-row heap per stratum rather than
+    ranking the full partition — the same physical shape as top-k per
+    group, which survives any corpus size."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":7"))), F.col("doc_id")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "lang", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("source", "rn")
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    tags=("L3",),
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         CAST(len(embedding) AS INT) AS n_dims
+  FROM embeddings
+)
+SELECT s.vec_id,
+       ROUND(s.scale, 6) AS scale,
+       CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(list_sum(list_transform(e.embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / s.scale + 0.5) AS BIGINT)))
+                 AS BIGINT)
+       END AS sum_q,
+       s.n_dims
+FROM s JOIN embeddings e ON s.vec_id = e.vec_id
+ORDER BY s.vec_id
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (EXT, round 3): symmetric int8 quantization of the embedding
+    column — per-vector absmax scale (scale = max|x| / 127), elements
+    quantized q = floor(x/scale + 0.5). int8 + one float scale per
+    vector is a 3.5× memory cut for the ANN index (the standard
+    faiss-style SQ8 layout). Verified cross-engine by the quantized-sum
+    checksum per vector (arrays can't be hash-compared by the driver's
+    scalar-only contract, so the oracle checks scale + checksum +
+    dimensionality instead — exact, not tolerance-based: float→double
+    widening and double arithmetic are IEEE-identical in both engines).
+
+    Scale shape: pure per-row array lambdas in whole-stage codegen — no
+    shuffle at all (the ORDER BY is presentation only); quantizing 10⁹
+    vectors is an embarrassingly parallel single map pass."""
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    scale = absmax / F.lit(127.0)
+    sum_q = F.when(scale == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, q: acc + q,
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(scale, 6).alias("scale"),
+            sum_q.alias("sum_q"),
+            F.size("embedding").cast("int").alias("n_dims"),
+        )
+        .orderBy("vec_id")
+    )
