@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     scans,
     setops,
     subqueries,
+    timeseries,
     tpch,
     streamlike,
     udfs,

@@ -1750,3 +1750,54 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_unigram_rarity",
+    tags=("L4",),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(v.cnt) AS BIGINT) AS sum_freq,
+       CAST(MIN(v.cnt) AS BIGINT) AS min_freq
+FROM tok t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT, round 3): unigram-LM document scoring, the CCNet-style
+    model-based quality filter's skeleton: pass 1 builds the corpus
+    unigram table, pass 2 scores each document against it. Emitted as
+    exact integers (token count, sum of corpus frequencies over the
+    doc's tokens, rarest-token frequency) — the float logprob is a
+    per-row monotone transform of these (-Σ log(cnt/N)), kept out of
+    the cross-engine check so the hash compares exact values instead
+    of order-sensitive float sums.
+
+    Scale shape: the vocab aggregate is a map-side-combined shuffle on
+    token whose output is vocabulary-sized (Zipf: tiny next to the
+    corpus), so the score join broadcasts the vocab. The per-doc
+    re-aggregate moves one partial row per (partition, doc); since a
+    doc's exploded tokens never leave their partition, that is one row
+    per doc — the second shuffle is document-count-sized, not
+    token-count-sized. No Python anywhere."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_freq"),
+            F.min("cnt").cast("bigint").alias("min_freq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,191 @@
+"""Time-series operators over the events table (EXT; §2.9 adjacency).
+
+The reference has no time-series surface (its only temporal data is CDC
+event arrival order); these are the hypertable-style operators a
+metrics/observability user of a k8s ETL pipeline reaches for next:
+dense gap-filled series with last-observation-carried-forward, and
+ordered-stage funnel analysis. Both are pure DataFrame/window plans —
+no Python, one hashpartition(user_id) exchange family each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_gapfill_locf",
+    tags=("ST", "W5"),
+    oracle="""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hv AS (SELECT user_id, hour, value FROM b WHERE rn = 1),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+  FROM span
+)
+SELECT g.user_id,
+       CAST(g.hour AS TIMESTAMP_NS) AS hour,
+       CAST(hv.hour IS NULL AS BOOLEAN) AS is_gap,
+       LAST_VALUE(hv.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hour = hv.hour
+ORDER BY g.user_id, g.hour
+""",
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): dense hourly gap-fill with last-observation-
+    carried-forward — the hypertable `time_bucket_gapfill + locf`
+    shape. Per user: hour buckets spanning that user's own activity
+    window, hour value = the hour's LAST event (ts, then event_id,
+    descending — a deterministic pick, not a float re-aggregation),
+    missing hours flagged and filled by the previous non-null value.
+
+    Scale shape: every step is keyed by user_id — the hour pick is a
+    (user, hour) window, the span agg and grid explode are per-user,
+    the LOCF window is hashpartition(user_id). Grid size is bounded by
+    each user's own activity span (no corpus-wide [min, max] cross
+    join, which at 100 TB would densify dead series for the full
+    retention window). No Python, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_pick = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        b.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "value")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w_locf = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hv, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.col("value").isNull().alias("is_gap"),
+            F.last("value", ignorenulls=True).over(w_locf).alias("value_locf"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+@query(
+    "q_funnel_stages",
+    tags=("ST", "W1"),
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events
+),
+w2 AS (
+  SELECT user_id, event_type, ts, t_view,
+         MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+           OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+),
+w3 AS (
+  SELECT user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+)
+SELECT user_id,
+       CAST(MIN(t_view) AS TIMESTAMP_NS) AS t_view,
+       CAST(MIN(t_click) AS TIMESTAMP_NS) AS t_click,
+       CAST(MIN(t_purchase) AS TIMESTAMP_NS) AS t_purchase,
+       CAST(CASE WHEN MIN(t_view) IS NULL THEN 0
+                 WHEN MIN(t_click) IS NULL THEN 1
+                 WHEN MIN(t_purchase) IS NULL THEN 2
+                 ELSE 3 END AS INT) AS stages_completed
+FROM w3
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): ordered-stage funnel — per user, the first 'view',
+    the first 'click' strictly after it, the first 'purchase' strictly
+    after that, and how many stages completed. The product-analytics
+    staple (conversion funnels) expressed as three CASCADED windows
+    over the SAME partitioning: each stage's threshold is a per-user
+    window constant consumed by the next window's conditional MIN.
+
+    Scale shape: all three windows and the final group-by share
+    hashpartition(user_id), so Catalyst plans ONE exchange and runs
+    the cascade pipelined within it — the funnel costs a single
+    shuffle of (user_id, event_type, ts) triples regardless of stage
+    count. No joins, no Python."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(wu)
+    w1 = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    w2 = w1.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(wu)
+    w3 = w2.withColumn("t_purchase", t_purchase)
+    stages = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull(), 1)
+        .when(F.col("t_purchase").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        w3.groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
+        )
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stages.cast("int").alias("stages_completed"),
+        )
+        .orderBy("user_id")
+    )

@@ -48,31 +48,30 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-3 window: 20 anchors (r01∪r02 driver-green) + the 28
-# oracle-backed queries with no driver row in r01/r02 + the 2 new
-# TPC-H queries. With this rotation, every oracle-backed registered
-# query has a driver hash row across r01∪r02∪r03.
+# Round-3 window: 12 anchors (r01∪r02 driver-green) + the 28
+# oracle-backed queries with no driver row in r01/r02 + the 10 queries
+# new this round. With this rotation, every oracle-backed registered
+# query has a driver hash row across r01∪r02∪r03. Anchors dropped to
+# make room for new queries (q_window_rank, q_topk, q_join_asof,
+# q_multimodal_join, q_join_star, q_stream_tumbling, q_tpch_q3) each
+# carry r01 AND r02 driver-green rows and their §2 family stays
+# covered by another window entry (W: q_window_distribution,
+# O: q_union_distinct, J: q_join_skew_salted, T: seven TPC-H slots,
+# ST: q_cdc_* + q_rollup_multires, L: ten other L slots).
 PRIORITY: tuple[str, ...] = (
     # pinned anchors — one per §2 family, all r01/r02 driver-green
     "q_agg_groupby",        # A1 flagship
     "q_validate_rules",     # P8 — reference rule engine
     "q_rules_fanout",       # J9/P9 — reference fan-out semantics
-    "q_join_star",          # J3 bench headliner
-    "q_join_asof",          # J10 custom operator
     "q_array_funcs2",       # F4 — the round-1 hard fail, keep pinned
     "q_scalar_subquery",    # SQ — r02's vacuous slot, now non-vacuous (r3)
-    "q_window_rank",        # W1
-    "q_topk",               # O2
     "q_syncer_status",      # S3/P8 status write-back (keeps S covered)
     "q_udf_pandas",         # U2
-    "q_stream_tumbling",    # ST1
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
     "q_dedup_exact",        # L1 bench headliner
     "q_knn_cosine",         # L3 bench headliner
     "q_text_stats",         # L4 bench headliner
-    "q_multimodal_join",    # L6
-    "q_tpch_q3_shipping_priority",  # TPCH bench headliner
     # rotated IN: no driver correctness row in r01 or r02
     "q_exists_subquery",
     "q_not_in_subquery",
@@ -106,6 +105,13 @@ PRIORITY: tuple[str, ...] = (
     "q_tpch_q6_forecast_revenue",
     "q_tpch_q8_market_share",
     "q_domain_mixture",
+    "q_pack_sequences",
+    "q_shuffle_order",
+    "q_sample_stratified",
+    "q_embedding_quantize",
+    "q_gapfill_locf",
+    "q_funnel_stages",
+    "q_unigram_rarity",
 )
 
 

@@ -361,3 +361,46 @@ def test_runtime_bloom_filter_reaches_fact_side(spark):
     finally:
         spark.conf.set(app_key, prev_app)
         spark.conf.set(bcast_key, prev_bcast)
+
+
+def test_pack_sequences_per_shard_window_no_python(spark):
+    """q_pack_sequences must pack per-source shards independently: the
+    cumulative-sum window's only data exchange is hashpartitioning on
+    source (plus the presentation sort), and the whole operator stays
+    JVM-side — at 100 TB the packing pass is one shuffle wide."""
+    plan = _plan(spark, "q_pack_sequences")
+    assert "hashpartitioning(source" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
+def test_shuffle_order_hash_not_range(spark):
+    """q_shuffle_order's permutation must come from a hash exchange +
+    per-shard sort, never a corpus-wide range sort (the ORDER BY rand()
+    anti-pattern). The only rangepartitioning allowed is the final
+    presentation ORDER BY over the 16-shard output."""
+    plan = _plan(spark, "q_shuffle_order")
+    assert "hashpartitioning" in plan
+    rng = [
+        ln
+        for ln in plan.splitlines()
+        if "rangepartitioning" in ln and "shard" not in ln
+    ]
+    assert not rng, f"unexpected range exchange: {rng}"
+
+
+def test_sample_stratified_window_group_limit(spark):
+    """The rn<=20 stratum cap must push into the window operator
+    (WindowGroupLimit keeps a 20-row heap per stratum instead of
+    ranking full partitions)."""
+    assert "WindowGroupLimit" in _plan(spark, "q_sample_stratified")
+
+
+def test_embedding_quantize_map_only(spark):
+    """int8 quantization is a pure map pass: no exchange other than the
+    presentation sort's rangepartitioning, no Python nodes."""
+    plan = _plan(spark, "q_embedding_quantize")
+    assert "hashpartitioning" not in plan, "quantization must not shuffle data"
+    assert "rangepartitioning" in plan  # the presentation sort, nothing else
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
