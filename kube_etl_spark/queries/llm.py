@@ -1801,3 +1801,167 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _gram_instances(tok: F.Column, n: int) -> F.Column:
+    """ALL n-word grams in order (not distinct — instance-level, for
+    fraction-of-doc metrics). Same size<n guard as _shingles: an
+    unguarded sequence(1, size-n+1) descends for short docs."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q_bigram_pmi",
+    tags=("L4", "L5"),
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tok
+),
+bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi GROUP BY bg),
+tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu, (SELECT COUNT(*) FROM bi) AS nb)
+SELECT bg AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+       ROUND(ln(CAST(c_ab AS DOUBLE) * nu * nu / (CAST(nb AS DOUBLE) * ua.c * ub.c)), 4) AS pmi
+FROM bcnt, tot
+JOIN ucnt ua ON ua.w = string_split(bg, ' ')[1]
+JOIN ucnt ub ON ub.w = string_split(bg, ' ')[2]
+WHERE c_ab >= 10
+ORDER BY pmi DESC, bigram ASC
+LIMIT 50
+""",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): bigram collocation mining by pointwise
+    mutual information — the classic phrase-detection pass (word2vec
+    phrase merging, n-gram LM feature prep) over the corpus: count
+    unigrams, count adjacent bigrams, score log(p(ab)/(p(a)p(b))),
+    keep the top collocations above a support floor.
+
+    Scale shape: the corpus is tokenized exactly TWICE (unigram pass,
+    bigram pass) — both count aggregates are map-side-combined shuffles
+    whose outputs are vocabulary-sized (Zipf-bounded, tiny next to the
+    corpus) and are PERSISTED, so the corpus totals are derived by
+    re-aggregating the cached count tables (sum of counts ≡ token
+    count — never a third corpus scan) and the unigram table is
+    BROADCAST into the bigram-count join twice (first/second word).
+    PMI itself is per-row double math with the bit-identical expression
+    in both engines; the final top-50 is a TakeOrdered over an
+    already-vocabulary-sized frame, rounded before ordering so the
+    sort key is cross-engine stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(_tokens(F.col("text")).alias("t"))
+    uni = tok.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist()
+    bi = tok.select(F.explode(_gram_instances(F.col("t"), 2)).alias("bigram"))
+    bcnt = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    # totals from the cached vocab tables: Σc = |tokens|, Σc_ab = |bigrams|
+    tot = ucnt.agg(F.sum("c").alias("nu")).crossJoin(
+        bcnt.agg(F.sum("c_ab").alias("nb"))
+    )
+    ua = ucnt.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    ub = ucnt.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    scored = (
+        bcnt.filter(F.col("c_ab") >= 10)
+        .join(F.broadcast(tot))
+        .join(F.broadcast(ua), F.split(F.col("bigram"), " ")[0] == F.col("wa"))
+        .join(F.broadcast(ub), F.split(F.col("bigram"), " ")[1] == F.col("wb"))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("nu")
+                    * F.col("nu")
+                    / (F.col("nb").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("bigram").asc()).limit(50)
+
+
+@query(
+    "q_boilerplate_ngrams",
+    tags=("L4", "L2"),
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+inst AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng
+  FROM tok
+),
+df AS (
+  SELECT ng, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM inst GROUP BY ng
+),
+boiler AS (SELECT ng FROM df WHERE n_docs >= 5)
+SELECT i.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (b.ng IS NOT NULL) AS BIGINT) AS n_boiler,
+       CAST(COUNT(*) FILTER (b.ng IS NOT NULL) AS DOUBLE)
+            / COUNT(*) AS boiler_frac
+FROM inst i LEFT JOIN boiler b ON i.ng = b.ng
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+""",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L2 (EXT, round 3): corpus-level boilerplate detection — the
+    CCNet/RefinedWeb line-dedup shape adapted to unstructured text:
+    an n-gram that appears in >= 5 DISTINCT documents is boilerplate
+    (header/footer/template text); each document is scored by the
+    fraction of its 3-gram instances that are boilerplate, the signal
+    used to strip or down-weight templated pages before pretraining.
+
+    Scale shape: pass 1 (document frequency) aggregates DISTINCT
+    (ng, doc_id) pairs — distinct-then-count, partially aggregated on
+    the same ng partitioning, never a countDistinct expand over the
+    corpus. Its output is ngram-vocabulary-sized and the boilerplate
+    subset (df >= 5) is far smaller still, so pass 2 probes it with a
+    BROADCAST left join at the instance level and re-aggregates per
+    doc — a doc's instances stay in their partition, so the final
+    shuffle is one row per (partition, doc). Exact-integer outputs
+    plus one decimal ratio: engine-stable hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id", F.explode(_gram_instances(_tokens(F.col("text")), 3)).alias("ng")
+    )
+    df_tbl = (
+        inst.select("ng", "doc_id")
+        .distinct()
+        .groupBy("ng")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = df_tbl.filter(F.col("n_docs") >= 5).select(
+        "ng", F.lit(True).alias("is_boiler")
+    )
+    # one double division of exact ints: bit-identical across engines
+    frac = F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    return (
+        inst.join(F.broadcast(boiler), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            frac.alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )

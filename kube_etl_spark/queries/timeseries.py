@@ -189,3 +189,106 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_retention_cohort",
+    tags=("ST", "A3"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts) AS active_week
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS TIMESTAMP_NS) AS cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): weekly cohort retention — users grouped by the
+    week of their FIRST event; for each (cohort week, week offset)
+    cell, how many of that cohort were active. The product-analytics
+    retention triangle.
+
+    Scale shape: the first-event agg, the self-join back, and the
+    per-(user, week) distinct all hash-partition by user_id, so the
+    whole left half of the plan shares one exchange family; only the
+    final (cohort_week, offset) rollup — already reduced to one row
+    per (user, week) — re-shuffles, and that input is bounded by
+    |users| × |weeks|, not |events|. No countDistinct expand: the
+    distinct happens at the (user, week) grain where it is a
+    deduplicating aggregate on the same user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("active_week"))
+        .join(firsts, "user_id")
+        .select("user_id", "cohort_week", "active_week")
+        .distinct()
+    )
+    offset = (
+        F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+    ).cast("int")
+    return (
+        activity.select("cohort_week", offset.alias("week_offset"), "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "q_histogram_value",
+    tags=("A1", "F3"),
+    oracle="""
+WITH s AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events)
+SELECT LEAST(CAST(floor((value - mn) * 20.0 / (mx - mn)) AS BIGINT), 19) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 4) AS lo,
+       ROUND(MAX(value), 4) AS hi
+FROM events, s
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): equi-width histogram of a numeric column with
+    data-driven bounds — the `width_bucket` shape (Spark has no
+    width_bucket over data-derived bounds without two passes).
+
+    Scale shape: pass 1 is a 1-row global min/max (partial-aggregated,
+    map-side); that row is broadcast into the binning projection, so
+    pass 2 is map-side arithmetic + a 20-group aggregate. Bin edges are
+    computed with the IDENTICAL double expression in both engines
+    ((v - mn) * 20.0 / (mx - mn), then floor) so IEEE results match
+    bit-for-bit; per-bin extrema are order-independent (min/max), never
+    an order-dependent double sum."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn")) * F.lit(20.0) / (F.col("mx") - F.col("mn"))
+        ).cast("bigint"),
+        F.lit(19).cast("bigint"),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )

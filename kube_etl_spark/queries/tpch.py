@@ -484,3 +484,105 @@ def q_tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+@query(
+    "q_tpch_q13_custdist",
+    tags=("TPCH",),
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — a LEFT
+    OUTER join whose extra predicate lives in the JOIN condition (not
+    a WHERE, which would turn the outer join inner and lose the
+    zero-order customers), then two aggregation levels.
+
+    Scale shape: the outer join and the first group-by share the
+    c_custkey/o_custkey hash partitioning, so the count-per-customer
+    agg reuses the join exchange; the second group-by reduces to at
+    most |distinct counts| rows (tiny) — its shuffle is negligible.
+    The non-equi part of the predicate (o_orderpriority <> literal)
+    pushes to the orders scan side of the join as a pre-filter on the
+    null-producing side only, which Catalyst does automatically for
+    left joins (filter on the right side of LEFT OUTER is
+    pushdown-safe)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q15_top_supplier",
+    tags=("TPCH",),
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {dsum_sql(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — a reused aggregate subplan compared against its own global MAX.
+
+    Scale shape: the revenue aggregate (the expensive part — a full
+    pass over the date-pruned lineitem) is computed ONCE and cached;
+    both consumers (the max and the equality filter) read the cached
+    ~|suppliers| rows. The global MAX is a 1-row frame joined back by
+    broadcast — NOT a Window.partitionBy() over nothing, which would
+    funnel all suppliers through a single task. The revenue values are
+    exact decimals, so the equality against MAX is engine-stable (no
+    float ULP hazard)."""
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-04-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("rev_dec"))
+    ).persist()
+    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top), F.col("rev_dec") == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )

@@ -62,16 +62,12 @@ PRIORITY: tuple[str, ...] = (
     # pinned anchors — one per §2 family, all r01/r02 driver-green
     "q_agg_groupby",        # A1 flagship
     "q_validate_rules",     # P8 — reference rule engine
-    "q_rules_fanout",       # J9/P9 — reference fan-out semantics
     "q_array_funcs2",       # F4 — the round-1 hard fail, keep pinned
     "q_scalar_subquery",    # SQ — r02's vacuous slot, now non-vacuous (r3)
     "q_syncer_status",      # S3/P8 status write-back (keeps S covered)
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    "q_dedup_exact",        # L1 bench headliner
-    "q_knn_cosine",         # L3 bench headliner
-    "q_text_stats",         # L4 bench headliner
     # rotated IN: no driver correctness row in r01 or r02
     "q_exists_subquery",
     "q_not_in_subquery",
@@ -112,6 +108,26 @@ PRIORITY: tuple[str, ...] = (
     "q_gapfill_locf",
     "q_funnel_stages",
     "q_unigram_rarity",
+    "q_tpch_q13_custdist",
+    "q_tpch_q15_top_supplier",
+    "q_bigram_pmi",
+    "q_boilerplate_ngrams",
+)
+
+# Oracle-backed queries registered too late in the round to claim one of
+# the 50 driver slots (the window was already fully committed to queries
+# with no prior driver evidence). They are locally parity-tested now and
+# hold a GUARANTEED slot in the next round's window — the rotation test
+# in tests/test_entry.py enforces that nothing stays here across rounds
+# once a CORRECTNESS file newer than its registration exists. Mid-round
+# drops that freed their slots: q_rules_fanout, q_dedup_exact,
+# q_knn_cosine, q_text_stats — each carries BOTH an r01 and an r02
+# driver hash-green row, its §2 family keeps window coverage
+# (J: q_join_skew_salted; L: ten other slots), and its semantics stay
+# pinned by the local oracle-parity suite every run.
+ROTATE_NEXT: tuple[str, ...] = (
+    "q_retention_cohort",
+    "q_histogram_value",
 )
 
 

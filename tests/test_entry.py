@@ -49,9 +49,20 @@ def test_correctness_window_is_curated():
     for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         with open(p) as f:
             seen |= set(json.load(f))
+    # ROTATE_NEXT is the only legal exemption: queries registered after
+    # the window filled, guaranteed a slot next round. It must stay
+    # small (less than an anchor's worth of slack) so it cannot become
+    # a parking lot for permanently-unchecked queries.
+    from kube_etl_spark.registry import ROTATE_NEXT
+
+    assert len(ROTATE_NEXT) <= 4
+    assert all(specs[n].oracle is not None for n in ROTATE_NEXT)
     never = [
         n for n, s in specs.items()
-        if s.oracle is not None and n not in seen and n not in set(first50)
+        if s.oracle is not None
+        and n not in seen
+        and n not in set(first50)
+        and n not in set(ROTATE_NEXT)
     ]
     assert not never, f"oracle-backed queries never driver-checked and not in window: {never}"
 

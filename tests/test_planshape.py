@@ -404,3 +404,78 @@ def test_embedding_quantize_map_only(spark):
     assert "rangepartitioning" in plan  # the presentation sort, nothing else
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_q13_orders_filter_pushed_below_outer_join(spark):
+    """Q13's o_orderpriority predicate lives in the LEFT JOIN's ON
+    clause; Catalyst must still push it to the orders scan (filtering
+    the null-producing side of a left join is pushdown-safe). Column
+    pruning: customer contributes only c_custkey."""
+    plan = _plan(spark, "q_tpch_q13_custdist")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderpriority" in l]
+    assert pushed, "o_orderpriority ON-clause predicate not pushed to orders scan"
+    cust_read = next(
+        l for l in plan.splitlines() if "ReadSchema" in l and "c_custkey" in l
+    )
+    assert "c_name" not in cust_read and "c_acctbal" not in cust_read
+
+
+def test_q15_revenue_computed_once_no_global_window(spark):
+    """Q15 compares the revenue aggregate against its own MAX. The
+    aggregate must be cached (one compute, two readers) and the MAX
+    must arrive by 1-row broadcast join — never a Window over an
+    unpartitioned frame, which funnels all suppliers into one task."""
+    plan = _plan(spark, "q_tpch_q15_top_supplier")
+    assert "InMemoryRelation" in plan, "revenue subplan not cached"
+    assert "Window" not in plan, "global-window max would single-task at scale"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bigram_pmi_two_corpus_passes_jvm_side(spark):
+    """PMI needs unigram and bigram counts: exactly TWO corpus
+    tokenize passes. Totals and per-word lookups must come from the
+    cached vocabulary-sized count tables, not extra corpus scans; the
+    whole operator stays JVM-side with a TakeOrdered top-k."""
+    import re
+
+    plan = _plan(spark, "q_bigram_pmi")
+    scans = [
+        l for l in plan.splitlines()
+        if "Scan parquet" in l and re.match(r"^\(\d+\)", l.strip())
+    ]
+    assert len(scans) == 2, f"expected 2 corpus scans, got {len(scans)}"
+    assert "TakeOrderedAndProject" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_boilerplate_probe_is_broadcast_no_python(spark):
+    """The df>=5 boilerplate set is far smaller than the n-gram
+    vocabulary: the instance-level probe must be a broadcast hash
+    join (shuffling corpus-sized instances by n-gram would dwarf the
+    query), and the whole operator stays JVM-side."""
+    plan = _plan(spark, "q_boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
+def test_retention_no_countdistinct_expand(spark):
+    """Retention's per-cell user count must come from the (user, week)
+    grain dedup — never a countDistinct Expand over raw events (which
+    multiplies the shuffle by the aggregate count)."""
+    plan = _plan(spark, "q_retention_cohort")
+    assert "Expand" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_histogram_reads_value_only(spark):
+    """Both histogram passes must read exactly one column: the 1-row
+    bounds aggregate rides a broadcast, and the binning pass is
+    map-side arithmetic."""
+    plan = _plan(spark, "q_histogram_value")
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all(
+        "value" in l and "user_id" not in l and "props" not in l for l in reads
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
