@@ -292,3 +292,88 @@ def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_zscore_outliers",
+    tags=("A7", "L4"),
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)))
+              AS DOUBLE) AS sq
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, sv / n AS mean,
+         sqrt((sq - sv * sv / n) / (n - 1)) AS std
+  FROM s
+)
+SELECT e.event_type, m.n,
+       ROUND(m.mean, 4) AS mean,
+       ROUND(m.std, 4) AS std,
+       CAST(COUNT(*) FILTER (abs(e.value - m.mean) > 2 * m.std) AS BIGINT)
+         AS n_outliers
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.n, m.mean, m.std
+ORDER BY e.event_type
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): per-group z-score outlier detection — the
+    feature-standardization / outlier-clipping pass of an ML data-prep
+    pipeline: per event type, mean and sample stddev, then the count
+    of events beyond 2 sigma.
+
+    Determinism across engines WITHOUT tolerance: the fixture values
+    are 2dp-quantized, so Σv and Σv² run through exact decimal sums
+    (order-independent; v² has exactly 4 decimals) and cast to double
+    — bit-identical in both engines — and mean/std/the 2σ comparison
+    are then the IDENTICAL IEEE double expressions on identical
+    inputs. stddev_samp() directly would be an order-dependent double
+    accumulation and is deliberately avoided.
+
+    Scale shape: pass 1 is a map-side-combined per-type aggregate
+    (output = |event types| rows); its result is BROADCAST into the
+    per-row outlier test, so pass 2 is map-side arithmetic + the same
+    tiny per-type aggregate. Two corpus scans, no window, no Python."""
+    from ..exact import money
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("sv"),
+        F.sum(money("value") * money("value")).cast("double").alias("sq"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sq") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 2 * F.col("std"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("std", 4).alias("std"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

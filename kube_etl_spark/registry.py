@@ -128,6 +128,7 @@ PRIORITY: tuple[str, ...] = (
 ROTATE_NEXT: tuple[str, ...] = (
     "q_retention_cohort",
     "q_histogram_value",
+    "q_zscore_outliers",
 )
 
 

@@ -479,3 +479,14 @@ def test_histogram_reads_value_only(spark):
         "value" in l and "user_id" not in l and "props" not in l for l in reads
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zscore_stats_broadcast_two_scans(spark):
+    """The per-type stats table (|event types| rows) must broadcast
+    into the per-row outlier test — two corpus scans, no window, no
+    Python, and the stats aggregate keeps map-side partials."""
+    plan = _plan(spark, "q_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan

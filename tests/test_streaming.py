@@ -579,3 +579,123 @@ def test_streaming_state_metrics_observed(spark, tmp_path):
     assert state_rows, "no state operator metrics in progress"
     # dedup state must have accumulated one row per distinct event_id
     assert max(state_rows) == 200
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join — the state-EVICTION semantics the
+    inner-join test can't see: a click with no purchase in its
+    10-minute attribution window must be emitted WITH NULLS, but only
+    once the watermark proves no match can still arrive (click_ts +
+    10 min < watermark). Mirrors the reference's delete-propagation
+    idea at the join level: absence is data.
+
+    Matched pairs must equal the batch interval join exactly; the
+    null-extended set must be exactly the unmatched clicks whose
+    match-window closed before the final watermark (clicks near the
+    stream tail legitimately stay in state, emitted on a later
+    trigger in production)."""
+    ev = load_table(spark, SMOKE_SF, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+    )
+    stream = chunked_file_stream(
+        spark, ev, str(tmp_path / "src"), n_chunks=3, order_col="event_id"
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id", "click_ts")
+    matched: set[tuple] = set()
+    unmatched: set[int] = set()
+
+    def _collect(batch, _bid):
+        for r in batch.collect():
+            if r["purchase_id"] is None:
+                unmatched.add(r["click_id"])
+            else:
+                matched.add((r["click_id"], r["purchase_id"], r["user_id"]))
+
+    q = (
+        joined.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    )
+    expect_matched = {
+        (r["click_id"], r["purchase_id"], r["user_id"])
+        for r in batch_joined.filter(F.col("purchase_id").isNotNull()).collect()
+    }
+    assert matched == expect_matched
+
+    # final watermark = min over BOTH sides' per-stream watermarks
+    # (MultipleWatermarkPolicy default is min), i.e. the LAGGING side's
+    # max event time - 1 hour; a click's match window is closed (and
+    # its null row MUST have been emitted) when click_ts + 10 min is
+    # under that watermark
+    max_ts = min(
+        ev.filter(F.col("event_type") == t).agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for t in ("click", "purchase")
+    )
+    closed = {
+        r["click_id"]
+        for r in batch_joined.filter(F.col("purchase_id").isNull())
+        .withColumn("deadline", F.col("click_ts") + F.expr("INTERVAL 10 minutes"))
+        # 1-minute safety margin: Spark's state-eviction threshold is
+        # conservative at the exact watermark boundary
+        .filter(
+            F.col("deadline")
+            < F.lit(max_ts) - F.expr("INTERVAL 1 hour") - F.expr("INTERVAL 1 minute")
+        )
+        .collect()
+    }
+    all_unmatched = {
+        r["click_id"]
+        for r in batch_joined.filter(F.col("purchase_id").isNull()).collect()
+    }
+    assert closed, "fixture must produce closed-window unmatched clicks"
+    assert closed <= unmatched, (
+        f"{len(closed - unmatched)} closed-window clicks never emitted null rows"
+    )
+    assert unmatched <= all_unmatched, "null row emitted for a matched click"
+    # no spurious matches leaked into the null set
+    assert not (unmatched & {m[0] for m in expect_matched})
