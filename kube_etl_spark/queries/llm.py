@@ -1965,3 +1965,105 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_bm25_topk",
+    tags=("L5", "L3"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = 'dup'))    AS tf_dup,
+         len(list_filter(string_split(text, ' '), x -> x = 'key'))    AS tf_key,
+         len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf_win
+  FROM documents
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS total_dl,
+         CAST(COUNT(*) FILTER (tf_dup > 0) AS BIGINT) AS df_dup,
+         CAST(COUNT(*) FILTER (tf_key > 0) AS BIGINT) AS df_key,
+         CAST(COUNT(*) FILTER (tf_win > 0) AS BIGINT) AS df_win
+  FROM d
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(tf_dup AS BIGINT) AS tf_dup,
+       CAST(tf_key AS BIGINT) AS tf_key,
+       CAST(tf_win AS BIGINT) AS tf_win,
+       ROUND(
+         ln((n - df_dup + 0.5) / (df_dup + 0.5) + 1.0)
+           * (tf_dup * 2.2) / (tf_dup + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+         + ln((n - df_key + 0.5) / (df_key + 0.5) + 1.0)
+           * (tf_key * 2.2) / (tf_key + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+         + ln((n - df_win + 0.5) / (df_win + 0.5) + 1.0)
+           * (tf_win * 2.2) / (tf_win + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+       , 4) AS bm25
+FROM d, c
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5/L3 (EXT, round 3): BM25 lexical retrieval — the sparse half
+    of a hybrid (BM25 + dense k-NN) search stack, scoring every
+    document against the query {dup, key, window} with k1=1.2, b=0.75
+    (Okapi defaults).
+
+    Determinism without tolerance: per-term tf and dl are computed
+    per-row with array ops (exact integers), corpus stats (N, Σdl,
+    per-term df) are exact integers on a 1-row broadcast, and the BM25
+    score is ONE fixed-order double expression — three term
+    contributions added left-to-right identically in both engines, so
+    no order-dependent float aggregation exists anywhere.
+
+    Scale shape: tf extraction never explodes or shuffles the corpus
+    (size(filter(tokens, …)) is a map-side projection); the stats
+    pass partial-aggregates to one row; scoring is map-side; the
+    top-20 is a TakeOrdered, not a global sort. Two corpus scans
+    total — the same two-pass shape as TF-IDF, with the posting-list
+    join replaced by per-row arithmetic because the query terms are
+    plan-time constants (the common retrieval case: one query, huge
+    corpus). No Python."""
+    toks = _tokens(F.col("text"))
+    tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        tf("dup").alias("tf_dup"),
+        tf("key").alias("tf_key"),
+        tf("window").alias("tf_win"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        F.sum(F.when(F.col("tf_dup") > 0, 1).otherwise(0)).cast("bigint").alias("df_dup"),
+        F.sum(F.when(F.col("tf_key") > 0, 1).otherwise(0)).cast("bigint").alias("df_key"),
+        F.sum(F.when(F.col("tf_win") > 0, 1).otherwise(0)).cast("bigint").alias("df_win"),
+    )
+
+    def term(tf_col: str, df_col: str) -> F.Column:
+        avgdl = F.col("total_dl").cast("double") / F.col("n")
+        idf = F.log(
+            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
+        )
+        return idf * (F.col(tf_col) * 2.2) / (
+            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+        )
+
+    score = term("tf_dup", "df_dup") + term("tf_key", "df_key") + term(
+        "tf_win", "df_win"
+    )
+    return (
+        d.join(F.broadcast(c))
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            F.col("tf_dup").cast("bigint").alias("tf_dup"),
+            F.col("tf_key").cast("bigint").alias("tf_key"),
+            F.col("tf_win").cast("bigint").alias("tf_win"),
+            F.round(score, 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -129,6 +129,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_retention_cohort",
     "q_histogram_value",
     "q_zscore_outliers",
+    "q_bm25_topk",
 )
 
 

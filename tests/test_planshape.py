@@ -490,3 +490,21 @@ def test_zscore_stats_broadcast_two_scans(spark):
     assert "Window" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_bm25_no_explode_takeordered(spark):
+    """BM25's tf extraction must be a map-side array projection —
+    never an explode (Generate) that multiplies the corpus by token
+    count — with a TakeOrdered top-k and no Python."""
+    import re
+
+    plan = _plan(spark, "q_bm25_topk")
+    assert "Generate" not in plan, "explode-based tf would blow up the corpus"
+    assert "TakeOrderedAndProject" in plan
+    scans = [
+        l for l in plan.splitlines()
+        if "Scan parquet" in l and re.match(r"^\(\d+\)", l.strip())
+    ]
+    assert len(scans) == 2  # stats pass + scoring pass
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
