@@ -2067,3 +2067,158 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_hybrid_rrf",
+    tags=("L3", "L5"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         len(list_filter(string_split(text, ' '), x -> x = 'dup'))    AS tf_dup,
+         len(list_filter(string_split(text, ' '), x -> x = 'key'))    AS tf_key,
+         len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf_win
+  FROM documents
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS total_dl,
+         CAST(COUNT(*) FILTER (tf_dup > 0) AS BIGINT) AS df_dup,
+         CAST(COUNT(*) FILTER (tf_key > 0) AS BIGINT) AS df_key,
+         CAST(COUNT(*) FILTER (tf_win > 0) AS BIGINT) AS df_win
+  FROM d
+),
+lex AS (
+  SELECT doc_id,
+         ROUND(
+           ln((n - df_dup + 0.5) / (df_dup + 0.5) + 1.0)
+             * (tf_dup * 2.2) / (tf_dup + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+           + ln((n - df_key + 0.5) / (df_key + 0.5) + 1.0)
+             * (tf_key * 2.2) / (tf_key + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+           + ln((n - df_win + 0.5) / (df_win + 0.5) + 1.0)
+             * (tf_win * 2.2) / (tf_win + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n)))
+         , 4) AS bm25
+  FROM d, c
+),
+lex20 AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank_lex
+  FROM lex ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dense AS (
+  SELECT cand.vec_id AS doc_id,
+         ROUND({_COS_SQL.replace('qv', 'probe.v').replace('cv', 'cand.v')}, 4) AS cos
+  FROM e cand, (SELECT v FROM e WHERE vec_id = 0) probe
+  WHERE cand.vec_id <> 0
+),
+dense20 AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rank_dense
+  FROM dense ORDER BY cos DESC, doc_id ASC LIMIT 20
+)
+SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+       l.rank_lex, de.rank_dense,
+       ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+             + COALESCE(1.0 / (60 + de.rank_dense), 0.0), 6) AS rrf
+FROM lex20 l FULL OUTER JOIN dense20 de ON l.doc_id = de.doc_id
+ORDER BY rrf DESC, doc_id ASC
+""",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L5 (EXT, round 3): hybrid retrieval — reciprocal-rank fusion
+    (RRF, k=60) of the BM25 lexical ranking (query {dup, key, window})
+    and the dense cosine ranking against probe vector 0, the standard
+    two-tower + sparse fusion in a RAG/search stack.
+
+    Scale shape: each ranker retrieves its own top-20 FIRST (BM25 =
+    map-side scoring + TakeOrdered, dense = broadcast(1-row probe) ⋈
+    candidates + TakeOrdered — the corpus is never globally ranked or
+    shuffled); fusion then runs on two 20-row frames, so the full
+    outer join and the rank windows touch at most 40 rows. RRF uses
+    exact integer ranks (rounded-score + id tiebreak ordering, cross-
+    engine stable) and a fixed two-term sum — no order-dependent float
+    aggregation."""
+    # --- lexical leg: BM25 over the full corpus, top-20
+    toks = _tokens(F.col("text"))
+    tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        tf("dup").alias("tf_dup"),
+        tf("key").alias("tf_key"),
+        tf("window").alias("tf_win"),
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        F.sum(F.when(F.col("tf_dup") > 0, 1).otherwise(0)).cast("bigint").alias("df_dup"),
+        F.sum(F.when(F.col("tf_key") > 0, 1).otherwise(0)).cast("bigint").alias("df_key"),
+        F.sum(F.when(F.col("tf_win") > 0, 1).otherwise(0)).cast("bigint").alias("df_win"),
+    )
+
+    def term(tf_col: str, df_col: str) -> F.Column:
+        avgdl = F.col("total_dl").cast("double") / F.col("n")
+        idf = F.log(
+            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
+        )
+        return idf * (F.col(tf_col) * 2.2) / (
+            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+        )
+
+    bm25 = F.round(
+        term("tf_dup", "df_dup") + term("tf_key", "df_key") + term("tf_win", "df_win"),
+        4,
+    )
+    from pyspark.sql import Window as W
+
+    lex20 = (
+        d.join(F.broadcast(c))
+        .select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    # --- dense leg: cosine vs probe vec 0, top-20
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        4,
+    )
+    dense20 = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "rank_dense",
+            F.row_number()
+            .over(W.orderBy(F.col("cos").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_dense")
+    )
+    # --- fusion over the two 20-row frames
+    fused = lex20.join(dense20, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "rank_lex", "rank_dense", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    )

@@ -130,6 +130,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_histogram_value",
     "q_zscore_outliers",
     "q_bm25_topk",
+    "q_hybrid_rrf",
 )
 
 

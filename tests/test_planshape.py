@@ -508,3 +508,16 @@ def test_bm25_no_explode_takeordered(spark):
     assert len(scans) == 2  # stats pass + scoring pass
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_hybrid_rrf_per_leg_topk_before_fusion(spark):
+    """Each retrieval leg must reduce to its own top-20 via TakeOrdered
+    BEFORE fusion: the corpus is never globally ranked. The
+    unpartitioned rank windows may only run above a 20-row limit."""
+    plan = _plan(spark, "q_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # windows exist, but each must sit above a TakeOrdered/limit output,
+    # which the optimized plan expresses as Window after GlobalLimit
+    assert "Window" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
