@@ -183,3 +183,107 @@ def q_split_spec_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("part")
     )
+
+
+@query(
+    "q_profile_columns",
+    tags=("S1", "A3"),
+    oracle="""
+WITH u AS (
+  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS sval,
+         CAST(o_orderkey AS DOUBLE) AS nval FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR), CAST(o_custkey AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus, NULL FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR), o_totalprice FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR),
+         CAST(epoch(o_orderdate) AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority, NULL FROM orders
+),
+counts AS (
+  SELECT col,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (sval IS NULL) AS BIGINT) AS n_null,
+         ROUND(MIN(nval), 4) AS min_num,
+         ROUND(MAX(nval), 4) AS max_num,
+         MIN(CASE WHEN col IN ('o_orderstatus', 'o_orderpriority') THEN sval END) AS min_str,
+         MAX(CASE WHEN col IN ('o_orderstatus', 'o_orderpriority') THEN sval END) AS max_str
+  FROM u GROUP BY col
+),
+dist AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (SELECT DISTINCT col, sval FROM u WHERE sval IS NOT NULL)
+  GROUP BY col
+)
+SELECT c.col AS column_name, c.n, c.n_null, d.n_distinct,
+       c.min_num, c.max_num, c.min_str, c.max_str
+FROM counts c JOIN dist d ON c.col = d.col
+ORDER BY column_name
+""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A3 (EXT, round 3): column profiling — the ANALYZE/data-quality
+    pass (row count, null count, exact distinct count, min/max) for
+    every column of a table, here `orders`. The catalog-maintenance
+    twin of the discovery scan: the reference enumerates tables
+    (export.go:98-128); this profiles one.
+
+    Scale shape: the unpivot is a map-side stack() (rows × ncols, but
+    never wider than 3 values), and the exact distinct count avoids
+    the multi-countDistinct Expand trap by deduplicating at the
+    (column, value) grain first — the same partial-agg shape as the
+    boilerplate df pass. min/max run in the value's own type domain
+    (numeric channel for numerics, epoch for timestamps, string
+    channel only for true strings) so no cross-engine string-format
+    comparison of doubles/timestamps exists. At 100 TB you swap the
+    exact distinct for approx_count_distinct (A4) — documented, not
+    silently done."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = orders.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', cast(o_orderkey as string), cast(o_orderkey as double), "
+            "'o_custkey', cast(o_custkey as string), cast(o_custkey as double), "
+            "'o_orderstatus', o_orderstatus, cast(null as double), "
+            "'o_totalprice', cast(o_totalprice as string), o_totalprice, "
+            "'o_orderdate', cast(o_orderdate as string), cast(unix_timestamp(o_orderdate) as double), "
+            "'o_orderpriority', o_orderpriority, cast(null as double)"
+            ") as (col, sval, nval)"
+        )
+    )
+    is_str = F.col("col").isin("o_orderstatus", "o_orderpriority")
+    counts = u.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.round(F.min("nval"), 4).alias("min_num"),
+        F.round(F.max("nval"), 4).alias("max_num"),
+        F.min(F.when(is_str, F.col("sval"))).alias("min_str"),
+        F.max(F.when(is_str, F.col("sval"))).alias("max_str"),
+    )
+    dist = (
+        u.filter(F.col("sval").isNotNull())
+        .select("col", "sval")
+        .distinct()
+        .groupBy("col")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return (
+        counts.join(dist, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            "n",
+            "n_null",
+            "n_distinct",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+        )
+        .orderBy("column_name")
+    )

@@ -131,6 +131,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_zscore_outliers",
     "q_bm25_topk",
     "q_hybrid_rrf",
+    "q_profile_columns",
 )
 
 

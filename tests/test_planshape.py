@@ -521,3 +521,13 @@ def test_hybrid_rrf_per_leg_topk_before_fusion(spark):
     assert "Window" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_profile_no_countdistinct_expand(spark):
+    """The exact per-column distinct count must come from the
+    (column, value)-grain dedup — a multi-column countDistinct would
+    plan an Expand that multiplies the unpivoted frame again."""
+    plan = _plan(spark, "q_profile_columns")
+    assert "Expand" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan

@@ -147,3 +147,27 @@ def test_salt_is_stable_under_recomputation(spark):
     # and the hot key's rows actually spread over multiple salts
     hot = {s for k, _, s in one if k == 1}
     assert len(hot) > 1
+
+
+def test_gram_instances_count_invariant(spark):
+    """_gram_instances(t, n) must yield exactly max(0, |t| - n + 1)
+    grams for every document — including the size<n guard where an
+    unguarded sequence() would descend and error."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.queries.llm import _gram_instances, _tokens
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["", "a", "a b", "a b c", "a b c d", "x y z w v u"]
+        )],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 5):
+        rows = docs.select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).alias("nt"),
+            F.size(_gram_instances(_tokens(F.col("text")), n)).alias("ng"),
+        ).collect()
+        for r in rows:
+            assert r["ng"] == max(0, r["nt"] - n + 1), (n, r)
