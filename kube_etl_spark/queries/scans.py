@@ -287,3 +287,53 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "q_profile_columns_approx",
+    tags=("S1", "A4"),
+    oracle=None,  # rows-only: HLL estimates differ from DuckDB's sketch
+)
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/A4 (EXT, round 3): the 100 TB variant of q_profile_columns —
+    the documented swap of the exact (column, value)-grain distinct for
+    approx_count_distinct (HLL++, rsd 0.05). ONE corpus pass, no dedup
+    shuffle at all: every statistic partial-aggregates map-side and the
+    final state is ncols × (counters + one HLL sketch) — constant
+    memory per column regardless of corpus size. Rows-only by contract
+    (sketch estimates are engine-specific); the exact twin anchors
+    correctness."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = orders.select(
+        F.expr(
+            "stack(6, "
+            "'o_orderkey', cast(o_orderkey as string), cast(o_orderkey as double), "
+            "'o_custkey', cast(o_custkey as string), cast(o_custkey as double), "
+            "'o_orderstatus', o_orderstatus, cast(null as double), "
+            "'o_totalprice', cast(o_totalprice as string), o_totalprice, "
+            "'o_orderdate', cast(o_orderdate as string), cast(unix_timestamp(o_orderdate) as double), "
+            "'o_orderpriority', o_orderpriority, cast(null as double)"
+            ") as (col, sval, nval)"
+        )
+    )
+    return (
+        u.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.approx_count_distinct("sval", rsd=0.05).alias("n_distinct_approx"),
+            F.round(F.min("nval"), 4).alias("min_num"),
+            F.round(F.max("nval"), 4).alias("max_num"),
+        )
+        .select(
+            F.col("col").alias("column_name"),
+            "n",
+            "n_null",
+            "n_distinct_approx",
+            "min_num",
+            "max_num",
+        )
+        .orderBy("column_name")
+    )
