@@ -103,3 +103,54 @@ def test_run_export_cli_yaml(spark, tmp_path, capsys):
     assert row["path"].endswith(".yaml")
     obj = yaml.safe_load(row["payload"])
     assert "r_name" in obj and "r_regionkey" in obj
+
+
+def test_run_pretraining_cli(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_pretraining
+
+    out = str(tmp_path / "corpus")
+    run_pretraining.main(["--input", SMOKE_SF, "--output", out, "--cap", "128"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["written_docs"] == stats["input_docs"] - stats[
+        "dropped_quality"
+    ] - stats["dropped_duplicate"]
+    assert set(stats["splits"]) <= {"train", "valid", "test"}
+    assert stats["splits"]["train"]["n_docs"] > stats["splits"]["test"]["n_docs"]
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(out)
+    # partitioned layout readable with pruning
+    assert corpus.filter(F.col("split") == "train").count() == stats["splits"][
+        "train"
+    ]["n_docs"]
+    # no content duplicates survived
+    n = corpus.count()
+    assert corpus.select(F.sha2("text", 256)).distinct().count() == n
+    # every surviving doc passes the quality gates (re-derive)
+    toks = F.split(F.col("text"), " ")
+    ntk = F.size(toks)
+    assert corpus.filter(ntk < 20).count() == 0
+    # packing: per (split, source), intervals are contiguous — doc i's
+    # first_seq derives from the running token sum before it
+    w_ok = (
+        corpus.groupBy("split", "source")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            (F.max("last_seq") + 1).alias("nseq"),
+        )
+        .withColumn("expect_nseq", F.ceil(F.col("tot") / 128))
+        .filter(F.col("nseq") != F.col("expect_nseq"))
+    )
+    assert w_ok.count() == 0, w_ok.collect()
+    # split is content-hash derived: same text => same split everywhere
+    assert (
+        corpus.select(F.substring(F.md5("text"), 1, 1).alias("d"), "split")
+        .distinct()
+        .groupBy("d")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
