@@ -1969,6 +1969,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bm25_topk",
+    bench=True,
     tags=("L5", "L3"),
     oracle="""
 WITH d AS (
@@ -2071,6 +2072,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_hybrid_rrf",
+    bench=True,
     tags=("L3", "L5"),
     oracle=f"""
 WITH d AS (

@@ -13,7 +13,17 @@ CORRECTNESS_SF = "/root/testdata/sf0.01"
 def spark():
     from kube_etl_spark.session import get_spark
 
-    s = get_spark("kube-etl-spark-tests", cpus=8, shuffle_partitions=8)
+    # SPARK_GRAFT_TEST_CPUS / SPARK_GRAFT_TEST_PARTITIONS exist for the
+    # partition-invariance sweep: re-running the whole parity suite at
+    # adversarial parallelism (e.g. cpus=3, partitions=5) proves no
+    # registered query's result depends on physical partitioning — the
+    # cluster-size-independence claim, tested suite-wide rather than
+    # only in the targeted hypothesis properties.
+    s = get_spark(
+        "kube-etl-spark-tests",
+        cpus=int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_PARTITIONS", "8")),
+    )
     yield s
     s.stop()
 
