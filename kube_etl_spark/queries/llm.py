@@ -1851,8 +1851,12 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose outputs are vocabulary-sized (Zipf-bounded, tiny next to the
     corpus) and are PERSISTED, so the corpus totals are derived by
     re-aggregating the cached count tables (sum of counts ≡ token
-    count — never a third corpus scan) and the unigram table is
-    BROADCAST into the bigram-count join twice (first/second word).
+    count — never a third corpus scan). The per-word lookups join the
+    support-filtered bigram table (c_ab >= 10, the smaller side after
+    Zipf truncation) against the unigram table WITHOUT a forced
+    broadcast hint: at fixture scale AQE broadcasts it anyway, and at a
+    web-scale vocabulary (10⁸ unigrams — too big to broadcast) the same
+    plan degrades gracefully to a shuffled hash join on the word key.
     PMI itself is per-row double math with the bit-identical expression
     in both engines; the final top-50 is a TakeOrdered over an
     already-vocabulary-sized frame, rounded before ordering so the
@@ -1872,8 +1876,8 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         bcnt.filter(F.col("c_ab") >= 10)
         .join(F.broadcast(tot))
-        .join(F.broadcast(ua), F.split(F.col("bigram"), " ")[0] == F.col("wa"))
-        .join(F.broadcast(ub), F.split(F.col("bigram"), " ")[1] == F.col("wb"))
+        .join(ua, F.split(F.col("bigram"), " ")[0] == F.col("wa"))
+        .join(ub, F.split(F.col("bigram"), " ")[1] == F.col("wb"))
         .select(
             "bigram",
             "c_ab",
@@ -1931,9 +1935,11 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ng, doc_id) pairs — distinct-then-count, partially aggregated on
     the same ng partitioning, never a countDistinct expand over the
     corpus. Its output is ngram-vocabulary-sized and the boilerplate
-    subset (df >= 5) is far smaller still, so pass 2 probes it with a
-    BROADCAST left join at the instance level and re-aggregates per
-    doc — a doc's instances stay in their partition, so the final
+    subset (df >= 5; at production corpus sizes the threshold scales
+    proportionally — df >= 0.1% of docs — which is what keeps TRUE
+    template text in and the broadcast small) is far smaller still, so
+    pass 2 probes it with a BROADCAST left join at the instance level
+    and re-aggregates per doc — a doc's instances stay in their partition, so the final
     shuffle is one row per (partition, doc). Exact-integer outputs
     plus one decimal ratio: engine-stable hashing."""
     docs = load_table(spark, sf_dir, "documents")
