@@ -1,0 +1,203 @@
+"""Retrieval index build + serve — the production shape of the
+retrieval stack: precompute the expensive corpus passes ONCE into
+persisted index tables, then answer each query by reading a tiny,
+partition-pruned slice of the index.
+
+Build writes four tables under `index_dir`:
+  centroids/   k spherical-k-means centroids (k rows — driver-sized)
+  cells/       L2-normalized vectors, partitionBy(centroid_id): the IVF
+               inverted file. A probe reads ONLY its nprobe cell
+               directories — disk-level partition pruning, the batch
+               analog of an ANN index's cell seek.
+  postings/    (term, doc_id, tf) repartitioned by term hash: the BM25
+               inverted index. Query terms push down to the parquet
+               scan (predicate pushdown on `term`), so a probe reads
+               the query's posting lists, not the corpus. NOT
+               partitionBy(term): a web-scale vocabulary would mean
+               millions of directories; hash-bucketed files + pushdown
+               give the same skip behavior with bounded metadata.
+  stats/       1 row (n_docs, total_dl) + per-term df — the BM25
+               constants.
+
+Serve (`query_index`) reads only: k centroid rows, nprobe cells, the
+query's posting lists, and the 1-row stats — independent of corpus
+size. Fusion is the same RRF as q_hybrid_rrf.
+
+Scale notes: the build is the heavy job (full corpus: tokenize +
+normalize + k-means assign) and runs as a batch spark-submit; serving
+is cheap enough for an interactive session. Index freshness = re-run
+the build (or append new cells/postings incrementally — the layout is
+append-friendly since both tables are keyed by content, not position).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..queries.llm import _dot, _kmeans_centroids, _tokens
+
+
+def build_index(
+    spark: SparkSession, input_dir: str, index_dir: str, k: int = 16
+) -> dict:
+    """Build all four index tables; return build stats."""
+    # --- dense side: normalize, cluster, write cells by centroid
+    emb = load_table(spark, input_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    norm = F.sqrt(_dot(F.col("raw"), F.col("raw")))
+    unit = emb.select(
+        "vec_id",
+        F.transform(F.col("raw"), lambda x: x / norm).alias("v"),
+    )
+    cents = _kmeans_centroids(spark, unit, k=k, iters=3)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    cells = (
+        unit.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "centroid_id", d2.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "cells")
+    )
+
+    # --- sparse side: postings + doc lengths + corpus stats
+    docs = load_table(spark, input_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    doclens = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    postings = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .repartition(8, "term")  # hash-bucketed by term, NOT partitionBy
+    )
+    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens"))
+    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df_tbl.crossJoin(
+        F.broadcast(
+            doclens.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("bigint").alias("total_dl"),
+            )
+        )
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    return {
+        "k": k,
+        "n_vectors": cells.count(),
+        "n_postings": postings.count(),
+        "n_terms": df_tbl.count(),
+    }
+
+
+def dense_probe(
+    spark: SparkSession, index_dir: str, probe_v: list[float], nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF probe: pick the nprobe nearest centroids (k driver-side
+    rows), then scan ONLY those cell partitions (partition-pruned
+    read) and rank by cosine ≡ dot on unit vectors."""
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+    import math
+
+    n = math.sqrt(sum(x * x for x in probe_v))
+    pv = [x / n for x in probe_v]
+    scored = sorted(
+        ((sum(a * b for a, b in zip(pv, r["cv"])), r["centroid_id"]) for r in cents),
+        reverse=True,
+    )
+    cell_ids = [cid for _, cid in scored[:nprobe]]
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("centroid_id").isin(cell_ids)  # -> disk partition pruning
+    )
+    pv_col = F.array(*[F.lit(float(x)) for x in pv])
+    return (
+        cells.select(
+            "vec_id",
+            F.round(_dot(pv_col, F.col("v")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(topk)
+        .withColumn(
+            "rank_dense",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+            .cast("bigint"),
+        )
+    )
+
+
+def lexical_probe(
+    spark: SparkSession, index_dir: str, terms: list[str], topk: int = 10
+) -> DataFrame:
+    """BM25 probe from the index: read the query terms' posting lists
+    (predicate pushdown on `term`), join doc lengths, score, top-k."""
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).filter(
+        F.col("term").isin(terms)
+    )
+    scored = (
+        post.join(F.broadcast(stats), "term")
+        .join(doclens, "doc_id")
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+    )
+    return (
+        scored.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(topk)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+            .cast("bigint"),
+        )
+    )
+
+
+def query_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    probe_v: list[float],
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Hybrid probe: RRF(k=60) fusion of the two index-served legs."""
+    lex = lexical_probe(spark, index_dir, terms, topk).select("doc_id", "rank_lex")
+    den = dense_probe(spark, index_dir, probe_v, nprobe, topk).select(
+        F.col("vec_id").alias("doc_id"), "rank_dense"
+    )
+    fused = lex.join(den, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0)),
+        6,
+    )
+    return fused.select("doc_id", "rank_lex", "rank_dense", rrf.alias("rrf")).orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )

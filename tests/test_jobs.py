@@ -154,3 +154,68 @@ def test_run_pretraining_cli(spark, tmp_path, capsys):
         .count()
         == 0
     )
+
+
+def test_retrieval_index_build_and_probe(spark, tmp_path):
+    """Index build + serve e2e: the IVF probe must be a
+    partition-pruned read (only nprobe cell directories), the lexical
+    probe must agree with the full-corpus BM25 query on the positive-
+    score prefix, and the probe vector must find itself at cos 1.0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import (
+        build_index,
+        dense_probe,
+        lexical_probe,
+        query_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    stats = build_index(spark, SMOKE_SF, idx, k=8)
+    assert stats["n_vectors"] == 500 and stats["n_terms"] > 0
+    # physical layout: one directory per centroid cell
+    cell_dirs = [d for d in os.listdir(idx + "/cells") if d.startswith("centroid_id=")]
+    assert 1 <= len(cell_dirs) <= 8
+
+    probe_v = list(
+        load_table(spark, SMOKE_SF, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .head()["v"]
+    )
+    dense = dense_probe(spark, idx, probe_v, nprobe=2, topk=10)
+    plan = dense._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pruned = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pruned and "centroid_id" in pruned[0], "cell read not partition-pruned"
+    rows = dense.collect()
+    # the probe vector is in the index; its own cell is always probed
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos"] == 1.0
+
+    lex = lexical_probe(spark, idx, ["dup", "key", "window"], topk=10).collect()
+    from kube_etl_spark.registry import all_specs
+
+    full = all_specs()["q_bm25_topk"].fn(spark, SMOKE_SF).collect()
+    full_pos = [(r["doc_id"], r["bm25"]) for r in full if r["bm25"] > 0][:10]
+    assert [(r["doc_id"], r["bm25"]) for r in lex] == full_pos
+
+    fused = query_index(spark, idx, ["dup", "key", "window"], probe_v).collect()
+    assert fused and fused[0]["rrf"] >= fused[-1]["rrf"]
+    assert {"doc_id", "rank_lex", "rank_dense", "rrf"} == set(fused[0].asDict())
+
+
+def test_run_retrieval_index_cli(spark, tmp_path, capsys):
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_retrieval_index
+
+    idx = str(tmp_path / "idx2")
+    run_retrieval_index.main(
+        ["--input", SMOKE_SF, "--index", idx, "--k", "4", "--probe-terms", "dup,key"]
+    )
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["n_vectors"] == 500
+    assert len(printed["probe_top5"]) == 5
