@@ -41,51 +41,49 @@ from ..catalog import load_table
 from ..queries.llm import _dot, _kmeans_centroids, _tokens
 
 
-def build_index(
-    spark: SparkSession, input_dir: str, index_dir: str, k: int = 16
-) -> dict:
-    """Build all four index tables; return build stats."""
-    # --- dense side: normalize, cluster, write cells by centroid
-    emb = load_table(spark, input_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
-    )
+def _normalize(emb: DataFrame) -> DataFrame:
     norm = F.sqrt(_dot(F.col("raw"), F.col("raw")))
-    unit = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(F.col("raw"), lambda x: x / norm).alias("v"),
     )
-    cents = _kmeans_centroids(spark, unit, k=k, iters=3)
-    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+
+
+def _assign_cells(unit: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of unit vectors (the IVF routing)."""
     d2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-    cells = (
+    return (
         unit.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "centroid_id", d2.alias("d"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "centroid_id")
     )
-    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(index_dir, "cells")
-    )
 
-    # --- sparse side: postings + doc lengths + corpus stats
-    docs = load_table(spark, input_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
-    )
-    doclens = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+
+def _postings_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a batch of (doc_id, text) rows."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    doclens = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     postings = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
+        toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .repartition(8, "term")  # hash-bucketed by term, NOT partitionBy
     )
-    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
-    doclens.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens"))
+    return postings, doclens
+
+
+def _write_stats(spark: SparkSession, index_dir: str) -> int:
+    """(Re)derive the BM25 constants from the postings/doclens tables —
+    index-sized passes, not corpus passes. Returns the term count."""
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
     df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = df_tbl.crossJoin(
         F.broadcast(
@@ -94,14 +92,68 @@ def build_index(
                 F.sum("dl").cast("bigint").alias("total_dl"),
             )
         )
-    )
+    ).persist()
+    n_terms = stats.count()  # materialize BEFORE overwriting the source
     stats.write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+    stats.unpersist()
+    return n_terms
+
+
+def build_index(
+    spark: SparkSession, input_dir: str, index_dir: str, k: int = 16
+) -> dict:
+    """Build all four index tables; return build stats."""
+    emb = load_table(spark, input_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("raw")
+    )
+    unit = _normalize(emb)
+    cents = _kmeans_centroids(spark, unit, k=k, iters=3)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    cells = _assign_cells(unit, cents)
+    cells.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    docs = load_table(spark, input_dir, "documents").select("doc_id", "text")
+    postings, doclens = _postings_of(docs)
+    postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens"))
+    n_terms = _write_stats(spark, index_dir)
     return {
         "k": k,
         "n_vectors": cells.count(),
         "n_postings": postings.count(),
-        "n_terms": df_tbl.count(),
+        "n_terms": n_terms,
     }
+
+
+def append_to_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame, new_emb: DataFrame
+) -> dict:
+    """Incremental index maintenance — ingest a batch of new documents
+    WITHOUT rebuilding: new vectors route to the EXISTING centroids and
+    append into their cell directories (partitionBy append only touches
+    the written partitions); new posting lists and doc lengths append
+    to their tables (content-keyed layout — build order never matters,
+    so append ≡ rebuild for the sparse side); only the small BM25
+    stats table is re-derived, from the index itself, never from the
+    corpus. Centroids drift as the corpus grows — re-run the full
+    build when recall degrades (the standard IVF re-train cadence).
+
+    new_docs: (doc_id, text) rows; new_emb: (vec_id, embedding) rows.
+    """
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    unit = _normalize(
+        new_emb.select("vec_id", F.col("embedding").cast("array<double>").alias("raw"))
+    )
+    cells = _assign_cells(unit, cents)
+    cells.write.mode("append").partitionBy("centroid_id").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    postings, doclens = _postings_of(new_docs.select("doc_id", "text"))
+    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    doclens.write.mode("append").parquet(os.path.join(index_dir, "doclens"))
+    n_terms = _write_stats(spark, index_dir)
+    return {"appended_vectors": cells.count(), "n_terms": n_terms}
 
 
 def dense_probe(

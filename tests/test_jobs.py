@@ -219,3 +219,58 @@ def test_run_retrieval_index_cli(spark, tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["n_vectors"] == 500
     assert len(printed["probe_top5"]) == 5
+
+
+def test_retrieval_index_incremental_append(spark, tmp_path):
+    """append ≡ rebuild for the content-keyed tables: build the index
+    on half the corpus, append the other half, and the lexical probe
+    must match an index built on the full corpus in one shot; the
+    dense side must contain every vector, routed through the
+    half-corpus centroids, and still find the probe vector at 1.0."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import (
+        append_to_index,
+        build_index,
+        dense_probe,
+        lexical_probe,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+
+    # one-shot reference index on the full corpus
+    full_idx = str(tmp_path / "full")
+    build_index(spark, SMOKE_SF, full_idx, k=8)
+
+    # incremental: build on doc_id < 250, append the rest
+    half_dir = str(tmp_path / "halfdata")
+    docs.filter(F.col("doc_id") < 250).write.parquet(half_dir + "/documents.parquet")
+    emb.filter(F.col("vec_id") < 250).write.parquet(half_dir + "/embeddings.parquet")
+    inc_idx = str(tmp_path / "inc")
+    build_index(spark, half_dir, inc_idx, k=8)
+    stats = append_to_index(
+        spark,
+        inc_idx,
+        docs.filter(F.col("doc_id") >= 250),
+        emb.filter(F.col("vec_id") >= 250),
+    )
+    assert stats["appended_vectors"] == 250
+
+    terms = ["dup", "key", "window"]
+    inc_lex = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, inc_idx, terms).collect()]
+    full_lex = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, full_idx, terms).collect()]
+    assert inc_lex == full_lex
+
+    probe_v = list(
+        emb.filter(F.col("vec_id") == 300)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .head()["v"]
+    )
+    rows = dense_probe(spark, inc_idx, probe_v, nprobe=2, topk=5).collect()
+    # vec 300 arrived via append; it must be findable through the
+    # half-corpus centroids (its own cell is the nearest → probed)
+    assert rows[0]["vec_id"] == 300 and rows[0]["cos"] == 1.0
+    n_indexed = spark.read.parquet(inc_idx + "/cells").count()
+    assert n_indexed == 500
