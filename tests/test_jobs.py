@@ -274,3 +274,76 @@ def test_retrieval_index_incremental_append(spark, tmp_path):
     assert rows[0]["vec_id"] == 300 and rows[0]["cos"] == 1.0
     n_indexed = spark.read.parquet(inc_idx + "/cells").count()
     assert n_indexed == 500
+
+
+def test_retrieval_index_streaming_ingest(spark, tmp_path):
+    """Continuous index maintenance: a document/embedding stream feeds
+    append_to_index through foreachBatch micro-batches. After the
+    stream drains, the lexical index must be byte-equivalent to a
+    one-shot batch build (content-keyed tables are arrival-order
+    independent) and every streamed vector must be searchable."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import (
+        append_to_index,
+        build_index,
+        dense_probe,
+        lexical_probe,
+    )
+    from kube_etl_spark.streaming.sources import chunked_file_stream
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+
+    full_idx = str(tmp_path / "full")
+    build_index(spark, SMOKE_SF, full_idx, k=8)
+
+    # seed index on the first half; stream the rest in 2 micro-batches
+    half_dir = str(tmp_path / "halfdata")
+    docs.filter(F.col("doc_id") < 250).write.parquet(half_dir + "/documents.parquet")
+    emb.filter(F.col("vec_id") < 250).write.parquet(half_dir + "/embeddings.parquet")
+    idx = str(tmp_path / "streamed")
+    build_index(spark, half_dir, idx, k=8)
+
+    tail = (
+        docs.filter(F.col("doc_id") >= 250)
+        .join(emb.filter(F.col("vec_id") >= 250), docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id", "text", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    stream = chunked_file_stream(
+        spark, tail, str(tmp_path / "src"), n_chunks=2, order_col="doc_id"
+    )
+
+    def _ingest(batch, _bid):
+        if batch.count():
+            append_to_index(
+                spark,
+                idx,
+                batch.select("doc_id", "text"),
+                batch.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    terms = ["dup", "key", "window"]
+    got = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, idx, terms).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, full_idx, terms).collect()]
+    assert got == want
+    assert spark.read.parquet(idx + "/cells").count() == 500
+    probe_v = list(
+        emb.filter(F.col("vec_id") == 400)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .head()["v"]
+    )
+    rows = dense_probe(spark, idx, probe_v, nprobe=2, topk=3).collect()
+    assert rows[0]["vec_id"] == 400 and rows[0]["cos"] == 1.0
