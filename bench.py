@@ -158,6 +158,42 @@ def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+def _index_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Retrieval-index economics: the one-time build cost vs the
+    per-query serve cost. The serve numbers are what the index BUYS —
+    a hybrid probe reads nprobe cell directories + the query's posting
+    lists, independent of corpus size — so they should stay flat as sf
+    grows while build scales with the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import build_index, query_index
+
+    idx = tempfile.mkdtemp(prefix="bench-index-")
+    try:
+        t0 = time.perf_counter()
+        build_index(spark, sf_dir, idx, k=16)
+        build_s = round(time.perf_counter() - t0, 4)
+        probe_v = list(
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select(F.col("embedding").cast("array<double>").alias("v"))
+            .head()["v"]
+        )
+        probe_s = _timed(
+            lambda: _materialize(
+                query_index(spark, idx, ["dup", "key", "window"], probe_v)
+            ),
+            runs=2,
+        )
+        return {"build": build_s, "hybrid_probe": probe_s}
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -185,6 +221,7 @@ def main() -> None:
 
     skew = _skew_bench(spark, sf_dir)
     udf = _udf_bench(spark, sf_dir)
+    index = _index_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -198,6 +235,7 @@ def main() -> None:
                 "vs_r01": vs_r01,
                 "skew": skew,
                 "udf": udf,
+                "index": index,
             }
         )
     )
