@@ -421,3 +421,46 @@ def test_run_maintenance_cli(spark, tmp_path, capsys):
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["zordered"] == spark.read.parquet(zout).count()
+
+
+def test_run_index_stream_cli(spark, tmp_path, capsys):
+    """The continuous-maintenance CLI: drop a json batch of new docs in
+    the watch dir, run --once, and the index must contain them. A
+    second --once run with no new files must append nothing (the
+    checkpoint already consumed them) — idempotent restart."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_index_stream
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import build_index
+
+    half_dir = str(tmp_path / "halfdata")
+    docs = load_table(spark, SMOKE_SF, "documents")
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    docs.filter(F.col("doc_id") < 400).write.parquet(half_dir + "/documents.parquet")
+    emb.filter(F.col("vec_id") < 400).write.parquet(half_dir + "/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(spark, half_dir, idx, k=4)
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    tail = (
+        docs.filter(F.col("doc_id") >= 400)
+        .join(emb.filter(F.col("vec_id") >= 400), docs.doc_id == emb.vec_id)
+        .select("doc_id", "text", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    (watch / "batch-0.json").write_text("\n".join(tail.toJSON().collect()))
+
+    argv = ["--watch", str(watch), "--index", idx, "--checkpoint", str(tmp_path / "ckpt"), "--once"]
+    run_index_stream.main(argv)
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["rows"] == 100
+    assert spark.read.parquet(idx + "/cells").count() == 500
+
+    # restart with nothing new: checkpoint makes it a no-op
+    run_index_stream.main(argv)
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["rows"] == 0
+    assert spark.read.parquet(idx + "/cells").count() == 500

@@ -171,3 +171,23 @@ def test_gram_instances_count_invariant(spark):
         ).collect()
         for r in rows:
             assert r["ng"] == max(0, r["nt"] - n + 1), (n, r)
+
+
+def test_morton_value_locality(spark):
+    """Morton interleave invariants on normalized inputs: monotone in
+    each argument with the other fixed, and bounded by 2^(2*bits)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.plans.layout import morton_value
+
+    pts = [(a, b) for a in range(0, 64, 7) for b in range(0, 64, 7)]
+    df = spark.createDataFrame(pts, "a long, b long").withColumn(
+        "z", morton_value(F.col("a"), F.col("b"), bits=6)
+    )
+    rows = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    for (a, b), z in rows.items():
+        assert 0 <= z < 1 << 12
+        if (a + 7, b) in rows:
+            assert rows[(a + 7, b)] > z
+        if (a, b + 7) in rows:
+            assert rows[(a, b + 7)] > z
