@@ -253,3 +253,58 @@ def query_index(
     return fused.select("doc_id", "rank_lex", "rank_dense", rrf.alias("rrf")).orderBy(
         F.col("rrf").desc(), F.col("doc_id").asc()
     )
+
+
+def delete_from_index(
+    spark: SparkSession, index_dir: str, doc_ids: list[int]
+) -> dict:
+    """Compliance deletion (right-to-be-forgotten): remove a set of
+    documents from the index IN PLACE.
+
+    Dense side: only the cell directories that actually contain a
+    deleted vector are rewritten — dynamic partition overwrite
+    (partitionOverwriteMode=dynamic) leaves every other cell's files
+    untouched, so the rewrite cost is proportional to the touched
+    cells, not the index. Sparse side: postings/doclens are
+    filtered-and-rewritten (they are not partitioned by doc — at
+    production scale these would be bucketed by a doc-hash prefix to
+    get the same touched-bucket-only property; documented tradeoff),
+    and the stats table re-derives from the index. The deleted ids are
+    broadcast (a deletion batch is small by nature)."""
+    ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+        touched = [
+            r["centroid_id"]
+            for r in cells.join(
+                F.broadcast(ids_df), cells.vec_id == ids_df.doc_id, "left_semi"
+            )
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        ]
+        if touched:
+            kept = cells.filter(F.col("centroid_id").isin(touched)).join(
+                F.broadcast(ids_df), cells.vec_id == ids_df.doc_id, "left_anti"
+            )
+            # dynamic mode: only the centroid_id=... dirs in `kept` rewrite
+            kept.select("vec_id", "v", "centroid_id").write.mode(
+                "overwrite"
+            ).partitionBy("centroid_id").parquet(os.path.join(index_dir, "cells"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    for table in ("postings", "doclens"):
+        path = os.path.join(index_dir, table)
+        kept = (
+            spark.read.parquet(path)
+            .join(F.broadcast(ids_df), "doc_id", "left_anti")
+            .persist()
+        )
+        kept.count()  # materialize before overwriting the source
+        kept.write.mode("overwrite").parquet(path)
+        kept.unpersist()
+    n_terms = _write_stats(spark, index_dir)
+    return {"deleted": len(doc_ids), "touched_cells": len(touched), "n_terms": n_terms}

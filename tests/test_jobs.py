@@ -464,3 +464,67 @@ def test_run_index_stream_cli(spark, tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["rows"] == 0
     assert spark.read.parquet(idx + "/cells").count() == 500
+
+
+def test_retrieval_index_compliance_delete(spark, tmp_path):
+    """delete_from_index must remove the docs everywhere (cells,
+    postings, doclens, stats), rewrite ONLY the touched cell
+    directories (untouched cells keep their files byte-identical), and
+    leave the lexical index equal to a fresh build on the reduced
+    corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.retrieval_index import (
+        build_index,
+        delete_from_index,
+        lexical_probe,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, SMOKE_SF, idx, k=8)
+    victims = [3, 7, 11, 400]
+    cells_before = spark.read.parquet(idx + "/cells")
+    victim_cells = {
+        r["centroid_id"]
+        for r in cells_before.filter(F.col("vec_id").isin(victims))
+        .select("centroid_id")
+        .collect()
+    }
+    untouched = [
+        d
+        for d in os.listdir(idx + "/cells")
+        if d.startswith("centroid_id=")
+        and int(d.split("=")[1]) not in victim_cells
+    ]
+    mtimes_before = {
+        d: sorted(os.listdir(os.path.join(idx, "cells", d))) for d in untouched
+    }
+
+    res = delete_from_index(spark, idx, victims)
+    assert res["deleted"] == 4
+    assert res["touched_cells"] == len(victim_cells)
+
+    cells = spark.read.parquet(idx + "/cells")
+    assert cells.count() == 500 - len(victims)
+    assert cells.filter(F.col("vec_id").isin(victims)).count() == 0
+    post = spark.read.parquet(idx + "/postings")
+    assert post.filter(F.col("doc_id").isin(victims)).count() == 0
+    # untouched cell directories kept their exact files
+    for d in untouched:
+        assert sorted(os.listdir(os.path.join(idx, "cells", d))) == mtimes_before[d]
+
+    # lexical index == fresh build on the reduced corpus
+    red_dir = str(tmp_path / "reduced")
+    docs = load_table(spark, SMOKE_SF, "documents")
+    emb = load_table(spark, SMOKE_SF, "embeddings")
+    docs.filter(~F.col("doc_id").isin(victims)).write.parquet(red_dir + "/documents.parquet")
+    emb.filter(~F.col("vec_id").isin(victims)).write.parquet(red_dir + "/embeddings.parquet")
+    ref_idx = str(tmp_path / "ref")
+    build_index(spark, red_dir, ref_idx, k=8)
+    terms = ["dup", "key", "window"]
+    got = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, idx, terms).collect()]
+    want = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, ref_idx, terms).collect()]
+    assert got == want
