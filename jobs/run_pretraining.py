@@ -21,6 +21,12 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--input", default="/root/testdata/sf0.001")
     ap.add_argument("--output", required=True)
     ap.add_argument("--cap", type=int, default=512, help="tokens per training sequence")
+    ap.add_argument(
+        "--epochs",
+        type=int,
+        default=0,
+        help="if >0, also write per-epoch sampling/order manifests under <output>-manifests",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -33,6 +39,17 @@ def main(argv: list[str]) -> None:
         SparkSession.builder.appName("kube-etl-pretraining").getOrCreate()
     )
     stats = run_pretraining(spark, args.input, args.output, cap=args.cap)
+    if args.epochs > 0:
+        from pyspark.sql import functions as F
+
+        from kube_etl_spark.plans.epochs import build_manifests
+
+        corpus = spark.read.parquet(args.output).withColumn(
+            "n_chars", F.length("text")
+        )
+        stats["manifests"] = build_manifests(
+            spark, corpus, args.output + "-manifests", n_epochs=args.epochs
+        )
     print(json.dumps({"output": args.output, **stats}))
     if owned:  # don't tear down a session we joined (tests)
         spark.stop()

@@ -61,11 +61,21 @@ def quality_gate(docs: DataFrame) -> DataFrame:
 
 def dedup_exact(scored: DataFrame) -> DataFrame:
     """Keep the min-doc_id representative per content digest (the
-    q_dedup_exact winner rule). Shuffles only (digest, doc_id)."""
-    winners = scored.groupBy("digest").agg(F.min("doc_id").alias("win_id"))
+    q_dedup_exact winner rule). Shuffles only (digest, doc_id).
+    Winner columns are RENAMED before the self-join: `winners` shares
+    lineage with `scored`, so an unaliased scored.digest ==
+    winners.digest resolves both sides to the same attribute — a
+    trivially-true predicate (Spark warns, and the join silently
+    degrades to the doc_id condition alone)."""
+    winners = (
+        scored.groupBy("digest")
+        .agg(F.min("doc_id").alias("win_id"))
+        .select(F.col("digest").alias("win_digest"), "win_id")
+    )
     return scored.join(
         winners,
-        (scored.digest == winners.digest) & (scored.doc_id == winners.win_id),
+        (F.col("digest") == F.col("win_digest"))
+        & (F.col("doc_id") == F.col("win_id")),
         "left_semi",
     )
 

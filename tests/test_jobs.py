@@ -528,3 +528,54 @@ def test_retrieval_index_compliance_delete(spark, tmp_path):
     got = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, idx, terms).collect()]
     want = [(r["doc_id"], r["bm25"]) for r in lexical_probe(spark, ref_idx, terms).collect()]
     assert got == want
+
+
+def test_epoch_manifests(spark, tmp_path):
+    """Epoch manifests: deterministic across rebuilds, epochs sample
+    independently (different subsets/orders), the mixture upsamples the
+    tail domain relative to the head, and per-(epoch, shard) positions
+    are a contiguous 1..n ranking."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.epochs import build_manifests, mixture_rates
+
+    docs = load_table(spark, SMOKE_SF, "documents")
+    out1, out2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    stats = build_manifests(spark, docs, out1, n_epochs=2)
+    build_manifests(spark, docs, out2, n_epochs=2)
+
+    m1 = spark.read.parquet(out1)
+    m2 = spark.read.parquet(out2)
+    key = ["epoch", "shard", "pos", "doc_id"]
+    assert [tuple(r) for r in m1.select(key).orderBy(key).collect()] == [
+        tuple(r) for r in m2.select(key).orderBy(key).collect()
+    ], "manifest build is not deterministic"
+
+    # rates: the tail (most-upweighted) domain samples at 1.0; the head
+    # downsamples toward the sqrt-share mixture (rate ≈ sqrt ratio)
+    rates = {r["source"]: (r["share"], r["rate"]) for r in mixture_rates(docs).collect()}
+    head = max(rates, key=lambda s: rates[s][0])
+    tail = min(rates, key=lambda s: rates[s][0])
+    assert abs(rates[tail][1] - 1.0) < 1e-9
+    assert rates[head][1] < 1.0
+    import math
+
+    expect = math.sqrt(rates[tail][0] / rates[head][0])
+    assert abs(rates[head][1] - expect) < 1e-9
+
+    # epochs sample independent subsets
+    e0 = {r["doc_id"] for r in m1.filter(F.col("epoch") == 0).collect()}
+    e1 = {r["doc_id"] for r in m1.filter(F.col("epoch") == 1).collect()}
+    assert e0 and e1 and e0 != e1
+
+    # per-(epoch, shard) positions are exactly 1..n
+    bad = (
+        m1.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+    )
+    assert bad.count() == 0, bad.collect()
+
+    # the manifest's epoch partition is prunable
+    assert m1.filter(F.col("epoch") == 0).count() == stats["epochs"]["0"]
