@@ -156,3 +156,56 @@ def run_pretraining(
         "cap": cap,
         "splits": per_split,
     }
+
+
+def build_vocab(corpus: DataFrame, min_count: int = 2) -> DataFrame:
+    """Frequency-ranked vocabulary over the processed corpus:
+    id 0 = <unk>; real tokens get ids 1..V ordered by (count desc,
+    token asc) — fully deterministic, no hash collisions, the layout
+    a tokenizer-training step consumes.
+
+    Scale shape: one map-side-combined token count (vocabulary-sized
+    output), then the rank window over the POST-AGGREGATE relation —
+    a single-partition sort of |vocab| rows, not of the corpus. At a
+    10⁸-term web vocabulary the rank becomes a rangepartitioned sort;
+    the id contract (count desc, token asc) is a total order either
+    way."""
+    counts = (
+        corpus.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.withColumn("id", F.row_number().over(w).cast("bigint")).select(
+        "token", "count", "id"
+    )
+
+
+def encode_corpus(corpus: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map each document's tokens to vocabulary ids (OOV → 0 = <unk>)
+    keeping order — the id-encoding step before sequence packing feeds
+    a trainer. The vocab rides a broadcast map literal-free: explode →
+    broadcast-join on token → re-assemble in position order. The
+    re-assembly groups by doc on the SAME partitioning the explode
+    preserved, so a doc's tokens never cross partitions before the
+    collect_list."""
+    toks = corpus.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    mapped = (
+        toks.join(F.broadcast(vocab.select("token", "id")), "token", "left")
+        .select("doc_id", "pos", F.coalesce("id", F.lit(0)).alias("tid"))
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tid"))
+            ).alias("pairs")
+        )
+        .select(
+            "doc_id",
+            F.transform(F.col("pairs"), lambda p: p["tid"]).alias("token_ids"),
+        )
+    )

@@ -579,3 +579,35 @@ def test_epoch_manifests(spark, tmp_path):
 
     # the manifest's epoch partition is prunable
     assert m1.filter(F.col("epoch") == 0).count() == stats["epochs"]["0"]
+
+
+def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
+    """Vocabulary ids are deterministic (count desc, token asc; 0
+    reserved for <unk>) and id-encoding round-trips: decoding every
+    in-vocab position reproduces the original token, OOV positions are
+    exactly the below-min-count tokens."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.pretraining import build_vocab, encode_corpus
+
+    corpus = load_table(spark, SMOKE_SF, "documents")
+    vocab = build_vocab(corpus, min_count=5)
+    v = vocab.collect()
+    # ids are 1..V in (count desc, token asc) order
+    ordered = sorted(v, key=lambda r: (-r["count"], r["token"]))
+    assert [r["id"] for r in ordered] == list(range(1, len(v) + 1))
+
+    enc = encode_corpus(corpus, vocab)
+    id2tok = {r["id"]: r["token"] for r in v}
+    sample = enc.join(corpus.select("doc_id", "text"), "doc_id").limit(50).collect()
+    assert sample
+    for row in sample:
+        toks = row["text"].split(" ")
+        ids = row["token_ids"]
+        assert len(toks) == len(ids)
+        for t, i in zip(toks, ids):
+            if i == 0:
+                assert t not in id2tok.values() or t not in {r["token"] for r in v}
+            else:
+                assert id2tok[i] == t
