@@ -133,3 +133,54 @@ def run_cdc_stream(
         .start()
         .awaitTermination()
     )
+
+
+def scd2_history(
+    oplog: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SCD Type-2 historization of an op-log: instead of compacting to
+    the latest state (`latest_op` — SCD1), keep EVERY version as a row
+    with its validity interval:
+
+      valid_from = the op's event time
+      valid_to   = the next op's event time for the same key (null =
+                   still current)
+      is_current = no later op exists AND the row isn't a delete
+                   tombstone; deletes close the interval and emit no
+                   current row.
+
+    The warehouse-standard dimension historization, and the natural
+    extension of the reference's sync semantics: the destination holds
+    the current version (krmsyncer_controller.go:586-599), SCD2 holds
+    all of them with time travel by `WHERE valid_from <= t AND
+    (valid_to IS NULL OR valid_to > t)`.
+
+    Scale shape: ONE window over hashpartition(key) ordered by seq —
+    the lead() pass computes every interval in a single shuffle;
+    deletes are filtered after interval computation so they correctly
+    close their predecessor. Works identically in foreachBatch: merge
+    new ops, recompute intervals for affected keys only (the state
+    table analog would partition by key-hash)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+    with_next = oplog.select(
+        *key_cols,
+        seq_col,
+        F.col(ts_col).alias("valid_from"),
+        "op",
+        "payload",
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+    return (
+        with_next.filter(F.col("op") != "delete")
+        .select(
+            *key_cols,
+            seq_col,
+            "payload",
+            "valid_from",
+            "valid_to",
+            (F.col("valid_to").isNull()).alias("is_current"),
+        )
+    )

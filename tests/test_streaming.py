@@ -699,3 +699,64 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
     assert unmatched <= all_unmatched, "null row emitted for a matched click"
     # no spurious matches leaked into the null set
     assert not (unmatched & {m[0] for m in expect_matched})
+
+
+def test_scd2_history_matches_duckdb_oracle(spark):
+    """SCD2 historization vs an independent DuckDB formulation of the
+    same semantics (lead() over the op-log per key; deletes close their
+    predecessor's interval and emit no row). Uses the events fixture
+    reshaped into an op-log: every 7th op is a delete."""
+    import duckdb
+
+    from kube_etl_spark.streaming.cdc import scd2_history
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 7 == 0, "delete").otherwise("upsert").alias("op"),
+        F.col("props").alias("payload"),
+    )
+    got = (
+        scd2_history(ev, ["key"], "seq", "ts")
+        .select("key", "seq", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "seq")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.register("oplog", ev.toPandas())
+    want = con.sql("""
+        WITH w AS (
+          SELECT key, seq, op, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+          FROM oplog
+        )
+        SELECT key, seq, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM w WHERE op <> 'delete'
+        ORDER BY key, seq
+    """).fetchall()
+    assert len(got) == len(want)
+    for g, e in zip(got, want):
+        assert (g["key"], g["seq"], g["valid_from"], g["valid_to"], g["is_current"]) == e
+
+    # semantic checks: exactly one current row per surviving key; a key
+    # whose LAST op is a delete has no current row
+    cur = [g for g in got if g["is_current"]]
+    per_key = {}
+    for g in cur:
+        per_key[g["key"]] = per_key.get(g["key"], 0) + 1
+    assert all(v == 1 for v in per_key.values())
+    last_ops = {
+        r["key"]: r["op"]
+        for r in ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("key").orderBy(F.col("seq").desc())
+            ),
+        ).filter(F.col("rn") == 1).collect()
+    }
+    deleted_keys = {k for k, op in last_ops.items() if op == "delete"}
+    assert deleted_keys.isdisjoint(per_key.keys())
