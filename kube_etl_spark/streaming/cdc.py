@@ -89,26 +89,30 @@ class StateTable:
         self._atomic_overwrite(new_state)
 
     def _atomic_overwrite(self, df: DataFrame) -> None:
-        """Version-dir + symlink pointer swap. self.path is a symlink to
-        the current version directory; publishing = os.rename of a new
-        symlink over it, which POSIX guarantees atomic — a crash at any
-        point leaves the pointer on a complete old or complete new
-        version, never nothing (the two-rename directory dance has a
-        lost-state window between the renames). On object stores this
-        role is played by a transactional table format's commit log."""
-        version = f"{self.path}.v-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(version)
-        old_target = os.readlink(self.path) if os.path.islink(self.path) else None
-        tmp_link = f"{self.path}.ln-{uuid.uuid4().hex[:8]}"
-        # link target must be relative to the LINK's directory — an
-        # as-given relative path would resolve against the CWD and
-        # dangle (version dirs always sit beside the link, so basename
-        # is correct for relative and absolute state paths alike)
-        os.symlink(os.path.basename(version), tmp_link)
-        os.rename(tmp_link, self.path)  # atomic publish
-        if old_target is not None:
-            old_dir = os.path.join(os.path.dirname(self.path), os.path.basename(old_target))
-            shutil.rmtree(old_dir, ignore_errors=True)
+        atomic_overwrite(df, self.path)
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Version-dir + symlink pointer swap. `path` is a symlink to the
+    current version directory; publishing = os.rename of a new symlink
+    over it, which POSIX guarantees atomic — a crash at any point
+    leaves the pointer on a complete old or complete new version, never
+    nothing (the two-rename directory dance has a lost-state window
+    between the renames). On object stores this role is played by a
+    transactional table format's commit log."""
+    version = f"{path}.v-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(version)
+    old_target = os.readlink(path) if os.path.islink(path) else None
+    tmp_link = f"{path}.ln-{uuid.uuid4().hex[:8]}"
+    # link target must be relative to the LINK's directory — an
+    # as-given relative path would resolve against the CWD and
+    # dangle (version dirs always sit beside the link, so basename
+    # is correct for relative and absolute state paths alike)
+    os.symlink(os.path.basename(version), tmp_link)
+    os.rename(tmp_link, path)  # atomic publish
+    if old_target is not None:
+        old_dir = os.path.join(os.path.dirname(path), os.path.basename(old_target))
+        shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def run_cdc_stream(
@@ -184,3 +188,74 @@ def scd2_history(
             (F.col("valid_to").isNull()).alias("is_current"),
         )
     )
+
+
+class Scd2Table:
+    """Incrementally-maintained SCD2 dimension — the materialized-view
+    form of `scd2_history`, merged per micro-batch.
+
+    Two persisted tables: the append-only per-key op-log (the recompute
+    source of truth — SCD2 intervals for a key depend on ALL of its
+    ops, including delete tombstones that the history view drops) and
+    the derived history. A merge (a) folds the batch into the op-log,
+    idempotent on (key, seq) so at-least-once replay is a no-op, then
+    (b) recomputes intervals ONLY for the keys present in the batch and
+    splices them over the previous history — delta-scoped incremental
+    view maintenance, never a full recompute.
+
+    Scale notes: both tables would be hash-partitioned by key at
+    production scale so the splice's anti-join/semi-join touch only
+    affected partitions (same note as StateTable); the recompute itself
+    is one lead() window over the affected keys' ops."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        seq_col: str = "seq",
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.oplog_path = path + ".oplog"
+        self.history_path = path
+        self.key_cols = key_cols
+        self.seq_col = seq_col
+        self.ts_col = ts_col
+
+    def _read(self, path: str) -> DataFrame | None:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(path)
+
+    def history(self) -> DataFrame | None:
+        return self._read(self.history_path)
+
+    def merge_batch(self, batch: DataFrame, _bid: int | None = None) -> None:
+        old_log = self._read(self.oplog_path)
+        log = (
+            old_log.unionByName(batch, allowMissingColumns=True)
+            if old_log is not None
+            else batch
+        )
+        log = log.dropDuplicates([*self.key_cols, self.seq_col]).persist()
+        log.count()  # materialize before any overwrite below
+        affected = batch.select(*self.key_cols).distinct()
+        recomputed = scd2_history(
+            log.join(F.broadcast(affected), self.key_cols, "left_semi"),
+            self.key_cols,
+            self.seq_col,
+            self.ts_col,
+        )
+        old_hist = self.history()
+        if old_hist is not None:
+            kept = old_hist.join(F.broadcast(affected), self.key_cols, "left_anti")
+            new_hist = kept.unionByName(recomputed)
+        else:
+            new_hist = recomputed
+        new_hist = new_hist.persist()
+        new_hist.count()
+        atomic_overwrite(log, self.oplog_path)
+        atomic_overwrite(new_hist, self.history_path)
+        log.unpersist()
+        new_hist.unpersist()

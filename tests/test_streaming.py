@@ -760,3 +760,38 @@ def test_scd2_history_matches_duckdb_oracle(spark):
     }
     deleted_keys = {k for k, op in last_ops.items() if op == "delete"}
     assert deleted_keys.isdisjoint(per_key.keys())
+
+
+def test_scd2_table_incremental_equals_batch(spark, tmp_path):
+    """Incremental SCD2 maintenance: merging the op-log in 3 chunks
+    (with one chunk REPLAYED — at-least-once delivery) must produce
+    exactly the history a one-shot scd2_history computes over the full
+    op-log."""
+    from kube_etl_spark.streaming.cdc import Scd2Table, scd2_history
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 7 == 0, "delete").otherwise("upsert").alias("op"),
+        F.col("props").alias("payload"),
+    )
+    table = Scd2Table(spark, str(tmp_path / "dim"), ["key"], "seq", "ts")
+    chunks = [
+        ev.filter(F.col("seq") % 3 == i) for i in range(3)
+    ]  # interleaved: every chunk touches every key
+    table.merge_batch(chunks[0])
+    table.merge_batch(chunks[1])
+    table.merge_batch(chunks[1])  # replay: must be a no-op
+    table.merge_batch(chunks[2])
+
+    cols = ["key", "seq", "valid_from", "valid_to", "is_current"]
+    got = [tuple(r) for r in table.history().select(cols).orderBy("key", "seq").collect()]
+    want = [
+        tuple(r)
+        for r in scd2_history(ev, ["key"], "seq", "ts")
+        .select(cols)
+        .orderBy("key", "seq")
+        .collect()
+    ]
+    assert got == want
