@@ -259,3 +259,15 @@ class Scd2Table:
         atomic_overwrite(new_hist, self.history_path)
         log.unpersist()
         new_hist.unpersist()
+
+
+def as_of(history: DataFrame, t, ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFrame:
+    """Time travel over an SCD2 history: the version of every key that
+    was current at time `t` — rows whose validity interval contains t.
+    A pure filter (partition-prunable when the history is stored
+    partitioned by a valid_from bucket)."""
+    tcol = F.lit(t).cast("timestamp") if isinstance(t, str) else F.lit(t)
+    return history.filter(
+        (F.col("valid_from") <= tcol)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > tcol))
+    )

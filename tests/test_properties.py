@@ -191,3 +191,66 @@ def test_morton_value_locality(spark):
             assert rows[(a + 7, b)] > z
         if (a, b + 7) in rows:
             assert rows[(a, b + 7)] > z
+
+
+def test_scd2_intervals_partition_time_per_key(spark):
+    """Property (hypothesis over random op-logs): per key, SCD2
+    intervals are disjoint, ordered, and chain exactly — each row's
+    valid_to equals the next op's ts (delete or not), only the last
+    surviving row is open-ended, and no interval is empty unless two
+    ops share a timestamp."""
+    from hypothesis import given, settings, strategies as st
+
+    from kube_etl_spark.streaming.cdc import scd2_history
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),          # key
+                st.integers(0, 10_000),     # ts offset seconds (may collide)
+                st.booleans(),              # is delete
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def run(ops):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            (
+                k,
+                i,  # seq = arrival order, unique
+                base + datetime.timedelta(seconds=s),
+                "delete" if d else "upsert",
+                "p",
+            )
+            for i, (k, s, d) in enumerate(ops)
+        ]
+        df = spark.createDataFrame(
+            rows, "key long, seq long, ts timestamp, op string, payload string"
+        )
+        hist = scd2_history(df, ["key"], "seq", "ts").collect()
+        by_key: dict[int, list] = {}
+        for r in sorted(hist, key=lambda r: (r["key"], r["seq"])):
+            by_key.setdefault(r["key"], []).append(r)
+        # reconstruct each key's full op sequence for the chain check
+        ops_by_key: dict[int, list] = {}
+        for k, i, ts, op, _ in sorted(rows, key=lambda t: t[1]):
+            ops_by_key.setdefault(k, []).append((i, ts, op))
+        for k, vers in by_key.items():
+            seqs = [v["seq"] for v in vers]
+            assert seqs == sorted(seqs)
+            key_ops = ops_by_key[k]
+            next_ts = {key_ops[j][0]: key_ops[j + 1][1] for j in range(len(key_ops) - 1)}
+            for v in vers:
+                if v["seq"] in next_ts:
+                    assert v["valid_to"] == next_ts[v["seq"]]
+                    assert not v["is_current"]
+                else:
+                    assert v["valid_to"] is None and v["is_current"]
+            assert sum(1 for v in vers if v["is_current"]) <= 1
+
+    run()

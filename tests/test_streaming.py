@@ -795,3 +795,69 @@ def test_scd2_table_incremental_equals_batch(spark, tmp_path):
         .collect()
     ]
     assert got == want
+
+
+def test_scd2_as_of_time_travel(spark):
+    """as_of(t) returns at most one version per key, and exactly the
+    version whose interval contains t — cross-checked per key against
+    a scan of that key's ops."""
+    from kube_etl_spark.streaming.cdc import as_of, scd2_history
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 7 == 0, "delete").otherwise("upsert").alias("op"),
+        F.col("props").alias("payload"),
+    )
+    hist = scd2_history(ev, ["key"], "seq", "ts")
+    mid = ev.approxQuantile("seq", [0.5], 0.0)[0]
+    t = ev.filter(F.col("seq") == mid).collect()[0]["ts"]
+    snap = as_of(hist, t).collect()
+    per_key = {}
+    for r in snap:
+        per_key.setdefault(r["key"], []).append(r)
+    assert all(len(v) == 1 for v in per_key.values())
+    # independent per-key check: current version at t = the max-seq op
+    # with ts <= t, provided it isn't a delete
+    ops = ev.filter(F.col("ts") <= F.lit(t)).collect()
+    by_key = {}
+    for r in ops:
+        cur = by_key.get(r["key"])
+        if cur is None or r["seq"] > cur["seq"]:
+            by_key[r["key"]] = r
+    expect_keys = {k for k, r in by_key.items() if r["op"] != "delete"}
+    assert set(per_key) == expect_keys
+    for k in expect_keys:
+        assert per_key[k][0]["seq"] == by_key[k]["seq"]
+
+
+def test_state_table_crash_before_publish_keeps_old_version(spark, tmp_path):
+    """atomic_overwrite's crash contract: a version directory written
+    but never published (crash between the parquet write and the
+    symlink rename) must be invisible — reads keep serving the old
+    complete version."""
+    import os
+
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    st = StateTable(spark, str(tmp_path / "state"), ["k"], "seq")
+    st.merge_batch(
+        spark.createDataFrame([(1, 1, "a", "upsert")], "k long, seq long, v string, op string")
+    )
+    before = {(r["k"], r["seq"], r["v"]) for r in st.read().collect()}
+
+    # simulate the crash: a fully-written but unpublished version dir
+    stray = str(tmp_path / "state.v-deadbeef")
+    spark.createDataFrame(
+        [(9, 9, "CRASH")], "k long, seq long, v string"
+    ).write.parquet(stray)
+    assert os.path.exists(os.path.join(stray, "_SUCCESS"))
+
+    after = {(r["k"], r["seq"], r["v"]) for r in st.read().collect()}
+    assert after == before
+    # and the next successful merge publishes normally
+    st.merge_batch(
+        spark.createDataFrame([(2, 2, "b", "upsert")], "k long, seq long, v string, op string")
+    )
+    assert {(r["k"], r["v"]) for r in st.read().collect()} == {(1, "a"), (2, "b")}
