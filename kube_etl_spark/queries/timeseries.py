@@ -377,3 +377,58 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_concurrency_profile",
+    tags=("ST", "W4"),
+    # Rows-only BY WINDOW CAPACITY, not by semantics: the op is fully
+    # SQL-expressible and tests/test_streaming.py asserts exact
+    # value parity against a DuckDB formulation; round 4 should attach
+    # the oracle here when the rotation frees slots.
+    oracle=None,
+)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): interval-overlap sweep — how many user sessions
+    are active simultaneously, hour by hour. Sessions are 30-minute-gap
+    islands per user; the sweep turns each session into a +1 at start
+    and a -1 at end, orders the deltas by time, and the running sum IS
+    the live concurrency. Emitted per hour: max and end-of-hour
+    concurrency. The classic capacity-planning / peak-load query.
+
+    Scale shape: island detection is one hashpartition(user_id) window
+    (lag + cumulative flag sum); the sweep's running sum is a window
+    over time order — at 100 TB that global order is the operator's
+    inherent cost (concurrency is a corpus-global property), but the
+    input to the sweep is SESSION endpoints (two rows per session),
+    orders of magnitude smaller than events; a range-partitioned sort
+    handles it. Final rollup is hour-sized."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w_u = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp(F.col("ts")) - F.lag(F.unix_timestamp(F.col("ts"))).over(w_u)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w_u.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = (
+        ev.withColumn("sess", sess_id)
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    deltas = sessions.select(
+        F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionByName(sessions.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
+    # order starts before ends at the same instant so a zero-length
+    # session still counts as concurrent with itself at its instant
+    w_sweep = Window.orderBy(F.col("t").asc(), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    swept = deltas.withColumn("live", F.sum("d").over(w_sweep))
+    return (
+        swept.groupBy(F.date_trunc("hour", "t").alias("hour"))
+        .agg(
+            F.max("live").cast("bigint").alias("peak_concurrency"),
+            F.last("live").cast("bigint").alias("eoh_concurrency"),
+        )
+        .orderBy("hour")
+    )

@@ -861,3 +861,59 @@ def test_state_table_crash_before_publish_keeps_old_version(spark, tmp_path):
         spark.createDataFrame([(2, 2, "b", "upsert")], "k long, seq long, v string, op string")
     )
     assert {(r["k"], r["v"]) for r in st.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_concurrency_profile_matches_duckdb_oracle(spark):
+    """q_concurrency_profile is rows-only in the registry purely by
+    window capacity — this test supplies the exact oracle: the same
+    gaps-and-islands + sweep computed independently in DuckDB SQL must
+    match value-for-value."""
+    import duckdb
+
+    from kube_etl_spark.registry import all_specs
+
+    got = [
+        (r["hour"], r["peak_concurrency"], r["eoh_concurrency"])
+        for r in all_specs()["q_concurrency_profile"].fn(spark, SMOKE_SF).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SMOKE_SF}/events.parquet')"
+    )
+    want = con.sql("""
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM e
+        ),
+        sessions AS (
+          SELECT user_id, sess, MIN(ts) AS t0, MAX(ts) AS t1
+          FROM s GROUP BY user_id, sess
+        ),
+        deltas AS (
+          SELECT t0 AS t, 1 AS d FROM sessions
+          UNION ALL
+          SELECT t1 AS t, -1 AS d FROM sessions
+        ),
+        swept AS (
+          SELECT t, d, SUM(d) OVER (ORDER BY t ASC, d DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+          FROM deltas
+        )
+        SELECT date_trunc('hour', t) AS hour,
+               CAST(MAX(live) AS BIGINT) AS peak,
+               CAST(LAST(live ORDER BY t ASC, d DESC) AS BIGINT) AS eoh
+        FROM swept GROUP BY hour ORDER BY hour
+    """).fetchall()
+    assert len(got) == len(want)
+    for g, e in zip(got, want):
+        assert g == e, (g, e)
