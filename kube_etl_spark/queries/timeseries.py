@@ -432,3 +432,78 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@query(
+    "q_drift_psi",
+    tags=("A7", "L4"),
+    # Rows-only by window capacity (same note as q_concurrency_profile):
+    # exact parity vs a DuckDB formulation asserted in
+    # tests/test_streaming.py; attach the oracle when rotation frees
+    # slots next round.
+    oracle=None,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): distribution-drift monitoring — the population
+    stability index (PSI) of `value` between the first and second half
+    of the event stream, per event type. The data-quality alarm every
+    production pipeline runs between corpus snapshots: PSI < 0.1 ≈
+    stable, > 0.25 ≈ investigate.
+
+    Method: 10 equi-width buckets over the GLOBAL value range (shared
+    by both halves, so bucket edges cancel engine differences the same
+    way q_histogram_value's do), Laplace-smoothed shares
+    p_i=(c_i+0.5)/(n+5), PSI = Σ (p_i−q_i)·ln(p_i/q_i).
+
+    Scale shape: one pass computes the 1-row global bounds + midpoint
+    timestamp; pass two is map-side bucket/half tagging into a
+    (type × bucket × half) aggregate — hundreds of rows out of any
+    corpus size; the PSI fold runs on that tiny frame. All doubles go
+    through identical fixed-order expressions in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        # midpoint of the time RANGE (not median): cheap, deterministic
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.min("ts")) + F.unix_timestamp(F.max("ts"))) / 2
+        ).alias("mid"),
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("mn")) * F.lit(10.0) / (F.col("mx") - F.col("mn"))
+        ).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    half = F.when(F.col("ts") < F.col("mid"), "old").otherwise("new")
+    counts = (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", bucket.alias("bucket"), half.alias("half"))
+        .groupBy("event_type", "bucket", "half")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pivoted = (
+        counts.groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "old", F.col("c")).otherwise(0)).alias("c_old"),
+            F.sum(F.when(F.col("half") == "new", F.col("c")).otherwise(0)).alias("c_new"),
+        )
+    )
+    tot = pivoted.groupBy("event_type").agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    p = (F.col("c_old") + 0.5) / (F.col("n_old") + 5.0)
+    q = (F.col("c_new") + 0.5) / (F.col("n_new") + 5.0)
+    term = (p - q) * F.log(p / q)
+    return (
+        pivoted.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_old", "n_new")
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )

@@ -917,3 +917,57 @@ def test_concurrency_profile_matches_duckdb_oracle(spark):
     assert len(got) == len(want)
     for g, e in zip(got, want):
         assert g == e, (g, e)
+
+
+def test_drift_psi_matches_duckdb_oracle(spark):
+    """q_drift_psi (rows-only by window capacity) vs the identical PSI
+    formulation in DuckDB — exact value parity, plus the sanity check
+    that a stationary synthetic stream scores PSI ≈ 0."""
+    import duckdb
+
+    from kube_etl_spark.registry import all_specs
+
+    got = [
+        (r["event_type"], r["n_old"], r["n_new"], r["psi"])
+        for r in all_specs()["q_drift_psi"].fn(spark, SMOKE_SF).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SMOKE_SF}/events.parquet')"
+    )
+    want = con.sql("""
+        WITH b AS (
+          SELECT MIN(value) AS mn, MAX(value) AS mx,
+                 to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) / 2) AS mid
+          FROM events
+        ),
+        tagged AS (
+          SELECT event_type,
+                 LEAST(CAST(floor((value - mn) * 10.0 / (mx - mn)) AS BIGINT), 9) AS bucket,
+                 CASE WHEN ts < mid THEN 'old' ELSE 'new' END AS half
+          FROM events, b
+        ),
+        piv AS (
+          SELECT event_type, bucket,
+                 COUNT(*) FILTER (half = 'old') AS c_old,
+                 COUNT(*) FILTER (half = 'new') AS c_new
+          FROM tagged GROUP BY event_type, bucket
+        ),
+        tot AS (
+          SELECT event_type, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+          FROM piv GROUP BY event_type
+        )
+        SELECT p.event_type,
+               CAST(t.n_old AS BIGINT) AS n_old,
+               CAST(t.n_new AS BIGINT) AS n_new,
+               ROUND(SUM(((p.c_old + 0.5) / (t.n_old + 5.0) - (p.c_new + 0.5) / (t.n_new + 5.0))
+                     * ln(((p.c_old + 0.5) / (t.n_old + 5.0)) / ((p.c_new + 0.5) / (t.n_new + 5.0)))), 6) AS psi
+        FROM piv p JOIN tot t USING (event_type)
+        GROUP BY p.event_type, t.n_old, t.n_new
+        ORDER BY p.event_type
+    """).fetchall()
+    assert len(got) == len(want)
+    for g, e in zip(got, want):
+        assert g == tuple(e), (g, e)
+    # the fixture stream is stationary by construction: drift alarm off
+    assert all(r[3] < 0.1 for r in got), got
