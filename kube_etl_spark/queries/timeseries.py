@@ -507,3 +507,54 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ewma_smoothing",
+    tags=("W4", "A7"),
+    # Rows-only by window capacity (see q_concurrency_profile); exact
+    # parity vs DuckDB asserted in tests/test_streaming.py.
+    oracle=None,
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): exponentially-weighted moving average over an
+    IRREGULARLY-sampled series (τ = 1 day) per user — the
+    metrics-smoothing primitive (load averages, rate estimators,
+    anomaly baselines) that plain windowed means get wrong when sample
+    spacing varies.
+
+    The recursion y_i = y_{i-1}·e^(−Δt/τ) + v_i is unrolled into a
+    closed form a cumulative window can compute:
+        y_i = e^(−t'_i) · Σ_{j≤i} v_j · e^(t'_j),   t' = (t − min_t)/τ
+    Per-user normalization by min_t keeps e^(t') finite (fixture span
+    30 days ⇒ e^30 ≈ 1e13, well inside double range; production jobs
+    re-normalize per partition window). The cumulative sum runs in
+    frame order — both engines fold left-to-right over identical
+    doubles, so results are bit-identical with no tolerance.
+
+    Scale shape: one hashpartition(user_id) window (the min_t is a
+    per-user window constant in the same exchange); everything else is
+    per-row arithmetic. Output capped to the last 5 rows per user
+    (WindowGroupLimit shape) to keep the frame driver-friendly."""
+    tau = 86400.0
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    wu = Window.partitionBy("user_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # microsecond epochs on BOTH engines (unix_timestamp truncates to
+    # seconds; DuckDB's epoch keeps the fraction — mixing them skews tp)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    min_us = F.unix_micros(F.min("ts").over(wu).cast("timestamp"))
+    tprime = (us - min_us) / (tau * 1e6)
+    ewma = F.exp(-tprime) * F.sum(F.col("value") * F.exp(tprime)).over(w_cum)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("value").desc()
+    )
+    return (
+        ev.withColumn("ewma", F.round(ewma, 4))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "ts", F.round("value", 4).alias("value"), "ewma")
+        .orderBy("user_id", "ts")
+    )
