@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     mediaq,
     scale,
     scans,
+    sequences,
     setops,
     subqueries,
     timeseries,

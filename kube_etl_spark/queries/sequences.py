@@ -1,0 +1,223 @@
+"""Event-sequence operators over the events table (EXT; §2.9 adjacency).
+
+The reference's data path is an ordered per-object event stream
+(watch events applied in arrival order — syncer/controllers/
+krmsyncer_controller.go's reconcile loop); these operators are the
+analytical questions a user asks OF such a stream once it lands in a
+table: how do states transition, how predictable is each emitter, how
+do runs of identical states compress, and where did a series shift.
+All are pure DataFrame/window plans keyed on user_id — one
+hashpartition(user_id) exchange family each, no Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "q_event_transitions",
+    tags=("W3", "A1"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_state, nxt AS to_state,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+ORDER BY from_state, to_state
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): first-order Markov transition matrix — for each
+    (state, next-state) pair over per-user event sequences, the count
+    and the row-normalized transition probability. The per-user
+    ordering is (ts, event_id) — a total order, so LEAD is
+    deterministic.
+
+    Scale shape: one hashpartition(user_id) window for LEAD, then a
+    groupBy on the (from, to) pair — 25 output groups here, at most
+    |states|² anywhere, so the second shuffle carries counts, not
+    events. The normalizing SUM runs over the tiny aggregated frame
+    (a |states|-partition window), never over raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w_seq).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_state"), F.col("nxt").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_norm = Window.partitionBy("from_state")
+    return (
+        pairs.select(
+            "from_state",
+            "to_state",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w_norm), 4).alias("p"),
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+@query(
+    "q_user_entropy",
+    tags=("A1", "A7"),
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type
+),
+t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+SELECT c.user_id AS user_id,
+       CAST(t.tot AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       ROUND(-SUM((c.n * 1.0 / t.tot) * LN(c.n * 1.0 / t.tot)), 4) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id, t.tot
+ORDER BY c.user_id
+""",
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): Shannon entropy of each user's event-type mix —
+    the behavioral-predictability score (bot detection: near-zero
+    entropy = single-action loops; anomaly: entropy spikes). Two-level
+    aggregation: (user, type) counts, then entropy over the counts.
+
+    Scale shape: the (user, type) groupBy is the only shuffle over raw
+    rows and partial-aggregates map-side; the per-user total comes from
+    a window over the ALREADY-aggregated frame (≤ |states| rows per
+    user) in the same user_id hash family — no join back to raw data,
+    no second wide shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_u = Window.partitionBy("user_id")
+    frac = F.col("n") / F.sum("n").over(w_u)
+    return (
+        c.select(
+            "user_id",
+            F.sum("n").over(w_u).alias("n_events"),
+            "n",
+            (-frac * F.log(frac)).alias("term"),
+        )
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term"), 4).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_collapse_runs",
+    tags=("W3", "ST7"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id, event_type, CAST(MIN(ts) AS TIMESTAMP_NS) AS run_start, COUNT(*) AS run_len
+FROM s
+GROUP BY user_id, event_type, grp
+HAVING COUNT(*) >= 2
+ORDER BY user_id, run_start, event_type
+""",
+)
+def q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): run-length compression of per-user event streams
+    — collapse consecutive identical event types into (start, length)
+    runs, the gaps-and-islands shape. This is the batch analog of CDC
+    event compaction (the reference coalesces a burst of updates to
+    one object into the final state before syncing; SURVEY §3.3):
+    runs ≥ 2 are exactly the bursts compaction would collapse.
+
+    Scale shape: the two ROW_NUMBERs share one hashpartition(user_id)
+    sort (same partition family, Catalyst plans one exchange), and the
+    grouping key (user, type, rn−rk) aggregates map-side. Output is
+    bounded by the number of runs, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("run_start"), F.count(F.lit(1)).alias("run_len"))
+        .filter(F.col("run_len") >= 2)
+        .select("user_id", "event_type", "run_start", "run_len")
+        .orderBy("user_id", "run_start", "event_type")
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    tags=("W4", "A7"),
+    oracle="""
+WITH st AS (
+  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sd, COUNT(*) AS n
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, st.n,
+         SUM((e.value - st.mu) / st.sd)
+           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS cus
+  FROM events e JOIN st ON e.user_id = st.user_id
+  WHERE st.sd > 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(MAX(ABS(cus)), 4) AS max_cusum
+FROM c GROUP BY user_id, n
+ORDER BY user_id
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): CUSUM mean-shift score per series — cumulative
+    sum of standardized deviations along each user's time-ordered
+    values; the peak |CUSUM| is the classic change-point statistic (a
+    stable series stays near 0, a level shift ramps linearly). Reports
+    the peak only: the argmax row sits on a float near-tie knife edge,
+    so it belongs in a tolerance-based test, not a hash-equal oracle.
+
+    Scale shape: per-user mean/std are window aggregates in the SAME
+    hashpartition(user_id) family as the cumulative window — one
+    exchange, one sort, then a map-side-combinable groupBy(user). The
+    cumulative SUM folds left-to-right over identical doubles in both
+    engines (deterministic order ⇒ bit-stable, the q_ewma_smoothing
+    argument)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w_u = Window.partitionBy("user_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mu = F.avg("value").over(w_u)
+    sd = F.stddev_samp("value").over(w_u)
+    n = F.count(F.lit(1)).over(w_u)
+    cus = F.sum((F.col("value") - mu) / sd).over(w_cum)
+    return (
+        ev.withColumn("sd", sd)
+        .withColumn("n", n)
+        .filter(F.col("sd") > 0)
+        .withColumn("cus", cus)
+        .groupBy("user_id", F.col("n").alias("n_events"))
+        .agg(F.round(F.max(F.abs(F.col("cus"))), 4).alias("max_cusum"))
+        .orderBy("user_id")
+    )

@@ -558,3 +558,186 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", F.round("value", 4).alias("value"), "ewma")
         .orderBy("user_id", "ts")
     )
+
+
+@query(
+    "q_rolling_median",
+    tags=("W4", "A8"),
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id, value,
+         MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS med,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(ts AS TIMESTAMP_NS) AS ts,
+       ROUND(value, 4) AS value, ROUND(med, 4) AS roll_median
+FROM m WHERE rn <= 5
+ORDER BY user_id, ts, event_id
+""",
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): trailing 9-row rolling MEDIAN per series — the
+    robust smoother (EWMA's complement: immune to single spikes, so
+    it's the de-noiser under q_zscore_outliers-style alerting).
+
+    Spark's `median` aggregate rejects bounded window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median is
+    computed as collect_list over the ROWS frame → array_sort → exact
+    middle (odd) / mean of the two middles (even) — the same linear
+    interpolation DuckDB's MEDIAN window applies, and fully inside
+    JVM expressions (no Python).
+
+    Scale shape: one hashpartition(user_id) sorted window; the frame
+    is O(9) rows so the per-row sort is constant work — no state
+    blow-up at any series length. Output capped to the last 5 rows per
+    user (the WindowGroupLimit shape, same hash family) to keep the
+    driver frame bounded."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w_roll = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-8, 0)
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    frame = F.array_sort(F.collect_list("value").over(w_roll))
+    n = F.size(frame)
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(frame, ((n + 1) / 2).cast("int")),
+    ).otherwise(
+        (
+            F.element_at(frame, (n / 2).cast("int"))
+            + F.element_at(frame, (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    return (
+        ev.withColumn("med", med)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "user_id",
+            "ts",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("roll_median"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "q_anomaly_mad",
+    tags=("A7", "A8"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS m FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, med.m, ABS(e.value - med.m) AS d
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, MEDIAN(d) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type AS event_type,
+       COUNT(*) AS n,
+       ROUND(ANY_VALUE(d.m), 4) AS med,
+       ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+       CAST(SUM(CASE WHEN d.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): median-absolute-deviation outlier detection per
+    segment — the robust twin of q_zscore_outliers (mean/std are
+    themselves dragged by the outliers they hunt; median/MAD are not).
+    Flags |v − med| > 3·1.4826·MAD (1.4826 scales MAD to σ under
+    normality) and reports per-segment counts.
+
+    Scale shape: two exact-median aggregations over the SAME
+    hashpartition(event_type) key — Catalyst reuses the exchange — and
+    the deviation join is against a |segments|-row frame, auto-
+    broadcast. Medians are exact here as the oracle anchor; the
+    sketch path at 100 TB is approx_percentile (q_agg_percentile_approx
+    is this engine's registered rows-only twin for that trade)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad"))
+    thr = 3 * 1.4826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value("m"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("d") > thr, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_winsorize",
+    tags=("A8", "A10"),
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type AS event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       ROUND(AVG(LEAST(GREATEST(e.value, q.p01), q.p99)), 4) AS mean_winsorized,
+       ROUND(AVG(e.value), 4) AS mean_raw
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): p01/p99 winsorization per segment — clip the
+    tails to the exact percentile bounds and compare the winsorized
+    mean to the raw mean (the standard heavy-tail pre-treatment before
+    training-statistics jobs; the training-data analog is outlier-doc
+    clipping before loss-weighted sampling). Spark's exact `percentile`
+    and DuckDB's `quantile_cont` share linear interpolation, so the
+    clip bounds agree bit-for-bit.
+
+    Scale shape: percentile bounds per segment (|segments| rows,
+    broadcast back), then one map-side-combinable aggregate over the
+    clipped expression — two scans, one tiny join, no wide shuffle of
+    raw rows beyond the percentile agg's own hashpartition(event_type).
+    At 100 TB swap the exact percentile for approx_percentile and the
+    plan is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+                "n_clipped_hi"
+            ),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+        )
+        .orderBy("event_type")
+    )

