@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..exact import REVENUE_SQL as _REV
-from ..exact import dsum, dsum_sql, money, money_sql, rate, rate_sql, revenue as _rev
+from ..exact import dsum, dsum_sql, money, money_sql, qty, rate, rate_sql, revenue as _rev
 from ..registry import query
 
 
@@ -585,4 +585,125 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue")
         )
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q17_small_quantity",
+    tags=("TPCH",),
+    oracle=f"""
+WITH fl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+),
+st AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(14,2))) AS sq, COUNT(*) AS n
+  FROM fl GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM({money_sql('f.l_extendedprice')}) AS DOUBLE) / 7.0, 4)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM fl f JOIN st ON f.l_partkey = st.l_partkey
+WHERE CAST(f.l_quantity AS DECIMAL(14,2)) * 5 * st.n < st.sq
+""",
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is below 20% of their part's average, restricted to one
+    brand — the correlated-aggregate-then-filter pattern. The avg
+    comparison is division-free (qty·5·n < Σqty, all exact decimals):
+    decimal division rounds differently across engines, so the
+    threshold never divides.
+
+    Scale shape: the brand filter cuts part to ~1/25 and broadcasts;
+    lineitem is scanned once, the per-part stats aggregate map-side
+    combines on l_partkey, and the stats frame (≤|brand parts| rows)
+    broadcasts back — the fact table is never shuffled. At 100 TB the
+    same plan holds because both broadcast sides scale with |part|/25,
+    not with lineitem."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fl = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    st = fl.groupBy("l_partkey").agg(
+        F.sum(qty("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        fl.join(F.broadcast(st), "l_partkey")
+        .filter(qty("l_quantity") * F.lit(5) * F.col("n") < F.col("sq"))
+        .agg(
+            F.round(dsum(money("l_extendedprice")) / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22_idle_balance",
+    tags=("TPCH",),
+    oracle="""
+WITH st AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+),
+cand AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+  FROM customer c, st
+  WHERE CAST(c.c_acctbal AS DECIMAL(14,2)) * st.n > st.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
+FROM cand GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with
+    above-average positive balance and NO urgent orders, grouped by
+    market segment (the fixture analog of Q22's phone-prefix country
+    code; plain "no orders" is vacuous here — every fixture customer
+    has orders, so the gate is no '1-URGENT' order).
+    Composes a global scalar aggregate + anti join + group-by. The
+    above-average test is division-free (bal·n > Σbal in exact
+    decimals), so the threshold is engine-stable.
+
+    Scale shape: the global stats frame is 1 row (broadcast as a
+    literal-like side); the anti join shuffles on custkey — the shape
+    AQE converts to broadcast-anti when the candidate side is small.
+    customer is scanned twice (stats + candidates) but pruned to 3
+    columns; at 100 TB a persist of the slim projection removes the
+    second scan without changing the plan shape."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    st = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(money("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(st))
+        .filter(money("c_acctbal") * F.col("n") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        cand.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(money("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -139,6 +139,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_rolling_median",
     "q_anomaly_mad",
     "q_winsorize",
+    "q_tpch_q17_small_quantity",
+    "q_tpch_q22_idle_balance",
 )
 
 
