@@ -2230,3 +2230,111 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "rank_lex", "rank_dense", rrf.alias("rrf"))
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L4 — directional containment + skip-gram co-occurrence (round 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_containment",
+    tags=("L2",),
+    oracle=f"""
+WITH aug AS ({_NEARDUP_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug)
+),
+ne AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4)
+         AS containment
+FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (EXT, round 3): DIRECTIONAL containment dedup — C(a→b) =
+    |sh(a) ∩ sh(b)| / |sh(a)|, the asymmetric twin of Jaccard that
+    catches a document embedded inside a longer one (quote-expansion,
+    boilerplate wrapping), which symmetric Jaccard under-scores as the
+    length ratio grows. Same bounded near-dup corpus as
+    q_dedup_ngram_jaccard, so the appended-suffix copies score
+    C(orig→copy) = 1.0 while C(copy→orig) = n/(n+2).
+
+    Scale shape: the all-pairs join is the deliberately bounded
+    exactness anchor (the scale path is the same MinHash-LSH banding
+    as q_dedup_fuzzy — containment needs only the band-bucket join
+    plus this per-pair verify with the asymmetric denominator)."""
+    sh = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", _shingles(_tokens(F.col("text"))).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    cont = F.size(F.array_intersect("sa", "sb")) / F.size("sa")
+    return (
+        a.join(b, F.col("doc_a") != F.col("doc_b"))
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_skipgram_cooccur",
+    tags=("L4", "L5"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 120
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(l)+1)) AS i, unnest(l) AS w FROM tok
+),
+p AS (SELECT doc_id, i, w FROM pos WHERE w <> ''),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+  GROUP BY a.w, b.w
+)
+SELECT w1, w2, n FROM pairs WHERE n >= 3
+ORDER BY n DESC, w1, w2
+LIMIT 150
+""",
+)
+def q_skipgram_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): skip-gram co-occurrence counts — ordered
+    token pairs within a 2-token forward window, the count matrix
+    word2vec/GloVe-style embedding trainers consume (q_bigram_pmi is
+    the adjacent-only scoring twin; this one spans the window).
+
+    Scale shape: posexplode keeps (doc, position, token) triples; the
+    window join is a RANGE self-join per doc_id — expressed as an
+    equi-join on doc_id with the position band as a residual, so it
+    hash-partitions by document and never compares across docs. The
+    pair groupBy aggregates map-side (vocab² keys, data-independent).
+    Bounded to doc_id < 120 as the oracle anchor; the unbounded
+    variant is the same plan (the band join stays within-doc at any
+    corpus size)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", _tokens(F.col("text")).alias("l"))
+    )
+    pos = (
+        docs.select("doc_id", F.posexplode("l").alias("i0", "w"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+        .filter(F.col("w") != "")
+    )
+    a = pos.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("w1"))
+    b = pos.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("w2"))
+    return (
+        a.join(b, "doc_id")
+        .filter((F.col("ib") > F.col("ia")) & (F.col("ib") <= F.col("ia") + 2))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(150)
+    )

@@ -141,6 +141,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_winsorize",
     "q_tpch_q17_small_quantity",
     "q_tpch_q22_idle_balance",
+    "q_dedup_containment",
+    "q_skipgram_cooccur",
 )
 
 
