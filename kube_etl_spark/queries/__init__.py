@@ -6,11 +6,13 @@ declaration: PySpark DataFrame expressions + the paired DuckDB oracle.
 
 from . import (  # noqa: F401
     aggregates,
+    commerce,
     filters,
     functions,
     joins,
     llm,
     mediaq,
+    quality,
     scale,
     scans,
     sequences,

@@ -1,0 +1,169 @@
+"""Customer/order analytics compositions (EXT; §2 A/W/J adjacency).
+
+The warehouse-tier questions a reference user runs once the star schema
+lands: RFM segmentation, co-purchase affinity, and revenue-concentration
+(Gini). Each composes §2 primitives — windows over aggregates,
+within-group self-joins, ranked cumulative sums — and each keeps money
+math in exact.py decimals so the value-hash parity is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..exact import dsum, money, money_sql
+from ..registry import query
+
+
+@query(
+    "q_rfm_segments",
+    tags=("A1", "W1"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM({money_sql('o_totalprice')}) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM base
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
+FROM scored GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): RFM segmentation — recency/frequency/monetary
+    quartiles per customer, rolled up to segment counts (the 4×4×4
+    marketing cube). Every NTILE ordering carries o_custkey as the
+    final key so quartile boundaries are total-order deterministic;
+    monetary is an exact decimal sum, so the m-ordering has no float
+    tie hazard.
+
+    Scale shape: one groupBy(custkey) over orders (map-side combine),
+    then three NTILEs over the |customers| aggregate frame. A global
+    NTILE is a single-partition sort — correct here because the frame
+    is customer-cardinality (10⁷ rows at 100 TB, one executor's work),
+    never the raw orders; if customers themselves outgrow one task,
+    the swap is percentile_approx bucket edges + a broadcast range
+    lookup, same downstream cube."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(money("o_totalprice")).alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))).cast("bigint").alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))).cast("bigint").alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))).cast("bigint").alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    tags=("J1", "A1"),
+    oracle="""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_orders FROM pairs WHERE n_orders >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 100
+""",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): co-purchase affinity — unordered part pairs that
+    appear in the same order, counted across orders (market-basket
+    support counts, the input to association-rule mining).
+
+    Scale shape: the self-join is an equi-join on l_orderkey — pairs
+    are generated WITHIN an order only, so the blow-up is bounded by
+    max basket size squared (TPC-H: ≤ 7 lines), never corpus-sized.
+    The distinct-per-order projection shrinks the join input first and
+    shares the orderkey hash partitioning with the join. Pair counts
+    aggregate map-side (part×part keys)."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "q_revenue_gini",
+    tags=("A7", "W4"),
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey, SUM({money_sql('o_totalprice')}) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev
+)
+SELECT COUNT(*) AS n_customers,
+       ROUND(
+         CAST(2 * SUM(i * x) AS DOUBLE) / (COUNT(*) * CAST(SUM(x) AS DOUBLE))
+         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked
+""",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): Gini coefficient of revenue concentration across
+    customers — G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    per-customer revenue (the whale-dependence KPI; same machinery
+    gives per-domain token-share concentration on a training corpus).
+    Ranks break ties by custkey and revenue is an exact decimal, so
+    the rank→value pairing is engine-stable; Σ(i·x) stays in decimal
+    (exact, order-independent) until the final double division.
+
+    Scale shape: groupBy(custkey) compresses orders to |customers|
+    rows; the global rank is one sort of that aggregate frame (same
+    single-task bound as q_rfm_segments, with the same
+    approx-quantile escape hatch); the final agg is a 1-row reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
+    ranked = rev.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x"))).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

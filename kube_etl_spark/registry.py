@@ -143,6 +143,11 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_tpch_q22_idle_balance",
     "q_dedup_containment",
     "q_skipgram_cooccur",
+    "q_rfm_segments",
+    "q_copurchase_pairs",
+    "q_revenue_gini",
+    "q_benford_digits",
+    "q_fk_orphans",
 )
 
 
