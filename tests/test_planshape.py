@@ -531,3 +531,57 @@ def test_profile_no_countdistinct_expand(spark):
     assert "Expand" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_q17_fact_never_shuffled_for_dims(spark):
+    """Q17's two small sides (brand-pruned part, per-part stats) must
+    both broadcast; lineitem must never enter a sort-merge join, and
+    its scan must read only the 3 needed columns of 11."""
+    plan = _plan(spark, "q_tpch_q17_small_quantity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    li_read = next(ln for ln in plan.splitlines()
+                   if "ReadSchema" in ln and "l_quantity" in ln)
+    for col in ("l_returnflag", "l_shipdate", "l_tax", "l_orderkey"):
+        assert col not in li_read, f"{col} read but unused"
+
+
+def test_copurchase_join_stays_within_order(spark):
+    """The market-basket self-join must be an equi-join keyed on
+    l_orderkey (pairs generated within an order only) — never a
+    cartesian/nested-loop explosion."""
+    plan = _plan(spark, "q_copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" in plan
+
+
+def test_skipgram_join_stays_within_doc(spark):
+    """The skip-gram window join must equi-join on doc_id with the
+    position band as a residual filter — never a cross join over all
+    token positions."""
+    plan = _plan(spark, "q_skipgram_cooccur")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_orphans_dims_broadcast(spark):
+    """The part and customer integrity probes must broadcast the
+    dimension side; the lineitem->orders probe may shuffle (both sides
+    fact-sized) but never nested-loop."""
+    plan = _plan(spark, "q_fk_orphans")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_prunes_orders_scan(spark):
+    """The Gini aggregate must read only (o_custkey, o_totalprice) —
+    a concentration KPI that drags the whole orders schema through
+    the shuffle is wrong at any scale."""
+    plan = _plan(spark, "q_revenue_gini")
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "o_custkey" in read and "o_totalprice" in read
+    for col in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
+        assert col not in read, f"{col} read but unused"
