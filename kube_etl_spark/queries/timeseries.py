@@ -382,11 +382,42 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_concurrency_profile",
     tags=("ST", "W4"),
-    # Rows-only BY WINDOW CAPACITY, not by semantics: the op is fully
-    # SQL-expressible and tests/test_streaming.py asserts exact
-    # value parity against a DuckDB formulation; round 4 should attach
-    # the oracle here when the rotation frees slots.
-    oracle=None,
+    # Oracle attached (was rows-only by window capacity in early r3);
+    # the same SQL also runs in tests/test_streaming.py with semantic
+    # sanity checks on top.
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+),
+sessions AS (
+  SELECT user_id, sess, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY user_id, sess
+),
+deltas AS (
+  SELECT t0 AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT t1 AS t, -1 AS d FROM sessions
+),
+swept AS (
+  SELECT t, d, SUM(d) OVER (ORDER BY t ASC, d DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM deltas
+)
+SELECT CAST(date_trunc('hour', t) AS TIMESTAMP_NS) AS hour,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+       CAST(LAST(live ORDER BY t ASC, d DESC) AS BIGINT) AS eoh_concurrency
+FROM swept GROUP BY date_trunc('hour', t) ORDER BY hour
+""",
 )
 def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (round 3): interval-overlap sweep — how many user sessions
@@ -437,11 +468,40 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_drift_psi",
     tags=("A7", "L4"),
-    # Rows-only by window capacity (same note as q_concurrency_profile):
-    # exact parity vs a DuckDB formulation asserted in
-    # tests/test_streaming.py; attach the oracle when rotation frees
-    # slots next round.
-    oracle=None,
+    # Oracle attached (was rows-only by window capacity in early r3);
+    # also asserted with a stationarity sanity check in
+    # tests/test_streaming.py.
+    oracle="""
+WITH b AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx,
+         to_timestamp((epoch(MIN(ts)) + epoch(MAX(ts))) / 2) AS mid
+  FROM events
+),
+tagged AS (
+  SELECT event_type,
+         LEAST(CAST(floor((value - mn) * 10.0 / (mx - mn)) AS BIGINT), 9) AS bucket,
+         CASE WHEN ts < mid THEN 'old' ELSE 'new' END AS half
+  FROM events, b
+),
+piv AS (
+  SELECT event_type, bucket,
+         COUNT(*) FILTER (half = 'old') AS c_old,
+         COUNT(*) FILTER (half = 'new') AS c_new
+  FROM tagged GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type, SUM(c_old) AS n_old, SUM(c_new) AS n_new
+  FROM piv GROUP BY event_type
+)
+SELECT p.event_type AS event_type,
+       CAST(t.n_old AS BIGINT) AS n_old,
+       CAST(t.n_new AS BIGINT) AS n_new,
+       ROUND(SUM(((p.c_old + 0.5) / (t.n_old + 5.0) - (p.c_new + 0.5) / (t.n_new + 5.0))
+             * ln(((p.c_old + 0.5) / (t.n_old + 5.0)) / ((p.c_new + 0.5) / (t.n_new + 5.0)))), 6) AS psi
+FROM piv p JOIN tot t USING (event_type)
+GROUP BY p.event_type, t.n_old, t.n_new
+ORDER BY p.event_type
+""",
 )
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (round 3): distribution-drift monitoring — the population
@@ -512,9 +572,27 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ewma_smoothing",
     tags=("W4", "A7"),
-    # Rows-only by window capacity (see q_concurrency_profile); exact
-    # parity vs DuckDB asserted in tests/test_streaming.py.
-    oracle=None,
+    # Oracle attached (was rows-only by window capacity in early r3);
+    # also asserted with envelope sanity checks in
+    # tests/test_streaming.py.
+    oracle="""
+WITH t AS (
+  SELECT user_id, ts, value,
+         (epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id))) / (86400.0 * 1e6) AS tp
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, value,
+         exp(-tp) * SUM(value * exp(tp)) OVER (
+           PARTITION BY user_id ORDER BY ts, value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ewma,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+  FROM t
+)
+SELECT user_id, CAST(ts AS TIMESTAMP_NS) AS ts,
+       ROUND(value, 4) AS value, ROUND(ewma, 4) AS ewma
+FROM c WHERE rn <= 5 ORDER BY user_id, ts
+""",
 )
 def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (round 3): exponentially-weighted moving average over an

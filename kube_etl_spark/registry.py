@@ -148,6 +148,10 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_revenue_gini",
     "q_benford_digits",
     "q_fk_orphans",
+    # early-r3 rows-only-by-capacity ops, oracles attached late-r3
+    "q_concurrency_profile",
+    "q_drift_psi",
+    "q_ewma_smoothing",
 )
 
 
