@@ -2338,3 +2338,99 @@ def q_skipgram_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(150)
     )
+
+
+@query(
+    "q_embedding_cohesion",
+    tags=("L3", "A7"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+x AS (
+  SELECT vec_id, label, unnest(range(1, len(v)+1)) AS i, unnest(v) AS xv FROM e
+),
+c AS (SELECT label, i, AVG(xv) AS cv FROM x GROUP BY label, i),
+cn AS (SELECT label, SUM(cv * cv) AS nc FROM c GROUP BY label),
+d AS (
+  SELECT x.vec_id, x.label,
+         SUM(x.xv * c.cv) AS dot, SUM(x.xv * x.xv) AS nx
+  FROM x JOIN c ON x.label = c.label AND x.i = c.i
+  GROUP BY x.vec_id, x.label
+),
+cc AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM(a.cv * b.cv) / (sqrt(SUM(a.cv * a.cv)) * sqrt(SUM(b.cv * b.cv))) AS ccos
+  FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
+  GROUP BY a.label, b.label
+),
+sep AS (SELECT la AS label, MAX(ccos) AS max_other FROM cc GROUP BY la)
+SELECT d.label AS label, COUNT(*) AS n_vecs,
+       ROUND(AVG(d.dot / (sqrt(d.nx) * sqrt(cn.nc))), 4) AS mean_cohesion,
+       ROUND(ANY_VALUE(sep.max_other), 4) AS nearest_other_centroid_cos
+FROM d JOIN cn ON d.label = cn.label JOIN sep ON d.label = sep.label
+GROUP BY d.label ORDER BY d.label
+""",
+)
+def q_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (EXT, round 3): embedding-cluster quality — per label, the
+    mean cosine of member vectors to their label centroid (cohesion)
+    and the highest cosine between this centroid and any OTHER label's
+    centroid (separation): the silhouette-style health check run after
+    an embedding/labeling job, and the diagnostic behind IVF cell
+    balance (q_knn_ivf's centroids are exactly these, unsupervised).
+
+    Scale shape: vectors are exploded once to (vec, dim, value) and
+    every aggregate runs at that grain — centroid build is a
+    hashpartition(label, dim) map-side-combinable agg to |labels|·dim
+    rows; the member-dot join broadcasts that tiny frame back; the
+    centroid-centroid matrix is |labels|²·dim, driver-trivial at any
+    corpus size. No Python, no collect, nothing grows faster than
+    |labels|·dim except the single exploded pass."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "xv0"),
+    ).select("vec_id", "label", "i", F.col("xv0").cast("double").alias("xv"))
+    c = x.groupBy("label", "i").agg(F.avg("xv").alias("cv"))
+    cn = c.groupBy("label").agg(F.sum(F.col("cv") * F.col("cv")).alias("nc"))
+    d = (
+        x.join(F.broadcast(c), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xv") * F.col("cv")).alias("dot"),
+            F.sum(F.col("xv") * F.col("xv")).alias("nx"),
+        )
+    )
+    ca = c.select(F.col("label").alias("la"), "i", F.col("cv").alias("cva"))
+    cb = c.select(F.col("label").alias("lb"), "i", F.col("cv").alias("cvb"))
+    cc = (
+        ca.join(cb, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.sum(F.col("cva") * F.col("cvb"))
+                / (
+                    F.sqrt(F.sum(F.col("cva") * F.col("cva")))
+                    * F.sqrt(F.sum(F.col("cvb") * F.col("cvb")))
+                )
+            ).alias("ccos")
+        )
+    )
+    sep = cc.groupBy(F.col("la").alias("label")).agg(F.max("ccos").alias("max_other"))
+    return (
+        d.join(F.broadcast(cn), "label")
+        .join(F.broadcast(sep), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("dot") / (F.sqrt("nx") * F.sqrt("nc"))), 4).alias(
+                "mean_cohesion"
+            ),
+            F.round(F.any_value("max_other"), 4).alias("nearest_other_centroid_cos"),
+        )
+        .orderBy("label")
+    )

@@ -152,6 +152,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_concurrency_profile",
     "q_drift_psi",
     "q_ewma_smoothing",
+    "q_embedding_cohesion",
 )
 
 
