@@ -138,21 +138,26 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-
-    def check(fact: DataFrame, dim: DataFrame, fk: str, fkey: str, dkey: str, bcast: bool) -> DataFrame:
-        d = F.broadcast(dim) if bcast else dim
-        return (
-            fact.join(d, fact[fkey] == dim[dkey], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.when(dim[dkey].isNull(), 1).otherwise(0)).alias("n_orphans"),
-            )
-            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
-        )
-
     return (
-        check(li_aug, ord_aug.select("o_orderkey"), "lineitem->orders", "l_orderkey", "o_orderkey", False)
-        .unionByName(check(li_aug, part, "lineitem->part", "l_partkey", "p_partkey", True))
-        .unionByName(check(ord_aug, cust, "orders->customer", "o_custkey", "c_custkey", True))
+        orphan_check(li_aug, ord_aug.select("o_orderkey"), "lineitem->orders", "l_orderkey", "o_orderkey", False)
+        .unionByName(orphan_check(li_aug, part, "lineitem->part", "l_partkey", "p_partkey", True))
+        .unionByName(orphan_check(ord_aug, cust, "orders->customer", "o_custkey", "c_custkey", True))
         .orderBy("fk")
+    )
+
+
+def orphan_check(
+    fact: DataFrame, dim: DataFrame, fk: str, fkey: str, dkey: str, bcast: bool
+) -> DataFrame:
+    """One FK integrity probe: (fk, n_rows, n_orphans) for fact rows
+    whose key misses the dimension. Shared by q_fk_orphans (augmented
+    fixtures) and plans/audit.py (raw production tables)."""
+    d = F.broadcast(dim) if bcast else dim
+    return (
+        fact.join(d, fact[fkey] == dim[dkey], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(dim[dkey].isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+        .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
     )

@@ -611,3 +611,31 @@ def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
                 assert t not in id2tok.values() or t not in {r["token"] for r in v}
             else:
                 assert id2tok[i] == t
+
+
+def test_run_audit_cli(spark, tmp_path, capsys):
+    """The audit battery over clean fixtures: integrity intact (zero
+    orphans), stationary stream (PSI under the 0.1 alarm), synthetic
+    uniform money FAILING Benford (high deviation — the alarm working),
+    row counts present for every table, and the parquet report
+    readable for run-over-run diffing."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_audit
+
+    out = str(tmp_path / "audit")
+    run_audit.main(["--input", SMOKE_SF, "--output", out])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = {(r["check"], r["subject"]): r["value"] for r in printed["report"]}
+
+    orphans = {k: v for k, v in rows.items() if k[0] == "fk_orphans"}
+    assert len(orphans) == 4 and all(v == 0.0 for v in orphans.values()), orphans
+    assert rows[("drift_psi_max", "events.value")] < 0.1
+    assert rows[("benford_max_deviation", "orders.o_totalprice")] > 0.05
+    counts = {k[1]: v for k, v in rows.items() if k[0] == "row_count"}
+    assert counts["events"] == 1000.0
+    assert len(counts) == 8 and all(v > 0 for v in counts.values())
+    nulls = {k: v for k, v in rows.items() if k[0] == "null_fraction"}
+    assert all(v == 0.0 for v in nulls.values()), nulls
+
+    back = spark.read.parquet(out)
+    assert back.count() == len(printed["report"])
