@@ -131,7 +131,16 @@ def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
 
     from kube_etl_spark.catalog import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ×20 replication: at bench sf the raw documents table is small
+    # enough that per-batch fixed costs mask the per-row loop cost the
+    # comparison exists to show; ~100k rows puts every variant in its
+    # steady-state regime
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
+        .select("doc_id", "text")
+    )
 
     # no type hints: bench.py uses `from __future__ import annotations`,
     # which turns them into strings pandas_udf's inference can't resolve
@@ -149,13 +158,52 @@ def _udf_bench(spark, sf_dir: str) -> dict[str, float]:
         "pandas_udf": n_tok_pandas("text"),
         "python_udf": n_tok_python("text"),
     }
-    return {
-        name: _timed(
+    # numeric kernel — the regime where the pandas tier's vectorization
+    # claim actually holds (docs/architecture.md lesson 2): a logistic
+    # score over a double column, numpy ufuncs vs per-row math.exp
+    import math
+
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType
+
+    def _score_pandas(v):
+        return 1.0 / (1.0 + np.exp(-((v - 50.0) / 10.0)))
+
+    def _score_python(v):
+        return 1.0 / (1.0 + math.exp(-((v - 50.0) / 10.0)))
+
+    score_pandas = F.pandas_udf(_score_pandas, DoubleType())
+    score_python = F.udf(_score_python, DoubleType())
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(20))))
+        .select("event_id", "value")
+    )
+    num_variants = {
+        "num_builtin": F.lit(1.0) / (F.lit(1.0) + F.exp(-((F.col("value") - 50.0) / 10.0))),
+        "num_pandas_udf": score_pandas("value"),
+        "num_python_udf": score_python("value"),
+    }
+    out = {}
+    for name, col in variants.items():
+        # one untimed warm-up per variant: the Python-worker fork and
+        # Arrow-channel setup are per-session one-offs that would
+        # otherwise dominate the pandas_udf number at bench scale and
+        # invert the steady-state ordering the number documents
+        _materialize(docs.select("doc_id", col.alias("n_tokens")))
+        out[name] = _timed(
             lambda c=col: _materialize(docs.select("doc_id", c.alias("n_tokens"))),
             runs=2,
         )
-        for name, col in variants.items()
-    }
+    for name, col in num_variants.items():
+        _materialize(ev.select("event_id", col.alias("score")))
+        out[name] = _timed(
+            lambda c=col: _materialize(ev.select("event_id", c.alias("score"))),
+            runs=2,
+        )
+    return out
 
 
 def _index_bench(spark, sf_dir: str) -> dict[str, float]:

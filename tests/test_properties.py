@@ -254,3 +254,123 @@ def test_scd2_intervals_partition_time_per_key(spark):
             assert sum(1 for v in vers if v["is_current"]) <= 1
 
     run()
+
+
+@PROPS
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=2),    # event type id
+            st.integers(min_value=0, max_value=500),  # second offset
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+def test_collapse_runs_matches_python_rle(spark, evs):
+    """q_collapse_runs' gaps-and-islands grouping equals a plain Python
+    run-length encoding of each user's time-ordered event types."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    t0 = datetime.datetime(2020, 1, 1)
+    rows = [
+        (u, f"t{e}", t0 + datetime.timedelta(seconds=s), i)
+        for i, (u, e, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    got = {
+        (r["user_id"], r["event_type"], r["run_start"], r["run_len"])
+        for r in df.select(
+            "user_id", "event_type", "ts",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("run_start"), F.count(F.lit(1)).alias("run_len"))
+        .collect()
+    }
+
+    want = set()
+    by_user: dict[int, list[tuple]] = {}
+    for u, e, ts, _ in rows:
+        by_user.setdefault(u, []).append((ts, e))
+    for u, seq in by_user.items():
+        seq.sort()
+        run_start, run_type, run_len = None, None, 0
+        for ts, e in seq:
+            if e != run_type:
+                if run_type is not None:
+                    want.add((u, run_type, run_start, run_len))
+                run_start, run_type, run_len = ts, e, 1
+            else:
+                run_len += 1
+        want.add((u, run_type, run_start, run_len))
+    assert got == want
+
+
+@PROPS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_frame_median_matches_statistics_median(spark, vals):
+    """The collect_list frame median (q_rolling_median's construction,
+    forced because Spark's median aggregate rejects bounded frames)
+    equals statistics.median over every trailing 9-row window."""
+    import statistics
+
+    from pyspark.sql import Window
+
+    rows = [(i, v / 100.0) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    w = Window.orderBy("i").rowsBetween(-8, 0)
+    frame = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(frame)
+    med = F.when(
+        n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(frame, (n / 2).cast("int"))
+         + F.element_at(frame, (n / 2 + 1).cast("int"))) / 2
+    )
+    got = {r["i"]: r["m"] for r in df.select("i", med.alias("m")).collect()}
+    xs = [v for _, v in rows]
+    for i in range(len(xs)):
+        assert got[i] == statistics.median(xs[max(0, i - 8): i + 1])
+
+
+def test_entropy_and_gini_bounds(spark):
+    """Information/concentration invariants on the fixtures: per-user
+    entropy within [0, ln(n_types)]; the Gini coefficient within
+    [0, 1); RFM quartile segment counts sum to |customers|."""
+    from kube_etl_spark.registry import all_specs
+
+    from .conftest import SMOKE_SF
+
+    import math
+
+    ent = all_specs()["q_user_entropy"].fn(spark, SMOKE_SF).collect()
+    assert ent, "no users"
+    for r in ent:
+        # +6e-5: the entropy column is rounded to 4dp, which can round
+        # a maximal (uniform) entropy up across the ln(k) bound
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_types"]) + 6e-5, r
+
+    gini = all_specs()["q_revenue_gini"].fn(spark, SMOKE_SF).collect()[0]
+    assert 0.0 <= gini["gini"] < 1.0
+
+    rfm = all_specs()["q_rfm_segments"].fn(spark, SMOKE_SF).collect()
+    n_cust = sum(r["n_customers"] for r in rfm)
+    from kube_etl_spark.catalog import load_table
+
+    assert n_cust == load_table(spark, SMOKE_SF, "orders").select("o_custkey").distinct().count()
