@@ -2434,3 +2434,78 @@ def q_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_oov_rate",
+    tags=("L4", "L5"),
+    oracle="""
+WITH ref AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+ev AS (
+  SELECT doc_id, source,
+         string_split(text || ' zz' || CAST(doc_id AS VARCHAR), ' ') AS toks
+  FROM documents WHERE doc_id % 2 = 1
+),
+x AS (SELECT doc_id, source, unnest(toks) AS w FROM ev),
+d AS (
+  SELECT x.doc_id, x.source,
+         COUNT(*) AS n_tok,
+         CAST(SUM(CASE WHEN r.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM x LEFT JOIN ref r ON x.w = r.w
+  GROUP BY x.doc_id, x.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(n_oov * 1.0 / n_tok), 4) AS avg_oov_rate,
+       CAST(SUM(n_oov) AS BIGINT) AS total_oov
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): out-of-vocabulary rate — tokenize an
+    evaluation half of the corpus against the vocabulary of a
+    reference half and report per-source OOV statistics: the
+    tokenizer-drift check run before reusing a trained tokenizer on a
+    new crawl (plans/pretraining.py's vocab build is the producing
+    side; this is the consuming audit). Each eval doc gets one
+    synthetic doc-unique token so the fixture rate is nonzero and
+    per-doc distinguishable.
+
+    Scale shape: the vocabulary is DISTINCT tokens — Heaps-law
+    sublinear in corpus size and naturally bounded by the language, so
+    it broadcasts (the same judgment as q_contamination's probe set);
+    eval tokens stream through one explode + broadcast-hash lookup and
+    aggregate at the (doc) then (source) grain, both map-side
+    combinable. Nothing shuffles at token grain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ref = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        _tokens(F.concat(F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string"))).alias("toks"),
+    )
+    x = ev.select("doc_id", "source", F.explode("toks").alias("w"))
+    d = (
+        x.join(F.broadcast(ref), "w", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_oov") / F.col("n_tok")), 4).alias("avg_oov_rate"),
+            F.sum("n_oov").alias("total_oov"),
+        )
+        .orderBy("source")
+    )

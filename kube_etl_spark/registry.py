@@ -153,6 +153,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_drift_psi",
     "q_ewma_smoothing",
     "q_embedding_cohesion",
+    "q_oov_rate",
 )
 
 
