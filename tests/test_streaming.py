@@ -1070,3 +1070,66 @@ def test_drift_monitor_stationary_and_shifted(spark, tmp_path):
         (r["batch_id"], r["event_type"], r["psi"]) for r in state.read().collect()
     )
     assert before == after
+
+
+def test_materialized_join_incremental_maintenance(spark, tmp_path):
+    """MaterializedJoin stays exactly equal to the one-shot join of the
+    final fact/dim states through: late-arriving dims, fact deletes,
+    dim updates rippling to referencing facts, an fk re-pointed to a
+    MISSING dim (the stale-row trap), dim deletes orphaning facts, and
+    replay of an old batch."""
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedJoin
+
+    fact_schema = "o_orderkey long, o_custkey long, amt double, op string"
+    dim_schema = "c_custkey long, name string, op string"
+    mv = MaterializedJoin(
+        StateTable(spark, str(tmp_path / "fact"), ["o_orderkey"], "seq"),
+        StateTable(spark, str(tmp_path / "dim"), ["c_custkey"], "seq"),
+        StateTable(spark, str(tmp_path / "view"), ["o_orderkey"], "seq"),
+        fact_key="o_orderkey",
+        fact_fk="o_custkey",
+        dim_key="c_custkey",
+    )
+
+    def fb(rows, seq):
+        mv.apply_fact_batch(spark.createDataFrame(rows, fact_schema), seq)
+
+    def db(rows, seq):
+        mv.apply_dim_batch(spark.createDataFrame(rows, dim_schema), seq)
+
+    def view():
+        got = mv.read()
+        return (
+            set()
+            if got is None
+            else {(r["o_orderkey"], r["o_custkey"], r["amt"], r["name"]) for r in got.collect()}
+        )
+
+    fb([(1, 10, 5.0, "upsert"), (2, 20, 7.0, "upsert")], 1)
+    assert view() == set()  # no dims yet → nothing materialized
+    db([(10, "alice", "upsert")], 2)
+    assert view() == {(1, 10, 5.0, "alice")}  # late dim materializes fact
+    db([(20, "bob", "upsert")], 3)
+    fb([(3, 10, 9.0, "upsert"), (2, None, 1.0, "delete")], 4)
+    assert view() == {(1, 10, 5.0, "alice"), (3, 10, 9.0, "alice")}
+    db([(10, "alicia", "upsert")], 5)  # ripples to both referencing facts
+    assert view() == {(1, 10, 5.0, "alicia"), (3, 10, 9.0, "alicia")}
+    fb([(1, 99, 5.0, "upsert")], 6)  # fk re-pointed to a missing dim
+    assert view() == {(3, 10, 9.0, "alicia")}
+    db([(20, None, "delete")], 7)  # deletes an unreferenced dim: no-op
+    db([(99, "zed", "upsert")], 8)  # the missing dim arrives
+    expected = {(1, 99, 5.0, "zed"), (3, 10, 9.0, "alicia")}
+    assert view() == expected
+
+    # equivalence with the one-shot join of final states
+    f, d = mv.fact.read().drop("seq"), mv.dim.read().drop("seq")
+    oneshot = {
+        (r["o_orderkey"], r["o_custkey"], r["amt"], r["name"])
+        for r in f.join(d, f.o_custkey == d.c_custkey).collect()
+    }
+    assert oneshot == expected
+
+    # replaying an old dim batch leaves the view unchanged
+    db([(10, "alicia", "upsert")], 5)
+    assert view() == expected
