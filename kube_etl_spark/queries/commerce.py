@@ -167,3 +167,85 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_order_gap_stats",
+    tags=("W3", "A8"),
+    oracle="""
+WITH b AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS sec
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         sec - LAG(sec) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_s
+  FROM b
+)
+SELECT o_custkey,
+       COUNT(gap_s) AS n_gaps,
+       CAST((SUM(gap_s) * 10000) // (86400 * COUNT(gap_s)) AS DOUBLE) / 10000.0
+         AS avg_gap_days,
+       CAST((CAST(2 * MEDIAN(gap_s) AS BIGINT) * 10000) // 172800 AS DOUBLE) / 10000.0
+         AS median_gap_days,
+       CAST((MAX(gap_s) * 10000) // 86400 AS DOUBLE) / 10000.0
+         AS max_gap_days
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY o_custkey
+HAVING COUNT(gap_s) >= 3
+ORDER BY o_custkey
+""",
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): inter-purchase gap statistics per customer —
+    mean/median/max days between consecutive orders (the
+    churn-predictor feature: a customer whose current silence exceeds
+    their own max gap is at risk; pairs with q_rfm_segments' recency
+    quartile). Ordering carries o_orderkey so equal-date orders have a
+    deterministic LAG.
+
+    Scale shape: one hashpartition(custkey) window then a groupBy on
+    the same key — Catalyst reuses the exchange; the exact median runs
+    over each customer's own gap list (tiny frames), with
+    approx_percentile as the documented swap if per-key cardinality
+    ever explodes.
+
+    Determinism: day values are seconds/86400 rationals that can land
+    on .00005 rounding ties where the engines' ROUND algorithms split
+    (exact.py problem 2), so every day column is TRUNCATED to 4dp in
+    integer math (gaps stay integer seconds; 2·MEDIAN of ints is an
+    exactly-representable integer double → bigint)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sec = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    gap = sec - F.lag(sec).over(w)
+    return (
+        orders.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sum_s"),
+            F.median("gap_s").alias("med_s"),
+            F.max("gap_s").alias("max_s"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+        .select(
+            "o_custkey",
+            "n_gaps",
+            F.expr(
+                "CAST((sum_s * 10000) DIV (86400 * n_gaps) AS DOUBLE) / 10000.0"
+            ).alias("avg_gap_days"),
+            F.expr(
+                "CAST((CAST(2 * med_s AS BIGINT) * 10000) DIV 172800 AS DOUBLE) / 10000.0"
+            ).alias("median_gap_days"),
+            F.expr("CAST((max_s * 10000) DIV 86400 AS DOUBLE) / 10000.0").alias(
+                "max_gap_days"
+            ),
+        )
+        .orderBy("o_custkey")
+    )

@@ -2509,3 +2509,60 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dup_rate_by_source",
+    tags=("L1", "A1"),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id < 50
+),
+h AS (
+  SELECT source, sha256(text) AS hsh, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS dup_rate
+FROM h GROUP BY source ORDER BY source
+""",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 (EXT, round 3): duplicate rate per source — the fraction of
+    each source's documents that are non-canonical copies (global
+    content hash, min-doc_id canonical — q_dedup_exact's winner rule),
+    over the same synthetic-duplicate augmentation. This is the number
+    that feeds mixture reweighting: a source whose dup_rate is high
+    contributes less unique signal than its raw share suggests
+    (q_domain_mixture consumes the corrected counts).
+
+    Scale shape: one shuffle keyed on the 32-byte digest to rank
+    copies, then a map-side-combinable rollup to |sources| rows. The
+    ROW_NUMBER-over-hash is the same physical shape as the dedup
+    winner pick — no second pass over text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    ranked = aug.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

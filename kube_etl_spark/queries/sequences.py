@@ -221,3 +221,92 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max(F.abs(F.col("cus"))), 4).alias("max_cusum"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_session_stats",
+    tags=("ST", "A1"),
+    oracle="""
+WITH b AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+e AS (
+  SELECT user_id, ts, event_id, sec,
+         CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM b
+),
+s AS (
+  SELECT user_id, sec,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+),
+sessions AS (
+  SELECT user_id, sess, COUNT(*) AS n_events,
+         MAX(sec) - MIN(sec) AS dur_s
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST((SUM(n_events) * 10000) // COUNT(*) AS DOUBLE) / 10000.0
+         AS avg_events_per_session,
+       CAST((SUM(dur_s) * 10000) // (60 * COUNT(*)) AS DOUBLE) / 10000.0
+         AS avg_session_minutes
+FROM sessions GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): per-user session SUMMARY over 30-minute-gap
+    sessions — count, events per session, mean duration (the
+    engagement rollup downstream of ST3's per-session windows and
+    q_concurrency_profile's sweep, sharing their island definition).
+
+    Scale shape: island detection and the session rollup share one
+    hashpartition(user_id) exchange family (lag window → cumulative
+    flag → (user, sess) agg → (user) agg, each map-side combinable
+    after the first sort). Output is |users| rows.
+
+    Determinism: both averages are rationals with small denominators
+    (n, 60·n) that systematically land on .00005 rounding ties where
+    Spark (HALF_UP on the exact decimal) and DuckDB (float nearbyint)
+    disagree — exact.py problem 2. So they are TRUNCATED to 4dp in
+    pure integer math (scale by 10⁴, integer-divide, exact int→double)
+    — bit-identical in both engines by construction."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = sec - F.lag(sec).over(w_u)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = ev.withColumn(
+        "sess",
+        F.sum(new_sess).over(w_u.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("sec", sec)
+    sessions = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur_s"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("dur_s").alias("sum_dur"),
+        )
+        .select(
+            "user_id",
+            "n_sessions",
+            "n_events",
+            F.expr(
+                "CAST((n_events * 10000) DIV n_sessions AS DOUBLE) / 10000.0"
+            ).alias("avg_events_per_session"),
+            F.expr(
+                "CAST((sum_dur * 10000) DIV (60 * n_sessions) AS DOUBLE) / 10000.0"
+            ).alias("avg_session_minutes"),
+        )
+        .orderBy("user_id")
+    )

@@ -387,8 +387,12 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sanity checks on top.
     oracle="""
 WITH e AS (
+  -- per-timestamp floor-to-second BEFORE differencing: Spark's
+  -- unix_timestamp truncates each timestamp, and floor(a)-floor(b) ≠
+  -- floor(a-b) at the 1800 s boundary with fractional epochs
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events

@@ -154,6 +154,9 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_ewma_smoothing",
     "q_embedding_cohesion",
     "q_oov_rate",
+    "q_session_stats",
+    "q_order_gap_stats",
+    "q_dup_rate_by_source",
 )
 
 

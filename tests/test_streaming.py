@@ -884,7 +884,8 @@ def test_concurrency_profile_matches_duckdb_oracle(spark):
     want = con.sql("""
         WITH e AS (
           SELECT user_id, ts,
-                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                 CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS new_sess
           FROM events
