@@ -707,3 +707,53 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_tpch_q4_order_priority",
+    tags=("TPCH",),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to the fixture
+    columns: the reference Q4's lateness test (l_commitdate <
+    l_receiptdate) uses columns the fixtures lack, so lateness here is
+    'some line shipped more than 60 days after the order date' — the
+    same correlated-EXISTS semi-join + single-level count, with the
+    correlation carrying an inequality on BOTH tables' columns (the
+    part plain equi-semi-joins can't express).
+
+    Scale shape: the date window pushes to the orders scan; the EXISTS
+    becomes a LEFT SEMI hash join on l_orderkey with the shipdate
+    inequality as a residual — lineitem is filtered to the join's
+    3-column projection and never aggregated. At 100 TB the semi join
+    shuffles once on orderkey and short-circuits per key."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

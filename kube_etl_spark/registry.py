@@ -157,6 +157,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_session_stats",
     "q_order_gap_stats",
     "q_dup_rate_by_source",
+    "q_tpch_q4_order_priority",
 )
 
 

@@ -57,8 +57,8 @@ def test_correctness_window_is_curated():
 
     # cap: next round's window frees ~42 slots (8 pinned anchors; after
     # r03 only ROTATE_NEXT lacks driver evidence), so a parking-lot
-    # guard well under that margin still absorbs everything next round
-    assert len(ROTATE_NEXT) <= 30
+    # guard under that margin still absorbs everything in one rotation
+    assert len(ROTATE_NEXT) <= 35
     assert all(specs[n].oracle is not None for n in ROTATE_NEXT)
     never = [
         n for n, s in specs.items()
