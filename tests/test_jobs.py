@@ -639,3 +639,54 @@ def test_run_audit_cli(spark, tmp_path, capsys):
 
     back = spark.read.parquet(out)
     assert back.count() == len(printed["report"])
+
+
+def test_hll_sketch_rollup_merge_algebra(spark):
+    """Mergeable distinct sketches: (a) per-cell estimates within the
+    lgK=12 error envelope of exact distincts; (b) the merge algebra is
+    EXACT — union-of-day-sketches estimates equal a direct sketch over
+    the raw data (register merge is pointwise max), per event type and
+    globally; (c) the rollup reads only |cells| rows."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import build_daily_sketches, estimate_distinct
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    cells = build_daily_sketches(ev).cache()
+
+    # (a) per-type estimates vs exact, 5% tolerance (3σ at lgK=12)
+    est = {
+        r["event_type"]: r["distinct_users_est"]
+        for r in estimate_distinct(cells, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(2, 0.05 * e), (t, est[t], e)
+
+    # (b) merged day-cells == direct sketch over raw rows, exactly
+    direct = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("d"))
+        .collect()
+    }
+    assert est == direct
+    total_merged = estimate_distinct(cells).collect()[0]["distinct_users_est"]
+    total_direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+    ).collect()[0][0]
+    assert total_merged == total_direct
+
+    # (c) the rollup input is cell-sized — bounded by days × types
+    # (data-INDEPENDENT: the same ≤155 cells at any corpus size; the
+    # smoke fixture only has 1000 events, so a ratio test would lie)
+    n_days = ev.select(F.date_trunc("day", F.col("ts").cast("timestamp"))).distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert cells.count() <= n_days * n_types
+    cells.unpersist()
