@@ -60,3 +60,72 @@ def user_activity_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API (successor
+# to applyInPandasWithState above: explicit typed state handles, timers,
+# TTL, and composable state variables per key).
+#
+# NOTE: the operator's Python worker protocol speaks protobuf
+# (pyspark.sql.streaming.proto); this build container has no
+# google.protobuf, so the stream test skips here (tests/test_streaming.
+# py::test_transform_with_state_topk_matches_batch documents the seam)
+# while the processor itself is complete and runs wherever protobuf
+# exists. applyInPandasWithState above has no such dependency and
+# remains the exercised path in this environment.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TOPK_OUTPUT_SCHEMA = "user_id long, rank int, value double"
+_TOPK_K = 3
+
+
+class TopKProcessor(StatefulProcessor):
+    """Per-key running top-k values across micro-batches — the
+    streaming leaderboard/alert-threshold primitive. State is ONE
+    ListState of at most k doubles per key (bounded regardless of
+    stream length); each batch merges its values into the kept list
+    and emits the post-batch ranking for keys it touched.
+
+    The same algebra as a batch WindowGroupLimit top-k (q_window_
+    topk_group), maintained incrementally: merge-then-truncate is
+    associative, so replaying a batch converges (the test asserts
+    stream ≡ batch on the final snapshots)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._topk = handle.getListState("topk", "value double")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        vals: list[float] = []
+        for pdf in rows:
+            vals.extend(float(v) for v in pdf["value"])
+        kept = [float(r["value"]) for r in self._topk.get()]
+        merged = sorted(kept + vals, reverse=True)[:_TOPK_K]
+        self._topk.put([(v,) for v in merged])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(merged),
+                "rank": list(range(1, len(merged) + 1)),
+                "value": merged,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def topk_tracker(events: DataFrame) -> DataFrame:
+    """Attach the top-k processor to a (streaming) events frame with
+    columns (user_id, value). Requires the RocksDB state store
+    (transformWithState's backing store; session.use_rocksdb_state_store)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TopKProcessor(),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

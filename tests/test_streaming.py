@@ -1134,3 +1134,64 @@ def test_materialized_join_incremental_maintenance(spark, tmp_path):
     # replaying an old dim batch leaves the view unchanged
     db([(10, "alicia", "upsert")], 5)
     assert view() == expected
+
+
+def test_transform_with_state_topk_matches_batch(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas top-k tracker: replay the
+    fixture in 3 micro-batches; each user's FINAL emitted ranking must
+    equal the batch top-3 of their values (stream ≡ batch for the
+    incremental merge-then-truncate algebra).
+
+    transformWithState's Python worker protocol runs over protobuf,
+    which this container lacks — skip (not xfail: the operator itself
+    is exercised nowhere else) when the import seam is closed."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState worker protocol needs protobuf",
+    )
+    from pyspark.sql import Window
+
+    from kube_etl_spark.session import use_rocksdb_state_store
+    from kube_etl_spark.streaming.stateful import topk_tracker
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id", "value")
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=3, order_col="event_id")
+
+    latest: dict[int, list[tuple[int, float]]] = {}
+    seen_batch: dict[int, int] = {}
+
+    def _collect(batch, bid):
+        for r in batch.collect():
+            u = r["user_id"]
+            if seen_batch.get(u, -1) != bid:
+                latest[u] = []
+                seen_batch[u] = bid
+            latest[u].append((r["rank"], r["value"]))
+
+    prev = use_rocksdb_state_store(spark, True)
+    try:
+        q = (
+            topk_tracker(stream)
+            .writeStream.foreachBatch(_collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        use_rocksdb_state_store(spark, False)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    expect: dict[int, list[tuple[int, float]]] = {}
+    for r in (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    ):
+        expect.setdefault(r["user_id"], []).append((r["rank"], r["value"]))
+
+    assert set(latest) == set(expect)
+    for u in expect:
+        assert sorted(latest[u]) == sorted(expect[u]), (u, latest[u], expect[u])
