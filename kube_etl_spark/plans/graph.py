@@ -1,0 +1,81 @@
+"""Iterative graph analytics over DataFrames (EXT; the join-based
+Pregel substitute for when the graph IS a table).
+
+PageRank here is the representative iterative algorithm: each round is
+rank ⋈ edges → groupBy(dst) — pure DataFrame algebra, so Catalyst
+plans every round and AQE sizes its shuffles. The two things naive
+Spark loops get wrong are handled explicitly:
+
+  * **lineage truncation**: each iteration's plan references the
+    previous one; after ~10 rounds the nested plan tree makes the
+    optimizer quadratic and a task retry recomputes the whole chain.
+    Ranks are localCheckpoint'ed every CHECKPOINT_EVERY rounds —
+    O(|nodes|) extra I/O that caps plan depth (the same fix
+    queries/llm.py's k-means applies).
+  * **dangling mass**: nodes with no out-edges leak rank; their mass is
+    redistributed uniformly each round so Σrank stays 1 (asserted in
+    tests), matching the canonical formulation.
+
+The companion duplicate-clustering iteration (min-label propagation)
+lives in queries/llm.py (q_dedup_clusters); this module is the
+weighted-importance counterpart on the same join-per-round shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list with columns (src, dst).
+    Returns (node, rank), Σrank = 1. Deterministic up to float
+    summation order (validated against an independent driver-side
+    implementation with tolerance in tests)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge weight 1/deg, precomputed once — the per-round join carries
+    # only (src, dst, w)
+    w_edges = edges.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).persist()
+    w_edges.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(w_edges, ranks.node == w_edges.src)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        # rank mass sitting on dangling nodes (no out-edges) this round
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("m") / n)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -690,3 +690,42 @@ def test_hll_sketch_rollup_merge_algebra(spark):
     n_types = ev.select("event_type").distinct().count()
     assert cells.count() <= n_days * n_types
     cells.unpersist()
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """Join-based PageRank vs an independent driver-side implementation
+    on a small graph with a dangling node and a hub; Σrank = 1 every
+    time, values within float-summation tolerance, and the hub ranks
+    strictly above the leaves."""
+    from kube_etl_spark.plans.graph import pagerank
+
+    # 1→2, 1→3, 2→3, 3→1, 4→3 (4 has in-degree 0; 5 dangling via 3→5)
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=20).collect()}
+
+    # independent reference (plain Python, same formulation)
+    nodes = sorted({n for e in edge_list for n in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    damping = 0.85
+    for _ in range(20):
+        contrib = {v: 0.0 for v in nodes}
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += ranks[s] / len(ds)
+        ranks = {
+            v: (1 - damping) / n + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # 3 receives from 1, 2 and 4: the hub outranks the in-degree-0 node
+    assert got[3] > got[4]
