@@ -249,3 +249,76 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Generate the DuckDB twin of plans/graph.pagerank as a chain of
+    unrolled per-iteration CTEs (DuckDB's recursive CTEs can't carry
+    the full-frame join each round needs; unrolling keeps the algebra
+    identical to the Spark loop)."""
+    head = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, COUNT(*) AS d FROM pairs GROUP BY src),
+e AS (SELECT p.src, p.dst, 1.0 / deg.d AS w FROM pairs p JOIN deg ON p.src = deg.src),
+nodes AS (SELECT DISTINCT src AS node FROM pairs),
+t AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / t.n AS rank FROM nodes, t)"""
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r{i - 1}.rank * e.w) AS contrib
+  FROM r{i - 1} JOIN e ON r{i - 1}.node = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, 0.15 / t.n + 0.85 * COALESCE(c{i}.contrib, 0.0) AS rank
+  FROM nodes n CROSS JOIN t LEFT JOIN c{i} ON n.node = c{i}.node
+)"""
+    return head + body + f"""
+SELECT node AS part, ROUND(rank, 6) AS rank FROM r{iters} ORDER BY node"""
+
+
+@query(
+    "q_pagerank_copurchase",
+    tags=("J1", "A1"),
+    oracle=_pagerank_oracle(5),
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 3): PageRank over the co-purchase graph — parts that
+    anchor many baskets rank highest (the substitutability/centrality
+    score recommender pipelines consume). Edges are the distinct
+    mirrored co-purchase pairs; 5 damped iterations via
+    plans/graph.pagerank (join-per-round, lineage-truncated). The
+    oracle unrolls the identical algebra as chained CTEs, so an
+    ITERATIVE algorithm sits under the driver's hash gate — ranks
+    round to 6dp, far above float-summation noise (~1e-16) and the
+    mirrored graph has no dangling nodes, so the redistribution term
+    is exactly zero on both engines.
+
+    Scale shape: per round one rank⋈edges shuffle keyed on src and one
+    groupBy(dst) — both map-side combinable; the per-round driver
+    round-trip is the scalar n only (the k-means design)."""
+    from ..plans.graph import pagerank
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        pagerank(edges, iterations=5)
+        .select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
+        .orderBy("part")
+    )

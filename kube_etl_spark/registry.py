@@ -158,6 +158,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_order_gap_stats",
     "q_dup_rate_by_source",
     "q_tpch_q4_order_priority",
+    "q_pagerank_copurchase",
 )
 
 
