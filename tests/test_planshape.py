@@ -585,3 +585,14 @@ def test_gini_prunes_orders_scan(spark):
     assert "o_custkey" in read and "o_totalprice" in read
     for col in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
         assert col not in read, f"{col} read but unused"
+
+
+def test_pagerank_rounds_stay_keyed(spark):
+    """Every PageRank round must be an equi-join (rank⋈edges on src)
+    plus a keyed aggregate — an accidental cartesian in the iteration
+    body would multiply by |nodes| at every round."""
+    plan = _plan(spark, "q_pagerank_copurchase")
+    assert "CartesianProduct" not in plan
+    # the dangling-mass 1-row frame is the only legitimate NLJ input;
+    # it must arrive broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
