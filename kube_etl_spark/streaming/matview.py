@@ -124,3 +124,105 @@ class MaterializedJoin:
 
     def read(self) -> DataFrame | None:
         return self.view.read()
+
+
+class MaterializedAgg:
+    """Incrementally-maintained aggregate view: group_col → (n_rows,
+    total) over a CDC fact feed, without re-aggregating the fact table.
+
+    Delta maintenance: for each batch, the OLD contribution of the
+    batch's keys (from fact state before the merge) and their NEW
+    contribution (after) are aggregated per group; the view adds the
+    difference. A key moving BETWEEN groups debits its old group and
+    credits the new one automatically (its old and new rows aggregate
+    under different group values). Totals are exact decimals, so
+    credit/debit is associative and replay-safe: re-applying a batch
+    finds old ≡ new and produces a zero delta.
+
+    Scale shape: per batch the work is two key-pruned slices of fact
+    state + a |groups-touched| merge into the view — the fact table is
+    never re-scanned in full."""
+
+    def __init__(
+        self,
+        fact_state: StateTable,
+        view_state: StateTable,
+        fact_key: str,
+        group_col: str,
+        value_col: str,
+    ):
+        self.fact = fact_state
+        self.view = view_state
+        self.fact_key = fact_key
+        self.group_col = group_col
+        self.value_col = value_col
+
+    def _contrib(self, rows: DataFrame | None) -> DataFrame | None:
+        if rows is None:
+            return None
+        return rows.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(self.value_col).cast("decimal(20,2)")).alias("s"),
+        )
+
+    def apply_fact_batch(self, batch: DataFrame, batch_seq: int) -> None:
+        keys = batch.select(self.fact_key).distinct()
+        before = self.fact.read()
+        old = (
+            before.join(keys, self.fact_key, "left_semi") if before is not None else None
+        )
+        # materialize the old contribution BEFORE the merge: read() goes
+        # through the state symlink and merge_batch deletes the prior
+        # version dir, so a lazy plan evaluated later would see post-
+        # merge data (or dead files). The checkpointed frame is tiny —
+        # |groups touched by this batch| rows.
+        oc = self._contrib(old)
+        if oc is not None:
+            oc = oc.localCheckpoint(eager=True)
+        self.fact.merge_batch(
+            batch.withColumn("seq", F.lit(batch_seq).cast("bigint"))
+        )
+        after = self.fact.read()
+        new = after.join(keys, self.fact_key, "left_semi")
+
+        nc = self._contrib(new)
+        if oc is not None:
+            oc = oc.withColumnRenamed("n", "n_old").withColumnRenamed("s", "s_old")
+            delta = nc.join(oc, self.group_col, "full")
+        else:
+            delta = nc.withColumn("n_old", F.lit(None)).withColumn("s_old", F.lit(None))
+        delta = delta.select(
+            self.group_col,
+            (F.coalesce("n", F.lit(0)) - F.coalesce("n_old", F.lit(0))).alias("dn"),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(20,2)"))
+                - F.coalesce(F.col("s_old"), F.lit(0).cast("decimal(20,2)"))
+            ).alias("ds"),
+        ).filter((F.col("dn") != 0) | (F.col("ds") != 0))
+
+        cur = self.view.read()
+        if cur is not None:
+            cur = cur.select(
+                self.group_col,
+                F.col("n_rows").alias("cur_n"),
+                F.col("total").cast("decimal(20,2)").alias("cur_s"),
+            )
+            merged = delta.join(cur, self.group_col, "left")
+        else:
+            merged = delta.withColumn("cur_n", F.lit(None)).withColumn("cur_s", F.lit(None))
+        updated = merged.select(
+            self.group_col,
+            (F.coalesce("cur_n", F.lit(0)) + F.col("dn")).alias("n_rows"),
+            (
+                F.coalesce(F.col("cur_s"), F.lit(0).cast("decimal(20,2)")) + F.col("ds")
+            ).alias("total"),
+            F.lit(batch_seq).cast("bigint").alias("seq"),
+            # groups whose membership dropped to zero leave the view
+            F.when(F.coalesce("cur_n", F.lit(0)) + F.col("dn") <= 0, "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        self.view.merge_batch(updated)
+
+    def read(self) -> DataFrame | None:
+        return self.view.read()

@@ -1195,3 +1195,61 @@ def test_transform_with_state_topk_matches_batch(spark, tmp_path):
     assert set(latest) == set(expect)
     for u in expect:
         assert sorted(latest[u]) == sorted(expect[u]), (u, latest[u], expect[u])
+
+
+def test_materialized_agg_incremental_maintenance(spark, tmp_path):
+    """MaterializedAgg equals the one-shot aggregate of final fact
+    state through value updates, keys MOVING between groups, deletes
+    emptying a group (which must leave the view), re-adds, and batch
+    replay."""
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedAgg
+
+    schema = "k long, grp string, amt double, op string"
+    ma = MaterializedAgg(
+        StateTable(spark, str(tmp_path / "fact"), ["k"], "seq"),
+        StateTable(spark, str(tmp_path / "view"), ["grp"], "seq"),
+        fact_key="k",
+        group_col="grp",
+        value_col="amt",
+    )
+
+    def apply(rows, seq):
+        ma.apply_fact_batch(spark.createDataFrame(rows, schema), seq)
+
+    def view():
+        got = ma.read()
+        return (
+            {}
+            if got is None
+            else {r["grp"]: (r["n_rows"], float(r["total"])) for r in got.collect()}
+        )
+
+    def oneshot():
+        f = ma.fact.read()
+        if f is None:
+            return {}
+        return {
+            r["grp"]: (r["n"], float(r["s"]))
+            for r in f.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+            .collect()
+        }
+
+    apply([(1, "a", 10.0, "upsert"), (2, "a", 20.0, "upsert"),
+           (3, "b", 30.0, "upsert"), (4, "b", 5.0, "upsert")], 1)
+    assert view() == {"a": (2, 30.0), "b": (2, 35.0)} == oneshot()
+
+    # update value, MOVE key 3 b→a, delete key 4 (emptying nothing yet)
+    apply([(2, "a", 25.0, "upsert"), (3, "a", 7.0, "upsert"),
+           (4, None, None, "delete")], 2)
+    assert view() == {"a": (3, 42.0)} == oneshot()  # b emptied and gone
+
+    # replay batch 2: zero delta, unchanged
+    apply([(2, "a", 25.0, "upsert"), (3, "a", 7.0, "upsert"),
+           (4, None, None, "delete")], 2)
+    assert view() == {"a": (3, 42.0)} == oneshot()
+
+    # re-add key 4 under a new group
+    apply([(4, "c", 9.5, "upsert")], 3)
+    assert view() == {"a": (3, 42.0), "c": (1, 9.5)} == oneshot()
