@@ -596,3 +596,33 @@ def test_pagerank_rounds_stay_keyed(spark):
     # the dangling-mass 1-row frame is the only legitimate NLJ input;
     # it must arrive broadcast, never shuffled
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sequence_ops_exchange_budget(spark):
+    """Shuffle-count guards for the event-sequence family: the lag /
+    cumulative / rollup chain must run in ONE user_id hash exchange
+    (plus the output sort); entropy gets one extra exchange that
+    carries the ALREADY-AGGREGATED (user, type) frame, never raw rows.
+    A refactor that splits the window family into per-step shuffles
+    fails here before it costs anything at scale."""
+    import re
+
+    def exchanges(name):
+        df = all_specs()[name].fn(spark, SMOKE_SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        return re.findall(r"Exchange (\w+)partitioning\(([^)]*)\)", plan)
+
+    for name in ("q_cusum_changepoint", "q_session_stats"):
+        ex = exchanges(name)
+        hashes = [e for e in ex if e[0] == "hash"]
+        assert len(hashes) == 1 and "user_id" in hashes[0][1], (name, ex)
+        assert len(ex) <= 2, (name, ex)  # + the deterministic output sort
+
+    ex = exchanges("q_user_entropy")
+    hashes = [e for e in ex if e[0] == "hash"]
+    assert len(hashes) == 2, ex
+    # raw rows shuffle once on the full grouping key; the user_id-only
+    # exchange re-partitions the aggregated frame
+    assert any("event_type" in h[1] for h in hashes), ex
