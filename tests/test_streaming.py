@@ -1253,3 +1253,36 @@ def test_materialized_agg_incremental_maintenance(spark, tmp_path):
     # re-add key 4 under a new group
     apply([(4, "c", 9.5, "upsert")], 3)
     assert view() == {"a": (3, 42.0), "c": (1, 9.5)} == oneshot()
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    """Stream⋈static enrichment: a streaming event feed joined with a
+    static dimension inside the streaming query (re-resolved per
+    micro-batch, no watermark needed on the static side) must equal
+    the batch join of the same inputs — including rows REJECTED by the
+    inner join (unknown dimension keys drop in both modes)."""
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id", "value")
+    # static dim covering only even user ids — odd-user events must drop
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    batch = {
+        (r["event_id"], r["tier"])
+        for r in ev.join(dim, "user_id").select("event_id", "tier").collect()
+    }
+    assert batch and len(batch) < ev.count()  # the filter bites
+
+    stream = chunked_file_stream(spark, ev, str(tmp_path / "src"), n_chunks=3, order_col="event_id")
+    _run_stream_to_memory(
+        stream.join(dim, "user_id").select("event_id", "tier"),
+        "t_enrich",
+        output_mode="append",
+    )
+    streamed = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    assert streamed == batch
