@@ -242,6 +242,80 @@ def _index_bench(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _ivm_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Materialized-view economics: per-batch maintenance cost of the
+    incrementally-maintained orders⋈customer view vs what it buys at
+    read time — serving from the maintained view (a parquet read) vs
+    recomputing the join from the state tables. Maintenance is
+    dominated by the fact-state rewrite (O(state) parquet churn — the
+    lakehouse-format upgrade path); the serve gap is the reason the
+    view exists."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedJoin
+
+    root = tempfile.mkdtemp(prefix="bench-ivm-")
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey"), F.col("o_custkey"), F.col("o_totalprice")
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        mv = MaterializedJoin(
+            StateTable(spark, f"{root}/fact", ["o_orderkey"], "seq"),
+            StateTable(spark, f"{root}/dim", ["c_custkey"], "seq"),
+            StateTable(spark, f"{root}/view", ["o_orderkey"], "seq"),
+            fact_key="o_orderkey",
+            fact_fk="o_custkey",
+            dim_key="c_custkey",
+        )
+        mv.apply_dim_batch(cust.withColumn("op", F.lit("upsert")), 1)
+        mv.apply_fact_batch(orders.withColumn("op", F.lit("upsert")), 2)
+        # steady state: small fact update batches (~1% of orders each)
+        t0 = time.perf_counter()
+        n_batches = 3
+        for i in range(n_batches):
+            delta = orders.filter(F.col("o_orderkey") % 97 == i).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 1.01).alias("o_totalprice"),
+                F.lit("upsert").alias("op"),
+            )
+            mv.apply_fact_batch(delta, 3 + i)
+        maintain_s = round((time.perf_counter() - t0) / n_batches, 4)
+
+        serve_view = _timed(lambda: _materialize(mv.read()), runs=2)
+        f, d = mv.fact.read(), mv.dim.read()
+        # the recompute is timed in its AT-SCALE regime (both sides too
+        # big to broadcast → sort-merge); bench-sf customer would
+        # auto-broadcast and hide the join cost the view amortizes —
+        # the same regime-isolation the skew bench applies
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            serve_join = _timed(
+                lambda: _materialize(
+                    f.drop("seq").join(d.drop("seq"), f.o_custkey == d.c_custkey)
+                ),
+                runs=2,
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        return {
+            "maintain_per_batch": maintain_s,
+            "serve_view": serve_view,
+            "serve_recompute_join_smj": serve_join,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -270,6 +344,7 @@ def main() -> None:
     skew = _skew_bench(spark, sf_dir)
     udf = _udf_bench(spark, sf_dir)
     index = _index_bench(spark, sf_dir)
+    ivm = _ivm_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -284,6 +359,7 @@ def main() -> None:
                 "skew": skew,
                 "udf": udf,
                 "index": index,
+                "ivm": ivm,
             }
         )
     )
