@@ -106,8 +106,27 @@ def batch_psi(batch: DataFrame, profile: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c_new"))
     )
     totals = counts.groupBy("event_type").agg(F.sum("c_new").alias("n_new"))
+    # event types the reference has never seen still get a row — a NEW
+    # type IS drift (n_ref = 0 marks the novelty; the Laplace-smoothed
+    # reference becomes uniform, so any concentrated batch shape
+    # scores). A left join from the profile would silently drop them.
+    novel = (
+        counts.select("event_type")
+        .distinct()
+        .join(profile.select("event_type").distinct(), "event_type", "left_anti")
+        .crossJoin(
+            batch.sparkSession.range(N_BUCKETS).select(F.col("id").alias("bucket"))
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.lit(0).cast("bigint").alias("c_ref"),
+            F.lit(0).cast("bigint").alias("n_ref"),
+        )
+    )
+    dense = profile.select("event_type", "bucket", "c_ref", "n_ref").unionByName(novel)
     joined = (
-        profile.join(counts, ["event_type", "bucket"], "left")
+        dense.join(counts, ["event_type", "bucket"], "left")
         .join(F.broadcast(totals), "event_type", "left")
         .select(
             "event_type",

@@ -1046,6 +1046,17 @@ def test_drift_monitor_stationary_and_shifted(spark, tmp_path):
     psis = {r["event_type"]: r["psi"] for r in batch_psi(shifted, profile).collect()}
     assert psis and all(v > 2.0 for v in psis.values()), psis
 
+    # a NEVER-SEEN event type must still be monitored: its row carries
+    # n_ref = 0 (novelty marker) and a concentrated batch shape scores
+    # against the uniform smoothed reference — not silently dropped
+    novel = live.limit(50).withColumn("event_type", F.lit("deploy"))
+    nrow = {
+        r["event_type"]: (r["n_ref"], r["psi"])
+        for r in batch_psi(live.unionByName(novel), profile).collect()
+    }
+    assert "deploy" in nrow and nrow["deploy"][0] == 0, nrow
+    assert nrow["deploy"][1] > 0.1, nrow
+
     # (a) streaming e2e: stationary replay stays under the alarm
     stream = chunked_file_stream(
         spark, live, str(tmp_path / "chunks"), n_chunks=2, order_col="ts"
