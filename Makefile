@@ -16,3 +16,6 @@ smoke:           ## driver-contract smoke: entry() on a plain session
 	python -c "from pyspark.sql import SparkSession; \
 	s = SparkSession.builder.master('local[8]').config('spark.ui.enabled','false').getOrCreate(); \
 	import __spark_entry__ as e; print(len(e.entry(s).collect()), 'rows')"
+
+audit:           ## data-quality battery on $SPARK_GRAFT_SF_DIR (or sf0.1)
+	python jobs/run_audit.py --input $${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
