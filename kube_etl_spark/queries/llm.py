@@ -642,8 +642,15 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast pass), and each query probes its nprobe=2 nearest lists —
     at 10⁹ vectors this turns a full scan into a ~2/16 scan. nprobe is
     the recall/cost dial: true neighbors sitting just across a centroid
-    boundary are exactly what the second probe recovers."""
-    nprobe = 2
+    boundary are exactly what the second probe recovers (recall
+    monotonicity in nprobe, and brute-force equivalence at nprobe = k,
+    are asserted in tests/test_dedup.py)."""
+    return knn_ivf(spark, sf_dir, nprobe=2)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
+    """Parameterized IVF k-NN (see q_knn_ivf); nprobe = the number of
+    nearest inverted lists each query probes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

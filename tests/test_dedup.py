@@ -162,3 +162,29 @@ def test_chunking_reassembles_to_original(spark):
             else:
                 rebuilt.extend(toks)
         assert rebuilt == docs[doc_id], f"doc {doc_id} reassembly mismatch"
+
+
+def test_ivf_nprobe_recall_monotone_and_exhaustive_limit(spark):
+    """The nprobe dial behaves: top-1 recall vs the exact ranking is
+    monotone non-decreasing in nprobe, and probing EVERY list
+    (nprobe = k) degenerates to brute force — the IVF result equals
+    q_knn_cosine's top-3 exactly."""
+    from kube_etl_spark.queries.llm import knn_ivf
+
+    specs = all_specs()
+    exact_rows = specs["q_knn_cosine"].fn(spark, SMOKE_SF).collect()
+    exact_top1 = {r["qid"]: r["cid"] for r in exact_rows if r["rank"] == 1}
+    exact_full = {(r["qid"], r["rank"]): (r["cid"], r["cos"]) for r in exact_rows}
+
+    def recall(nprobe):
+        rows = knn_ivf(spark, SMOKE_SF, nprobe=nprobe).collect()
+        top1 = {r["qid"]: r["cid"] for r in rows if r["rank"] == 1}
+        return sum(1 for q, c in exact_top1.items() if top1.get(q) == c), rows
+
+    r1, _ = recall(1)
+    r2, _ = recall(2)
+    r16, rows16 = recall(16)  # ≥ k for the 500-vector fixture
+    assert r1 <= r2 <= r16, (r1, r2, r16)
+    assert r16 == len(exact_top1), f"exhaustive probe missed: {r16}/{len(exact_top1)}"
+    got_full = {(r["qid"], r["rank"]): (r["cid"], r["cos"]) for r in rows16}
+    assert got_full == exact_full
