@@ -374,3 +374,77 @@ def test_entropy_and_gini_bounds(spark):
     from kube_etl_spark.catalog import load_table
 
     assert n_cust == load_table(spark, SMOKE_SF, "orders").select("o_custkey").distinct().count()
+
+
+@PROPS
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # key
+            st.sampled_from(["g1", "g2", "g3"]),            # group
+            st.integers(min_value=-1000, max_value=1000),   # cents
+            st.booleans(),                                   # delete?
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=1, max_value=11),
+)
+def test_materialized_agg_random_oplog_converges(spark, tmp_path_factory, ops, split):
+    """MaterializedAgg under ARBITRARY op sequences applied in two
+    batches equals the one-shot aggregate of final fact state — the
+    delta algebra has no path-dependence."""
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedAgg
+
+    tmp = tmp_path_factory.mktemp("magg")
+    ma = MaterializedAgg(
+        StateTable(spark, str(tmp / "fact"), ["k"], "seq"),
+        StateTable(spark, str(tmp / "view"), ["grp"], "seq"),
+        fact_key="k",
+        group_col="grp",
+        value_col="amt",
+    )
+    schema = "k long, grp string, amt double, op string"
+    rows = [
+        (k, g, c / 100.0, "delete" if d else "upsert") for k, g, c, d in ops
+    ]
+    # later ops for the same key must win: give batch 2 higher seq and
+    # dedupe within each batch to its LAST op per key (the contract —
+    # one op per key per batch, like a compacted CDC feed)
+    def compact(batch):
+        last = {}
+        for r in batch:
+            last[r[0]] = r
+        return list(last.values())
+
+    b1, b2 = compact(rows[:split]), compact(rows[split:])
+    if b1:
+        ma.apply_fact_batch(spark.createDataFrame(b1, schema), 1)
+    if b2:
+        ma.apply_fact_batch(spark.createDataFrame(b2, schema), 2)
+
+    got_df = ma.read()
+    got = (
+        {}
+        if got_df is None
+        else {r["grp"]: (r["n_rows"], float(r["total"])) for r in got_df.collect()}
+    )
+    f = ma.fact.read()
+    # one-shot twin in the SAME decimal algebra the view keeps (raw
+    # double sums would differ in the last ulp — the view is the more
+    # exact of the two)
+    want = (
+        {}
+        if f is None
+        else {
+            r["grp"]: (r["n"], float(r["s"]))
+            for r in f.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("amt").cast("decimal(20,2)")).alias("s"),
+            )
+            .collect()
+        }
+    )
+    assert got == want, (got, want, b1, b2)
