@@ -19,3 +19,6 @@ smoke:           ## driver-contract smoke: entry() on a plain session
 
 audit:           ## data-quality battery on $SPARK_GRAFT_SF_DIR (or sf0.1)
 	python jobs/run_audit.py --input $${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+
+catalog:         ## regenerate docs/operators.md from the registry
+	python -m kube_etl_spark.catalog_doc

@@ -87,3 +87,13 @@ def test_priority_degrades_gracefully(monkeypatch):
     assert "q_definitely_not_registered" not in specs
     assert list(specs)[:5] == list(bad[:5])  # survivors keep window order
     assert len(specs) == len(registry._REGISTRY)
+
+
+def test_operator_catalog_in_sync():
+    """docs/operators.md must match the registry exactly — the catalog
+    is generated (`make catalog`), and a stale committed copy would
+    advertise operators that don't exist (or hide ones that do)."""
+    from kube_etl_spark.catalog_doc import _DOC, render
+
+    with open(_DOC) as f:
+        assert f.read() == render(), "docs/operators.md is stale — run `make catalog`"
