@@ -23,19 +23,25 @@ def main(argv: list[str]) -> None:
 
     from pyspark.sql import SparkSession
 
-    from kube_etl_spark.plans.audit import audit_report
+    from kube_etl_spark.plans.audit import audit_report, evaluate_alerts
     from kube_etl_spark.session import configure
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-audit").getOrCreate())
-    report = audit_report(spark, args.input)
+    report = evaluate_alerts(audit_report(spark, args.input))
     if args.output:
         report.coalesce(1).write.mode("overwrite").parquet(args.output)
     rows = [
-        {"check": r["check"], "subject": r["subject"], "value": r["value"]}
+        {
+            "check": r["check"],
+            "subject": r["subject"],
+            "value": r["value"],
+            "alert": r["alert"],
+        }
         for r in report.collect()
     ]
-    print(json.dumps({"checks": len(rows), "report": rows}))
+    n_alerts = sum(1 for r in rows if r["alert"])
+    print(json.dumps({"checks": len(rows), "alerts": n_alerts, "report": rows}))
     if owned:
         spark.stop()
 

@@ -112,3 +112,34 @@ def audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         report = report.unionByName(f)
     return report.orderBy("check", "subject")
+
+
+# Alert thresholds the operators act on (docs/pipelines.md's table,
+# executable). Keyed by check name; subjects within a check share the
+# threshold. Benford is advisory-only and deliberately absent.
+ALERT_THRESHOLDS: dict[str, float] = {
+    "fk_orphans": 0.0,       # any orphan = a delete-propagation leak
+    "drift_psi_max": 0.25,   # the standard PSI investigate threshold
+    "null_fraction": 0.0,    # keyed columns must be fully populated
+}
+
+
+def evaluate_alerts(report: DataFrame) -> DataFrame:
+    """Attach the alert verdicts to an audit_report frame: one boolean
+    per row (value > its check's threshold; checks without a threshold
+    never alert). The caller gates deploys / pages on
+    `evaluate_alerts(r).filter('alert').count() == 0`."""
+    thr = F.create_map(
+        *[F.lit(x) for kv in ALERT_THRESHOLDS.items() for x in kv]
+    )
+    return report.select(
+        "check",
+        "subject",
+        "value",
+        F.when(
+            thr.getItem(F.col("check")).isNotNull(),
+            F.col("value") > thr.getItem(F.col("check")),
+        )
+        .otherwise(F.lit(False))
+        .alias("alert"),
+    )

@@ -729,3 +729,39 @@ def test_pagerank_matches_reference_implementation(spark):
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     # 3 receives from 1, 2 and 4: the hub outranks the in-degree-0 node
     assert got[3] > got[4]
+
+
+def test_audit_alert_evaluation(spark):
+    """evaluate_alerts turns the report into actionable verdicts: the
+    clean fixtures alert on NOTHING, a doctored report row alerts on
+    exactly the thresholds it crosses, and threshold-less checks
+    (row_count, benford) never alert."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.plans.audit import audit_report, evaluate_alerts
+
+    verdicts = evaluate_alerts(audit_report(spark, SMOKE_SF))
+    rows = verdicts.collect()
+    assert rows and not any(r["alert"] for r in rows), [
+        (r["check"], r["subject"]) for r in rows if r["alert"]
+    ]
+
+    doctored = spark.createDataFrame(
+        [
+            ("fk_orphans", "lineitem->orders", 3.0),
+            ("drift_psi_max", "events.value", 0.9),
+            ("drift_psi_max", "events.value2", 0.1),
+            ("benford_max_deviation", "orders.o_totalprice", 99.0),
+            ("row_count", "orders", 0.0),
+        ],
+        "check string, subject string, value double",
+    )
+    got = {
+        (r["check"], r["subject"]): r["alert"]
+        for r in evaluate_alerts(doctored).collect()
+    }
+    assert got[("fk_orphans", "lineitem->orders")] is True
+    assert got[("drift_psi_max", "events.value")] is True
+    assert got[("drift_psi_max", "events.value2")] is False
+    assert got[("benford_max_deviation", "orders.o_totalprice")] is False
+    assert got[("row_count", "orders")] is False
