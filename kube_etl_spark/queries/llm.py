@@ -734,7 +734,17 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     an explode-by-table + equi-join on (table, bucket): all shuffles
     keyed, candidate set ~bucket-sized per table, never all-pairs. k
     scales up with corpus size to keep buckets bounded (3 bits is sized
-    to this fixture; 10⁹ vectors wants ~20+ bits and more tables)."""
+    to this fixture; 10⁹ vectors wants ~20+ bits and more tables).
+    L is the recall dial — monotonicity in the table count is asserted
+    in tests/test_dedup.py."""
+    return knn_lsh(spark, sf_dir, n_tables=_LSH_TABLES)
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str, n_tables: int = _LSH_TABLES) -> DataFrame:
+    """Parameterized multi-table LSH ANN (see q_knn_lsh); n_tables = L,
+    the union-of-buckets recall dial (uses the FIRST L of the fixed
+    deterministic hyperplane families, so smaller L probes a strict
+    subset of larger L's candidates)."""
     planes = _hyperplanes()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -757,7 +767,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _bit(planes[t * _LSH_BITS]),
                 ).alias("bucket"),
             )
-            for t in range(_LSH_TABLES)
+            for t in range(n_tables)
         ]
     )
     bucketed = (

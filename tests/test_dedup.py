@@ -188,3 +188,27 @@ def test_ivf_nprobe_recall_monotone_and_exhaustive_limit(spark):
     assert r16 == len(exact_top1), f"exhaustive probe missed: {r16}/{len(exact_top1)}"
     got_full = {(r["qid"], r["rank"]): (r["cid"], r["cos"]) for r in rows16}
     assert got_full == exact_full
+
+
+def test_lsh_table_count_recall_monotone(spark):
+    """The L dial behaves: because table t's planes are the same for
+    every L (prefix of one fixed family), L tables' candidate set is a
+    strict superset of L−1's — so top-1 recall vs the exact ranking is
+    monotone non-decreasing in the table count."""
+    from kube_etl_spark.queries.llm import knn_lsh
+
+    specs = all_specs()
+    exact_top1 = {
+        r["qid"]: r["cid"]
+        for r in specs["q_knn_cosine"].fn(spark, SMOKE_SF).collect()
+        if r["rank"] == 1
+    }
+
+    def recall(n_tables):
+        rows = knn_lsh(spark, SMOKE_SF, n_tables=n_tables).collect()
+        top1 = {r["qid"]: r["cid"] for r in rows if r["rank"] == 1}
+        return sum(1 for q, c in exact_top1.items() if top1.get(q) == c)
+
+    r1, r4, r10 = recall(1), recall(4), recall(10)
+    assert r1 <= r4 <= r10, (r1, r4, r10)
+    assert r10 * 2 >= len(exact_top1), f"L=10 recall too low: {r10}/{len(exact_top1)}"
