@@ -290,6 +290,41 @@ def _ivm_bench(spark, sf_dir: str) -> dict[str, float]:
             mv.apply_fact_batch(delta, 3 + i)
         maintain_s = round((time.perf_counter() - t0) / n_batches, 4)
 
+        # same maintenance with RANGE-bucketed state and a recent-keys
+        # delta (the CDC-trickle shape): the batch lands in one bucket,
+        # so only that bucket rewrites — vs the flat table's O(state)
+        # churn. (Hash buckets would NOT help here: a uniform batch
+        # touches every bucket and the per-bucket job overhead loses —
+        # see BucketedStateTable's docstring.)
+        from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+        max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        width = max(1, int(max_key) // 12)
+        rb = F.floor(F.col("o_orderkey") / width)
+        mvb = MaterializedJoin(
+            BucketedStateTable(spark, f"{root}/factb", ["o_orderkey"], "seq", bucket_col=rb),
+            StateTable(spark, f"{root}/dimb", ["c_custkey"], "seq"),
+            BucketedStateTable(spark, f"{root}/viewb", ["o_orderkey"], "seq", bucket_col=rb),
+            fact_key="o_orderkey",
+            fact_fk="o_custkey",
+            dim_key="c_custkey",
+        )
+        mvb.apply_dim_batch(cust.withColumn("op", F.lit("upsert")), 1)
+        mvb.apply_fact_batch(orders.withColumn("op", F.lit("upsert")), 2)
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            lo = int(max_key) - (i + 1) * 1500
+            delta = orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= lo + 1500)
+            ).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 1.01).alias("o_totalprice"),
+                F.lit("upsert").alias("op"),
+            )
+            mvb.apply_fact_batch(delta, 3 + i)
+        maintain_bucketed_s = round((time.perf_counter() - t0) / n_batches, 4)
+
         serve_view = _timed(lambda: _materialize(mv.read()), runs=2)
         f, d = mv.fact.read(), mv.dim.read()
         # the recompute is timed in its AT-SCALE regime (both sides too
@@ -309,6 +344,7 @@ def _ivm_bench(spark, sf_dir: str) -> dict[str, float]:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         return {
             "maintain_per_batch": maintain_s,
+            "maintain_per_batch_bucketed": maintain_bucketed_s,
             "serve_view": serve_view,
             "serve_recompute_join_smj": serve_join,
         }

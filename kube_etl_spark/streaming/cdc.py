@@ -271,3 +271,100 @@ def as_of(history: DataFrame, t, ts_fmt: str = "yyyy-MM-dd HH:mm:ss") -> DataFra
         (F.col("valid_from") <= tcol)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > tcol))
     )
+
+
+class BucketedStateTable:
+    """Key-bucketed StateTable: state lives in N hash buckets, each its
+    own atomically-swapped directory, and merge_batch rewrites ONLY the
+    buckets the batch's keys hash into.
+
+    This is the scale answer to the flat StateTable's O(state) rewrite
+    per merge (measured as the dominant IVM maintenance cost in
+    bench.py's `ivm` object): a small batch touches few buckets, so
+    maintenance I/O is O(touched buckets · bucket size), not O(state).
+    The per-bucket swap loop runs on the driver over ≤ n_buckets tiny
+    jobs — a transactional table format's partition-level MERGE commit,
+    in miniature.
+
+    Crash contract: a crash mid-loop leaves SOME buckets on the new
+    batch and others on the old — each bucket individually consistent.
+    merge_batch is idempotent per bucket (seq-decided winners), so
+    replaying the interrupted batch converges every bucket; the same
+    at-least-once argument as the flat table, now per bucket.
+
+    Same single-writer model as StateTable."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        seq_col: str | list[str],
+        n_buckets: int = 16,
+        bucket_col: F.Column | None = None,
+    ):
+        """bucket_col overrides the default hash bucketing with any
+        bigint expression over the key columns. Hash buckets balance
+        load but give a UNIFORM batch no locality (every bucket is
+        touched — measured in bench.py, where hash bucketing LOSES to
+        the flat table on uniform deltas at local scale); RANGE buckets
+        (e.g. floor(key / width)) turn the common recent-keys CDC
+        trickle into a one-bucket rewrite. Choose by the feed's key
+        distribution."""
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
+        self.n_buckets = n_buckets
+        self._bucket_expr = (
+            bucket_col
+            if bucket_col is not None
+            else F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
+        )
+        os.makedirs(path, exist_ok=True)
+
+    def _bucket_col(self) -> F.Column:
+        return self._bucket_expr.cast("bigint")
+
+    def _bucket_path(self, b: int) -> str:
+        return os.path.join(self.path, f"bucket-{b:06d}")
+
+    def _read_bucket(self, b: int) -> DataFrame | None:
+        p = self._bucket_path(b)
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(p)
+
+    def read(self) -> DataFrame | None:
+        live = [
+            os.path.join(self.path, d)
+            for d in sorted(os.listdir(self.path))
+            if d.startswith("bucket-")
+            and os.path.islink(os.path.join(self.path, d))
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        ]
+        if not live:
+            return None
+        return self.spark.read.parquet(*live)
+
+    def merge_batch(
+        self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete"
+    ) -> None:
+        """Idempotent MERGE touching only the batch's buckets. The batch
+        is localCheckpointed once (it is re-filtered per bucket, and its
+        lineage may reference state dirs this loop replaces)."""
+        tagged = batch.withColumn("__b", self._bucket_col()).localCheckpoint(eager=True)
+        buckets = [r["__b"] for r in tagged.select("__b").distinct().collect()]
+        for b in sorted(buckets):
+            slice_b = tagged.filter(F.col("__b") == b).drop("__b")
+            incoming = slice_b.withColumn(
+                op_col, F.coalesce(F.col(op_col), F.lit("upsert"))
+            )
+            old = self._read_bucket(b)
+            if old is not None:
+                incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
+                    incoming, allowMissingColumns=True
+                )
+            winners = latest_op(incoming, self.key_cols, self.seq_cols)
+            new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
+            atomic_overwrite(new_state, self._bucket_path(b))

@@ -1345,3 +1345,53 @@ def test_drift_monitor_restart_recovery(spark, tmp_path):
     # batch ids continue from the checkpoint, never repeat-with-different-values
     assert len(second) == len({(b, t) for b, t in second})
     assert all(r["psi"] < 1.0 for r in rows)
+
+
+def test_bucketed_state_equals_flat_state(spark, tmp_path):
+    """BucketedStateTable is semantically identical to StateTable on
+    the same op-log chunks (winners, deletes, replay), while only
+    rewriting the buckets a batch touches — untouched buckets keep
+    their exact version directory across a merge."""
+    import os as _os
+
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+    schema = "seq long, key long, op string, value double"
+    ops1 = [(i, k, "upsert", float(k * 10 + i)) for i, k in enumerate(range(20))]
+    ops2 = [(100, 3, "upsert", 999.0), (101, 7, "delete", None), (102, 50, "upsert", 1.5)]
+
+    flat = StateTable(spark, str(tmp_path / "flat"), ["key"], "seq")
+    buck = BucketedStateTable(spark, str(tmp_path / "buck"), ["key"], "seq", n_buckets=8)
+    for ops in (ops1, ops2):
+        df = spark.createDataFrame(ops, schema)
+        flat.merge_batch(df)
+        buck.merge_batch(df)
+
+    def snap(t):
+        out = t.read()
+        return sorted((r["key"], r["seq"], r["value"]) for r in out.collect())
+
+    assert snap(flat) == snap(buck)
+
+    # replay idempotence on the bucketed table
+    buck.merge_batch(spark.createDataFrame(ops2, schema))
+    assert snap(flat) == snap(buck)
+
+    # partial-rewrite guarantee: a batch touching ONE key rewrites only
+    # that key's bucket — every other bucket's version dir (the symlink
+    # target) is bit-identical before and after
+    targets_before = {
+        d: _os.readlink(str(tmp_path / "buck" / d))
+        for d in _os.listdir(str(tmp_path / "buck"))
+        if d.startswith("bucket-") and _os.path.islink(str(tmp_path / "buck" / d))
+    }
+    buck.merge_batch(spark.createDataFrame([(200, 3, "upsert", -1.0)], schema))
+    changed = [
+        d
+        for d, t in targets_before.items()
+        if _os.readlink(str(tmp_path / "buck" / d)) != t
+    ]
+    assert len(changed) == 1, changed
+    assert snap(buck) != snap(flat)  # the single-key update landed
+    flat.merge_batch(spark.createDataFrame([(200, 3, "upsert", -1.0)], schema))
+    assert snap(buck) == snap(flat)
