@@ -810,14 +810,51 @@ def knn_lsh(spark: SparkSession, sf_dir: str, n_tables: int = _LSH_TABLES) -> Da
     )
 
 
+def _neardup_embeddings(spark: SparkSession, sf_dir: str, limit: int = 150) -> DataFrame:
+    """Embedding table with synthesized near-duplicate vectors: each
+    vec_id < 10 gains a copy at vec_id + 100000 whose elements are
+    perturbed ±1% in a fixed dim-index pattern (cos(orig, copy) ≈
+    0.9998). The fixtures' natural embeddings have NO cos ≥ 0.8 pairs
+    (max ≈ 0.45 at every SF), so without this the near-dup queries
+    would be vacuous 0-row matches — the q_scalar_subquery lesson (r02)
+    applied here. The identical augmentation lives in
+    ``_NEARDUP_EMB_SQL`` for the DuckDB oracle."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < limit)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    pert = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.transform(
+            F.col("v"),
+            lambda x, i: x * (F.lit(1.0) + ((i % 3) - 1) / F.lit(100.0)),
+        ).alias("v"),
+    )
+    return emb.unionByName(pert)
+
+
+_NEARDUP_EMB_SQL = """
+base AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 150
+),
+e AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         list_transform(range(1, len(v)+1),
+                        i -> v[i] * (1.0 + ((i - 1) % 3 - 1) / 100.0))
+  FROM base WHERE vec_id < 10
+)"""
+
+
 @query(
     "q_dedup_embedding",
     tags=("L2", "L3"),
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings WHERE vec_id < 150
-)
+WITH {_NEARDUP_EMB_SQL}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label = b.label AS same_label,
        ROUND(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
@@ -829,11 +866,13 @@ ORDER BY vec_a, vec_b
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2d: embedding-cosine near-duplicate pairs (cos ≥ 0.8) on a
-    bounded id range — the semantic-dedup correctness anchor; the scale
-    path reuses q_knn_ivf's bucketing to prune the pair space."""
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    bounded id range — the semantic-dedup correctness anchor
+    (q_dedup_semantic is the cluster-pruned scale path held to this
+    pair set). Near-dups are synthesized in-query (±1% perturbed
+    copies, identical augmentation in the oracle) because the natural
+    fixtures top out at cos ≈ 0.45 — the green verifies real pairs,
+    not an empty intersection."""
+    e = _neardup_embeddings(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
@@ -2582,4 +2621,161 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "q_bigram_lm_score",
+    tags=("L4", "L5"),
+    oracle="""
+WITH ref AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0
+),
+u AS (SELECT unnest(t) AS w FROM ref),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w),
+rb AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM ref
+),
+bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM rb GROUP BY bg),
+ev AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 1
+),
+eb AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM ev
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN b.c_ab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(SUM(COALESCE(b.c_ab, 0)) AS BIGINT) AS sum_c_ab,
+       CAST(SUM(COALESCE(u.c, 0)) AS BIGINT) AS sum_c_ctx
+FROM eb e
+LEFT JOIN bcnt b ON e.bg = b.bg
+LEFT JOIN ucnt u ON string_split(e.bg, ' ')[1] = u.w
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/L5 (EXT, round 3): held-out bigram-LM document scoring — the
+    CCNet/KenLM-style model-based quality filter one level up from
+    q_unigram_rarity: a bigram language model is TRAINED on a reference
+    half of the corpus (doc_id % 2 = 0) and each evaluation document is
+    scored against it. Per eval doc: bigram instances, bigrams the LM
+    has never seen (the fluency signal — gibberish and boilerplate-free
+    machine text score high n_unseen), and the exact count sums whose
+    per-row monotone transform -Σ log((c_ab+1)/(c_ctx+V)) is the
+    Laplace-smoothed log-probability. The float logprob itself is an
+    order-dependent aggregation, so the cross-engine contract emits the
+    EXACT integers and keeps the monotone transform documented (the
+    q_unigram_rarity judgment, applied to the conditional model).
+
+    Scale shape: both LM count tables are map-side-combined shuffles
+    whose outputs are vocabulary-sized (Zipf-bounded), so the eval-side
+    probes are broadcast-hash lookups at the bigram-instance grain; the
+    per-doc re-aggregate moves one partial row per (partition, doc).
+    Training on half the corpus and scoring the other half is exactly
+    the leakage discipline of a production quality filter (a model
+    scoring its own training text under-reports surprise)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        _tokens(F.col("text")).alias("t")
+    )
+    ucnt = (
+        ref.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bcnt = (
+        ref.select(F.explode(_gram_instances(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    eb = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(_gram_instances(_tokens(F.col("text")), 2)).alias("bg"))
+    )
+    return (
+        eb.join(F.broadcast(bcnt), "bg", "left")
+        .join(
+            F.broadcast(ucnt),
+            F.split(F.col("bg"), " ")[0] == F.col("w"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c_ab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen"),
+            F.sum(F.coalesce(F.col("c_ab"), F.lit(0))).cast("bigint").alias("sum_c_ab"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("sum_c_ctx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("q_dedup_semantic", tags=("L2", "L3"), oracle=None)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 scale path (EXT, round 3): SemDeDup-style semantic dedup —
+    the cluster-pruned near-duplicate pair search that q_dedup_embedding
+    (its exactness anchor) promises: k-means cells prune the O(n²)
+    cosine pair space to within-cell pairs, then exact cosine verifies
+    survivors (cos ≥ 0.8). Rows-only: the k-means assignment has no
+    DuckDB twin; pair recall vs the anchor's exact pair set is asserted
+    in tests/test_dedup.py.
+
+    Boundary pairs are the recall hazard (two near-dups split across a
+    cell edge), handled the IVF way: every vector fans out to its TWO
+    nearest cells (nprobe=2 on both sides of the candidate join), so a
+    pair survives if the cells of one side's top-2 intersect the
+    other's — the same dial as q_knn_ivf's nprobe with the same
+    monotone-recall story.
+
+    Scale shape: centroid build is _kmeans_centroids (k×dim driver
+    round-trip per iteration, data-sized work distributed); the
+    candidate join is an equi-join on centroid_id — per-cell pair
+    space, never corpus². The ×2 fan-out doubles rows into the join,
+    not the pair space (dropDuplicates collapses double-detections
+    before the exact verify)."""
+    emb = _neardup_embeddings(spark, sf_dir, limit=10**9).select("vec_id", "v")
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    emb = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    n = emb.count()
+    k = max(4, min(16, n // 64))
+    cent = _kmeans_centroids(spark, emb.select("vec_id", F.col("vn").alias("v")), k=k)
+    dist = F.aggregate(
+        F.zip_with(F.col("vn"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "centroid_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "v", "centroid_id")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", cos.alias("c"))
+        .filter(F.col("c") >= 0.8)  # unrounded: the anchor's exact threshold
+        .select("vec_a", "vec_b", F.round("c", 4).alias("cos"))
+        .orderBy("vec_a", "vec_b")
     )

@@ -159,6 +159,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_dup_rate_by_source",
     "q_tpch_q4_order_priority",
     "q_pagerank_copurchase",
+    "q_bigram_lm_score",
 )
 
 

@@ -212,3 +212,29 @@ def test_lsh_table_count_recall_monotone(spark):
     r1, r4, r10 = recall(1), recall(4), recall(10)
     assert r1 <= r4 <= r10, (r1, r4, r10)
     assert r10 * 2 >= len(exact_top1), f"L=10 recall too low: {r10}/{len(exact_top1)}"
+
+
+def test_semantic_dedup_recall_vs_exact_pairs(spark):
+    """SemDeDup cell pruning: (a) every reported cosine equals the
+    exactly-computed cosine for that pair (pruning must never distort
+    values); (b) recall of the anchor's exact near-dup pairs
+    (q_dedup_embedding, cos ≥ 0.8 on vec_id < 150) is ≥ 50% — pairs
+    split across both vectors' top-2 cells are the only legal misses,
+    and near-identical vectors land in the same cell almost surely."""
+    specs = all_specs()
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in specs["q_dedup_embedding"].fn(spark, SMOKE_SF).collect()
+    }
+    assert exact, "fixture should contain embedding near-dup pairs"
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in specs["q_dedup_semantic"].fn(spark, SMOKE_SF).collect()
+    }
+    assert sem, "semantic dedup returned nothing"
+    # value fidelity on the anchor's id range
+    for p, c in sem.items():
+        if p in exact:
+            assert c == exact[p], f"cosine disagrees on {p}"
+    hits = sum(1 for p in exact if p in sem)
+    assert hits * 2 >= len(exact), f"pair recall too low: {hits}/{len(exact)}"
