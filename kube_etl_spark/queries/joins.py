@@ -233,18 +233,27 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: left anti join — customers with no orders.
+    """J7: left anti join — customers with no URGENT-priority orders.
+
+    The anti side is filtered deliberately: every fixture customer has
+    at least one order at every SF, so the unfiltered "no orders"
+    variant returned ZERO rows and its driver green was a vacuous 0=0
+    match (the q_scalar_subquery lesson, r02); the priority filter
+    leaves ~13% of customers at each SF, so real rows are verified.
 
     REF analog: delete propagation = present-in-dest, absent-in-source
     (krmsyncer_controller.go:489-504).
     """
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

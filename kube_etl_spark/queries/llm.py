@@ -186,39 +186,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_K = 32  # signature length
 _LSH_BANDS = 8  # 8 bands × 4 rows: P(candidate | J=0.9) ≈ 1 - (1-0.9⁴)⁸ ≈ .998
+EST_PRUNE = 0.28  # estimate-tier prune (2.5σ below the J=0.5 output floor)
+JACCARD_OUT = 0.5  # exact-Jaccard output threshold for reported pairs
 
 
-@query("q_dedup_fuzzy", tags=("L2",), oracle=None, bench=True)
-def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 scale path: MinHash + LSH banding fuzzy dedup (rows-only:
-    xxhash64 has no DuckDB twin; correctness is anchored by
-    q_dedup_ngram_jaccard which this must agree with on the high-J pairs).
-
-    Pipeline (all codegen'd builtins, no UDF):
-      shingle → k minhashes (array_min over xxhash64(shingle, seed))
-      → band ids (hash of 4-minhash slices) → explode bands →
-      shuffle on (band, band_hash) → same-bucket candidate pairs →
-      exact-Jaccard verification on candidates only.
-    At 100 TB the only all-data shuffles are the k·cheap band shuffles;
-    the quadratic step touches candidate pairs only."""
-    # spread the CPU-heavy shingle+minhash map over all cores — the
-    # parquet split count (2 at sf0.1) would otherwise cap parallelism
-    n_parts = spark.sparkContext.defaultParallelism
-    sh = (
-        _neardup_corpus(spark, sf_dir, limit=10**9)
-        .repartition(n_parts, "doc_id")
-        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
-    )
-    # One STRING hash per shingle, then k minhash families by re-hashing
-    # the resulting 8-byte long with k seeds: 32 string-hash passes
-    # collapse to 1 string pass + 32 fixed-width long hashes (ANSI-safe,
-    # unlike multiplicative mixing which overflows under ANSI mode).
-    base = sh.withColumn("hs", F.transform(F.col("s"), lambda t: F.xxhash64(t)))
-    # materialize (shingles, signature) ONCE: the plan branches into the
-    # band self-join (2×), the signature estimate join (2×), and the
-    # exact-verify join (2×) — without this the shingle+minhash subtree
-    # recomputes six times (measured 3× slower at sf0.1)
-    sig = base.select(
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, s, sig): distinct 3-gram shingles plus
+    the _MINHASH_K-long minhash signature. One STRING hash per shingle,
+    then k families by re-hashing the 8-byte long with k seeds — 1
+    string pass instead of k (ANSI-safe, unlike multiplicative mixing).
+    Shared by the batch LSH (q_dedup_fuzzy) and the streaming detector
+    (streaming/neardup.py) so incremental ≡ one-shot holds by
+    construction, not by parallel maintenance of two implementations."""
+    base = docs.select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
+    base = base.withColumn("hs", F.transform(F.col("s"), lambda t: F.xxhash64(t)))
+    return base.select(
         "doc_id",
         "s",
         F.array(
@@ -229,13 +211,15 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(_MINHASH_K)
             ]
         ).alias("sig"),
-    ).localCheckpoint(eager=True)
-    sh = sig.select("doc_id", "s")
+    )
+
+
+def lsh_bands(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band, bucket): the banded LSH index
+    rows. Only these three narrow columns ever ride a band shuffle —
+    never the shingle arrays."""
     rows_per_band = _MINHASH_K // _LSH_BANDS
-    # Only (doc_id, band, bucket) rides the band shuffle — exploding the
-    # shingle arrays 8× would make the "cheap" band shuffles carry the
-    # whole corpus 8 times over at the 100 TB target.
-    bands = sig.select(
+    return sig_df.select(
         "doc_id",
         F.explode(
             F.array(
@@ -254,6 +238,37 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+
+@query("q_dedup_fuzzy", tags=("L2",), oracle=None, bench=True)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: MinHash + LSH banding fuzzy dedup (rows-only:
+    xxhash64 has no DuckDB twin; correctness is anchored by
+    q_dedup_ngram_jaccard which this must agree with on the high-J pairs).
+
+    Pipeline (all codegen'd builtins, no UDF):
+      shingle → k minhashes (array_min over xxhash64(shingle, seed))
+      → band ids (hash of 4-minhash slices) → explode bands →
+      shuffle on (band, band_hash) → same-bucket candidate pairs →
+      exact-Jaccard verification on candidates only.
+    At 100 TB the only all-data shuffles are the k·cheap band shuffles;
+    the quadratic step touches candidate pairs only."""
+    # spread the CPU-heavy shingle+minhash map over all cores — the
+    # parquet split count (2 at sf0.1) would otherwise cap parallelism
+    n_parts = spark.sparkContext.defaultParallelism
+    # materialize (shingles, signature) ONCE: the plan branches into the
+    # band self-join (2×), the signature estimate join (2×), and the
+    # exact-verify join (2×) — without this the shingle+minhash subtree
+    # recomputes six times (measured 3× slower at sf0.1). The
+    # repartition spreads the CPU-bound map over all cores first.
+    sig = minhash_signatures(
+        _neardup_corpus(spark, sf_dir, limit=10**9).repartition(n_parts, "doc_id")
+    ).localCheckpoint(eager=True)
+    sh = sig.select("doc_id", "s")
+    # Only (doc_id, band, bucket) rides the band shuffle — exploding the
+    # shingle arrays 8× would make the "cheap" band shuffles carry the
+    # whole corpus 8 times over at the 100 TB target.
+    bands = lsh_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -289,7 +304,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.lit(_MINHASH_K),
         )
-        .filter(F.col("est_j") >= 0.28)
+        .filter(F.col("est_j") >= EST_PRUNE)
         .select("doc_a", "doc_b")
     )
     shingles = sh.select("doc_id", "s")
@@ -302,7 +317,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         survivors.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_OUT)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -24,15 +24,17 @@ from ..registry import query
     oracle="""
 SELECT c_custkey, c_mktsegment, c_acctbal
 FROM customer
-WHERE c_acctbal > 9990 OR c_acctbal < -990
+WHERE c_acctbal > 9500 OR c_acctbal < -500
 ORDER BY c_mktsegment ASC, c_acctbal DESC NULLS LAST, c_custkey ASC
 """,
 )
 def q_orderby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: multi-key sort with explicit nulls ordering."""
+    """O1: multi-key sort with explicit nulls ordering. Thresholds
+    chosen to keep rows at EVERY fixture SF (9990/-990 selected zero
+    of sf0.001's 150 customers — a vacuous parity match)."""
     return (
         load_table(spark, sf_dir, "customer")
-        .filter((F.col("c_acctbal") > 9990) | (F.col("c_acctbal") < -990))
+        .filter((F.col("c_acctbal") > 9500) | (F.col("c_acctbal") < -500))
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .orderBy(
             F.col("c_mktsegment").asc(),
@@ -114,12 +116,16 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
 INTERSECT
-SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
 ORDER BY nk
 """,
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4: INTERSECT (distinct semantics)."""
+    """O4: INTERSECT (distinct semantics). The supplier threshold is
+    LOWER than the customer one deliberately: sf0.001 has only 10
+    suppliers, and a 9000-cut on both sides made the intersection EMPTY
+    there — a vacuous 0=0 parity match (the q_scalar_subquery lesson);
+    5000 keeps real rows at every fixture SF."""
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9000)
@@ -127,7 +133,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 9000)
+        .filter(F.col("s_acctbal") > 5000)
         .select(F.col("s_nationkey").alias("nk"))
     )
     return c.intersect(s).orderBy("nk")

@@ -64,7 +64,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOT_IN_SQL = """
 SELECT p_partkey, p_name
 FROM part
-WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 30)
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
 ORDER BY p_partkey
 """
 
@@ -72,7 +72,13 @@ ORDER BY p_partkey
 @query("q_not_in_subquery", tags=("SQ",), oracle=_NOT_IN_SQL)
 def q_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN — null-aware anti join (the tricky semantics: any NULL in
-    the subquery empties the result; fixture keys are non-null)."""
+    the subquery empties the result; fixture keys are non-null).
+
+    The subquery threshold is qty ≥ 48 deliberately: at ≥ 30 every
+    part has a qualifying lineitem at every fixture SF and the result
+    was EMPTY — a vacuous 0=0 driver match (the q_scalar_subquery
+    lesson, r02). ≥ 48 leaves tens-to-thousands of surviving parts at
+    sf0.001/0.01/0.1 so the hash check verifies real rows."""
     return _sql(spark, sf_dir, _NOT_IN_SQL)
 
 

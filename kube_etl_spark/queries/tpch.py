@@ -59,6 +59,9 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q7_NATIONS = ("NATION_1", "NATION_2", "NATION_3")
+
+
 @query(
     "q_tpch_q7_nation_volume",
     tags=("TPCH",),
@@ -73,16 +76,20 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
-WHERE sn.n_name IN ('NATION_1', 'NATION_2')
-  AND cn.n_name IN ('NATION_1', 'NATION_2')
+WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
   AND sn.n_name <> cn.n_name
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,
 )
 def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between two nations by
-    year — a 6-way join.
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    year — a 6-way join. Three nations instead of the canonical two:
+    sf0.001's 10 suppliers span neither NATION_1 nor NATION_2, so the
+    2-nation result was EMPTY there (a vacuous parity green); the pair
+    semantics (sn <> cn, both directions grouped separately) are
+    unchanged.
 
     Join order is scale-deliberate (VERDICT r1 #3): Catalyst does not
     reorder inner joins without CBO stats, so the 2-of-N nation
@@ -97,10 +104,10 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
-    sn = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    sn = nation.filter(F.col("n_name").isin(*_Q7_NATIONS)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    cn = nation.filter(F.col("n_name").isin(*_Q7_NATIONS)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     # nation filters first: each dimension shrinks before the fact joins

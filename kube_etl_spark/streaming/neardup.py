@@ -1,0 +1,173 @@
+"""Continuous near-duplicate detection (EXT; the streaming twin of
+queries/llm.py's q_dedup_fuzzy MinHash-LSH batch path).
+
+A production corpus is not deduplicated once — documents keep arriving,
+and each new document must be checked against EVERYTHING already
+ingested without rescanning the corpus. This module maintains the
+MinHash-LSH index incrementally: per micro-batch, new documents are
+signed and banded with the SAME helpers the batch query uses
+(minhash_signatures / lsh_bands — one implementation, so incremental ≡
+one-shot holds by construction), probed against the accumulated band
+index for candidates, estimate-pruned on signatures, exact-verified on
+shingle sets, and the surviving pairs land in a keyed StateTable.
+
+Scale shape per micro-batch (corpus N, batch n, N >> n):
+  * sign+band the batch: O(n) map work, no shuffle of the corpus;
+  * candidate probe: batch bands (8n narrow rows) hash-join the band
+    index — at scale the index is bucketed on (band, bucket) so the
+    probe touches matching buckets, never the whole index;
+  * estimate + verify: candidate-pair-sized joins back to the signature
+    state (256 B/doc) and, for est-survivors only, the shingle sets.
+The corpus-sized tables (signatures+shingles, band index) are written
+incrementally via idempotent MERGE keyed on doc_id — replaying a batch
+after a crash converges (same winners, same pairs upserted).
+
+State growing with the corpus is intrinsic to dedup (the index IS the
+memory of what was seen); what stays bounded is the per-batch work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.llm import (
+    _MINHASH_K,
+    EST_PRUNE,
+    JACCARD_OUT,
+    lsh_bands,
+    minhash_signatures,
+)
+from .cdc import StateTable
+
+
+class NearDupIndex:
+    """Incrementally-maintained MinHash-LSH near-dup index.
+
+    Three state tables under ``base_dir``:
+      * ``sigs``  — (doc_id, s, sig): shingle set + minhash signature
+                    per ingested document (the verify side);
+      * ``bands`` — (doc_id, band, bucket): the LSH probe index;
+      * ``pairs`` — (doc_a, doc_b, jaccard): every detected near-dup
+                    pair (doc_a < doc_b), exact-verified at ≥
+                    JACCARD_OUT.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.sigs = StateTable(spark, os.path.join(base_dir, "sigs"), ["doc_id"], "seq")
+        self.bands = StateTable(
+            spark, os.path.join(base_dir, "bands"), ["doc_id", "band"], "seq"
+        )
+        self.pairs = StateTable(
+            spark, os.path.join(base_dir, "pairs"), ["doc_a", "doc_b"], "seq"
+        )
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Sign, index, and near-dup-check one micro-batch of
+        (doc_id, text) rows. Idempotent: replaying a batch merges the
+        same state rows and upserts the same pairs."""
+        seq = F.lit(int(batch_id)).cast("bigint")
+        sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+        # merge FIRST, then probe the post-merge index: batch-internal
+        # pairs fall out of the same probe join (no separate self-join),
+        # and a replayed batch probes an index it is already in — the
+        # a < b canonicalization keeps each pair single.
+        self.sigs.merge_batch(
+            sig.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
+        )
+        new_bands = lsh_bands(sig)
+        self.bands.merge_batch(
+            new_bands.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
+        )
+        index = self.bands.read().select("doc_id", "band", "bucket")
+        cand = (
+            new_bands.alias("n")
+            .join(
+                index.alias("i"),
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.bucket") == F.col("i.bucket"))
+                & (F.col("n.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+                F.greatest(F.col("n.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        state = self.sigs.read()
+        sigs = state.select("doc_id", "sig")
+        est = (
+            cand.join(
+                sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sig", "ga"
+                ),
+                "doc_a",
+            )
+            .join(
+                sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sig", "gb"
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "est_j",
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("ga"), F.col("gb"), lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                ).cast("double")
+                / F.lit(_MINHASH_K),
+            )
+            .filter(F.col("est_j") >= EST_PRUNE)
+            .select("doc_a", "doc_b")
+        )
+        shingles = state.select("doc_id", "s")
+        survivors = est.join(
+            shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"),
+            "doc_a",
+        ).join(
+            shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"),
+            "doc_b",
+        )
+        jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+            F.array_union("sa", "sb")
+        )
+        detected = (
+            survivors.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_OUT)
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("upsert"))
+        )
+        self.pairs.merge_batch(detected)
+
+    def pairs_df(self) -> DataFrame:
+        """All near-dup pairs detected so far (doc_a, doc_b, jaccard)."""
+        cur = self.pairs.read()
+        if cur is None:
+            return self.spark.createDataFrame(
+                [], "doc_a bigint, doc_b bigint, jaccard double"
+            )
+        return cur.select("doc_a", "doc_b", "jaccard")
+
+
+def run_neardup_stream(
+    stream: DataFrame, index: NearDupIndex, checkpoint_dir: str
+) -> None:
+    """Wire a (doc_id, text) document stream into the index via
+    foreachBatch; blocks until available data is processed. At-least-
+    once redelivery converges because ingest_batch is idempotent."""
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: index.ingest_batch(batch, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

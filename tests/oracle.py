@@ -111,4 +111,11 @@ def check_query(spark, name: str, sf_dir: str) -> list[str]:
         odf = con.execute(spec.oracle).fetchdf()
     finally:
         con.close()
-    return compare(sdf, odf)
+    problems = compare(sdf, odf)
+    # Vacuity guard: a 0=0 "match" proves only that the plan compiles
+    # (the r02 q_scalar_subquery trap, found again in q_dedup_embedding
+    # / q_not_in_subquery / q_join_anti in r03). Every oracle-backed
+    # query must verify at least one real row at every fixture SF.
+    if not problems and len(odf) == 0:
+        problems.append(f"{name}: VACUOUS — 0 rows on both engines at {sf_dir}")
+    return problems

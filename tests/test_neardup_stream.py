@@ -1,0 +1,67 @@
+"""Streaming near-dup detection: the incrementally-maintained
+MinHash-LSH index (streaming/neardup.py) must converge to EXACTLY the
+batch q_dedup_fuzzy pair set when the same corpus arrives as a stream —
+incremental ≡ one-shot, the dedup analog of the MaterializedJoin
+convergence tests — and replaying a micro-batch must be a no-op."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kube_etl_spark.queries.llm import _neardup_corpus
+from kube_etl_spark.registry import all_specs
+from kube_etl_spark.streaming.neardup import NearDupIndex, run_neardup_stream
+from kube_etl_spark.streaming.sources import chunked_file_stream
+
+from .conftest import SMOKE_SF
+
+
+def _batch_pairs(spark):
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_specs()["q_dedup_fuzzy"].fn(spark, SMOKE_SF).collect()
+    }
+
+
+def test_streamed_corpus_matches_batch_lsh(spark, tmp_path):
+    """Feed the batch path's exact corpus through the streaming index in
+    4 micro-batches (id order, so near-dup copies arrive in a LATER
+    batch than their originals — the cross-batch case is exercised, not
+    just batch-internal pairs) and require the identical pair set with
+    identical Jaccard values."""
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    stream = chunked_file_stream(
+        spark, corpus, str(tmp_path / "src"), n_chunks=4, order_col="doc_id"
+    )
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    run_neardup_stream(stream, index, str(tmp_path / "ckpt"))
+    streamed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in index.pairs_df().collect()
+    }
+    batch = _batch_pairs(spark)
+    assert batch, "batch LSH found no pairs — fixture regression"
+    assert streamed == batch
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """At-least-once delivery: ingesting the same micro-batch twice
+    leaves every state table (pairs included) unchanged."""
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    first = corpus.filter(F.col("doc_id") < 60)
+    second = corpus.filter(F.col("doc_id") >= 60)
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(first, 0)
+    index.ingest_batch(second, 1)
+    pairs_before = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in index.pairs_df().collect()
+    )
+    n_sigs = index.sigs.read().count()
+    index.ingest_batch(second, 1)  # redelivery of the last batch
+    pairs_after = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in index.pairs_df().collect()
+    )
+    assert pairs_after == pairs_before
+    assert index.sigs.read().count() == n_sigs
+    # and the converged pair set still equals the one-shot batch result
+    assert {(a, b): j for a, b, j in pairs_after} == _batch_pairs(spark)
