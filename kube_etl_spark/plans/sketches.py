@@ -49,3 +49,94 @@ def estimate_distinct(sketches: DataFrame, *group_cols: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     )
     return out.orderBy(*group_cols) if group_cols else out
+
+
+def build_daily_value_sketches(events: DataFrame, k: int = 200) -> DataFrame:
+    """Quantile counterpart of build_daily_sketches: one corpus pass →
+    (day, event_type, KLL sketch of `value`, n_rows). The DataSketches
+    KLL sketch is a few KB per cell regardless of cardinality; k=200
+    bounds single-sketch rank error at ~1.65% (99% confidence).
+    Map-side partial aggregation applies, so the shuffle carries
+    sketches, not values."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.kll_sketch_agg_double(F.col("value").cast("double"), F.lit(k)).alias(
+                "value_kll"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def estimate_quantiles(
+    sketches: DataFrame, probs: list[float], *group_cols: str
+) -> DataFrame:
+    """Roll the cell sketches up to any coarser grain and read quantile
+    estimates there — arbitrary date ranges / type unions without ever
+    rescanning raw events (input is |cells| rows). Unlike HLL register
+    merge, KLL merge is NOT bit-identical to a direct sketch over the
+    unioned raws (compaction order differs) — but it carries the same
+    rank-error guarantee and is deterministic for a given cell set,
+    both pinned by tests/test_jobs.py. One merged sketch per group
+    serves every requested quantile."""
+    gb = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
+    merged = gb.agg(
+        F.kll_merge_agg_double("value_kll").alias("kll"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    out = merged.select(
+        *group_cols,
+        "n_rows",
+        *[
+            F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(p)).alias(
+                f"p{int(p * 100):02d}"
+            )
+            for p in probs
+        ],
+    )
+    return out.orderBy(*group_cols) if group_cols else out
+
+
+def build_type_theta_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Theta sketches per event type over user_id. Theta supports the
+    SET ALGEBRA HLL cannot: besides union (rollup), INTERSECTION and
+    DIFFERENCE — so "users who did A and B" / "A but never B" come from
+    the |types| sketch rows, never a corpus self-join. At 100 TB this
+    is the difference between an audience-overlap matrix in
+    milliseconds and |types|² semi-joins over raw events."""
+    return events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id", F.lit(lg_k)).alias("users_theta"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def estimate_overlap(sketches: DataFrame) -> DataFrame:
+    """All-pairs audience overlap from the per-type theta sketches:
+    for each (type_a < type_b) pair, estimated |A|, |B|, |A ∩ B| and
+    |A \\ B|. Input and output are |types|-sized — the raw corpus is
+    never touched."""
+    a = sketches.select(
+        F.col("event_type").alias("type_a"),
+        F.col("users_theta").alias("ta"),
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"),
+        F.col("users_theta").alias("tb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate(F.col("ta")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("tb")).alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection(F.col("ta"), F.col("tb"))).alias(
+            "n_both"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(F.col("ta"), F.col("tb"))).alias(
+            "n_only_a"
+        ),
+    ).orderBy("type_a", "type_b")

@@ -772,3 +772,96 @@ def test_audit_alert_evaluation(spark):
     assert got[("drift_psi_max", "events.value2")] is False
     assert got[("benford_max_deviation", "orders.o_totalprice")] is False
     assert got[("row_count", "orders")] is False
+
+
+def test_kll_quantile_sketch_rollup(spark):
+    """Mergeable quantile sketches (the percentile counterpart of the
+    HLL layer): (a) merged-cell quantile estimates honor the KLL rank
+    guarantee — the estimate's TRUE rank sits within ±3% of the target
+    rank (k=200 bounds rank error at ~1.65%, 99% confidence; 3% is the
+    slack for the smoke corpus size); (b) the merge is deterministic —
+    two independent rollups of the same cells agree exactly; (c) row
+    totals survive the rollup and the cell count is day×type-bounded."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import (
+        build_daily_value_sketches,
+        estimate_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    cells = build_daily_value_sketches(ev).cache()
+
+    got = {
+        r["event_type"]: r
+        for r in estimate_quantiles(cells, [0.5, 0.95], "event_type").collect()
+    }
+    values = {
+        r["event_type"]: sorted(v for v in r["vs"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list(F.col("value").cast("double")).alias("vs"))
+        .collect()
+    }
+    assert set(got) == set(values)
+    import bisect
+
+    for t, vs in values.items():
+        assert got[t]["n_rows"] == len(vs)
+        for prob, col in [(0.5, "p50"), (0.95, "p95")]:
+            est = got[t][col]
+            rank = bisect.bisect_right(vs, est) / len(vs)
+            assert abs(rank - prob) <= 0.03, (t, col, est, rank)
+
+    # (b) deterministic merge: an independent rollup agrees exactly
+    again = {
+        r["event_type"]: r
+        for r in estimate_quantiles(cells, [0.5, 0.95], "event_type").collect()
+    }
+    for t in got:
+        assert got[t]["p50"] == again[t]["p50"] and got[t]["p95"] == again[t]["p95"]
+
+    # (c) cell-bounded rollup input; global rollup keeps every row
+    n_days = ev.select(F.date_trunc("day", F.col("ts").cast("timestamp"))).distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert cells.count() <= n_days * n_types
+    assert estimate_quantiles(cells, [0.5]).collect()[0]["n_rows"] == ev.count()
+    cells.unpersist()
+
+
+def test_theta_sketch_set_algebra(spark):
+    """Theta-sketch audience overlap: every estimated |A|, |B|, |A∩B|,
+    |A\\B| is within the lgK=12 envelope of the exact set sizes, and
+    the identity |A| = |A∩B| + |A\\B| holds (theta difference/
+    intersection operate on the same retained-hash sample)."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import (
+        build_type_theta_sketches,
+        estimate_overlap,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in estimate_overlap(build_type_theta_sketches(ev)).collect()
+    }
+    users = {
+        r["event_type"]: set(r["us"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    types = sorted(users)
+    assert got and set(got) == {
+        (x, y) for i, x in enumerate(types) for y in types[i + 1 :]
+    }
+    for (ta, tb), r in got.items():
+        A, B = users[ta], users[tb]
+        for est, exact in [
+            (r["n_a"], len(A)),
+            (r["n_b"], len(B)),
+            (r["n_both"], len(A & B)),
+            (r["n_only_a"], len(A - B)),
+        ]:
+            assert abs(est - exact) <= max(2, 0.05 * exact), (ta, tb, est, exact)
+        assert abs(r["n_a"] - (r["n_both"] + r["n_only_a"])) < 1e-6
