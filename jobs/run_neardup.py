@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for CONTINUOUS near-duplicate detection: a
+Structured Streaming job that watches a directory for new document
+batches (json rows: doc_id, text) and maintains the MinHash-LSH index
+incrementally (see kube_etl_spark/streaming/neardup.py) — every new
+document is checked against everything already ingested, and detected
+pairs (exact Jaccard ≥ 0.5) accumulate in the index's pairs table.
+
+    run_neardup.py --watch <dir> --state <dir> --checkpoint <dir> [--once]
+
+--once drains what is currently in the directory (availableNow) and
+exits — the test/cron mode; without it the query runs until killed, the
+production mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--watch", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--once", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kube_etl_spark.session import configure
+    from kube_etl_spark.streaming.neardup import NearDupIndex
+
+    owned = SparkSession.getActiveSession() is None
+    spark = configure(SparkSession.builder.appName("kube-etl-neardup").getOrCreate())
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        args.watch
+    )
+    index = NearDupIndex(spark, args.state)
+    writer = stream.writeStream.foreachBatch(
+        lambda batch, bid: index.ingest_batch(batch, bid)
+    ).option("checkpointLocation", args.checkpoint)
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        q.stop()
+        sigs = index.sigs.read()
+        print(
+            json.dumps(
+                {
+                    "state": args.state,
+                    "docs_indexed": sigs.count() if sigs is not None else 0,
+                    "pairs": index.pairs_df().count(),
+                }
+            )
+        )
+    else:  # pragma: no cover - production mode runs until killed
+        q = writer.start()
+        q.awaitTermination()
+    if owned:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -865,3 +865,55 @@ def test_theta_sketch_set_algebra(spark):
         ]:
             assert abs(est - exact) <= max(2, 0.05 * exact), (ta, tb, est, exact)
         assert abs(r["n_a"] - (r["n_both"] + r["n_only_a"])) < 1e-6
+
+
+def test_run_neardup_cli(spark, tmp_path, capsys):
+    """The continuous near-dup CLI: feed the LSH corpus in two json
+    drops with the synthesized copies arriving SECOND (cross-batch
+    detection), run --once twice, and the accumulated pair set must
+    equal the one-shot batch q_dedup_fuzzy result; a third run with
+    nothing new is a checkpointed no-op."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_neardup
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.queries.llm import _neardup_corpus
+    from kube_etl_spark.registry import all_specs
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    originals = corpus.filter(F.col("doc_id") < 200000)
+    copies = corpus.filter(F.col("doc_id") >= 200000)
+    (watch / "batch-0.json").write_text("\n".join(originals.toJSON().collect()))
+
+    argv = [
+        "--watch", str(watch), "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--once",
+    ]
+    run_neardup.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["docs_indexed"] == originals.count()
+
+    (watch / "batch-1.json").write_text("\n".join(copies.toJSON().collect()))
+    run_neardup.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["docs_indexed"] == corpus.count()
+
+    from kube_etl_spark.streaming.neardup import NearDupIndex
+
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in index.pairs_df().collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_specs()["q_dedup_fuzzy"].fn(spark, SMOKE_SF).collect()
+    }
+    assert got == want
+
+    run_neardup.main(argv)  # nothing new: checkpointed no-op
+    third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert third["docs_indexed"] == corpus.count()
+    assert third["pairs"] == len(want)
