@@ -2769,13 +2769,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("d").asc(), F.col("centroid_id").asc()
     )
+    # materialized ONCE: both sides of the candidate self-join reference
+    # this frame — without the checkpoint the assign pass (a corpus ×
+    # k distance scan) recomputes twice (the q_dedup_fuzzy signature
+    # lesson applied here)
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "v", "centroid_id", dist.alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= 2)
         .select("vec_id", "v", "centroid_id")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
     )

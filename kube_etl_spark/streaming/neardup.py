@@ -55,12 +55,48 @@ class NearDupIndex:
                     JACCARD_OUT.
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        bucket_col: F.Column | None = None,
+        n_buckets: int = 16,
+    ):
+        """bucket_col (a bigint expression over doc_id) switches the two
+        corpus-sized tables (sigs, bands) to BucketedStateTable so a
+        merge rewrites only the batch's buckets instead of O(corpus)
+        parquet per batch — at a real corpus size this is mandatory,
+        and with monotone doc ids a RANGE bucket (floor(doc_id/width))
+        makes each ingest a one-bucket rewrite (the BucketedStateTable
+        regime notes apply). The pairs table stays flat: it is
+        near-dup-count-sized, not corpus-sized."""
+        from .cdc import BucketedStateTable
+
         self.spark = spark
-        self.sigs = StateTable(spark, os.path.join(base_dir, "sigs"), ["doc_id"], "seq")
-        self.bands = StateTable(
-            spark, os.path.join(base_dir, "bands"), ["doc_id", "band"], "seq"
-        )
+        if bucket_col is not None:
+            self.sigs = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "sigs"),
+                ["doc_id"],
+                "seq",
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+            self.bands = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "bands"),
+                ["doc_id", "band"],
+                "seq",
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+        else:
+            self.sigs = StateTable(
+                spark, os.path.join(base_dir, "sigs"), ["doc_id"], "seq"
+            )
+            self.bands = StateTable(
+                spark, os.path.join(base_dir, "bands"), ["doc_id", "band"], "seq"
+            )
         self.pairs = StateTable(
             spark, os.path.join(base_dir, "pairs"), ["doc_a", "doc_b"], "seq"
         )

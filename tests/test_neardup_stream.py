@@ -65,3 +65,34 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert index.sigs.read().count() == n_sigs
     # and the converged pair set still equals the one-shot batch result
     assert {(a, b): j for a, b, j in pairs_after} == _batch_pairs(spark)
+
+
+def test_bucketed_index_equals_flat(spark, tmp_path):
+    """The RANGE-bucketed variant (monotone doc-id ingest → one-bucket
+    rewrites for the corpus tables) must detect the identical pair set,
+    and a second-batch ingest must leave the first batch's untouched
+    low-id sig bucket on its original version directory (the
+    BucketedStateTable untouched-bucket guarantee, exercised through
+    the index)."""
+    import os
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    flat = NearDupIndex(spark, str(tmp_path / "flat"))
+    bucketed = NearDupIndex(
+        spark,
+        str(tmp_path / "bucketed"),
+        bucket_col=F.floor(F.col("doc_id") / 100000),
+        n_buckets=16,
+    )
+    first = corpus.filter(F.col("doc_id") < 200000)   # originals
+    second = corpus.filter(F.col("doc_id") >= 200000)  # copies, higher range
+    for idx in (flat, bucketed):
+        idx.ingest_batch(first, 0)
+    b0 = str(tmp_path / "bucketed" / "sigs" / "bucket-000000")
+    v_before = os.readlink(b0)
+    for idx in (flat, bucketed):
+        idx.ingest_batch(second, 1)
+    assert os.readlink(b0) == v_before, "low-id bucket rewritten by high-id batch"
+    fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in flat.pairs_df().collect()}
+    bp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in bucketed.pairs_df().collect()}
+    assert fp == bp and fp, "bucketed index diverged from flat"

@@ -626,3 +626,36 @@ def test_sequence_ops_exchange_budget(spark):
     # raw rows shuffle once on the full grouping key; the user_id-only
     # exchange re-partitions the aggregated frame
     assert any("event_type" in h[1] for h in hashes), ex
+
+
+def test_bigram_lm_probes_broadcast(spark):
+    """The bigram-LM scorer probes both vocabulary-sized count tables
+    (bigram and unigram) with broadcast hash joins at the instance
+    grain — a shuffled join would move the corpus's exploded bigrams
+    twice; Zipf bounds both build sides. No nested loop, no Python."""
+    plan = _plan(spark, "q_bigram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_candidate_join_is_keyed(spark):
+    """SemDeDup's candidate pair search must be an EQUI-join on
+    centroid_id (per-cell pair space) — never a cartesian/nested-loop
+    over the corpus: that would be the O(n²) scan the clustering
+    exists to avoid."""
+    plan = _plan(spark, "q_dedup_semantic")
+    assert "CartesianProduct" not in plan
+    # the candidate pair join must be a keyed INNER join (hash or
+    # sort-merge on centroid_id)
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin Inner", "ShuffledHashJoin Inner", "BroadcastHashJoin Inner")
+    ), plan
+    # nested loops may ONLY be the deliberate centroid-broadcast cross
+    # joins of the assign step (tiny k×dim build side) — never an inner/
+    # theta nested loop carrying the pair space
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross BuildRight" in ln, f"non-assign nested loop: {ln}"
