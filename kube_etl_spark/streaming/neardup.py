@@ -109,6 +109,11 @@ class NearDupIndex:
         sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint(
             eager=True
         )
+        if not sig.head(1):
+            # empty micro-batch (a heartbeat trigger with no files):
+            # nothing to index, and on a FRESH index the probe below
+            # would read a state table that does not exist yet.
+            return
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
         # and a replayed batch probes an index it is already in — the

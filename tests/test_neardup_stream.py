@@ -96,3 +96,21 @@ def test_bucketed_index_equals_flat(spark, tmp_path):
     fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in flat.pairs_df().collect()}
     bp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in bucketed.pairs_df().collect()}
     assert fp == bp and fp, "bucketed index diverged from flat"
+
+
+def test_empty_batch_is_harmless(spark, tmp_path):
+    """An empty micro-batch (heartbeat trigger with no files) must be a
+    no-op on a fresh index AND between real batches — not a crash on
+    the missing state table or a pointless full-state rewrite."""
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    empty = corpus.filter(F.lit(False))
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(empty, 0)  # fresh index: must not crash
+    assert index.sigs.read() is None
+    index.ingest_batch(corpus, 1)
+    n = index.pairs_df().count()
+    index.ingest_batch(empty, 2)
+    assert index.pairs_df().count() == n
+    assert {
+        (r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()
+    } == set(_batch_pairs(spark))
