@@ -2798,3 +2798,82 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("c", 4).alias("cos"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "q_dedup_substring",
+    tags=("L2", "L4"),
+    oracle=f"""
+WITH aug AS ({_NEARDUP_SQL}),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(t) - 8)) AS p, t FROM tok
+),
+gr AS (
+  SELECT doc_id, p, md5(array_to_string(t[p:p+9], ' ')) AS h FROM pos
+),
+dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) > 1),
+marked AS (SELECT doc_id, p FROM gr JOIN dup USING (h)),
+islands AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM marked
+)
+SELECT doc_id, MIN(p) AS span_start,
+       CAST(MAX(p) - MIN(p) + 10 AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 (EXT, round 3): repeated-substring detection — the
+    ExactSubstr shape (find long token spans that occur more than once
+    anywhere in the corpus; the dedup step shown to matter most for LM
+    training in the public literature): every 10-token window is
+    fingerprinted (md5 — identical in both engines, so the oracle is
+    exact), windows whose fingerprint repeats are duplicate positions,
+    and ADJACENT duplicate positions per doc merge into MAXIMAL
+    repeated spans via the gaps-and-islands pattern (pos − row_number
+    constant within a run). Output: one row per maximal span
+    (doc, start token, span length). Run on the bounded near-dup
+    corpus so spans are guaranteed (the synthesized copies repeat
+    their source verbatim).
+
+    Scale shape: a true suffix array does not distribute; the
+    fingerprint formulation is the standard Spark re-expression — one
+    W-gram map pass (the fingerprint is 16 bytes, so the dup-detection
+    shuffle carries hashes, never text), a vocabulary-style
+    HAVING-count filter whose output (repeated fingerprints) is tiny,
+    a broadcast-probe back at the position grain, and one
+    hashpartition(doc_id) window for the island merge — the same
+    exchange family as the corpus's other per-doc windows. No step
+    grows faster than the gram count."""
+    W = 10
+    aug = _neardup_corpus(spark, sf_dir)
+    tok = aug.select("doc_id", _tokens(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (W - 1)),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice("t", i, W))).alias("h"),
+        ),
+    )
+    gr = (
+        tok.filter(F.size("t") >= W)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    dup = gr.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    marked = gr.join(F.broadcast(dup.select("h")), "h").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = marked.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") - F.min("p") + W).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_id", "span_start", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    )

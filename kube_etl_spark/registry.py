@@ -160,6 +160,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_tpch_q4_order_priority",
     "q_pagerank_copurchase",
     "q_bigram_lm_score",
+    "q_dedup_substring",
 )
 
 
