@@ -200,18 +200,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     construction, not by parallel maintenance of two implementations."""
     base = docs.select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
     base = base.withColumn("hs", F.transform(F.col("s"), lambda t: F.xxhash64(t)))
-    return base.select(
-        "doc_id",
-        "s",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(i)))
-                )
-                for i in range(_MINHASH_K)
-            ]
-        ).alias("sig"),
+    # ONE fold over the shingle hashes with a k-wide min accumulator
+    # instead of k array_min(transform(...)) passes: identical values
+    # (verified element-for-element), ~2× faster at sf0.1 — the k-pass
+    # form materializes k intermediate arrays per document. Empty
+    # shingle sets keep the k-null signature the k-pass form produced
+    # (array_min of empty = null), so short-doc banding is unchanged.
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), _MINHASH_K)
+    seeds = F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))
+    fold = F.aggregate(
+        F.col("hs"),
+        init,
+        lambda acc, h: F.zip_with(acc, seeds, lambda m, i: F.least(m, F.xxhash64(h, i))),
     )
+    sig = F.when(F.size("hs") > 0, fold).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), _MINHASH_K)
+    )
+    return base.select("doc_id", "s", sig.alias("sig"))
 
 
 def lsh_bands(sig_df: DataFrame) -> DataFrame:
