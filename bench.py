@@ -242,6 +242,66 @@ def _index_bench(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _neardup_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Streaming near-dup economics: an established index (the full
+    corpus minus the synthesized copies) absorbs 3 trickle batches of
+    newly-arriving high-id documents, flat state vs RANGE-bucketed
+    state, equal pair counts asserted.
+
+    Honest regime note (measured): at fixture scale the two are a WASH
+    (sf0.1 ≈ 2.2 s/batch both; sf0.01 bucketed slightly LOSES to
+    per-bucket job overhead) because per-batch cost here is dominated
+    by the candidate probe + verify joins, which read the same state
+    either way — the bucketing saves only the merge REWRITE, and a
+    5k-doc state rewrites in milliseconds. The rewrite term grows
+    O(corpus) for flat vs O(touched buckets) for bucketed, so the gap
+    the ivm bench shows directly (its state rewrite IS the dominant
+    cost) appears here only when the index is large relative to a
+    batch — exactly the 100 TB regime. The numbers are reported so the
+    crossover claim stays measurable, not asserted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.queries.llm import _neardup_corpus
+    from kube_etl_spark.streaming.neardup import NearDupIndex
+
+    root = tempfile.mkdtemp(prefix="bench-neardup-")
+    try:
+        corpus = _neardup_corpus(spark, sf_dir, limit=10**9).localCheckpoint(
+            eager=True
+        )
+        base = corpus.filter(F.col("doc_id") < 200000)
+        trickle = corpus.filter(F.col("doc_id") >= 200000)
+        max_id = corpus.agg(F.max("doc_id")).collect()[0][0]
+        width = max(1, int(max_id) // 12)
+        out: dict[str, float] = {}
+        pair_counts: dict[str, int] = {}
+        for name, kwargs in [
+            ("flat", {}),
+            (
+                "bucketed",
+                dict(bucket_col=F.floor(F.col("doc_id") / width), n_buckets=16),
+            ),
+        ]:
+            idx = NearDupIndex(spark, f"{root}/{name}", **kwargs)
+            idx.ingest_batch(base, 0)
+            t0 = time.perf_counter()
+            for i in range(3):
+                batch = trickle.filter(F.col("doc_id") % 3 == i)
+                idx.ingest_batch(batch, 1 + i)
+            out[f"ingest_per_batch_{name}"] = round(
+                (time.perf_counter() - t0) / 3, 4
+            )
+            pair_counts[name] = idx.pairs_df().count()
+        assert pair_counts["flat"] == pair_counts["bucketed"], pair_counts
+        out["pairs_detected"] = float(pair_counts["flat"])
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ivm_bench(spark, sf_dir: str) -> dict[str, float]:
     """Materialized-view economics: per-batch maintenance cost of the
     incrementally-maintained orders⋈customer view vs what it buys at
@@ -381,6 +441,7 @@ def main() -> None:
     udf = _udf_bench(spark, sf_dir)
     index = _index_bench(spark, sf_dir)
     ivm = _ivm_bench(spark, sf_dir)
+    neardup = _neardup_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -396,6 +457,7 @@ def main() -> None:
                 "udf": udf,
                 "index": index,
                 "ivm": ivm,
+                "neardup": neardup,
             }
         )
     )
