@@ -2854,30 +2854,36 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashpartition(doc_id) window for the island merge — the same
     exchange family as the corpus's other per-doc windows. No step
     grows faster than the gram count."""
-    W = 10
-    aug = _neardup_corpus(spark, sf_dir)
-    tok = aug.select("doc_id", _tokens(F.col("text")).alias("t"))
+    return repeated_spans(_neardup_corpus(spark, sf_dir), w=10)
+
+
+def repeated_spans(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, text) → maximal repeated w-token spans (doc_id,
+    span_start, span_tokens); see q_dedup_substring for the algorithm
+    and scale notes. Factored so the hypothesis property can hold the
+    pipeline to a pure-Python reference on arbitrary corpora."""
+    tok = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (W - 1)),
+        F.sequence(F.lit(1), F.size("t") - (w - 1)),
         lambda i: F.struct(
             i.alias("p"),
-            F.md5(F.concat_ws(" ", F.slice("t", i, W))).alias("h"),
+            F.md5(F.concat_ws(" ", F.slice("t", i, w))).alias("h"),
         ),
     )
     gr = (
-        tok.filter(F.size("t") >= W)
+        tok.filter(F.size("t") >= w)
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
     )
     dup = gr.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
     marked = gr.join(F.broadcast(dup.select("h")), "h").select("doc_id", "p")
-    w = Window.partitionBy("doc_id").orderBy("p")
-    islands = marked.withColumn("grp", F.col("p") - F.row_number().over(w))
+    win = Window.partitionBy("doc_id").orderBy("p")
+    islands = marked.withColumn("grp", F.col("p") - F.row_number().over(win))
     return (
         islands.groupBy("doc_id", "grp")
         .agg(
             F.min("p").cast("bigint").alias("span_start"),
-            (F.max("p") - F.min("p") + W).cast("bigint").alias("span_tokens"),
+            (F.max("p") - F.min("p") + w).cast("bigint").alias("span_tokens"),
         )
         .select("doc_id", "span_start", "span_tokens")
         .orderBy("doc_id", "span_start")

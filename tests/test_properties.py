@@ -448,3 +448,58 @@ def test_materialized_agg_random_oplog_converges(spark, tmp_path_factory, ops, s
         }
     )
     assert got == want, (got, want, b1, b2)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),  # tiny alphabet → natural repeats
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@PROPS
+@given(docs=docs_strategy)
+def test_repeated_spans_match_python_reference(spark, docs):
+    """repeated_spans ≡ a pure-Python reference on arbitrary corpora:
+    duplicated w-gram positions (corpus-wide count > 1, within-doc
+    repeats included) merged into maximal runs. Probes the whole
+    fingerprint → HAVING filter → broadcast probe → gaps-and-islands
+    pipeline, including docs shorter than the window."""
+    from collections import Counter
+
+    from kube_etl_spark.queries.llm import repeated_spans
+
+    w = 3
+    grams: Counter = Counter()
+    for toks in docs:
+        for i in range(len(toks) - w + 1):
+            grams[tuple(toks[i : i + w])] += 1
+    want = set()
+    for d, toks in enumerate(docs):
+        dup_pos = [
+            i + 1
+            for i in range(len(toks) - w + 1)
+            if grams[tuple(toks[i : i + w])] > 1
+        ]
+        run_start = None
+        prev = None
+        for p in dup_pos + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if run_start is not None:
+                want.add((d, run_start, prev - run_start + w))
+            run_start, prev = p, p
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in repeated_spans(df, w=w).collect()
+    }
+    assert got == want
