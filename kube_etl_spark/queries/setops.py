@@ -143,18 +143,24 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_except",
     tags=("O5",),
     oracle="""
-SELECT c_nationkey AS nk FROM customer
+SELECT o_custkey AS ck FROM orders
 EXCEPT
-SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
-ORDER BY nk
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY ck
 """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5: EXCEPT (distinct semantics)."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
-        .select(F.col("s_nationkey").alias("nk"))
+    """O5: EXCEPT (distinct semantics) — ordering customers who are not
+    high-balance. At the KEY grain deliberately: the old nation-grain
+    version (25 values) went EMPTY at sf0.1 because every nation has a
+    qualifying supplier there — a tiny value domain makes set
+    difference degenerate at some SF (the vacuity trap, caught by the
+    sf0.1 parity sweep); key-grain difference scales with the data at
+    every SF (84 / 843 / 8055 rows)."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("ck"))
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("ck"))
     )
-    return c.subtract(s).orderBy("nk")
+    return o.subtract(c).orderBy("ck")

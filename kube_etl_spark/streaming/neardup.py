@@ -14,8 +14,13 @@ shingle sets, and the surviving pairs land in a keyed StateTable.
 Scale shape per micro-batch (corpus N, batch n, N >> n):
   * sign+band the batch: O(n) map work, no shuffle of the corpus;
   * candidate probe: batch bands (8n narrow rows) hash-join the band
-    index — at scale the index is bucketed on (band, bucket) so the
-    probe touches matching buckets, never the whole index;
+    index. HERE the index is a parquet state table, so the probe SCANS
+    it (one narrow 3-column pass over N·8 rows, shuffled on the
+    16-byte (band, bucket) key) — fine while the index fits a scan
+    budget; the production swap at 10⁹ docs is the same probe against
+    a point-lookup store (the band index is exactly a key→ids table)
+    or a bucket-pruned lakehouse layout, with this module's batch
+    logic unchanged;
   * estimate + verify: candidate-pair-sized joins back to the signature
     state (256 B/doc) and, for est-survivors only, the shingle sets.
 The corpus-sized tables (signatures+shingles, band index) are written
