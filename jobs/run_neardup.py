@@ -32,7 +32,7 @@ def main(argv: list[str]) -> None:
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from kube_etl_spark.session import configure
-    from kube_etl_spark.streaming.neardup import NearDupIndex
+    from kube_etl_spark.streaming.neardup import NearDupIndex, run_neardup_stream
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-neardup").getOrCreate())
@@ -43,13 +43,9 @@ def main(argv: list[str]) -> None:
         args.watch
     )
     index = NearDupIndex(spark, args.state)
-    writer = stream.writeStream.foreachBatch(
-        lambda batch, bid: index.ingest_batch(batch, bid)
-    ).option("checkpointLocation", args.checkpoint)
     if args.once:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        q.stop()
+        # the library wiring (foreachBatch + checkpoint + availableNow)
+        run_neardup_stream(stream, index, args.checkpoint)
         sigs = index.sigs.read()
         print(
             json.dumps(
@@ -61,8 +57,14 @@ def main(argv: list[str]) -> None:
             )
         )
     else:  # pragma: no cover - production mode runs until killed
-        q = writer.start()
-        q.awaitTermination()
+        (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: index.ingest_batch(batch, bid)
+            )
+            .option("checkpointLocation", args.checkpoint)
+            .start()
+            .awaitTermination()
+        )
     if owned:
         spark.stop()
 

@@ -78,11 +78,13 @@ def estimate_quantiles(
     """Roll the cell sketches up to any coarser grain and read quantile
     estimates there — arbitrary date ranges / type unions without ever
     rescanning raw events (input is |cells| rows). Unlike HLL register
-    merge, KLL merge is NOT bit-identical to a direct sketch over the
-    unioned raws (compaction order differs) — but it carries the same
-    rank-error guarantee and is deterministic for a given cell set,
-    both pinned by tests/test_jobs.py. One merged sketch per group
-    serves every requested quantile."""
+    merge, KLL merge is neither bit-identical to a direct sketch NOR
+    deterministic run-to-run (DataSketches KLL compaction is
+    randomized, and Spark's partial-merge order varies) — what it DOES
+    guarantee, and what tests/test_jobs.py pins, is the rank-error
+    bound: every estimate's true rank stays within the k-determined
+    envelope of the target. Do not hash or diff rollup outputs. One
+    merged sketch per group serves every requested quantile."""
     gb = sketches.groupBy(*group_cols) if group_cols else sketches.groupBy()
     merged = gb.agg(
         F.kll_merge_agg_double("value_kll").alias("kll"),
@@ -93,7 +95,7 @@ def estimate_quantiles(
         "n_rows",
         *[
             F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(p)).alias(
-                f"p{int(p * 100):02d}"
+                f"p{round(p * 100):02d}"
             )
             for p in probs
         ],

@@ -222,8 +222,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 def lsh_bands(sig_df: DataFrame) -> DataFrame:
     """(doc_id, sig) → (doc_id, band, bucket): the banded LSH index
     rows. Only these three narrow columns ever ride a band shuffle —
-    never the shingle arrays."""
+    never the shingle arrays.
+
+    Null signatures (docs too short to shingle) are dropped HERE: an
+    all-null signature hashes to the same constant bucket in every
+    band, so every short doc would band-collide with every other short
+    doc forever — a permanent hot bucket whose candidate pairs the
+    estimate tier then prunes at est_j = 0 anyway. Filtering them is
+    output-identical and removes the quadratic dead work (a streaming
+    index would otherwise pay it on every batch)."""
     rows_per_band = _MINHASH_K // _LSH_BANDS
+    sig_df = sig_df.filter(F.element_at(F.col("sig"), 1).isNotNull())
     return sig_df.select(
         "doc_id",
         F.explode(

@@ -779,9 +779,11 @@ def test_kll_quantile_sketch_rollup(spark):
     HLL layer): (a) merged-cell quantile estimates honor the KLL rank
     guarantee — the estimate's TRUE rank sits within ±3% of the target
     rank (k=200 bounds rank error at ~1.65%, 99% confidence; 3% is the
-    slack for the smoke corpus size); (b) the merge is deterministic —
-    two independent rollups of the same cells agree exactly; (c) row
-    totals survive the rollup and the cell count is day×type-bounded."""
+    slack for the smoke corpus size). Checked across TWO independent
+    rollups because KLL merge is NOT deterministic (randomized
+    compaction + partial-merge order) — the rank bound is the
+    guarantee, run-to-run equality is not. (b) row totals survive the
+    rollup and the cell count is day×type-bounded."""
     from kube_etl_spark.catalog import load_table
     from kube_etl_spark.plans.sketches import (
         build_daily_value_sketches,
@@ -812,15 +814,15 @@ def test_kll_quantile_sketch_rollup(spark):
             rank = bisect.bisect_right(vs, est) / len(vs)
             assert abs(rank - prob) <= 0.03, (t, col, est, rank)
 
-    # (b) deterministic merge: an independent rollup agrees exactly
-    again = {
-        r["event_type"]: r
-        for r in estimate_quantiles(cells, [0.5, 0.95], "event_type").collect()
-    }
-    for t in got:
-        assert got[t]["p50"] == again[t]["p50"] and got[t]["p95"] == again[t]["p95"]
+    # a SECOND independent rollup must honor the same rank bound
+    # (its values may legitimately differ from the first — see (a))
+    for r in estimate_quantiles(cells, [0.5, 0.95], "event_type").collect():
+        vs = values[r["event_type"]]
+        for prob, col in [(0.5, "p50"), (0.95, "p95")]:
+            rank = bisect.bisect_right(vs, r[col]) / len(vs)
+            assert abs(rank - prob) <= 0.03, (r["event_type"], col, r[col], rank)
 
-    # (c) cell-bounded rollup input; global rollup keeps every row
+    # (b) cell-bounded rollup input; global rollup keeps every row
     n_days = ev.select(F.date_trunc("day", F.col("ts").cast("timestamp"))).distinct().count()
     n_types = ev.select("event_type").distinct().count()
     assert cells.count() <= n_days * n_types
@@ -864,7 +866,13 @@ def test_theta_sketch_set_algebra(spark):
             (r["n_only_a"], len(A - B)),
         ]:
             assert abs(est - exact) <= max(2, 0.05 * exact), (ta, tb, est, exact)
-        assert abs(r["n_a"] - (r["n_both"] + r["n_only_a"])) < 1e-6
+        # exact-mode artifact: while every sketch retains all hashes
+        # (distincts < 2^lg_k), intersection + difference partition A
+        # exactly; once sampling kicks in this becomes approximate, so
+        # the identity is held to the estimate tolerance, not 1e-6
+        assert abs(r["n_a"] - (r["n_both"] + r["n_only_a"])) <= max(
+            2, 0.05 * r["n_a"]
+        )
 
 
 def test_run_neardup_cli(spark, tmp_path, capsys):
