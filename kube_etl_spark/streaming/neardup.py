@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.llm import (
+    _LSH_BANDS,
     _MINHASH_K,
     EST_PRUNE,
     JACCARD_OUT,
@@ -191,6 +192,44 @@ class NearDupIndex:
             .withColumn("op", F.lit("upsert"))
         )
         self.pairs.merge_batch(detected)
+
+    def delete_docs(self, doc_ids: DataFrame, batch_id: int) -> None:
+        """Compliance deletion (the dedup-index mirror of the retrieval
+        index's delete_from_index): remove the documents' signatures,
+        shingles and band rows — the index must not retain content
+        derived from deleted text — and RETRACT every detected pair
+        that references a deleted doc. Idempotent (seq-keyed delete
+        winners); a later re-ingest of the same doc_id re-detects its
+        pairs. doc_ids: a 1-column (doc_id) frame."""
+        seq = F.lit(int(batch_id)).cast("bigint")
+        ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+        dels = ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
+        self.sigs.merge_batch(dels)
+        self.bands.merge_batch(
+            ids.crossJoin(
+                self.spark.range(_LSH_BANDS).select(F.col("id").cast("int").alias("band"))
+            )
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("delete"))
+        )
+        cur = self.pairs.read()
+        if cur is None:
+            return
+        dead = (
+            cur.join(F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))), "doc_a")
+            .select("doc_a", "doc_b")
+            .unionByName(
+                cur.join(
+                    F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))), "doc_b"
+                ).select("doc_a", "doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        self.pairs.merge_batch(
+            dead.withColumn("jaccard", F.lit(None).cast("double"))
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("delete"))
+        )
 
     def pairs_df(self) -> DataFrame:
         """All near-dup pairs detected so far (doc_a, doc_b, jaccard)."""

@@ -114,3 +114,31 @@ def test_empty_batch_is_harmless(spark, tmp_path):
     assert {
         (r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()
     } == set(_batch_pairs(spark))
+
+
+def test_compliance_deletion_retracts_pairs(spark, tmp_path):
+    """delete_docs must drop the deleted docs from every state table,
+    retract every pair referencing them, be idempotent, and allow a
+    later re-ingest of the same ids to re-detect the pairs."""
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 0)
+    before = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert before
+    copies = corpus.filter(F.col("doc_id") >= 200000).select("doc_id")
+    n_copies = copies.count()
+    n_docs = index.sigs.read().count()
+
+    index.delete_docs(copies, 1)
+    assert index.sigs.read().count() == n_docs - n_copies
+    assert index.bands.read().filter(F.col("doc_id") >= 200000).count() == 0
+    left = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert all(a < 200000 and b < 200000 for a, b in left)
+    assert left < before  # copies' pairs retracted, others intact
+
+    index.delete_docs(copies, 1)  # redelivery: idempotent
+    assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == left
+
+    # re-ingest the deleted docs: their pairs come back
+    index.ingest_batch(corpus.filter(F.col("doc_id") >= 200000), 2)
+    assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == before
