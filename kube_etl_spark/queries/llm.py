@@ -2897,3 +2897,124 @@ def repeated_spans(docs: DataFrame, w: int) -> DataFrame:
         .select("doc_id", "span_start", "span_tokens")
         .orderBy("doc_id", "span_start")
     )
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    tags=("L2",),
+    oracle=f"""
+WITH aug AS ({_NEARDUP_SQL}),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM aug
+),
+th AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(t), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(range(0, 48)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (EXT, round 3): SimHash near-dup PAIR search — the banded
+    Hamming-distance companion to q_dedup_simhash's signature pass:
+    48-bit signatures (md5-derived, engine-identical), split into 4
+    chunks of 12 bits; by pigeonhole, any pair within Hamming distance
+    3 agrees on at least one chunk, so candidates come from 4 cheap
+    equi-joins on (chunk_idx, chunk_value) and only candidates pay the
+    exact bit_count(xor) verification. The DuckDB oracle brute-forces
+    ALL pairs at distance ≤ 3 — so the green proves the banding is
+    LOSSLESS, not just self-consistent. Fixture honesty: the synthetic
+    word-salad corpus gives simhash poor semantic separation (some
+    unrelated doc pairs land at distance 0) — the operator's contract
+    here is the Hamming search itself; the Jaccard-graded near-dup
+    quality anchors live in q_dedup_ngram_jaccard/q_dedup_fuzzy.
+
+    Scale shape: signature build is two keyed aggregations (token grain
+    then bit grain); the chunk shuffle carries (doc_id, idx, 12-bit
+    value) only; the pair space is per-bucket, never corpus². Same
+    regime note as LSH banding: bucket sizes follow the corpus's
+    signature correlation, and the chunk width is the selectivity
+    dial."""
+    BITS, CHUNKS = 48, 4
+    width = BITS // CHUNKS
+    aug = _neardup_corpus(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
+    )
+    th = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    bits = (
+        th.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(BITS - 1))).alias("bit")
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sh = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    ).localCheckpoint(eager=True)  # reused by the 2-sided join below
+    chunks = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("idx"),
+                        F.expr(f"(sig >> {i * width}) & {(1 << width) - 1}").alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb"))
+    hamming = F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -161,6 +161,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_pagerank_copurchase",
     "q_bigram_lm_score",
     "q_dedup_substring",
+    "q_dedup_simhash_pairs",
 )
 
 
