@@ -1,0 +1,129 @@
+"""Continuous semantic (embedding) near-dup detection — the vector
+twin of streaming/neardup.py: documents have MinHash, embeddings have
+cosine-over-IVF-cells (queries/llm.py q_dedup_semantic is the one-shot
+batch form, q_dedup_embedding its exactness anchor).
+
+New vectors are assigned to their top-2 cells against a FROZEN centroid
+set (the append_to_index judgment from plans/retrieval_index.py:
+centroids come from the initial build and drift is handled by periodic
+re-train, not per-batch re-clustering — per-batch k-means would make
+detection order-dependent and unreplayable), probed against the
+accumulated same-cell members, exact-cosine-verified at the anchor's
+threshold, and surviving pairs MERGE into keyed state.
+
+Scale shape per micro-batch: assign = batch × k×dim broadcast distance
+scan; probe = equi-join on centroid_id against only the touched cells'
+members; verify = candidate-pair-sized dot products. The member state
+grows with the corpus (the index IS the memory); per-batch work is
+batch-sized plus the touched cells.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries.llm import _dot
+from .cdc import StateTable
+
+COS_THRESHOLD = 0.8  # q_dedup_embedding's anchor threshold
+
+
+class SemanticDedupIndex:
+    """Incrementally-maintained cosine near-dup index over embeddings.
+
+    State under ``base_dir``:
+      * ``members`` — (vec_id, v, centroid_id): every ingested vector in
+        its top-2 cells (the nprobe=2 fan-out both sides of the batch
+        candidate join rely on — same dial as q_knn_ivf);
+      * ``pairs``   — (vec_a, vec_b, cos): detected pairs, vec_a < vec_b,
+        exact cosine ≥ COS_THRESHOLD.
+
+    ``centroids`` is the frozen (centroid_id, cv) frame the index was
+    opened with; reopening with different centroids is a re-train and
+    warrants a rebuild (append ≡ rebuild only under fixed centroids).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str, centroids: DataFrame):
+        self.spark = spark
+        self.centroids = centroids.select("centroid_id", "cv").localCheckpoint(
+            eager=True
+        )
+        self.members = StateTable(
+            spark, os.path.join(base_dir, "members"), ["vec_id", "centroid_id"], "seq"
+        )
+        self.pairs = StateTable(
+            spark, os.path.join(base_dir, "pairs"), ["vec_a", "vec_b"], "seq"
+        )
+
+    def _assign(self, vecs: DataFrame) -> DataFrame:
+        """(vec_id, v) → top-2 cells per vector on L2-normalized
+        distance against the frozen centroids (ties → lowest id), the
+        exact assignment rule of q_dedup_semantic."""
+        nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+        vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+        dist = F.aggregate(
+            F.zip_with(F.col("vn"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            vn.crossJoin(F.broadcast(self.centroids))
+            .select("vec_id", "v", "centroid_id", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("vec_id", "v", "centroid_id")
+        )
+
+    def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Assign, index, and near-dup-check one micro-batch of
+        (vec_id, v) rows. Idempotent under replay (seq-keyed merges,
+        same pairs re-upserted)."""
+        seq = F.lit(int(batch_id)).cast("bigint")
+        assigned = self._assign(batch.select("vec_id", "v")).localCheckpoint(
+            eager=True
+        )
+        if not assigned.head(1):
+            return
+        self.members.merge_batch(
+            assigned.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
+        )
+        state = self.members.read()
+        a = assigned.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
+        )
+        b = state.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id"
+        )
+        cos = _dot(F.col("va"), F.col("vb")) / (
+            F.sqrt(_dot(F.col("va"), F.col("va")))
+            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+        )
+        detected = (
+            a.join(b, ["centroid_id"])
+            .filter(F.col("vec_a") != F.col("vec_b"))
+            .select(
+                F.least("vec_a", "vec_b").alias("vec_a"),
+                F.greatest("vec_a", "vec_b").alias("vec_b"),
+                cos.alias("c"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+            .filter(F.col("c") >= COS_THRESHOLD)
+            .select("vec_a", "vec_b", F.round("c", 4).alias("cos"))
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("upsert"))
+        )
+        self.pairs.merge_batch(detected)
+
+    def pairs_df(self) -> DataFrame:
+        cur = self.pairs.read()
+        if cur is None:
+            return self.spark.createDataFrame(
+                [], "vec_a bigint, vec_b bigint, cos double"
+            )
+        return cur.select("vec_a", "vec_b", "cos")

@@ -142,3 +142,44 @@ def test_compliance_deletion_retracts_pairs(spark, tmp_path):
     # re-ingest the deleted docs: their pairs come back
     index.ingest_batch(corpus.filter(F.col("doc_id") >= 200000), 2)
     assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == before
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    """The embedding twin: with the SAME frozen centroids the batch
+    query derives (seed-fixed k-means on the augmented corpus), feeding
+    the vectors in two micro-batches must converge to EXACTLY
+    q_dedup_semantic's pair set, and replay must be a no-op."""
+    from kube_etl_spark.queries.llm import (
+        _dot,
+        _kmeans_centroids,
+        _neardup_embeddings,
+    )
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    emb = _neardup_embeddings(spark, SMOKE_SF, limit=10**9).select("vec_id", "v")
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    n = emb.count()
+    k = max(4, min(16, n // 64))
+    cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=k)
+
+    index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
+    # originals first, perturbed copies second: every true near-dup
+    # pair spans the two batches, so CROSS-batch detection is what the
+    # equality below actually exercises
+    first = emb.filter(F.col("vec_id") < 100000)
+    second = emb.filter(F.col("vec_id") >= 100000)
+    index.ingest_batch(first, 0)
+    index.ingest_batch(second, 1)
+    got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in index.pairs_df().collect()}
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in all_specs()["q_dedup_semantic"].fn(spark, SMOKE_SF).collect()
+    }
+    assert want, "batch semantic dedup found no pairs — fixture regression"
+    assert got == want
+
+    index.ingest_batch(second, 1)  # replay
+    assert {
+        (r["vec_a"], r["vec_b"]): r["cos"] for r in index.pairs_df().collect()
+    } == want
