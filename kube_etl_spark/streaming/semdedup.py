@@ -120,6 +120,37 @@ class SemanticDedupIndex:
         )
         self.pairs.merge_batch(detected)
 
+    def delete_vecs(self, vec_ids: DataFrame, batch_id: int) -> None:
+        """Compliance deletion — mirrors NearDupIndex.delete_docs: the
+        vectors leave the member state (both their cells) and every
+        pair referencing them retracts; idempotent, and a later
+        re-ingest re-detects. vec_ids: a 1-column (vec_id) frame."""
+        seq = F.lit(int(batch_id)).cast("bigint")
+        ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+        self.members.merge_batch(
+            ids.crossJoin(self.centroids.select("centroid_id"))
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("delete"))
+        )
+        cur = self.pairs.read()
+        if cur is None:
+            return
+        dead = (
+            cur.join(F.broadcast(ids.select(F.col("vec_id").alias("vec_a"))), "vec_a")
+            .select("vec_a", "vec_b")
+            .unionByName(
+                cur.join(
+                    F.broadcast(ids.select(F.col("vec_id").alias("vec_b"))), "vec_b"
+                ).select("vec_a", "vec_b")
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        self.pairs.merge_batch(
+            dead.withColumn("cos", F.lit(None).cast("double"))
+            .withColumn("seq", seq)
+            .withColumn("op", F.lit("delete"))
+        )
+
     def pairs_df(self) -> DataFrame:
         cur = self.pairs.read()
         if cur is None:

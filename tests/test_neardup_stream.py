@@ -183,3 +183,33 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     assert {
         (r["vec_a"], r["vec_b"]): r["cos"] for r in index.pairs_df().collect()
     } == want
+
+
+def test_semantic_deletion_retracts_pairs(spark, tmp_path):
+    """delete_vecs drops the vectors from member state (all cells) and
+    retracts their pairs, idempotently; re-ingest re-detects."""
+    from kube_etl_spark.queries.llm import (
+        _dot,
+        _kmeans_centroids,
+        _neardup_embeddings,
+    )
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    emb = _neardup_embeddings(spark, SMOKE_SF, limit=10**9).select("vec_id", "v")
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    k = max(4, min(16, emb.count() // 64))
+    cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=k)
+    index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
+    index.ingest_batch(emb, 0)
+    before = {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()}
+    assert before
+    copies = emb.filter(F.col("vec_id") >= 100000).select("vec_id")
+    index.delete_vecs(copies, 1)
+    assert index.members.read().filter(F.col("vec_id") >= 100000).count() == 0
+    left = {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()}
+    assert all(a < 100000 and b < 100000 for a, b in left) and left < before
+    index.delete_vecs(copies, 1)
+    assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == left
+    index.ingest_batch(emb.filter(F.col("vec_id") >= 100000), 2)
+    assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == before
