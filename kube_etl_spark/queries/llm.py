@@ -278,7 +278,6 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(
         _neardup_corpus(spark, sf_dir, limit=10**9).repartition(n_parts, "doc_id")
     ).localCheckpoint(eager=True)
-    sh = sig.select("doc_id", "s")
     # Only (doc_id, band, bucket) rides the band shuffle — exploding the
     # shingle arrays 8× would make the "cheap" band shuffles carry the
     # whole corpus 8 times over at the 100 TB target.
@@ -295,16 +294,26 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Two-stage verification (the textbook LSH shape):
-    #  1. estimate Jaccard from the 32-hash signatures (256 bytes/doc,
-    #     cheap join-back) and prune — the margin must be sized at the
-    #     OUTPUT threshold (J=0.5), the worst-kept pair: est-J there has
-    #     σ=sqrt(0.5·0.5/32)≈0.088, so a 0.28 cutoff keeps ~2.5σ of
-    #     headroom even for borderline true positives (a 0.35 cutoff
-    #     left only ~1.7σ ⇒ ~4% silent false-negative rate at J≈0.5);
-    #  2. exact-Jaccard on the survivors only, joining the (heavy)
-    #     shingle arrays just for that small set.
-    sigs = sig.select("doc_id", "sig")
+    return lsh_estimate_verify(cand, sig).orderBy("doc_a", "doc_b")
+
+
+def lsh_estimate_verify(cand: DataFrame, sig_state: DataFrame) -> DataFrame:
+    """Two-stage LSH verification (the textbook shape), shared by the
+    batch query above and the streaming index (streaming/neardup.py):
+
+      1. estimate Jaccard from the k-hash signatures (256 bytes/doc,
+         cheap join-back) and prune — the margin must be sized at the
+         OUTPUT threshold (J=0.5), the worst-kept pair: est-J there has
+         σ=sqrt(0.5·0.5/32)≈0.088, so a 0.28 cutoff keeps ~2.5σ of
+         headroom even for borderline true positives (a 0.35 cutoff
+         left only ~1.7σ ⇒ ~4% silent false-negative rate at J≈0.5);
+      2. exact-Jaccard on the survivors only, joining the (heavy)
+         shingle arrays just for that small set.
+
+    cand: (doc_a, doc_b) candidate pairs; sig_state: (doc_id, s, sig).
+    Returns (doc_a, doc_b, jaccard) at jaccard ≥ JACCARD_OUT, unsorted.
+    """
+    sigs = sig_state.select("doc_id", "sig")
     est = (
         cand.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "ga"), "doc_a")
         .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "gb"), "doc_b")
@@ -321,7 +330,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_j") >= EST_PRUNE)
         .select("doc_a", "doc_b")
     )
-    shingles = sh.select("doc_id", "s")
+    shingles = sig_state.select("doc_id", "s")
     survivors = (
         est.join(shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
@@ -332,7 +341,6 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_OUT)
-        .orderBy("doc_a", "doc_b")
     )
 
 

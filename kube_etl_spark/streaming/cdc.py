@@ -368,3 +368,37 @@ class BucketedStateTable:
             winners = latest_op(incoming, self.key_cols, self.seq_cols)
             new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
             atomic_overwrite(new_state, self._bucket_path(b))
+
+
+def retract_pairs(
+    pairs: StateTable,
+    ids: DataFrame,
+    a_col: str,
+    b_col: str,
+    value_col: str,
+    seq: int,
+) -> None:
+    """Delete every row of a (a, b)-keyed pairs StateTable that
+    references an id on EITHER side — the shared retraction step of the
+    near-dup indexes' compliance deletion (streaming/neardup.py,
+    streaming/semdedup.py). ids: a 1-column frame named ``doc-id-like``
+    whose column matches neither key (any single column works — it is
+    renamed onto each side)."""
+    cur = pairs.read()
+    if cur is None:
+        return
+    id_col = ids.columns[0]
+    dead = (
+        cur.join(F.broadcast(ids.select(F.col(id_col).alias(a_col))), a_col)
+        .select(a_col, b_col)
+        .unionByName(
+            cur.join(F.broadcast(ids.select(F.col(id_col).alias(b_col))), b_col)
+            .select(a_col, b_col)
+        )
+        .dropDuplicates([a_col, b_col])
+    )
+    pairs.merge_batch(
+        dead.withColumn(value_col, F.lit(None).cast("double"))
+        .withColumn("seq", F.lit(int(seq)).cast("bigint"))
+        .withColumn("op", F.lit("delete"))
+    )

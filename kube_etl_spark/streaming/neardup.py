@@ -40,13 +40,11 @@ from pyspark.sql import functions as F
 
 from ..queries.llm import (
     _LSH_BANDS,
-    _MINHASH_K,
-    EST_PRUNE,
-    JACCARD_OUT,
     lsh_bands,
+    lsh_estimate_verify,
     minhash_signatures,
 )
-from .cdc import StateTable
+from .cdc import StateTable, retract_pairs
 
 
 class NearDupIndex:
@@ -79,30 +77,17 @@ class NearDupIndex:
         from .cdc import BucketedStateTable
 
         self.spark = spark
-        if bucket_col is not None:
-            self.sigs = BucketedStateTable(
-                spark,
-                os.path.join(base_dir, "sigs"),
-                ["doc_id"],
-                "seq",
-                n_buckets=n_buckets,
-                bucket_col=bucket_col,
+
+        def corpus_table(name: str, key_cols: list[str]):
+            path = os.path.join(base_dir, name)
+            if bucket_col is None:
+                return StateTable(spark, path, key_cols, "seq")
+            return BucketedStateTable(
+                spark, path, key_cols, "seq", n_buckets=n_buckets, bucket_col=bucket_col
             )
-            self.bands = BucketedStateTable(
-                spark,
-                os.path.join(base_dir, "bands"),
-                ["doc_id", "band"],
-                "seq",
-                n_buckets=n_buckets,
-                bucket_col=bucket_col,
-            )
-        else:
-            self.sigs = StateTable(
-                spark, os.path.join(base_dir, "sigs"), ["doc_id"], "seq"
-            )
-            self.bands = StateTable(
-                spark, os.path.join(base_dir, "bands"), ["doc_id", "band"], "seq"
-            )
+
+        self.sigs = corpus_table("sigs", ["doc_id"])
+        self.bands = corpus_table("bands", ["doc_id", "band"])
         self.pairs = StateTable(
             spark, os.path.join(base_dir, "pairs"), ["doc_a", "doc_b"], "seq"
         )
@@ -146,48 +131,10 @@ class NearDupIndex:
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        state = self.sigs.read()
-        sigs = state.select("doc_id", "sig")
-        est = (
-            cand.join(
-                sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sig", "ga"
-                ),
-                "doc_a",
-            )
-            .join(
-                sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sig", "gb"
-                ),
-                "doc_b",
-            )
-            .withColumn(
-                "est_j",
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("ga"), F.col("gb"), lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                ).cast("double")
-                / F.lit(_MINHASH_K),
-            )
-            .filter(F.col("est_j") >= EST_PRUNE)
-            .select("doc_a", "doc_b")
-        )
-        shingles = state.select("doc_id", "s")
-        survivors = est.join(
-            shingles.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"),
-            "doc_a",
-        ).join(
-            shingles.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"),
-            "doc_b",
-        )
-        jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-            F.array_union("sa", "sb")
-        )
+        # estimate + exact verify: the SAME two-stage helper the batch
+        # query uses (one implementation — stream≡batch by construction)
         detected = (
-            survivors.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= JACCARD_OUT)
+            lsh_estimate_verify(cand, self.sigs.read())
             .withColumn("seq", seq)
             .withColumn("op", F.lit("upsert"))
         )
@@ -212,24 +159,7 @@ class NearDupIndex:
             .withColumn("seq", seq)
             .withColumn("op", F.lit("delete"))
         )
-        cur = self.pairs.read()
-        if cur is None:
-            return
-        dead = (
-            cur.join(F.broadcast(ids.select(F.col("doc_id").alias("doc_a"))), "doc_a")
-            .select("doc_a", "doc_b")
-            .unionByName(
-                cur.join(
-                    F.broadcast(ids.select(F.col("doc_id").alias("doc_b"))), "doc_b"
-                ).select("doc_a", "doc_b")
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        self.pairs.merge_batch(
-            dead.withColumn("jaccard", F.lit(None).cast("double"))
-            .withColumn("seq", seq)
-            .withColumn("op", F.lit("delete"))
-        )
+        retract_pairs(self.pairs, ids, "doc_a", "doc_b", "jaccard", batch_id)
 
     def pairs_df(self) -> DataFrame:
         """All near-dup pairs detected so far (doc_a, doc_b, jaccard)."""

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries.llm import _dot
-from .cdc import StateTable
+from .cdc import StateTable, retract_pairs
 
 COS_THRESHOLD = 0.8  # q_dedup_embedding's anchor threshold
 
@@ -132,24 +132,7 @@ class SemanticDedupIndex:
             .withColumn("seq", seq)
             .withColumn("op", F.lit("delete"))
         )
-        cur = self.pairs.read()
-        if cur is None:
-            return
-        dead = (
-            cur.join(F.broadcast(ids.select(F.col("vec_id").alias("vec_a"))), "vec_a")
-            .select("vec_a", "vec_b")
-            .unionByName(
-                cur.join(
-                    F.broadcast(ids.select(F.col("vec_id").alias("vec_b"))), "vec_b"
-                ).select("vec_a", "vec_b")
-            )
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
-        self.pairs.merge_batch(
-            dead.withColumn("cos", F.lit(None).cast("double"))
-            .withColumn("seq", seq)
-            .withColumn("op", F.lit("delete"))
-        )
+        retract_pairs(self.pairs, ids, "vec_a", "vec_b", "cos", batch_id)
 
     def pairs_df(self) -> DataFrame:
         cur = self.pairs.read()
