@@ -30,6 +30,10 @@ def main(argv: list[str]) -> None:
     spark = configure(SparkSession.builder.appName("kube-etl-audit").getOrCreate())
     report = evaluate_alerts(audit_report(spark, args.input))
     if args.output:
+        # persist so the write and the collect below materialize the
+        # battery once, not twice (every contributing scan — row
+        # counts, FK probes, Benford, PSI — would otherwise re-run)
+        report = report.persist()
         report.coalesce(1).write.mode("overwrite").parquet(args.output)
     rows = [
         {

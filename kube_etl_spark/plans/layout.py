@@ -101,6 +101,15 @@ def compact(
     scale pass target_rows derived from target_bytes / avg row width
     (observable from the source footers). Returns before/after file
     counts."""
+    # in-place invocation would destroy the source: mode("overwrite")
+    # clears out_dir before the job lazily re-reads in_dir. Refuse
+    # loudly rather than truncate the table (true in-place compaction
+    # needs the version-dir publish of streaming/cdc.atomic_overwrite).
+    if os.path.realpath(in_dir) == os.path.realpath(out_dir):
+        raise ValueError(
+            "compact: in_dir and out_dir must differ (an in-place "
+            "overwrite deletes the source before it is re-read)"
+        )
     df = spark.read.parquet(in_dir)
     n = df.count()
     n_files = max(1, -(-n // target_rows))

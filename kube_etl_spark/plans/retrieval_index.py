@@ -38,14 +38,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..queries.llm import _dot, _kmeans_centroids, _tokens
+from ..queries.llm import _dot, _kmeans_centroids, _tokens, bm25_contrib
+from ..streaming.cdc import atomic_overwrite
 
 
 def _normalize(emb: DataFrame) -> DataFrame:
+    # norm hoisted into its own column BEFORE the transform: a lambda
+    # re-evaluates every expression per element, so an inline norm
+    # would compute the full dot product d times per vector (O(d²))
     norm = F.sqrt(_dot(F.col("raw"), F.col("raw")))
-    return emb.select(
+    return emb.withColumn("n", norm).select(
         "vec_id",
-        F.transform(F.col("raw"), lambda x: x / norm).alias("v"),
+        F.transform(F.col("raw"), lambda x: x / F.col("n")).alias("v"),
     )
 
 
@@ -118,10 +122,13 @@ def build_index(
     postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
     doclens.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens"))
     n_terms = _write_stats(spark, index_dir)
+    # counts come from the just-written tables: re-counting the `cells`
+    # / `postings` plans would re-execute the whole corpus pipeline
+    # (k-means assignment, tokenize+explode) a second time
     return {
         "k": k,
-        "n_vectors": cells.count(),
-        "n_postings": postings.count(),
+        "n_vectors": spark.read.parquet(os.path.join(index_dir, "cells")).count(),
+        "n_postings": spark.read.parquet(os.path.join(index_dir, "postings")).count(),
         "n_terms": n_terms,
     }
 
@@ -153,7 +160,9 @@ def append_to_index(
     postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
     doclens.write.mode("append").parquet(os.path.join(index_dir, "doclens"))
     n_terms = _write_stats(spark, index_dir)
-    return {"appended_vectors": cells.count(), "n_terms": n_terms}
+    # the batch is its own row count — avoid re-running the centroid
+    # assignment just to count its output
+    return {"appended_vectors": new_emb.count(), "n_terms": n_terms}
 
 
 def dense_probe(
@@ -209,12 +218,8 @@ def lexical_probe(
         post.join(F.broadcast(stats), "term")
         .join(doclens, "doc_id")
     )
-    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    contrib = idf * (F.col("tf") * 2.2) / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+    contrib = bm25_contrib(
+        F.col("tf"), F.col("df"), F.col("dl"), F.col("n_docs"), F.col("total_dl")
     )
     return (
         scored.select("doc_id", contrib.alias("c"))
@@ -271,6 +276,8 @@ def delete_from_index(
     get the same touched-bucket-only property; documented tradeoff),
     and the stats table re-derives from the index. The deleted ids are
     broadcast (a deletion batch is small by nature)."""
+    import shutil
+
     ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -288,23 +295,37 @@ def delete_from_index(
         if touched:
             kept = cells.filter(F.col("centroid_id").isin(touched)).join(
                 F.broadcast(ids_df), cells.vec_id == ids_df.doc_id, "left_anti"
-            )
+            ).persist()
+            # a touched cell whose EVERY vector is deleted produces no
+            # rows, and dynamic overwrite only replaces partitions
+            # present in the written data — the emptied cell's files
+            # would silently survive (a right-to-be-forgotten hole).
+            # Drop those partition directories explicitly (the local-FS
+            # analog of ALTER TABLE ... DROP PARTITION).
+            survivors = {
+                r["centroid_id"] for r in kept.select("centroid_id").distinct().collect()
+            }
             # dynamic mode: only the centroid_id=... dirs in `kept` rewrite
             kept.select("vec_id", "v", "centroid_id").write.mode(
                 "overwrite"
             ).partitionBy("centroid_id").parquet(os.path.join(index_dir, "cells"))
+            kept.unpersist()
+            for cid in set(touched) - survivors:
+                shutil.rmtree(
+                    os.path.join(index_dir, "cells", f"centroid_id={cid}"),
+                    ignore_errors=True,
+                )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     for table in ("postings", "doclens"):
         path = os.path.join(index_dir, table)
-        kept = (
-            spark.read.parquet(path)
-            .join(F.broadcast(ids_df), "doc_id", "left_anti")
-            .persist()
-        )
-        kept.count()  # materialize before overwriting the source
-        kept.write.mode("overwrite").parquet(path)
-        kept.unpersist()
+        kept = spark.read.parquet(path).join(F.broadcast(ids_df), "doc_id", "left_anti")
+        # version-dir + symlink publish (streaming/cdc.atomic_overwrite):
+        # the new table is fully written from the still-intact old files
+        # before the pointer swaps, so neither a crash mid-write nor a
+        # recomputed task can ever see (or cause) a destroyed table —
+        # the in-place overwrite both risked
+        atomic_overwrite(kept, path)
     n_terms = _write_stats(spark, index_dir)
     return {"deleted": len(doc_ids), "touched_cells": len(touched), "n_terms": n_terms}

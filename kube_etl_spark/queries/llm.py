@@ -2066,6 +2066,20 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def bm25_contrib(
+    tf: F.Column, df: F.Column, dl: F.Column, n_docs: F.Column, total_dl: F.Column
+) -> F.Column:
+    """Okapi BM25 per-(term, doc) contribution with k1=1.2, b=0.75 —
+    THE one formula shared by q_bm25_topk, q_hybrid_rrf's lexical leg,
+    and the served index's lexical_probe (plans/retrieval_index.py):
+    a smoothing tweak in one place cannot silently desynchronize the
+    others (the index e2e asserts lexical_probe ≡ q_bm25_topk)."""
+    avgdl = total_dl.cast("double") / n_docs
+    idf = F.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+
 @query(
     "q_bm25_topk",
     bench=True,
@@ -2143,12 +2157,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def term(tf_col: str, df_col: str) -> F.Column:
-        avgdl = F.col("total_dl").cast("double") / F.col("n")
-        idf = F.log(
-            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
-        )
-        return idf * (F.col(tf_col) * 2.2) / (
-            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+        return bm25_contrib(
+            F.col(tf_col), F.col(df_col), F.col("dl"), F.col("n"), F.col("total_dl")
         )
 
     score = term("tf_dup", "df_dup") + term("tf_key", "df_key") + term(
@@ -2261,12 +2271,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def term(tf_col: str, df_col: str) -> F.Column:
-        avgdl = F.col("total_dl").cast("double") / F.col("n")
-        idf = F.log(
-            (F.col("n") - F.col(df_col) + 0.5) / (F.col(df_col) + 0.5) + 1.0
-        )
-        return idf * (F.col(tf_col) * 2.2) / (
-            F.col(tf_col) + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+        return bm25_contrib(
+            F.col(tf_col), F.col(df_col), F.col("dl"), F.col("n"), F.col("total_dl")
         )
 
     bm25 = F.round(

@@ -459,11 +459,24 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     swept = deltas.withColumn("live", F.sum("d").over(w_sweep))
+    # eoh = the cumulative net through the hour — a running sum of
+    # hourly delta totals over the hour-sized aggregate frame. NOT
+    # F.last("live") in the groupBy: an aggregate last() has no
+    # ordering guarantee once the input has >1 partition (it happens
+    # to work under the single-partition global sweep, which is
+    # exactly the accident a scaled-up run breaks); the hourly net
+    # formulation is order-independent and equals the oracle's
+    # LAST(live ORDER BY t, d DESC) identically.
+    hourly = swept.groupBy(F.date_trunc("hour", "t").alias("hour")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrency"),
+        F.sum("d").alias("net"),
+    )
+    w_h = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        swept.groupBy(F.date_trunc("hour", "t").alias("hour"))
-        .agg(
-            F.max("live").cast("bigint").alias("peak_concurrency"),
-            F.last("live").cast("bigint").alias("eoh_concurrency"),
+        hourly.select(
+            "hour",
+            "peak_concurrency",
+            F.sum("net").over(w_h).cast("bigint").alias("eoh_concurrency"),
         )
         .orderBy("hour")
     )

@@ -48,9 +48,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-3 window: 12 anchors (r01∪r02 driver-green) + the 28
-# oracle-backed queries with no driver row in r01/r02 + the 10 queries
-# new this round. With this rotation, every oracle-backed registered
+# Round-3 window: 8 pinned anchors (r01∪r02 driver-green) + 28
+# oracle-backed queries with no driver row in r01/r02 + 14 queries
+# new this round (8+28+14 = 50). With this rotation, every oracle-backed registered
 # query has a driver hash row across r01∪r02∪r03. Anchors dropped to
 # make room for new queries (q_window_rank, q_topk, q_join_asof,
 # q_multimodal_join, q_join_star, q_stream_tumbling, q_tpch_q3) each

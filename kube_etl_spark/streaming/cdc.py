@@ -100,6 +100,16 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     nothing (the two-rename directory dance has a lost-state window
     between the renames). On object stores this role is played by a
     transactional table format's commit log."""
+    # Migration: a table first written as a PLAIN directory (pre-
+    # versioning build) becomes a version dir on its first atomic
+    # publish — the rename is metadata-only and the data files never
+    # move. Must happen BEFORE the new version is computed: the write
+    # below lazily READS the old table, and it must keep existing
+    # until the swap.
+    if os.path.isdir(path) and not os.path.islink(path):
+        migrated = f"{path}.v-{uuid.uuid4().hex[:8]}"
+        os.rename(path, migrated)
+        os.symlink(os.path.basename(migrated), path)
     version = f"{path}.v-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(version)
     old_target = os.readlink(path) if os.path.islink(path) else None

@@ -925,3 +925,46 @@ def test_run_neardup_cli(spark, tmp_path, capsys):
     third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert third["docs_indexed"] == corpus.count()
     assert third["pairs"] == len(want)
+
+
+def test_retrieval_index_delete_empties_whole_cell(spark, tmp_path):
+    """Deleting EVERY vector of a cell must actually forget them:
+    dynamic partition overwrite only replaces partitions present in
+    the written data, so an emptied cell's directory must be dropped
+    explicitly — the case the 4-victim test can never trigger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.plans.retrieval_index import (
+        build_index,
+        delete_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, SMOKE_SF, idx, k=8)
+    cells = spark.read.parquet(idx + "/cells")
+    # pick the smallest cell and delete all of its members
+    target = (
+        cells.groupBy("centroid_id").count().orderBy("count", "centroid_id").first()
+    )["centroid_id"]
+    victims = [
+        r["vec_id"]
+        for r in cells.filter(F.col("centroid_id") == target).collect()
+    ]
+    assert victims
+    res = delete_from_index(spark, idx, victims)
+    assert res["deleted"] == len(victims)
+    after = spark.read.parquet(idx + "/cells")
+    assert after.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert after.filter(F.col("centroid_id") == target).count() == 0
+    assert not os.path.exists(
+        os.path.join(idx, "cells", f"centroid_id={target}")
+    ), "emptied cell directory still holds deleted vectors"
+    # sparse tables forgot them too, via the atomic publish path
+    assert (
+        spark.read.parquet(idx + "/postings")
+        .filter(F.col("doc_id").isin(victims))
+        .count()
+        == 0
+    )
