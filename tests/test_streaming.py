@@ -1395,3 +1395,36 @@ def test_bucketed_state_equals_flat_state(spark, tmp_path):
     assert snap(buck) != snap(flat)  # the single-key update landed
     flat.merge_batch(spark.createDataFrame([(200, 3, "upsert", -1.0)], schema))
     assert snap(buck) == snap(flat)
+
+
+def test_atomic_overwrite_migrates_plain_directory(spark, tmp_path):
+    """A table first written as a PLAIN parquet directory (a pre-
+    versioning build, e.g. the retrieval index's initial write) must
+    survive its first atomic_overwrite: the old data stays readable
+    throughout (the new version derives from it), the path becomes a
+    symlink afterwards, and a second overwrite cycles versions
+    normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import atomic_overwrite
+
+    path = str(tmp_path / "table")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    ).write.parquet(path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+
+    # the new version is DERIVED from the old table (the lazy-read
+    # hazard the migration ordering must survive)
+    derived = spark.read.parquet(path).filter(F.col("k") < 5)
+    atomic_overwrite(derived, path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 5
+
+    atomic_overwrite(spark.read.parquet(path).filter(F.col("k") < 2), path)
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {0, 1}
+    # only one live version dir remains beside the link
+    vers = [d for d in os.listdir(tmp_path) if d.startswith("table.v-")]
+    assert len(vers) == 1
