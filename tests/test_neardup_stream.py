@@ -213,3 +213,47 @@ def test_semantic_deletion_retracts_pairs(spark, tmp_path):
     assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == left
     index.ingest_batch(emb.filter(F.col("vec_id") >= 100000), 2)
     assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == before
+
+
+def test_streaming_substring_index_matches_batch(spark, tmp_path):
+    """Incremental repeated-span maintenance: originals first (few or
+    no spans), copies second — the copies RETROACTIVELY create spans in
+    the originals (the non-monotone delta case), and the converged span
+    set must equal the one-shot repeated_spans over the full corpus.
+    Redelivering the last batch must change nothing."""
+    from kube_etl_spark.queries.llm import repeated_spans
+    from kube_etl_spark.streaming.substrdup import SubstringDupIndex
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    originals = corpus.filter(F.col("doc_id") < 200000)
+    copies = corpus.filter(F.col("doc_id") >= 200000)
+
+    index = SubstringDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(originals, 0)
+    after_first = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in index.spans_df().collect()
+    }
+    index.ingest_batch(copies, 1)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in index.spans_df().collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in repeated_spans(corpus, w=10).collect()
+    }
+    assert want, "batch span query found nothing — fixture regression"
+    assert got == want
+    # retroactivity actually happened: some ORIGINAL doc gained a span
+    # only after its copy arrived
+    originals_with_spans = {d for d, _, _ in got if d < 200000}
+    new_originals = originals_with_spans - {d for d, _, _ in after_first if d < 200000}
+    assert new_originals, "no original doc was retroactively updated"
+
+    index.ingest_batch(copies, 1)  # redelivery: a no-op
+    again = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in index.spans_df().collect()
+    }
+    assert again == got
