@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..queries.llm import _dot, _kmeans_centroids, _tokens, bm25_contrib
+from ..queries.llm import (
+    _dot,
+    _kmeans_centroids,
+    _tokens,
+    assign_cells,
+    bm25_contrib,
+)
 from ..streaming.cdc import atomic_overwrite
 
 
@@ -54,20 +60,9 @@ def _normalize(emb: DataFrame) -> DataFrame:
 
 
 def _assign_cells(unit: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment of unit vectors (the IVF routing)."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-    return (
-        unit.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "centroid_id", d2.alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "centroid_id")
-    )
+    """Nearest-centroid assignment of unit vectors (the IVF routing) —
+    the shared queries/llm.assign_cells rule at n=1."""
+    return assign_cells(unit, cents, n=1).select("vec_id", "v", "centroid_id")
 
 
 def _postings_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -670,6 +670,35 @@ def _kmeans_centroids(
     return spark.createDataFrame(cents, "centroid_id int, cv array<double>")
 
 
+def assign_cells(
+    vecs: DataFrame, cents: DataFrame, n: int = 1, vec_col: str = "v"
+) -> DataFrame:
+    """Top-n nearest-centroid assignment (ties → lowest centroid_id):
+    THE one IVF routing rule, shared by q_dedup_semantic, the retrieval
+    index (plans/retrieval_index.py) and the streaming semantic index
+    (streaming/semdedup.py) — three call sites, one tie-break, so a
+    distance or ordering change cannot silently diverge the tested
+    stream≡batch / append≡rebuild equivalences. Distance is computed
+    on `vec_col` (pass the L2-normalized column for spherical routing);
+    all input columns are preserved, `centroid_id` is added, rows
+    fan out ×n."""
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents.select("centroid_id", "cv")))
+        .withColumn("__d", d2)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__d", "__rn", "cv")
+    )
+
+
 @query("q_knn_ivf", tags=("L3",), oracle=None)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: IVF-style pruned k-NN (rows-only; anchored by
@@ -2789,25 +2818,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     k = max(4, min(16, n // 64))
     cent = _kmeans_centroids(spark, emb.select("vec_id", F.col("vn").alias("v")), k=k)
-    dist = F.aggregate(
-        F.zip_with(F.col("vn"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("d").asc(), F.col("centroid_id").asc()
-    )
     # materialized ONCE: both sides of the candidate self-join reference
     # this frame — without the checkpoint the assign pass (a corpus ×
     # k distance scan) recomputes twice (the q_dedup_fuzzy signature
     # lesson applied here)
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "centroid_id", dist.alias("d"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= 2)
+        assign_cells(emb, cent, n=2, vec_col="vn")
         .select("vec_id", "v", "centroid_id")
-    ).localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)
+    )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
     )

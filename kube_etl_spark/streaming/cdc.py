@@ -84,7 +84,18 @@ class StateTable:
             incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
                 incoming, allowMissingColumns=True
             )
-        winners = latest_op(incoming, self.key_cols, self.seq_cols)
+        # deletes WIN seq ties: an upsert and a delete carrying the
+        # same seq (one micro-batch both inserting and GDPR-deleting a
+        # key, then delete_docs stamped with the same batch id) would
+        # otherwise pick an arbitrary winner — and a lost delete is a
+        # silent compliance failure, while a lost same-seq upsert is
+        # recoverable by re-ingest
+        tagged = incoming.withColumn(
+            "__del", (F.col(op_col) == delete_value).cast("int")
+        )
+        winners = latest_op(tagged, self.key_cols, [*self.seq_cols, "__del"]).drop(
+            "__del"
+        )
         new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
         self._atomic_overwrite(new_state)
 
@@ -105,11 +116,37 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     # publish — the rename is metadata-only and the data files never
     # move. Must happen BEFORE the new version is computed: the write
     # below lazily READS the old table, and it must keep existing
-    # until the swap.
+    # until the swap. This one-time step is the ONE exception to the
+    # never-nothing pointer guarantee: a crash between the rename and
+    # the symlink leaves `path` absent with the data intact in an
+    # orphan version dir — which the adoption branch below self-heals
+    # on the next publish attempt (readers in between see a missing
+    # path, not lost data).
     if os.path.isdir(path) and not os.path.islink(path):
         migrated = f"{path}.v-{uuid.uuid4().hex[:8]}"
         os.rename(path, migrated)
         os.symlink(os.path.basename(migrated), path)
+    elif not os.path.exists(path):
+        # adopt an orphaned version dir (crash mid-migration, above):
+        # re-point the link at the newest complete version so the
+        # caller's lazy read of `path` resolves again
+        parent = os.path.dirname(path) or "."
+        base = os.path.basename(path)
+        orphans = (
+            sorted(
+                (
+                    os.path.join(parent, d)
+                    for d in os.listdir(parent)
+                    if d.startswith(f"{base}.v-")
+                    and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+                ),
+                key=os.path.getmtime,
+            )
+            if os.path.isdir(parent)  # brand-new table: nothing to adopt
+            else []
+        )
+        if orphans:
+            os.symlink(os.path.basename(orphans[-1]), path)
     version = f"{path}.v-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(version)
     old_target = os.readlink(path) if os.path.islink(path) else None
@@ -375,7 +412,13 @@ class BucketedStateTable:
                 incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
                     incoming, allowMissingColumns=True
                 )
-            winners = latest_op(incoming, self.key_cols, self.seq_cols)
+            # deletes win seq ties — see StateTable.merge_batch
+            with_del = incoming.withColumn(
+                "__del", (F.col(op_col) == delete_value).cast("int")
+            )
+            winners = latest_op(
+                with_del, self.key_cols, [*self.seq_cols, "__del"]
+            ).drop("__del")
             new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
             atomic_overwrite(new_state, self._bucket_path(b))
 

@@ -116,7 +116,13 @@ class NearDupIndex:
         self.bands.merge_batch(
             new_bands.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
-        index = self.bands.read().select("doc_id", "band", "bucket")
+        band_state = self.bands.read()
+        if band_state is None:
+            # every doc in the first batch was too short to shingle
+            # (lsh_bands drops null signatures), so no band state exists
+            # yet and there is nothing to probe
+            return
+        index = band_state.select("doc_id", "band", "bucket")
         cand = (
             new_bands.alias("n")
             .join(

@@ -22,10 +22,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.llm import _dot
+from ..queries.llm import _dot, assign_cells
 from .cdc import StateTable, retract_pairs
 
 COS_THRESHOLD = 0.8  # q_dedup_embedding's anchor threshold
@@ -59,25 +59,17 @@ class SemanticDedupIndex:
         )
 
     def _assign(self, vecs: DataFrame) -> DataFrame:
-        """(vec_id, v) → top-2 cells per vector on L2-normalized
-        distance against the frozen centroids (ties → lowest id), the
-        exact assignment rule of q_dedup_semantic."""
+        """(vec_id, v) → top-2 cells per vector against the frozen
+        centroids — queries/llm.assign_cells (the one shared IVF
+        routing rule) on the L2-normalized column; the norm is hoisted
+        into its own column first (an inline norm in the transform
+        lambda re-evaluates the dot product per element)."""
         nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-        vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
-        dist = F.aggregate(
-            F.zip_with(F.col("vn"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        vn = vecs.withColumn("n", nrm).withColumn(
+            "vn", F.transform(F.col("v"), lambda x: x / F.col("n"))
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d").asc(), F.col("centroid_id").asc()
-        )
-        return (
-            vn.crossJoin(F.broadcast(self.centroids))
-            .select("vec_id", "v", "centroid_id", dist.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 2)
-            .select("vec_id", "v", "centroid_id")
+        return assign_cells(vn, self.centroids, n=2, vec_col="vn").select(
+            "vec_id", "v", "centroid_id"
         )
 
     def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:

@@ -97,6 +97,23 @@ class SubstringDupIndex:
         if not grams.head(1):
             return
         old_pos = self.positions.read()
+        if old_pos is not None:
+            # the index is APPEND-ONLY per doc_id: counts are additive
+            # and never decremented, so re-ingesting a doc_id with
+            # CHANGED text would leave counts permanently disagreeing
+            # with positions (phantom/missing spans). Fail loudly
+            # instead of corrupting state; true updates are a
+            # delete-then-reingest workflow this index does not offer.
+            changed = grams.alias("g").join(
+                old_pos.select("doc_id", "p", F.col("h").alias("h_old")),
+                ["doc_id", "p"],
+            ).filter(F.col("g.h") != F.col("h_old"))
+            if changed.head(1):
+                raise ValueError(
+                    "SubstringDupIndex is append-only: a re-ingested "
+                    "doc_id carries different text than its indexed "
+                    "version (counts cannot be decremented)"
+                )
         # replay safety: only positions NOT already in state contribute
         # to the count delta (a redelivered batch contributes nothing)
         fresh = (
@@ -145,6 +162,9 @@ class SubstringDupIndex:
         )
         win = Window.partitionBy("doc_id").orderBy("p")
         islands = marked.withColumn("grp", F.col("p") - F.row_number().over(win))
+        # materialized once: referenced by both the upsert ops and the
+        # stale anti-join below — unchecked, the positions-state scan +
+        # island window would execute twice per batch
         new_spans = (
             islands.groupBy("doc_id", "grp")
             .agg(
@@ -152,7 +172,7 @@ class SubstringDupIndex:
                 (F.max("p") - F.min("p") + W).cast("bigint").alias("span_tokens"),
             )
             .select("doc_id", "span_start", "span_tokens")
-        )
+        ).localCheckpoint(eager=True)
         # replace: retract the affected docs' previous spans that are
         # not re-derived, then upsert the new set
         cur = self.spans.read()

@@ -257,3 +257,64 @@ def test_streaming_substring_index_matches_batch(spark, tmp_path):
         for r in index.spans_df().collect()
     }
     assert again == got
+
+
+def test_bucketed_fresh_index_short_doc_batch(spark, tmp_path):
+    """A fresh BUCKETED index whose first batch contains only docs too
+    short to shingle must not crash (lsh_bands drops null signatures,
+    so no band state exists to probe) and must work normally once real
+    docs arrive."""
+    index = NearDupIndex(
+        spark, str(tmp_path / "state"), bucket_col=F.pmod(F.col("doc_id"), F.lit(4))
+    )
+    short = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    index.ingest_batch(short, 0)  # must not raise
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    index.ingest_batch(corpus, 1)
+    got = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert got == set(_batch_pairs(spark))
+
+
+def test_delete_wins_same_seq_tie(spark, tmp_path):
+    """An upsert and a delete for the same key carrying the SAME seq
+    (one micro-batch inserting and GDPR-deleting a doc, delete stamped
+    with the batch id) must resolve to the delete — a lost delete is a
+    silent compliance failure; a lost same-seq upsert is re-ingestable."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+    for name, table in [
+        ("flat", StateTable(spark, str(tmp_path / "flat"), ["k"], "seq")),
+        (
+            "bucketed",
+            BucketedStateTable(
+                spark, str(tmp_path / "bucketed"), ["k"], "seq", n_buckets=4
+            ),
+        ),
+    ]:
+        table.merge_batch(
+            spark.createDataFrame(
+                [(1, 5, "v", "upsert"), (1, 5, None, "delete"), (2, 5, "w", "upsert")],
+                "k long, seq long, v string, op string",
+            )
+        )
+        rows = {r["k"] for r in table.read().collect()}
+        assert rows == {2}, f"{name}: same-seq delete lost to the upsert"
+
+
+def test_substring_index_rejects_changed_text(spark, tmp_path):
+    """Re-ingesting a doc_id with DIFFERENT text must fail loudly:
+    counts are additive and cannot be decremented, so accepting the
+    update would silently desynchronize counts from positions
+    (phantom/missing spans). Identical-text redelivery stays a no-op."""
+    import pytest as _pytest
+
+    from kube_etl_spark.streaming.substrdup import SubstringDupIndex
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    index = SubstringDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 0)
+    mutated = corpus.limit(1).select(
+        "doc_id", F.concat(F.lit("changed changed "), F.col("text")).alias("text")
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        index.ingest_batch(mutated, 1)
