@@ -8,4 +8,16 @@ semantics); tests/test_streaming.py runs the same builders on real
 file streams with watermarks and availableNow triggers.
 """
 
-from . import cdc, rollup, sources, stateful, sync, windowed  # noqa: F401
+from . import (  # noqa: F401
+    cdc,
+    matview,
+    monitor,
+    neardup,
+    rollup,
+    semdedup,
+    sources,
+    stateful,
+    substrdup,
+    sync,
+    windowed,
+)
