@@ -248,12 +248,13 @@ def _neardup_bench(spark, sf_dir: str) -> dict[str, float]:
     newly-arriving high-id documents, flat state vs RANGE-bucketed
     state, equal pair counts asserted.
 
-    Honest regime note (measured): at fixture scale the two are a WASH
-    (sf0.1 ≈ 2.2 s/batch both; sf0.01 bucketed slightly LOSES to
-    per-bucket job overhead) because per-batch cost here is dominated
-    by the candidate probe + verify joins, which read the same state
-    either way — the bucketing saves only the merge REWRITE, and a
-    5k-doc state rewrites in milliseconds. The rewrite term grows
+    Honest regime note (measured): at fixture scale the bucketed
+    variant TIES OR LOSES (run-to-run it ranges from a wash to ~1.5×
+    slower — per-bucket driver-side job overhead on near-empty
+    buckets) because per-batch cost here is dominated by the candidate
+    probe + verify joins, which read the same state either way — the
+    bucketing saves only the merge REWRITE, and a 5k-doc state
+    rewrites in milliseconds. The rewrite term grows
     O(corpus) for flat vs O(touched buckets) for bucketed, so the gap
     the ivm bench shows directly (its state rewrite IS the dominant
     cost) appears here only when the index is large relative to a
