@@ -1,4 +1,4 @@
-.PHONY: test parity parity-driver-scale bench smoke
+.PHONY: test parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight
 
 test:            ## full suite (oracle parity + streaming + golden + plan-shape)
 	python -m pytest tests/ -q
@@ -8,6 +8,17 @@ parity:          ## oracle parity at smoke scale (fast)
 
 parity-driver-scale:  ## oracle parity at the driver's sf0.01 gate scale
 	SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_parity.py -q
+
+parity-full-scale:    ## oracle parity at bench scale (sf0.1) — catches SF-dependent vacuity
+	SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 python -m pytest tests/test_parity.py -q
+
+parity-adversarial:   ## parity at hostile parallelism (3 cpus / 5 partitions) — partition-independence sweep
+	SPARK_GRAFT_TEST_CPUS=3 SPARK_GRAFT_TEST_PARTITIONS=5 python -m pytest tests/test_parity.py -q
+
+vacuity:         ## DuckDB-only: every oracle non-empty at every SF (seconds, no Spark)
+	python -m pytest tests/test_vacuity.py -q
+
+preflight: test parity-driver-scale parity-adversarial vacuity  ## the end-of-round gate battery
 
 bench:           ## headline bench (one JSON line; sf from SPARK_GRAFT_SF_DIR)
 	python bench.py
