@@ -968,3 +968,54 @@ def test_retrieval_index_delete_empties_whole_cell(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_run_substrdup_cli(spark, tmp_path, capsys):
+    """The continuous span-detection CLI: originals in drop 1, copies in
+    drop 2 (cross-batch retroactive spans), two --once runs; the
+    accumulated span set must equal the one-shot batch query and a
+    third run with nothing new is a checkpointed no-op."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_substrdup
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.queries.llm import _neardup_corpus, repeated_spans
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "batch-0.json").write_text(
+        "\n".join(corpus.filter(F.col("doc_id") < 200000).toJSON().collect())
+    )
+    argv = [
+        "--watch", str(watch), "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--once",
+    ]
+    run_substrdup.main(argv)
+    capsys.readouterr()
+
+    (watch / "batch-1.json").write_text(
+        "\n".join(corpus.filter(F.col("doc_id") >= 200000).toJSON().collect())
+    )
+    run_substrdup.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from kube_etl_spark.streaming.substrdup import SubstringDupIndex
+
+    index = SubstringDupIndex(spark, str(tmp_path / "state"))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in index.spans_df().collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in repeated_spans(corpus, w=10).collect()
+    }
+    assert want and got == want
+    assert second["spans"] == len(want)
+
+    run_substrdup.main(argv)  # nothing new
+    third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert third["spans"] == len(want)
+    assert third["grams_indexed"] == second["grams_indexed"]
