@@ -503,3 +503,94 @@ def test_repeated_spans_match_python_reference(spark, docs):
         for r in repeated_spans(df, w=w).collect()
     }
     assert got == want
+
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=18),
+    min_size=1,
+    max_size=8,
+)
+
+
+@PROPS
+@given(
+    docs=corpus_strategy,
+    dup_of=st.integers(min_value=0, max_value=7),
+    cuts=st.lists(st.integers(min_value=0, max_value=2), min_size=8, max_size=8),
+)
+def test_neardup_index_batch_split_invariant(spark, tmp_path_factory, docs, dup_of, cuts):
+    """The incremental near-dup index converges to the same pair set no
+    matter how the corpus is split into micro-batches: any random
+    3-way split (including empty batches and short docs) must equal a
+    one-shot ingest. One doc is duplicated verbatim so true pairs
+    exist in most examples."""
+    from kube_etl_spark.streaming.neardup import NearDupIndex
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    src = docs[dup_of % len(docs)]
+    rows.append((len(rows), " ".join(src)))  # verbatim duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = tmp_path_factory.mktemp("nd")
+    oneshot = NearDupIndex(spark, str(base / "one"))
+    oneshot.ingest_batch(df, 0)
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in oneshot.pairs_df().collect()
+    )
+
+    split = NearDupIndex(spark, str(base / "split"))
+    for b in range(3):
+        ids = [i for i, _ in rows if cuts[i % 8] == b]
+        split.ingest_batch(df.filter(F.col("doc_id").isin(ids)), b)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in split.pairs_df().collect()
+    )
+    assert got == want
+
+
+@PROPS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    ),
+    carriers=st.lists(st.booleans(), min_size=5, max_size=5),
+    cuts=st.lists(st.integers(min_value=0, max_value=1), min_size=6, max_size=6),
+)
+def test_substring_index_batch_split_invariant(
+    spark, tmp_path_factory, docs, carriers, cuts
+):
+    """The incremental span index converges to the same span set for
+    any 2-way batch split. A shared 12-token template block is planted
+    into a random subset of docs so repeated 10-grams exist — the
+    retroactive-update path fires whenever carriers land in different
+    batches."""
+    from kube_etl_spark.streaming.substrdup import SubstringDupIndex
+
+    block = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11".split(" ")
+    rows = []
+    for i, toks in enumerate(docs):
+        t = toks + block if carriers[i % 5] else toks
+        rows.append((i, " ".join(t)))
+    # one guaranteed second carrier so the block repeats
+    rows.append((len(rows), " ".join(block)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = tmp_path_factory.mktemp("ss")
+    oneshot = SubstringDupIndex(spark, str(base / "one"))
+    oneshot.ingest_batch(df, 0)
+    want = sorted(
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in oneshot.spans_df().collect()
+    )
+
+    split = SubstringDupIndex(spark, str(base / "split"))
+    for b in range(2):
+        ids = [i for i, _ in rows if cuts[i % 6] == b]
+        split.ingest_batch(df.filter(F.col("doc_id").isin(ids)), b)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_tokens"])
+        for r in split.spans_df().collect()
+    )
+    assert got == want
