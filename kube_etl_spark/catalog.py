@@ -58,6 +58,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — zero data read,
+    no Spark job. This is the "table stats" a real catalog serves: at
+    100 TB a `df.count()` just to size a parameter is a full scan;
+    footers (or the metastore's rowCount stat) answer it in O(files)
+    metadata reads."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql use)."""
     for name in TABLES:

@@ -94,8 +94,11 @@ def estimate_quantiles(
         *group_cols,
         "n_rows",
         *[
+            # full-precision label: p99_9 / p100 / p00_1 — rounding to
+            # an integer percent collides nearby probs (0.999 and 1.0
+            # both became p100) into duplicate, ambiguous column names
             F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(p)).alias(
-                f"p{round(p * 100):02d}"
+                "p" + f"{p * 100:g}".replace(".", "_").zfill(2)
             )
             for p in probs
         ],

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, table_rowcount
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -723,14 +723,20 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     # spherical IVF: cluster + assign on L2-NORMALIZED vectors, so that
     # L2-argmin == cosine-argmax (k-means on raw vectors partitions by
     # magnitude, which the cosine query metric ignores). Scoring keeps
-    # the raw vectors (cosine is normalization-invariant).
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    emb = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    # the raw vectors (cosine is normalization-invariant). The norm is
+    # HOISTED to a column first: referenced inside the transform lambda
+    # it would re-evaluate per element (O(d²) per vector), and the
+    # scoring join reuses the same column (one fold per vector, not two
+    # extra folds per candidate pair — q_knn_cosine's 3n·k vs n·k note).
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    emb = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("norm")))
     # size k to the corpus: ~64 vectors per inverted list. Too-fine
     # lists on diffuse data destroy recall (measured: k=16 on the
     # 500-vector fixture halves top-1 recall vs k=8). Real deployments
     # scale k ~ sqrt(n) with larger nprobe; the plumbing is identical.
-    n = emb.count()
+    # Corpus size comes from parquet footer metadata (table stats), not
+    # an extra full pass over the embedding table.
+    n = table_rowcount(sf_dir, "embeddings")
     k = max(4, min(16, n // 64))
     cent = _kmeans_centroids(spark, emb.select("vec_id", F.col("vn").alias("v")), k=k)
     # assign: rank centroids per vector (tie → lowest centroid_id)
@@ -744,24 +750,26 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     )
     ranked = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "centroid_id", dist.alias("d"))
+        .select("vec_id", "v", "norm", "centroid_id", dist.alias("d"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
-    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "centroid_id")
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "norm", "centroid_id"
+    )
     # queries keep their nprobe nearest lists (fan-out ×nprobe, query side only)
     q = ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= nprobe)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
         F.col("centroid_id").alias("qc"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
         F.col("centroid_id").alias("cc"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         cand.join(
@@ -2109,6 +2117,64 @@ def bm25_contrib(
     return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
 
 
+# the fixed retrieval query: (term, column slug) — tf_dup/tf_key/tf_win
+_BM25_QUERY: tuple[tuple[str, str], ...] = (
+    ("dup", "dup"),
+    ("key", "key"),
+    ("window", "win"),
+)
+
+
+def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 scores for the fixed query {dup, key, window} —
+    the ONE lexical-leg construction shared by q_bm25_topk and
+    q_hybrid_rrf, so a tf-extraction drift between them is structurally
+    impossible (lexical_probe over the served index is held equivalent
+    to q_bm25_topk by the retrieval-index e2e test). Returns
+    (doc_id, dl, tf_dup, tf_key, tf_win, bm25): exact bigint tf/dl, and
+    bm25 rounded to 4dp as one fixed-order double expression (term
+    contributions added left-to-right — no order-dependent float
+    aggregation, so cross-engine hashes stay exact).
+
+    Scale shape: tf extraction is a map-side projection (no explode or
+    corpus shuffle), corpus stats partial-aggregate to a 1-row
+    broadcast, scoring is map-side — two corpus scans total; callers
+    add their own TakeOrdered top-k."""
+    toks = _tokens(F.col("text"))
+    tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf(w).alias(f"tf_{s}") for w, s in _BM25_QUERY],
+    )
+    c = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").cast("bigint").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{s}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df_{s}")
+            for _, s in _BM25_QUERY
+        ],
+    )
+    score = None
+    for _, s in _BM25_QUERY:
+        t = bm25_contrib(
+            F.col(f"tf_{s}"),
+            F.col(f"df_{s}"),
+            F.col("dl"),
+            F.col("n"),
+            F.col("total_dl"),
+        )
+        score = t if score is None else score + t
+    return d.join(F.broadcast(c)).select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        *[F.col(f"tf_{s}").cast("bigint").alias(f"tf_{s}") for _, s in _BM25_QUERY],
+        F.round(score, 4).alias("bm25"),
+    )
+
+
 @query(
     "q_bm25_topk",
     bench=True,
@@ -2167,42 +2233,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — the same two-pass shape as TF-IDF, with the posting-list
     join replaced by per-row arithmetic because the query terms are
     plan-time constants (the common retrieval case: one query, huge
-    corpus). No Python."""
-    toks = _tokens(F.col("text"))
-    tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        tf("dup").alias("tf_dup"),
-        tf("key").alias("tf_key"),
-        tf("window").alias("tf_win"),
-    )
-    c = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").cast("bigint").alias("total_dl"),
-        F.sum(F.when(F.col("tf_dup") > 0, 1).otherwise(0)).cast("bigint").alias("df_dup"),
-        F.sum(F.when(F.col("tf_key") > 0, 1).otherwise(0)).cast("bigint").alias("df_key"),
-        F.sum(F.when(F.col("tf_win") > 0, 1).otherwise(0)).cast("bigint").alias("df_win"),
-    )
-
-    def term(tf_col: str, df_col: str) -> F.Column:
-        return bm25_contrib(
-            F.col(tf_col), F.col(df_col), F.col("dl"), F.col("n"), F.col("total_dl")
-        )
-
-    score = term("tf_dup", "df_dup") + term("tf_key", "df_key") + term(
-        "tf_win", "df_win"
-    )
+    corpus). No Python. Scoring construction lives in
+    `bm25_scored_docs` (shared with q_hybrid_rrf's lexical leg)."""
     return (
-        d.join(F.broadcast(c))
-        .select(
-            "doc_id",
-            F.col("dl").cast("bigint").alias("dl"),
-            F.col("tf_dup").cast("bigint").alias("tf_dup"),
-            F.col("tf_key").cast("bigint").alias("tf_key"),
-            F.col("tf_win").cast("bigint").alias("tf_win"),
-            F.round(score, 4).alias("bm25"),
-        )
+        bm25_scored_docs(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -2281,38 +2315,13 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer ranks (rounded-score + id tiebreak ordering, cross-
     engine stable) and a fixed two-term sum — no order-dependent float
     aggregation."""
-    # --- lexical leg: BM25 over the full corpus, top-20
-    toks = _tokens(F.col("text"))
-    tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        tf("dup").alias("tf_dup"),
-        tf("key").alias("tf_key"),
-        tf("window").alias("tf_win"),
-    )
-    c = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").cast("bigint").alias("total_dl"),
-        F.sum(F.when(F.col("tf_dup") > 0, 1).otherwise(0)).cast("bigint").alias("df_dup"),
-        F.sum(F.when(F.col("tf_key") > 0, 1).otherwise(0)).cast("bigint").alias("df_key"),
-        F.sum(F.when(F.col("tf_win") > 0, 1).otherwise(0)).cast("bigint").alias("df_win"),
-    )
-
-    def term(tf_col: str, df_col: str) -> F.Column:
-        return bm25_contrib(
-            F.col(tf_col), F.col(df_col), F.col("dl"), F.col("n"), F.col("total_dl")
-        )
-
-    bm25 = F.round(
-        term("tf_dup", "df_dup") + term("tf_key", "df_key") + term("tf_win", "df_win"),
-        4,
-    )
     from pyspark.sql import Window as W
 
+    # --- lexical leg: BM25 over the full corpus (shared construction
+    # with q_bm25_topk — see bm25_scored_docs), top-20
     lex20 = (
-        d.join(F.broadcast(c))
-        .select("doc_id", bm25.alias("bm25"))
+        bm25_scored_docs(spark, sf_dir)
+        .select("doc_id", "bm25")
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
         .withColumn(
@@ -2323,14 +2332,18 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rank_lex")
     )
-    # --- dense leg: cosine vs probe vec 0, top-20
+    # --- dense leg: cosine vs probe vec 0, top-20. Norms are hoisted
+    # to a per-vector column BEFORE the candidate join (one fold per
+    # vector, not two extra folds per pair — q_knn_cosine's note).
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    probe = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
     cos = F.round(
-        _dot(F.col("qv"), F.col("v"))
-        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")),
         4,
     )
     dense20 = (

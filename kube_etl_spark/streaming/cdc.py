@@ -67,23 +67,41 @@ class StateTable:
         # full ordering (see rollup.py for why that matters)
         self.seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
 
-    def read(self) -> DataFrame | None:
+    def _read_raw(self) -> DataFrame | None:
+        """Persisted state INCLUDING delete tombstones (internal)."""
         if not os.path.exists(os.path.join(self.path, "_SUCCESS")):
             return None
         return self.spark.read.parquet(self.path)
 
+    def read(self) -> DataFrame | None:
+        """Live rows only — delete tombstones are an internal MERGE
+        artifact, never visible to consumers. States written by builds
+        that pre-date tombstones lack the ``__op`` column and are all
+        live rows."""
+        raw = self._read_raw()
+        if raw is None or "__op" not in raw.columns:
+            return raw
+        return raw.filter(F.col("__op") != "delete").drop("__op")
+
     def merge_batch(self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete") -> None:
-        """Idempotent MERGE: union old state (tagged as upserts) with the
-        batch, keep the max-seq row per key, drop keys whose winner is a
-        delete. Replaying the same batch is a no-op (same winners).
-        A NULL op (schema-permissive sources omitting the field) is
-        treated as an upsert — never silently dropped."""
-        old = self.read()
+        """Idempotent MERGE: union old state with the batch, keep the
+        max-seq row per key; keys whose winner is a delete persist as a
+        TOMBSTONE row (hidden by `read()`) rather than vanishing —
+        without it, a delete at seq D interleaved with at-least-once
+        redelivery of an earlier uncommitted upsert (seq b < D) would
+        re-insert the deleted key with no competing row, resurrecting
+        e.g. GDPR-deleted content. Replaying the same batch is a no-op
+        (same winners). A NULL op (schema-permissive sources omitting
+        the field) is treated as an upsert — never silently dropped."""
+        old = self._read_raw()
         incoming = batch.withColumn(op_col, F.coalesce(F.col(op_col), F.lit("upsert")))
         if old is not None:
-            incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
-                incoming, allowMissingColumns=True
+            old_ops = (
+                old.withColumnRenamed("__op", op_col)
+                if "__op" in old.columns
+                else old.withColumn(op_col, F.lit("upsert"))
             )
+            incoming = old_ops.unionByName(incoming, allowMissingColumns=True)
         # deletes WIN seq ties: an upsert and a delete carrying the
         # same seq (one micro-batch both inserting and GDPR-deleting a
         # key, then delete_docs stamped with the same batch id) would
@@ -96,8 +114,27 @@ class StateTable:
         winners = latest_op(tagged, self.key_cols, [*self.seq_cols, "__del"]).drop(
             "__del"
         )
-        new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
+        new_state = winners.withColumn(
+            "__op",
+            F.when(F.col(op_col) == delete_value, F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ).drop(op_col)
         self._atomic_overwrite(new_state)
+
+    def purge_tombstones(self, before_seq: int) -> None:
+        """Drop tombstones whose seq predates a caller-chosen horizon —
+        the compaction valve for tombstone growth. Safe once the caller
+        knows no replay can carry a seq under the horizon (e.g. the
+        stream checkpoint has committed past it); purging earlier
+        re-opens the resurrection window `merge_batch` closes."""
+        raw = self._read_raw()
+        if raw is None or "__op" not in raw.columns:
+            return
+        dead_old = (F.col("__op") == "delete") & (
+            F.col(self.seq_cols[0]) < F.lit(int(before_seq))
+        )
+        self._atomic_overwrite(raw.filter(~dead_old))
 
     def _atomic_overwrite(self, df: DataFrame) -> None:
         atomic_overwrite(df, self.path)
@@ -383,6 +420,8 @@ class BucketedStateTable:
         return self.spark.read.parquet(p)
 
     def read(self) -> DataFrame | None:
+        """Live rows only across all buckets — tombstones (see
+        StateTable.read) are filtered out."""
         live = [
             os.path.join(self.path, d)
             for d in sorted(os.listdir(self.path))
@@ -392,7 +431,10 @@ class BucketedStateTable:
         ]
         if not live:
             return None
-        return self.spark.read.parquet(*live)
+        raw = self.spark.read.parquet(*live)
+        if "__op" not in raw.columns:
+            return raw
+        return raw.filter(F.col("__op") != "delete").drop("__op")
 
     def merge_batch(
         self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete"
@@ -409,9 +451,12 @@ class BucketedStateTable:
             )
             old = self._read_bucket(b)
             if old is not None:
-                incoming = old.withColumn(op_col, F.lit("upsert")).unionByName(
-                    incoming, allowMissingColumns=True
+                old_ops = (
+                    old.withColumnRenamed("__op", op_col)
+                    if "__op" in old.columns
+                    else old.withColumn(op_col, F.lit("upsert"))
                 )
+                incoming = old_ops.unionByName(incoming, allowMissingColumns=True)
             # deletes win seq ties — see StateTable.merge_batch
             with_del = incoming.withColumn(
                 "__del", (F.col(op_col) == delete_value).cast("int")
@@ -419,7 +464,14 @@ class BucketedStateTable:
             winners = latest_op(
                 with_del, self.key_cols, [*self.seq_cols, "__del"]
             ).drop("__del")
-            new_state = winners.filter(F.col(op_col) != delete_value).drop(op_col)
+            # delete winners persist as tombstones (hidden by read()) —
+            # same anti-resurrection contract as StateTable.merge_batch
+            new_state = winners.withColumn(
+                "__op",
+                F.when(F.col(op_col) == delete_value, F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            ).drop(op_col)
             atomic_overwrite(new_state, self._bucket_path(b))
 
 

@@ -20,11 +20,16 @@ re-arrives. The index handles that as delta maintenance:
   4. recompute the gaps-and-islands span merge for affected docs only,
      and replace their span rows (delete-then-upsert MERGE).
 
-Replay safety: re-ingesting a batch must NOT double-count fingerprints,
-so the counts delta is derived from position rows that are NEW to the
-positions state (left_anti against existing (doc_id, p) keys) — an
-at-least-once redelivery contributes zero new positions and therefore a
-zero count delta, and the span recompute is a pure function of state.
+Replay safety: positions merge first (idempotent on (doc_id, p)), then
+counts for the batch's fingerprints are RECOMPUTED from the post-merge
+positions state — never maintained as an additive delta. A pre-merge
+delta breaks under partial failure: crash after the positions merge but
+before the counts merge, and the redelivered batch's "new positions"
+set is empty, so the delta under-counts forever. A recompute from state
+is a pure function of the merged positions, so any prefix of the merge
+sequence followed by redelivery converges; the span recompute keys off
+the batch's fingerprint set (not the "fresh" subset) for the same
+reason.
 
 Scale notes: positions and counts are corpus-gram-sized (the index IS
 the memory); the probes by fingerprint / by doc are state scans here —
@@ -98,56 +103,64 @@ class SubstringDupIndex:
             return
         old_pos = self.positions.read()
         if old_pos is not None:
-            # the index is APPEND-ONLY per doc_id: counts are additive
-            # and never decremented, so re-ingesting a doc_id with
-            # CHANGED text would leave counts permanently disagreeing
-            # with positions (phantom/missing spans). Fail loudly
-            # instead of corrupting state; true updates are a
-            # delete-then-reingest workflow this index does not offer.
+            # the index is APPEND-ONLY per doc_id: positions are never
+            # retracted, so re-ingesting a doc_id with CHANGED text
+            # would leave stale rows disagreeing with the document
+            # (phantom/missing spans). Fail loudly instead of
+            # corrupting state; true updates are a delete-then-reingest
+            # workflow this index does not offer. Both mutation shapes
+            # are checked against the indexed positions of the batch's
+            # docs: (a) a differing hash at an overlapping (doc_id, p);
+            # (b) a TRUNCATION — indexed positions past the incoming
+            # doc's last gram (a shortened text whose grams are a
+            # prefix of the indexed set passes check (a) alone).
+            batch_docs = grams.select("doc_id").distinct()
+            indexed = old_pos.join(batch_docs, "doc_id", "left_semi")
             changed = grams.alias("g").join(
-                old_pos.select("doc_id", "p", F.col("h").alias("h_old")),
+                indexed.select("doc_id", "p", F.col("h").alias("h_old")),
                 ["doc_id", "p"],
             ).filter(F.col("g.h") != F.col("h_old"))
-            if changed.head(1):
+            truncated = (
+                indexed.groupBy("doc_id")
+                .agg(F.max("p").alias("old_max"))
+                .join(
+                    grams.groupBy("doc_id").agg(F.max("p").alias("new_max")),
+                    "doc_id",
+                )
+                .filter(F.col("new_max") < F.col("old_max"))
+            )
+            if changed.head(1) or truncated.head(1):
                 raise ValueError(
                     "SubstringDupIndex is append-only: a re-ingested "
-                    "doc_id carries different text than its indexed "
-                    "version (counts cannot be decremented)"
+                    "doc_id carries different (changed or truncated) "
+                    "text than its indexed version (positions cannot "
+                    "be retracted)"
                 )
-        # replay safety: only positions NOT already in state contribute
-        # to the count delta (a redelivered batch contributes nothing)
-        fresh = (
-            grams
-            if old_pos is None
-            else grams.join(
-                old_pos.select("doc_id", "p"), ["doc_id", "p"], "left_anti"
-            )
-        ).localCheckpoint(eager=True)
+        # positions merge FIRST (idempotent on (doc_id, p)); everything
+        # below derives from the post-merge state, so a crash anywhere
+        # in this sequence + at-least-once redelivery converges
         self.positions.merge_batch(
             grams.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
-        delta = fresh.groupBy("h").agg(F.count(F.lit(1)).alias("dn"))
-        old_counts = self.counts.read()
-        if old_counts is None:
-            merged = delta.select("h", F.col("dn").alias("n"))
-        else:
-            merged = (
-                delta.join(old_counts.select("h", "n"), "h", "left")
-                .select("h", (F.coalesce(F.col("n"), F.lit(0)) + F.col("dn")).alias("n"))
-            )
+        # counts for the batch's fingerprints: RECOMPUTED from merged
+        # positions (never an additive delta — see module docstring),
+        # touching only the batch's h set
+        batch_h = grams.select("h").distinct()
+        all_pos_now = self.positions.read()
+        merged = (
+            all_pos_now.join(batch_h, "h", "left_semi")
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
         self.counts.merge_batch(
             merged.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
         # affected docs: hold a fingerprint that is duplicated NOW and
-        # was touched by this batch (pure batch-internal dups included;
-        # a redelivered batch has no fresh rows → nothing recomputes)
+        # appears in this batch (pure batch-internal dups included; a
+        # redelivered batch re-derives the same spans — idempotent)
         counts_now = self.counts.read().select("h", "n")
-        hot = (
-            fresh.select("h")
-            .distinct()
-            .join(counts_now.filter(F.col("n") > 1), "h", "left_semi")
-        )
-        all_pos = self.positions.read().select("doc_id", "p", "h")
+        hot = batch_h.join(counts_now.filter(F.col("n") > 1), "h", "left_semi")
+        all_pos = all_pos_now.select("doc_id", "p", "h")
         affected = (
             all_pos.join(hot, "h", "left_semi").select("doc_id").distinct()
         ).localCheckpoint(eager=True)

@@ -1019,3 +1019,25 @@ def test_run_substrdup_cli(spark, tmp_path, capsys):
     third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert third["spans"] == len(want)
     assert third["grams_indexed"] == second["grams_indexed"]
+
+
+def test_quantile_labels_distinct_for_close_probs(spark):
+    """Nearby probs must map to DISTINCT column labels (ADVICE r3:
+    0.999 and 1.0 both rounded to p100; 0.001 and 0.004 both to p00 —
+    duplicate names make the frame ambiguous)."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import (
+        build_daily_value_sketches,
+        estimate_quantiles,
+    )
+
+    from .conftest import SMOKE_SF
+
+    ev = load_table(spark, SMOKE_SF, "events")
+    cells = build_daily_value_sketches(ev)
+    probs = [0.001, 0.004, 0.5, 0.95, 0.999, 1.0]
+    cols = estimate_quantiles(cells, probs).columns
+    qcols = [c for c in cols if c.startswith("p")]
+    assert len(qcols) == len(set(qcols)) == len(probs), qcols
+    assert "p50" in qcols and "p95" in qcols  # stable legacy labels
+    assert "p99_9" in qcols and "p100" in qcols and "p0_1" in qcols, qcols

@@ -318,3 +318,129 @@ def test_substring_index_rejects_changed_text(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="append-only"):
         index.ingest_batch(mutated, 1)
+
+
+def test_substring_index_rejects_truncated_text(spark, tmp_path):
+    """A TRUNCATED re-ingest (grams are a strict prefix of the indexed
+    set) slips past the overlap-hash check alone — no overlapping
+    position differs — yet would leave stale tail positions/spans that
+    reflect text no longer in the document. The per-doc extent guard
+    must reject it (ADVICE r3)."""
+    import pytest as _pytest
+
+    from kube_etl_spark.streaming.substrdup import SubstringDupIndex
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    index = SubstringDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 0)
+    truncated = corpus.limit(1).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 12)
+        ).alias("text"),
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        index.ingest_batch(truncated, 1)
+
+
+def test_substring_partial_crash_redelivery_converges(spark, tmp_path):
+    """Crash-safety of ingest_batch (ADVICE r3, medium): a crash AFTER
+    the positions merge but BEFORE the counts/spans merges, followed by
+    at-least-once redelivery of the same batch, must converge to the
+    clean one-shot result. (The old additive-delta design permanently
+    under-counted here: the redelivered batch's 'fresh' set was empty,
+    so counts missed the batch forever.)"""
+    from pyspark.sql import functions as F2
+
+    from kube_etl_spark.streaming.substrdup import (
+        SubstringDupIndex,
+        _gram_positions,
+    )
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9)
+    ref = SubstringDupIndex(spark, str(tmp_path / "ref"))
+    ref.ingest_batch(corpus, 0)
+    want = {tuple(r) for r in ref.spans_df().collect()}
+    assert want, "fixture must produce repeated spans"
+
+    crashed = SubstringDupIndex(spark, str(tmp_path / "crashed"))
+    # simulate the partial failure: positions state committed, counts
+    # and spans lost with the crash
+    crashed.positions.merge_batch(
+        _gram_positions(corpus.select("doc_id", "text"))
+        .withColumn("seq", F2.lit(0).cast("bigint"))
+        .withColumn("op", F2.lit("upsert"))
+    )
+    crashed.ingest_batch(corpus, 0)  # redelivery
+    got = {tuple(r) for r in crashed.spans_df().collect()}
+    assert got == want
+
+
+def test_tombstone_blocks_replayed_earlier_upsert(spark, tmp_path):
+    """Anti-resurrection (ADVICE r3): a compliance delete at seq D
+    followed by at-least-once redelivery of an EARLIER uncommitted
+    upsert (seq b < D) must keep the key deleted — the delete persists
+    as a tombstone that outranks the stale upsert, instead of the
+    filtered-out state leaving the replayed row uncontested."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+    for name, table in [
+        ("flat", StateTable(spark, str(tmp_path / "flat"), ["k"], "seq")),
+        (
+            "bucketed",
+            BucketedStateTable(
+                spark, str(tmp_path / "bucketed"), ["k"], "seq", n_buckets=4
+            ),
+        ),
+    ]:
+        early = spark.createDataFrame(
+            [(1, 1, "v1", "upsert"), (2, 1, "w1", "upsert")],
+            "k long, seq long, v string, op string",
+        )
+        table.merge_batch(early)
+        table.merge_batch(
+            spark.createDataFrame(
+                [(1, 5, None, "delete")], "k long, seq long, v string, op string"
+            )
+        )
+        table.merge_batch(early)  # redelivery of the pre-delete batch
+        rows = {r["k"] for r in table.read().collect()}
+        assert rows == {2}, f"{name}: deleted key resurrected by replayed upsert"
+        # a genuinely NEWER upsert (seq > D) re-creates the key
+        table.merge_batch(
+            spark.createDataFrame(
+                [(1, 9, "v9", "upsert")], "k long, seq long, v string, op string"
+            )
+        )
+        assert {r["k"] for r in table.read().collect()} == {1, 2}, name
+
+
+def test_state_table_purge_tombstones_respects_horizon(spark, tmp_path):
+    """purge_tombstones drops only tombstones older than the horizon;
+    newer tombstones keep protecting their keys from late replays."""
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    st = StateTable(spark, str(tmp_path / "state"), ["k"], "seq")
+    st.merge_batch(
+        spark.createDataFrame(
+            [(1, 1, "a", "upsert"), (2, 1, "b", "upsert")],
+            "k long, seq long, v string, op string",
+        )
+    )
+    st.merge_batch(
+        spark.createDataFrame(
+            [(1, 3, None, "delete"), (2, 8, None, "delete")],
+            "k long, seq long, v string, op string",
+        )
+    )
+    st.purge_tombstones(before_seq=5)  # k=1 tombstone compacted away
+    raw = st._read_raw()
+    dead = {r["k"] for r in raw.filter(F.col("__op") == "delete").collect()}
+    assert dead == {2}
+    # k=2's surviving tombstone still blocks its stale replay
+    st.merge_batch(
+        spark.createDataFrame(
+            [(2, 1, "b", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    assert st.read().count() == 0
