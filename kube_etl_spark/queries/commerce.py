@@ -322,3 +322,170 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), F.round("rank", 6).alias("rank"))
         .orderBy("part")
     )
+
+
+@query(
+    "q_market_basket",
+    tags=("J1", "A1", "O2"),
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM lp GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_both
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+),
+directed AS (
+  SELECT pa AS antecedent, pb AS consequent, n_both FROM pair
+  UNION ALL
+  SELECT pb, pa, n_both FROM pair
+)
+SELECT d.antecedent, d.consequent, CAST(d.n_both AS BIGINT) AS n_both,
+       ROUND(CAST(d.n_both AS DOUBLE) / ia.n_item, 4) AS confidence,
+       ROUND(CAST(d.n_both AS DOUBLE) * t.n / (ia.n_item * CAST(ic.n_item AS DOUBLE)), 4) AS lift
+FROM directed d
+JOIN item ia ON d.antecedent = ia.l_partkey
+JOIN item ic ON d.consequent = ic.l_partkey
+CROSS JOIN t
+ORDER BY n_both DESC, antecedent, consequent
+LIMIT 100
+""",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): association rules over the co-purchase support
+    counts — for each directed rule a→b with pair support ≥ 2:
+    confidence = P(b|a) = n(a,b)/n(a) and lift = P(a,b)/(P(a)P(b)) =
+    n(a,b)·N/(n(a)·n(b)), the Apriori outputs a recommender consumes
+    downstream of q_copurchase_pairs.
+
+    Determinism: every score is one per-row double expression over
+    exact integer counts (bit-identical across engines); ordering is
+    by the integer support with id tiebreaks, so the top-100 cut never
+    rides a float comparison.
+
+    Scale shape: pairs are generated within an order (bounded by max
+    basket size², never corpus-sized); item counts and the N scalar
+    partial-aggregate map-side; item stats join back by part key —
+    broadcastable (|parts| ≪ |lineitem|); top-100 is a TakeOrdered."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = lp.select(F.countDistinct("l_orderkey").alias("n"))
+    item = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    directed = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_both"
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "n_both"
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_ant"))
+    ic = item.select(F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_cons"))
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(F.col("n_both").cast("double") / F.col("n_ant"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("n_ant") * F.col("n_cons").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "antecedent", "consequent")
+        .limit(100)
+    )
+
+
+@query(
+    "q_decile_lift",
+    tags=("W1", "A1"),
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey, SUM({money_sql('o_totalprice')}) AS r
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT o_custkey, r,
+         NTILE(10) OVER (ORDER BY r DESC, o_custkey) AS decile
+  FROM rev
+),
+agg AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(r) AS dec_rev
+  FROM d GROUP BY decile
+),
+tot AS (SELECT SUM(r) AS t FROM rev)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+       CAST(dec_rev AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS cum_share,
+       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE) / CAST(t AS DOUBLE)
+             / (decile / 10.0), 6) AS lift
+FROM agg CROSS JOIN tot
+ORDER BY decile
+""",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): decile gains/lift table — customers ranked into
+    revenue deciles (NTILE over exact decimal spend, custkey tiebreak);
+    per decile the customer count, revenue, cumulative revenue share,
+    and lift vs a uniform base (cum_share ÷ decile/10). The standard
+    campaign-targeting readout ("the top decile carries 4.2× its
+    share").
+
+    Determinism: spend and the cumulative sums are exact decimals; the
+    two rounded ratios divide bit-identical doubles. NTILE remainder
+    semantics (first buckets get the extra rows) agree across engines
+    given the identical total order.
+
+    Scale shape: one groupBy(custkey) partial-agg; the NTILE is a
+    single global sort over |customers| rows (≪ |orders|) — at 1000
+    executors that is the one range-partitioned stage; the 10-row agg
+    and 1-row total broadcast-join onto it."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("r"))
+    )
+    d = rev.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("r").desc(), F.col("o_custkey"))),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").alias("dec_rev"),
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum_share = F.sum("dec_rev").over(w_cum).cast("double") / F.col("t").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_customers",
+            F.col("dec_rev").cast("double").alias("revenue"),
+            F.round(cum_share, 6).alias("cum_share"),
+            F.round(cum_share / (F.col("decile") / 10.0), 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )

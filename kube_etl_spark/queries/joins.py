@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..exact import REVENUE_SQL, dsum, dsum_sql, money_sql, revenue
+from ..exact import REVENUE_SQL, dsum, dsum_sql, money, money_sql, revenue
 from ..registry import query
 
 
@@ -419,3 +419,71 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_name")
     nation = load_table(spark, sf_dir, "nation").select("n_name")
     return region.crossJoin(F.broadcast(nation)).orderBy("r_name", "n_name")
+
+
+@query(
+    "q_null_safe_join",
+    tags=("J1", "J5", "A1"),
+    oracle=f"""
+WITH c AS (
+  SELECT NULLIF(c_nationkey % 5, 4) AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM({money_sql('c_acctbal')}) AS DOUBLE) AS cust_bal
+  FROM customer GROUP BY NULLIF(c_nationkey % 5, 4)
+),
+s AS (
+  SELECT NULLIF(s_nationkey % 5, 4) AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_supp,
+         CAST(SUM({money_sql('s_acctbal')}) AS DOUBLE) AS supp_bal
+  FROM supplier GROUP BY NULLIF(s_nationkey % 5, 4)
+)
+SELECT CAST(COALESCE(c.tier, s.tier) AS BIGINT) AS tier,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(c.cust_bal, 0.0) AS cust_bal,
+       COALESCE(s.n_supp, 0) AS n_supp,
+       COALESCE(s.supp_bal, 0.0) AS supp_bal
+FROM c FULL JOIN s ON c.tier IS NOT DISTINCT FROM s.tier
+ORDER BY tier NULLS FIRST
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): NULL-semantics showcase — a nullable grouping key
+    (NULLIF-derived tier; NULL rows form their own group in BOTH
+    engines) full-outer-joined with NULL-SAFE equality (`<=>` /
+    IS NOT DISTINCT FROM), so the NULL tier on one side matches the
+    NULL tier on the other instead of silently dropping — the
+    plain-equality full join would emit two half-rows for NULL. The
+    explicit nulls-first ordering pins the one cross-engine default
+    that differs (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST).
+
+    Scale shape: both sides pre-aggregate to ≤5 rows before the join —
+    the null-safe comparison runs on aggregates, never row-level (a
+    row-level <=> join can't use a plain hash join's null-dropping
+    fast path, so shrinking inputs first matters doubly at scale)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            dsum(money("c_acctbal")).alias("cust_bal"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("tier_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+            dsum(money("s_acctbal")).alias("supp_bal"),
+        )
+    )
+    return (
+        c.join(s, c["tier"].eqNullSafe(s["tier_s"]), "full")
+        .select(
+            F.coalesce(c["tier"], s["tier_s"]).cast("bigint").alias("tier"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy(F.col("tier").asc_nulls_first())
+    )

@@ -315,3 +315,63 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup_aggregate(ev, "1 day"))
         .orderBy("resolution", "bucket_start")
     )
+
+
+@query(
+    "q_scd2_intervals",
+    tags=("ST6", "ST7", "W3"),
+    oracle="""
+WITH oplog AS (
+  SELECT user_id AS key, event_id AS seq, ts,
+         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+),
+w AS (
+  SELECT key, seq, op, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+  FROM oplog
+)
+SELECT key, seq,
+       CAST(valid_from AS TIMESTAMP_NS) AS valid_from,
+       CAST(valid_to AS TIMESTAMP_NS) AS valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM w
+WHERE op <> 'delete'
+ORDER BY key, seq
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/ST7 (round 4): SCD Type-2 historization of an op-log —
+    every surviving version as a row with its validity interval
+    [valid_from, valid_to), deletes closing their predecessor's
+    interval and emitting no row. Runs the SAME scd2_history builder
+    the incremental Scd2Table maintains per micro-batch
+    (streaming/cdc.py:189) on the batch op-log (events reshaped:
+    every 7th event_id is a delete), putting the CDC layer's
+    historization semantics under the driver's hash gate — the
+    incremental≡batch equivalence is pinned in tests/test_streaming.py.
+
+    Scale shape: ONE lead() window over hashpartition(key) computes
+    every interval — no self-join, no per-version scans; is_current
+    emitted as bigint (cross-engine boolean canonicalization is not
+    relied on)."""
+    from ..streaming.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("event_id") % 7 == 0, "delete").otherwise("upsert").alias("op"),
+        F.col("props").alias("payload"),
+    )
+    return (
+        scd2_history(ev, ["key"], "seq", "ts")
+        .select(
+            "key",
+            "seq",
+            "valid_from",
+            "valid_to",
+            F.col("is_current").cast("bigint").alias("is_current"),
+        )
+        .orderBy("key", "seq")
+    )

@@ -836,3 +836,146 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    tags=("W3", "A1"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+         epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_us
+  FROM events
+),
+seg AS (
+  SELECT user_id, v, next_us - us AS dur
+  FROM seq WHERE next_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(v * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 4) AS twa
+FROM seg
+GROUP BY user_id
+HAVING COUNT(*) >= 2
+ORDER BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): time-weighted average (TWAP) of `value` per user —
+    each observation weighted by how long it was the latest one (its
+    interval to the next event), the correct mean for irregularly-
+    sampled gauges where the plain AVG over-weights bursts.
+
+    Determinism: value has exactly 2dp (fixture-verified) so the
+    DECIMAL(14,2) cast is lossless; durations are integer microsecond
+    epochs (`unix_micros` ↔ `epoch_us`); Σ(v·dur) is an exact decimal
+    sum and Σdur an exact bigint sum, so the final division is one
+    bit-identical double op, rounded 4dp. Ordering inside each user is
+    (ts, event_id) — a total order.
+
+    Scale shape: ONE hashpartition(user_id) exchange feeds both the
+    lead() window and the groupBy (same key) — Catalyst reuses the
+    partitioning; no data-sized broadcast, no Python."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("value").cast("decimal(14,2)").alias("v"),
+            us.alias("us"),
+            F.lead(us).over(w).alias("next_us"),
+        )
+        .filter(F.col("next_us").isNotNull())
+        .select("user_id", "v", (F.col("next_us") - F.col("us")).alias("dur"))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dur").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double"),
+                4,
+            ).alias("twa"),
+        )
+        .filter(F.col("n_segments") >= 2)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    tags=("W3", "A10", "L4"),
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(value AS DECIMAL(14,2)) AS v,
+         CASE WHEN event_type = 'click'
+              THEN 'ch_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+         END AS click_channel
+  FROM events
+),
+carried AS (
+  SELECT user_id, event_type, v,
+         LAST_VALUE(click_channel IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click
+  FROM tagged
+)
+SELECT COALESCE(last_click, 'organic') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(v) AS DOUBLE) AS revenue
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(last_click, 'organic')
+ORDER BY channel
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): last-touch attribution — every purchase is
+    credited to the user's most recent PRECEDING click's channel
+    (channel derived deterministically from the click's props.k % 4),
+    'organic' when no click precedes it. The marketing-analytics
+    staple, and the classic ignoreNulls running-carry window.
+
+    Determinism: the carry is last_value(ignoreNulls) over the total
+    order (ts, event_id) with an explicit UNBOUNDED..1 PRECEDING frame
+    (the purchase row itself can never self-attribute); revenue is a
+    decimal-exact sum (value is 2dp) emitted as double.
+
+    Scale shape: ONE hashpartition(user_id) window pass over events,
+    then a channel-cardinality (≤5 keys) map-side-combined agg — no
+    joins, no Python, no skew (channels are hash-derived)."""
+    channel = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lit("ch_"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+        F.last(channel, ignorenulls=True).over(w).alias("last_click"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_click", F.lit("organic")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("v").cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -48,84 +48,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-3 window: 8 pinned anchors (r01∪r02 driver-green) + 28
-# oracle-backed queries with no driver row in r01/r02 + 14 queries
-# new this round (8+28+14 = 50). With this rotation, every oracle-backed registered
-# query has a driver hash row across r01∪r02∪r03. Anchors dropped to
-# make room for new queries (q_window_rank, q_topk, q_join_asof,
-# q_multimodal_join, q_join_star, q_stream_tumbling, q_tpch_q3) each
-# carry r01 AND r02 driver-green rows and their §2 family stays
-# covered by another window entry (W: q_window_distribution,
-# O: q_union_distinct, J: q_join_skew_salted, T: seven TPC-H slots,
-# ST: q_cdc_* + q_rollup_multires, L: ten other L slots).
+# Round-4 window: 8 pinned anchors + the 35 ROTATE_NEXT names from r3
+# (locally parity-proven, guaranteed a slot this round) + q_join_anti
+# (its only driver row is r01's VACUOUS 0-row green — the de-vacuized
+# r3 reshape has never been driver-hashed) + 6 queries new this round
+# (8+36+6 = 50). With this rotation every oracle-backed query
+# registered through r3 carries a REAL (non-vacuous) driver hash row
+# across r01∪r02∪r03∪r04. Queries rotated OUT all keep ≥1 prior
+# driver-green row and run in the local parity suite every round.
 PRIORITY: tuple[str, ...] = (
-    # pinned anchors — one per §2 family, all r01/r02 driver-green
+    # pinned anchors — one per §2 family, all driver-green r01-r03
     "q_agg_groupby",        # A1 flagship
     "q_validate_rules",     # P8 — reference rule engine
     "q_array_funcs2",       # F4 — the round-1 hard fail, keep pinned
-    "q_scalar_subquery",    # SQ — r02's vacuous slot, now non-vacuous (r3)
+    "q_scalar_subquery",    # SQ — r02's vacuous slot, non-vacuous since r3
     "q_syncer_status",      # S3/P8 status write-back (keeps S covered)
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # rotated IN: no driver correctness row in r01 or r02
-    "q_exists_subquery",
-    "q_not_in_subquery",
-    "q_correlated_scalar",
-    "q_lateral",
-    "q_unpivot",
-    "q_union_distinct",
-    "q_window_distribution",
-    "q_join_skew_salted",
-    "q_agg_two_phase",
-    "q_dedup_clusters",
-    "q_string_similarity",
-    "q_dedup_embedding",
-    "q_lang_id",
-    "q_quality_score",
-    "q_text_chunk",
-    "q_pii_scrub",
-    "q_repetition_ratio",
-    "q_contamination",
-    "q_split_train_test",
-    "q_quality_filter_pipeline",
-    "q_media_features",
-    "q_media_frames",
-    "q_rollup_multires",
-    "q_tpch_q19_bracket_predicates",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q18_large_orders",
-    "q_tpch_q14_promo_share",
-    "q_tpch_q5_local_volume",
-    # new this round
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q8_market_share",
-    "q_domain_mixture",
-    "q_pack_sequences",
-    "q_shuffle_order",
-    "q_sample_stratified",
-    "q_embedding_quantize",
-    "q_gapfill_locf",
-    "q_funnel_stages",
-    "q_unigram_rarity",
-    "q_tpch_q13_custdist",
-    "q_tpch_q15_top_supplier",
-    "q_bigram_pmi",
-    "q_boilerplate_ngrams",
-)
-
-# Oracle-backed queries registered too late in the round to claim one of
-# the 50 driver slots (the window was already fully committed to queries
-# with no prior driver evidence). They are locally parity-tested now and
-# hold a GUARANTEED slot in the next round's window — the rotation test
-# in tests/test_entry.py enforces that nothing stays here across rounds
-# once a CORRECTNESS file newer than its registration exists. Mid-round
-# drops that freed their slots: q_rules_fanout, q_dedup_exact,
-# q_knn_cosine, q_text_stats — each carries BOTH an r01 and an r02
-# driver hash-green row, its §2 family keeps window coverage
-# (J: q_join_skew_salted; L: ten other slots), and its semantics stay
-# pinned by the local oracle-parity suite every run.
-ROTATE_NEXT: tuple[str, ...] = (
+    # rotated IN: the full r3 ROTATE_NEXT backlog
     "q_retention_cohort",
     "q_histogram_value",
     "q_zscore_outliers",
@@ -148,7 +89,6 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_revenue_gini",
     "q_benford_digits",
     "q_fk_orphans",
-    # early-r3 rows-only-by-capacity ops, oracles attached late-r3
     "q_concurrency_profile",
     "q_drift_psi",
     "q_ewma_smoothing",
@@ -162,7 +102,27 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_bigram_lm_score",
     "q_dedup_substring",
     "q_dedup_simhash_pairs",
+    # rotated IN: r01's 0-row green was vacuous; re-verify the reshape
+    "q_join_anti",
+    # new this round
+    "q_scd2_intervals",
+    "q_market_basket",
+    "q_decile_lift",
+    "q_time_weighted_avg",
+    "q_attribution_last_touch",
+    "q_null_safe_join",
 )
+
+# Oracle-backed queries registered too late in the round to claim one of
+# the 50 driver slots (the window was already fully committed to queries
+# with no prior driver evidence). They are locally parity-tested on
+# registration and hold a GUARANTEED slot in the next round's window —
+# the rotation test in tests/test_entry.py enforces that nothing stays
+# here across rounds once a CORRECTNESS file newer than its registration
+# exists. Empty after the r4 rotation: the entire 35-name r3 backlog is
+# in the r4 window, so every oracle-backed query registered through r3
+# will hold driver hash evidence across r01..r04.
+ROTATE_NEXT: tuple[str, ...] = ()
 
 
 def query(

@@ -40,7 +40,11 @@ def test_correctness_window_is_curated():
     assert all(specs[n].oracle is not None for n in first50)
     families = {t[0] for n in first50 for t in specs[n].tags if t and t[0].isupper()}
     assert {"A", "P", "F", "J", "W", "O", "S", "U", "L", "T"} <= families
-    st = [n for n in first50 if n.startswith(("q_stream", "q_cdc", "q_rollup"))]
+    st = [
+        n
+        for n in first50
+        if n.startswith(("q_stream", "q_cdc", "q_rollup", "q_scd2"))
+    ]
     assert len(st) >= 3, f"streaming underrepresented in window: {st}"
 
     # rotation: nothing oracle-backed may remain permanently unchecked
