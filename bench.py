@@ -35,6 +35,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _R01 = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
 
+# First-measured sf0.1 baselines for the NON-QUERY bench objects
+# (BASELINE.md §2: skew first measured r2; udf/index/ivm/neardup first
+# measured r3) — emitted as "vs_baseline" ratios so the 2× regression
+# band covers the incremental/skew/udf layers the same way vs_r01
+# covers the headline queries. Counters (e.g. neardup.pairs_detected)
+# are not timings and are excluded.
+_OBJECT_BASELINE: dict[str, dict[str, float]] = {
+    "skew": {"plain": 9.529, "salted": 7.2147, "plain_aqe_skewjoin": 9.1122},
+    "udf": {
+        "builtin": 0.3356,
+        "pandas_udf": 0.5852,
+        "python_udf": 0.5223,
+        "num_builtin": 0.1387,
+        "num_pandas_udf": 0.6069,
+        "num_python_udf": 3.046,
+    },
+    "index": {"build": 10.5199, "hybrid_probe": 0.9565},
+    "ivm": {
+        "maintain_per_batch": 2.0253,
+        "maintain_per_batch_bucketed": 1.5167,
+        "serve_view": 0.1659,
+        "serve_recompute_join_smj": 0.3241,
+    },
+    "neardup": {"ingest_per_batch_flat": 1.7736, "ingest_per_batch_bucketed": 2.1628},
+}
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -444,6 +470,24 @@ def main() -> None:
     ivm = _ivm_bench(spark, sf_dir)
     neardup = _neardup_bench(spark, sf_dir)
 
+    # object-level regression ratios vs the first-measured baselines
+    # (only meaningful at the baseline's sf0.1 scale)
+    vs_baseline: dict[str, dict[str, float]] = {}
+    if sf == 0.1:
+        measured = {
+            "skew": skew,
+            "udf": udf,
+            "index": index,
+            "ivm": ivm,
+            "neardup": neardup,
+        }
+        for obj, base in _OBJECT_BASELINE.items():
+            vs_baseline[obj] = {
+                k: round(measured[obj][k] / b, 3)
+                for k, b in base.items()
+                if measured[obj].get(k)
+            }
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -454,6 +498,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "vs_r01": vs_r01,
+                "vs_baseline": vs_baseline,
                 "skew": skew,
                 "udf": udf,
                 "index": index,

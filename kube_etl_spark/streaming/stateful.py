@@ -67,13 +67,17 @@ def user_activity_tracker(events: DataFrame) -> DataFrame:
 # to applyInPandasWithState above: explicit typed state handles, timers,
 # TTL, and composable state variables per key).
 #
-# NOTE: the operator's Python worker protocol speaks protobuf
-# (pyspark.sql.streaming.proto); this build container has no
-# google.protobuf, so the stream test skips here (tests/test_streaming.
-# py::test_transform_with_state_topk_matches_batch documents the seam)
-# while the processor itself is complete and runs wherever protobuf
-# exists. applyInPandasWithState above has no such dependency and
-# remains the exercised path in this environment.
+# STATUS — forward-compat design, not the claimed operator:
+# applyInPandasWithState above is THIS ENGINE'S supported
+# arbitrary-state streaming path (no extra dependencies; streamed for
+# real in tests). transformWithState's Python worker protocol speaks
+# protobuf (pyspark.sql.streaming.proto), which this build container
+# does not ship, so the processor below is held to its contract by
+# driving the StatefulProcessor lifecycle directly against an
+# in-memory ListState (tests/test_streaming.py::
+# test_transform_with_state_topk_matches_batch, tier 1 — zero skips);
+# the same test runs the true stream end-to-end wherever
+# google.protobuf exists (tier 2).
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
