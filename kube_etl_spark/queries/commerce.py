@@ -433,15 +433,14 @@ d AS (
 agg AS (
   SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers, SUM(r) AS dec_rev
   FROM d GROUP BY decile
-),
-tot AS (SELECT SUM(r) AS t FROM rev)
+)
 SELECT CAST(decile AS BIGINT) AS decile, n_customers,
        CAST(dec_rev AS DOUBLE) AS revenue,
-       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE) / CAST(t AS DOUBLE), 6)
-         AS cum_share,
-       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE) / CAST(t AS DOUBLE)
-             / (decile / 10.0), 6) AS lift
-FROM agg CROSS JOIN tot
+       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(dec_rev) OVER () AS DOUBLE), 6) AS cum_share,
+       ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(dec_rev) OVER () AS DOUBLE) / (decile / 10.0), 6) AS lift
+FROM agg
 ORDER BY decile
 """,
 )
@@ -458,10 +457,13 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (first buckets get the extra rows) agree across engines
     given the identical total order.
 
-    Scale shape: one groupBy(custkey) partial-agg; the NTILE is a
-    single global sort over |customers| rows (≪ |orders|) — at 1000
-    executors that is the one range-partitioned stage; the 10-row agg
-    and 1-row total broadcast-join onto it."""
+    Scale shape: ONE orders scan — groupBy(custkey) partial-agg, then
+    the NTILE global sort over |customers| rows (≪ |orders|; at 1000
+    executors that is the one range-partitioned stage). The cumulative
+    share and the total both come from windows over the 10-row decile
+    aggregate, so no second corpus pass and no total-join exists (the
+    first cut of this query recomputed rev for the total — two scans
+    for a number derivable from the frame already in hand)."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -475,17 +477,18 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("r").alias("dec_rev"),
     )
-    tot = rev.agg(F.sum("r").alias("t"))
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    cum_share = F.sum("dec_rev").over(w_cum).cast("double") / F.col("t").cast("double")
-    return (
-        agg.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("decile").cast("bigint").alias("decile"),
-            "n_customers",
-            F.col("dec_rev").cast("double").alias("revenue"),
-            F.round(cum_share, 6).alias("cum_share"),
-            F.round(cum_share / (F.col("decile") / 10.0), 6).alias("lift"),
-        )
-        .orderBy("decile")
+    w_all = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    cum_share = (
+        F.sum("dec_rev").over(w_cum).cast("double")
+        / F.sum("dec_rev").over(w_all).cast("double")
+    )
+    return agg.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        F.col("dec_rev").cast("double").alias("revenue"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.round(cum_share / (F.col("decile") / 10.0), 6).alias("lift"),
+    ).orderBy("decile")

@@ -659,3 +659,80 @@ def test_semantic_dedup_candidate_join_is_keyed(spark):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "Cross BuildRight" in ln, f"non-assign nested loop: {ln}"
+
+
+def test_decile_lift_single_scan_no_total_join(spark):
+    """Decile lift must read orders ONCE: the cumulative share and the
+    grand total both come from windows over the 10-row decile
+    aggregate — no second corpus pass, no total-side join of any
+    kind."""
+    plan = _plan(spark, "q_decile_lift")
+    assert plan.count("FileScan parquet") <= 1 or plan.count("Scan parquet") <= 2
+    for node in ("BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_custkey" in read and "o_totalprice" in read
+    assert "o_orderdate" not in read and "o_orderpriority" not in read
+
+
+def test_market_basket_reuses_distinct_exchange(spark):
+    """The distinct (order, part) projection feeds five consumers
+    (both pair sides, both item-stat sides, the N scalar); the
+    executed plan must REUSE one exchange for them rather than
+    re-scanning lineitem per consumer, and the top-100 must be a
+    TakeOrdered, not a global sort."""
+    from .conftest import SMOKE_SF
+    from kube_etl_spark.registry import all_specs
+
+    df = all_specs()["q_market_basket"].fn(spark, SMOKE_SF)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ReusedExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_time_weighted_avg_one_exchange_family(spark):
+    """TWAP's lead() window and its groupBy share the user_id hash
+    partitioning — exactly one hashpartitioning exchange in the plan
+    (the final orderBy's range exchange aside), and no Python."""
+    plan = _plan(spark, "q_time_weighted_avg")
+    assert plan.count("hashpartitioning(user_id") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"):
+        assert node not in plan
+
+
+def test_attribution_single_window_pass_no_joins(spark):
+    """Last-touch attribution is one window pass over events plus a
+    channel-cardinality aggregate — no join anywhere, one events
+    scan."""
+    plan = _plan(spark, "q_attribution_last_touch")
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Window") >= 1
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_null_safe_join_runs_on_aggregates(spark):
+    """The null-safe full outer join must consume the two ≤5-row
+    pre-aggregates — HashAggregates sit BELOW the join, and each side
+    reads only its key + balance columns."""
+    plan = _plan(spark, "q_null_safe_join")
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, "expected a full-outer sort-merge join"
+    # both aggregate subtrees appear after the join node in formatted
+    # output (children are listed below); assert aggregation exists and
+    # no corpus-sized columns are read
+    assert plan.count("HashAggregate") >= 4
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("c_name" not in l and "s_name" not in l for l in reads)
+
+
+def test_scd2_intervals_single_window_no_join(spark):
+    """SCD2 historization must be ONE lead() window over
+    hashpartition(key) — no self-join, no per-version scan."""
+    plan = _plan(spark, "q_scd2_intervals")
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("hashpartitioning(key") == 1
