@@ -58,6 +58,7 @@ class StateTable:
         path: str,
         key_cols: list[str],
         seq_col: str | list[str],
+        lease=None,
     ):
         self.spark = spark
         self.path = path
@@ -66,6 +67,11 @@ class StateTable:
         # next, so winners are deterministic when callers provide a
         # full ordering (see rollup.py for why that matters)
         self.seq_cols = [seq_col] if isinstance(seq_col, str) else list(seq_col)
+        # optional WriterLease (streaming/lease.py): when set, the
+        # single-writer contract is ENFORCED — merges re-validate
+        # ownership immediately before publishing, so a fenced-off
+        # stale writer raises LeaseLost instead of clobbering state
+        self.lease = lease
 
     def _read_raw(self) -> DataFrame | None:
         """Persisted state INCLUDING delete tombstones (internal)."""
@@ -120,6 +126,11 @@ class StateTable:
                 F.lit("upsert")
             ),
         ).drop(op_col)
+        if self.lease is not None:
+            # fencing: the write below computes lazily inside the
+            # publish, so validate as late as possible — a writer that
+            # lost its lease mid-merge must raise, not publish
+            self.lease.assert_held()
         self._atomic_overwrite(new_state)
 
     def purge_tombstones(self, before_seq: int) -> None:
@@ -386,6 +397,7 @@ class BucketedStateTable:
         seq_col: str | list[str],
         n_buckets: int = 16,
         bucket_col: F.Column | None = None,
+        lease=None,
     ):
         """bucket_col overrides the default hash bucketing with any
         bigint expression over the key columns. Hash buckets balance
@@ -406,6 +418,7 @@ class BucketedStateTable:
             else F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
         )
         os.makedirs(path, exist_ok=True)
+        self.lease = lease  # see StateTable — per-bucket fencing below
 
     def _bucket_col(self) -> F.Column:
         return self._bucket_expr.cast("bigint")
@@ -472,6 +485,12 @@ class BucketedStateTable:
                     F.lit("upsert")
                 ),
             ).drop(op_col)
+            if self.lease is not None:
+                # per-bucket fencing: a writer fenced off mid-loop stops
+                # before the NEXT bucket publish; already-published
+                # buckets are individually consistent and the new owner
+                # converges them by replaying the batch (crash contract)
+                self.lease.assert_held()
             atomic_overwrite(new_state, self._bucket_path(b))
 
 

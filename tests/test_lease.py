@@ -1,0 +1,112 @@
+"""Writer-lease semantics (streaming/lease.py): the enforced form of
+the state layer's single-writer contract — the analytics analog of the
+reference syncer's leader election (one active controller per
+destination, /root/reference/syncer/main.go manager bootstrap)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from kube_etl_spark.streaming.lease import LeaseHeld, LeaseLost, WriterLease
+
+
+def test_second_writer_blocked_while_lease_live(tmp_path):
+    p = str(tmp_path / "state.lease")
+    a = WriterLease(p, owner="a", ttl_s=60)
+    b = WriterLease(p, owner="b", ttl_s=60)
+    assert a.acquire()
+    assert not b.acquire()
+    with pytest.raises(LeaseHeld):
+        b.__enter__()
+    a.release()
+    assert b.acquire()
+
+
+def test_stale_takeover_bumps_fencing_token(tmp_path):
+    p = str(tmp_path / "state.lease")
+    a = WriterLease(p, owner="a", ttl_s=0.05)
+    assert a.acquire()
+    assert a.token == 1
+    time.sleep(0.1)  # let a's lease expire (crashed writer)
+    b = WriterLease(p, owner="b", ttl_s=60)
+    assert b.acquire()
+    assert b.token == 2  # fencing token strictly increases
+    # the old writer is fenced off: its held token is stale
+    with pytest.raises(LeaseLost):
+        a.assert_held()
+    with pytest.raises(LeaseLost):
+        a.renew()
+    # and release() on the fenced writer must NOT delete b's lease
+    a.release()
+    b.assert_held()
+
+
+def test_reacquire_after_restart_keeps_token(tmp_path):
+    p = str(tmp_path / "state.lease")
+    a = WriterLease(p, owner="a", ttl_s=60)
+    assert a.acquire()
+    a2 = WriterLease(p, owner="a", ttl_s=60)  # same owner, new process
+    assert a2.acquire()
+    assert a2.token == a.token
+
+
+def test_renew_extends_deadline(tmp_path):
+    p = str(tmp_path / "state.lease")
+    a = WriterLease(p, owner="a", ttl_s=60)
+    assert a.acquire()
+    d0 = json.load(open(p))["deadline"]
+    time.sleep(0.02)
+    a.renew()
+    assert json.load(open(p))["deadline"] > d0
+
+
+def test_torn_lease_file_treated_as_stale(tmp_path):
+    p = str(tmp_path / "state.lease")
+    with open(p, "w") as f:
+        f.write('{"owner": "a", "tok')  # torn non-atomic write
+    b = WriterLease(p, owner="b", ttl_s=60)
+    assert b.acquire()
+    assert b.token == 1
+
+
+def test_fenced_writer_cannot_publish_state(spark, tmp_path):
+    """End-to-end: a StateTable merge from a writer whose lease was
+    taken over must raise LeaseLost BEFORE publishing — the paused-
+    writer split-brain the fencing token exists to stop. The new
+    owner's merge then proceeds on the intact pre-crash state."""
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    lease_path = str(tmp_path / "state.lease")
+    old = WriterLease(lease_path, owner="old", ttl_s=60)
+    assert old.acquire()
+    t_old = StateTable(spark, str(tmp_path / "st"), ["k"], "seq", lease=old)
+    t_old.merge_batch(
+        spark.createDataFrame(
+            [(1, 1, "v1", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    # simulate a long writer pause (GC stall / network partition): the
+    # lease deadline passes without a renew
+    rec = json.load(open(lease_path))
+    rec["deadline"] = time.time() - 1
+    with open(lease_path, "w") as f:
+        json.dump(rec, f)
+    new = WriterLease(lease_path, owner="new", ttl_s=60)
+    assert new.acquire()
+    with pytest.raises(LeaseLost):
+        t_old.merge_batch(
+            spark.createDataFrame(
+                [(1, 2, "stale", "upsert")], "k long, seq long, v string, op string"
+            )
+        )
+    t_new = StateTable(spark, str(tmp_path / "st"), ["k"], "seq", lease=new)
+    t_new.merge_batch(
+        spark.createDataFrame(
+            [(2, 2, "v2", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    rows = {(r["k"], r["v"]) for r in t_new.read().collect()}
+    assert rows == {(1, "v1"), (2, "v2")}  # stale write never landed
