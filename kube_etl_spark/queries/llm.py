@@ -3064,3 +3064,66 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_ngram_novelty",
+    tags=("L2", "L4"),
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+g AS (
+  SELECT doc_id, UNNEST(s) AS gram FROM sh WHERE len(s) > 0
+),
+tagged AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+       ROUND(CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+             / COUNT(*), 4) AS novelty
+FROM tagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 (EXT, round 4): n-gram novelty / memorization scan — per
+    document, the fraction of its distinct 3-gram shingles whose FIRST
+    corpus occurrence (min doc_id — ingestion order) is this document.
+    Low novelty = the document restates earlier corpus text (the
+    memorization-risk / boilerplate signal a pretraining curator ranks
+    by; the per-doc complement of q_boilerplate_ngrams' corpus view).
+
+    Determinism: counts are exact integers; novelty is one per-row
+    double division rounded 4dp.
+
+    Scale shape: first-occurrence tagging is a window MIN over
+    hashpartition(gram) — ONE gram-keyed exchange, no self-join and no
+    vocabulary broadcast (the gram space is corpus-sized); the per-doc
+    rollup is a second, doc-keyed exchange. Both aggregates are
+    map-side combinable."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
+        .filter(F.size("s") > 0)
+    )
+    g = sh.select("doc_id", F.explode("s").alias("gram"))
+    tagged = g.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("gram")).alias("first_doc"),
+    )
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -198,3 +198,55 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 1).alias("avg_qty"),
         )
     )
+
+
+@query(
+    "q_recursive_cte",
+    tags=("SQ", "J1"),
+    oracle="""
+WITH RECURSIVE anc AS (
+  SELECT p_partkey, p_partkey AS node, 0 AS depth FROM part
+  UNION ALL
+  SELECT p_partkey, node // 10 AS node, depth + 1 FROM anc WHERE node >= 10
+)
+SELECT p_partkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(node) AS BIGINT) AS root
+FROM anc
+GROUP BY p_partkey
+ORDER BY p_partkey
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): WITH RECURSIVE — the Spark 4 recursive-CTE
+    engine feature, exercised as a hierarchy climb. Every part key is
+    walked up its decimal trie (parent = key div 10) to the single-
+    digit root, yielding each part's depth and root ancestor — the
+    BOM/org-chart ancestor-path shape on the one hierarchy the
+    fixtures define everywhere (the key space itself).
+
+    Determinism: pure integer recursion, identical step rule in both
+    engines (DuckDB `//` ≡ Spark DIV for non-negative keys); depth is
+    bounded by log₁₀(max key) ≈ 7, so the recursion terminates at a
+    plan-known depth.
+
+    Scale shape: each recursion round is a map-side project+filter on
+    the previous round's frame (no joins, no shuffle inside the loop);
+    the only exchange is the final per-key aggregate. Rounds shrink:
+    rows exit the working set as soon as their node drops below 10."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey, p_partkey AS node, 0 AS depth FROM part
+  UNION ALL
+  SELECT p_partkey, node DIV 10 AS node, depth + 1 FROM anc WHERE node >= 10
+)
+SELECT p_partkey,
+       CAST(MAX(depth) AS BIGINT) AS depth,
+       CAST(MIN(node) AS BIGINT) AS root
+FROM anc
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+    )

@@ -122,7 +122,11 @@ PRIORITY: tuple[str, ...] = (
 # exists. Empty after the r4 rotation: the entire 35-name r3 backlog is
 # in the r4 window, so every oracle-backed query registered through r3
 # will hold driver hash evidence across r01..r04.
-ROTATE_NEXT: tuple[str, ...] = ()
+ROTATE_NEXT: tuple[str, ...] = (
+    # registered after the r4 window filled; guaranteed r5 slots
+    "q_recursive_cte",
+    "q_ngram_novelty",
+)
 
 
 def query(
