@@ -145,3 +145,99 @@ def estimate_overlap(sketches: DataFrame) -> DataFrame:
             "n_only_a"
         ),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — DataFrame-native, cross-engine deterministic.
+#
+# Unlike the DataSketches HLL/KLL/theta aggregates above (opaque binary
+# registers merged by dedicated functions), CMS is a LINEAR sketch: the
+# state is a d×w integer matrix and merge is cell-wise addition — plain
+# groupBy arithmetic, no binary payloads. That buys three things the
+# other sketches can't offer here: (a) turnstile updates (weighted /
+# negative increments compose), (b) trivially exact mergeability
+# (pinned by test: sum of per-day matrices ≡ whole-corpus matrix), and
+# (c) full cross-engine determinism — the row hashes are explicit
+# integer polynomials, so a DuckDB oracle can rebuild the identical
+# matrix and the driver hash gate covers an approximate structure
+# end-to-end (the HLL/KLL layers are pinned by error-bound tests only).
+#
+# Estimate guarantee (Cormode–Muthukrishnan): n̂ ≥ n, and
+# P[n̂ > n + εN] ≤ δ with w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. d=4, w=512 →
+# ε ≈ 0.5% of stream length at δ ≈ 2%.
+# ---------------------------------------------------------------------------
+
+CMS_P = 2_147_483_647  # 2³¹−1 (Mersenne prime)
+CMS_W = 512
+# (row, a, b): fixed odd multipliers — any pairwise-distinct constants
+CMS_PARAMS: tuple[tuple[int, int, int], ...] = (
+    (0, 1_103_515_245, 12_345),
+    (1, 1_140_671_485, 12_820_163),
+    (2, 214_013, 2_531_011),
+    (3, 69_069, 362_437),
+)
+
+
+def _cms_bucket(key: Column, a: int, b: int, w: int = CMS_W) -> Column:
+    # (a·(key mod P) + b) mod P mod w — key mod P ≤ 2³¹ and a < 2³¹
+    # keep the product under 2⁶² (no int64 overflow on either engine)
+    return ((F.lit(a) * (key % CMS_P) + F.lit(b)) % CMS_P) % w
+
+
+def cms_bucket_sql(key_expr: str, a: int, b: int, w: int = CMS_W) -> str:
+    """The DuckDB twin of _cms_bucket — identical integer algebra."""
+    return f"(({a} * ({key_expr} % {CMS_P}) + {b}) % {CMS_P}) % {w}"
+
+
+def cms_cells(df: DataFrame, key_col: str, w: int = CMS_W) -> DataFrame:
+    """Build the d×w count matrix over one scan: each row explodes to
+    its d (row, bucket) coordinates and the matrix is a map-side-
+    combinable aggregate — the shuffle carries ≤ d·w rows regardless
+    of input size. Returns (i, bucket, n)."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                _cms_bucket(F.col(key_col), a, b, w).alias("bucket"),
+            )
+            for i, a, b in CMS_PARAMS
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*cell_frames: DataFrame) -> DataFrame:
+    """Union-merge CMS matrices: cell-wise addition (linearity)."""
+    out = cell_frames[0]
+    for f in cell_frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("i", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str, w: int = CMS_W) -> DataFrame:
+    """Point estimates for a key frame: n̂(k) = min over rows of the
+    key's cell. The key frame broadcasts (callers pass candidate sets,
+    not the corpus); returns (key_col, n_est)."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col(key_col), a, b, w).alias("bucket"),
+                    )
+                    for i, a, b in CMS_PARAMS
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    return (
+        cells.join(F.broadcast(probes), ["i", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("n_est"))
+    )

@@ -422,3 +422,81 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _cms_oracle() -> str:
+    """DuckDB twin of the Count-Min build+probe — the identical integer
+    hash algebra (plans/sketches.cms_bucket_sql), unrolled per row."""
+    from ..plans.sketches import CMS_PARAMS, cms_bucket_sql
+
+    cell_legs = "\n    UNION ALL ".join(
+        f"SELECT {i} AS i, {cms_bucket_sql('user_id', a, b)} AS bucket FROM events"
+        for i, a, b in CMS_PARAMS
+    )
+    probe_legs = "\n    UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, {cms_bucket_sql('user_id', a, b)} AS bucket FROM cand"
+        for i, a, b in CMS_PARAMS
+    )
+    return f"""
+WITH cells AS (
+  SELECT i, bucket, COUNT(*) AS n FROM (
+    {cell_legs}
+  ) GROUP BY i, bucket
+),
+cand AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+    {probe_legs}
+),
+est AS (
+  SELECT p.user_id, MIN(c.n) AS n_est
+  FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+  GROUP BY p.user_id
+),
+tru AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id)
+SELECT t.user_id,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(e.n_est AS BIGINT) AS n_est,
+       CAST(e.n_est - t.n_true AS BIGINT) AS overestimate
+FROM tru t JOIN est e ON t.user_id = e.user_id
+ORDER BY t.user_id
+"""
+
+
+@query(
+    "q_cms_heavy_hitters",
+    tags=("A4", "A1"),
+    oracle=_cms_oracle(),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (EXT, round 4): Count-Min frequency estimation — per-user
+    event counts read from a d=4 × w=512 integer matrix instead of the
+    corpus, with the exact counts alongside so the one-sided error
+    (n̂ ≥ n, overestimate ≤ εN w.h.p.) is visible in the output. The
+    DataFrame-native LINEAR sketch (plans/sketches.py): explicit
+    integer-polynomial row hashes, so unlike the HLL/KLL binary
+    registers the whole approximate structure is cross-engine
+    deterministic and sits under the driver's hash gate; merge is
+    cell-wise addition (mergeability pinned in tests/test_jobs.py).
+
+    Scale shape: the build explodes each row to d coordinates and
+    aggregates map-side — the shuffle carries ≤ d·w = 2048 rows no
+    matter the corpus; probes broadcast (candidate set, not corpus);
+    the exact-count leg is the ordinary groupBy it replaces at scale
+    (present here only to expose the error)."""
+    from ..plans.sketches import cms_cells, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = cms_cells(ev, "user_id")
+    cand = ev.distinct()
+    est = cms_estimate(cells, cand, "user_id")
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        tru.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_est").cast("bigint").alias("n_est"),
+            (F.col("n_est") - F.col("n_true")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )

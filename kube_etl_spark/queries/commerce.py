@@ -492,3 +492,115 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cum_share, 6).alias("cum_share"),
         F.round(cum_share / (F.col("decile") / 10.0), 6).alias("lift"),
     ).orderBy("decile")
+
+
+@query(
+    "q_triangle_count",
+    tags=("J1", "A1"),
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+),
+und AS (SELECT pa AS u, pb AS v FROM pair UNION ALL SELECT pb, pa FROM pair),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+ord_ AS (SELECT node, ROW_NUMBER() OVER (ORDER BY d, node) AS rk FROM deg),
+ori AS (
+  SELECT n.u, n.v, ou.rk AS ru, ov.rk AS rv
+  FROM und n JOIN ord_ ou ON n.u = ou.node JOIN ord_ ov ON n.v = ov.node
+  WHERE ou.rk < ov.rk
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ori e1
+  JOIN ori e2 ON e2.u = e1.u AND e1.rv < e2.rv
+  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+members AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY part
+ORDER BY part
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): per-node triangle counting over the co-purchase
+    graph — the local clustering signal (parts whose neighborhoods
+    close into cliques anchor coherent baskets; graph-feature input to
+    community detection and recommendation, alongside PageRank's
+    global centrality).
+
+    Algorithm: DEGREE ORIENTATION — every undirected edge points from
+    the lower (degree, id) endpoint to the higher, making the graph a
+    DAG in which each triangle appears exactly once as two out-edges of
+    its lowest-ranked vertex plus the closing edge. This is the bound
+    that survives scale: the out-neighbor pair join fans out by
+    out-degree, which orientation caps at O(√m) even for hub nodes
+    (the plain adjacency self-join fans out by raw degree — quadratic
+    in the hub).
+
+    The graph is the SUPPORT-THRESHOLDED association graph (pairs
+    co-purchased in ≥2 orders — q_market_basket's rule universe):
+    support pruning is the standard first stage of co-occurrence graph
+    mining, and it is also what makes triangle counting tractable — on
+    the unthresholded graph the out-neighbor pair fanout is Σdeg²,
+    which measured OOM at sf0.1 (~1.2M near-clique edges); thresholded
+    it is a few thousand edges at every SF.
+
+    Scale shape: pairs generate within orders (basket-bounded); the
+    rank table is |nodes| rows (broadcastable); the three-way edge
+    join shuffles on edge keys only. All integers — exact cross-engine
+    hashes."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    )
+    und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    rk = deg.select(
+        "node", F.row_number().over(Window.orderBy("d", "node")).alias("rk")
+    )
+    ori = (
+        und.join(F.broadcast(rk.select(F.col("node").alias("u"), F.col("rk").alias("ru"))), "u")
+        .join(F.broadcast(rk.select(F.col("node").alias("v"), F.col("rk").alias("rv"))), "v")
+        .filter(F.col("ru") < F.col("rv"))
+        .select("u", "v", "ru", "rv")
+    )
+    e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("rv").alias("rb"))
+    e2 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("rv").alias("rc"))
+    e3 = ori.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "a")
+        .filter(F.col("rb") < F.col("rc"))
+        .select("a", "b", "c")
+        .join(e3, ["b", "c"])
+    )
+    members = (
+        tri.select(F.col("a").alias("part"))
+        .unionByName(tri.select(F.col("b").alias("part")))
+        .unionByName(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        members.groupBy("part")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("part")
+    )

@@ -3127,3 +3127,58 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ES_P = 2_147_483_647  # 2³¹−1, shared with the CMS hash family
+_ES_A, _ES_B = 48_271, 11  # MINSTD multiplier — fixed, engine-neutral
+
+
+@query(
+    "q_sample_weighted",
+    tags=("L4", "O2"),
+    oracle=f"""
+WITH pri AS (
+  SELECT o_orderkey, o_totalprice,
+         ln((({_ES_A} * (o_orderkey % {_ES_P}) + {_ES_B}) % {_ES_P} + 1)
+            / {_ES_P + 1.0}) / o_totalprice AS priority
+  FROM orders
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS BIGINT) AS rank,
+       o_orderkey, o_totalprice
+FROM pri
+ORDER BY priority DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT, round 4): weighted sampling without replacement —
+    Efraimidis–Spirakis A-Res: each row draws u ∈ (0,1] and keeps
+    priority u^(1/w); the top-k priorities ARE a weight-proportional
+    sample (here: orders sampled ∝ o_totalprice, the spend-weighted
+    eval-set draw). Ordering by ln(u)/w is monotone-equivalent to
+    u^(1/w) and numerically safer.
+
+    Determinism: u comes from an explicit MINSTD integer recurrence on
+    the key — identical in both engines (no engine RNG anywhere), and
+    reproducible run-to-run by construction, which is what makes a
+    sample auditable. ln on bit-identical doubles is cross-engine
+    stable (the BM25 precedent); a flip would additionally need two
+    priorities within 1 ulp.
+
+    Scale shape: priority is one map-side expression; the top-100 is a
+    TakeOrdered — the corpus is never globally sorted or shuffled (the
+    textbook alternative ORDER BY rand() LIMIT k is a full sort on an
+    unreproducible key)."""
+    u = (
+        (F.lit(_ES_A) * (F.col("o_orderkey") % _ES_P) + _ES_B) % _ES_P + 1
+    ) / F.lit(float(_ES_P + 1))
+    pri = F.log(u) / F.col("o_totalprice")
+    w = Window.orderBy(F.col("priority").desc(), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", pri.alias("priority"))
+        .orderBy(F.col("priority").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("rank", "o_orderkey", "o_totalprice")
+    )

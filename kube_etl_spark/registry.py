@@ -126,6 +126,9 @@ ROTATE_NEXT: tuple[str, ...] = (
     # registered after the r4 window filled; guaranteed r5 slots
     "q_recursive_cte",
     "q_ngram_novelty",
+    "q_cms_heavy_hitters",
+    "q_sample_weighted",
+    "q_triangle_count",
 )
 
 

@@ -1041,3 +1041,40 @@ def test_quantile_labels_distinct_for_close_probs(spark):
     assert len(qcols) == len(set(qcols)) == len(probs), qcols
     assert "p50" in qcols and "p95" in qcols  # stable legacy labels
     assert "p99_9" in qcols and "p100" in qcols and "p0_1" in qcols, qcols
+
+
+def test_cms_linearity_and_upper_bound(spark):
+    """Count-Min is a LINEAR sketch: the cell-wise sum of per-day
+    matrices must equal the whole-corpus matrix EXACTLY (not
+    approximately — that is what makes incremental maintenance free),
+    and every point estimate must upper-bound the true count."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import cms_cells, cms_estimate, cms_merge
+
+    ev = load_table(spark, SMOKE_SF, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    )
+    days = [r["day"] for r in ev.select("day").distinct().collect()]
+    assert len(days) >= 2
+    per_day = [cms_cells(ev.filter(F.col("day") == d), "user_id") for d in days]
+    merged = {
+        (r["i"], r["bucket"]): r["n"] for r in cms_merge(*per_day).collect()
+    }
+    direct = {
+        (r["i"], r["bucket"]): r["n"] for r in cms_cells(ev, "user_id").collect()
+    }
+    assert merged == direct  # exact, not within-tolerance
+
+    cand = ev.select("user_id").distinct()
+    est = {
+        r["user_id"]: r["n_est"]
+        for r in cms_estimate(cms_cells(ev, "user_id"), cand, "user_id").collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[u] >= true[u] for u in true)  # one-sided error
