@@ -444,3 +444,76 @@ def test_state_table_purge_tombstones_respects_horizon(spark, tmp_path):
         )
     )
     assert st.read().count() == 0
+
+
+def test_cms_stream_matches_batch_and_supports_deletion(spark, tmp_path):
+    """Streaming Count-Min maintenance: ingesting the events fixture in
+    3 micro-batches (one REPLAYED — at-least-once) must serve exactly
+    the matrix the one-shot batch build computes; turnstile deletion of
+    one user's events subtracts their mass so the batch-rebuilt matrix
+    over the remaining corpus matches EXACTLY; estimates stay
+    one-sided upper bounds throughout."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import cms_cells
+    from kube_etl_spark.streaming.freq import CountMinIndex
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id")
+    idx = CountMinIndex(spark, str(tmp_path / "cms"), key_col="user_id")
+    chunks = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    idx.ingest_batch(chunks[0], 0)
+    idx.ingest_batch(chunks[1], 1)
+    idx.ingest_batch(chunks[1], 1)  # redelivery: must overwrite, not add
+    idx.ingest_batch(chunks[2], 2)
+
+    direct = {(r["i"], r["bucket"]): r["n"] for r in cms_cells(ev, "user_id").collect()}
+    served = {(r["i"], r["bucket"]): r["n"] for r in idx.matrix().collect()}
+    assert served == direct
+
+    # upper-bound check on every key
+    cand = ev.select("user_id").distinct()
+    est = {r["user_id"]: r["n_est"] for r in idx.estimate(cand).collect()}
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[u] >= true[u] for u in true)
+
+    # GDPR turnstile: delete the heaviest user's events; the served
+    # matrix must equal a fresh batch build over the remaining corpus
+    victim = max(true, key=lambda u: (true[u], u))
+    idx.delete_keys(ev.filter(F.col("user_id") == victim), 3)
+    remaining = ev.filter(F.col("user_id") != victim)
+    rebuilt = {
+        (r["i"], r["bucket"]): r["n"] for r in cms_cells(remaining, "user_id").collect()
+    }
+    served2 = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx.matrix().filter(F.col("n") != 0).collect()
+    }
+    assert served2 == {k: v for k, v in rebuilt.items() if v != 0}
+
+    # compaction folds history without changing the served matrix
+    idx.compact()
+    assert {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx.matrix().filter(F.col("n") != 0).collect()
+    } == served2
+
+
+def test_cms_real_stream_converges(spark, tmp_path):
+    """The same convergence through a REAL Structured Streaming query
+    (file source, availableNow, checkpointed foreachBatch)."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import cms_cells
+    from kube_etl_spark.streaming.freq import CountMinIndex, run_cms_stream
+    from kube_etl_spark.streaming.sources import chunked_file_stream
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id")
+    stream = chunked_file_stream(
+        spark, ev, str(tmp_path / "src"), n_chunks=3, order_col="event_id"
+    )
+    idx = CountMinIndex(spark, str(tmp_path / "cms"), key_col="user_id")
+    run_cms_stream(stream, idx, str(tmp_path / "ckpt"))
+    direct = {(r["i"], r["bucket"]): r["n"] for r in cms_cells(ev, "user_id").collect()}
+    served = {(r["i"], r["bucket"]): r["n"] for r in idx.matrix().collect()}
+    assert served == direct
