@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for CONTINUOUS frequency estimation: a
+Structured Streaming job that watches a directory for new event batches
+(json rows: event_id, user_id) and maintains the Count-Min matrix
+incrementally (see kube_etl_spark/streaming/freq.py). Deletion requests
+land in a second watched directory (json rows: user_id plus the user's
+original event rows) and are applied as negative deltas — the turnstile
+path, so compliance removal never rebuilds the index.
+
+    run_freq.py --watch <dir> --state <dir> --checkpoint <dir>
+                [--deletes <dir>] [--once] [--compact]
+
+--once drains what is currently in the directories (availableNow) and
+exits — the test/cron mode; without it the query runs until killed.
+--compact folds the per-batch delta history into a single baseline
+after the drain (only valid with --once: the fold horizon must be
+behind the committed checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--watch", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--deletes", default=None)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--compact", action="store_true")
+    args = ap.parse_args(argv)
+    if args.compact and not args.once:
+        ap.error("--compact requires --once (fold horizon must be committed)")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kube_etl_spark.session import configure
+    from kube_etl_spark.streaming.freq import CountMinIndex
+
+    owned = SparkSession.getActiveSession() is None
+    spark = configure(SparkSession.builder.appName("kube-etl-freq").getOrCreate())
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("user_id", LongType())]
+    )
+    index = CountMinIndex(spark, args.state, key_col="user_id")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        args.watch
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda batch, bid: index.ingest_batch(batch, bid)
+    ).option("checkpointLocation", args.checkpoint)
+
+    # deletes ride their own stream + checkpoint; batch ids are offset
+    # into a disjoint namespace so ingest and delete deltas never
+    # collide on the (batch_id, i, bucket) state key
+    del_writer = None
+    if args.deletes:
+        del_stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(args.deletes)
+        del_writer = del_stream.writeStream.foreachBatch(
+            lambda batch, bid: index.delete_keys(batch, -(bid + 2))
+        ).option("checkpointLocation", args.checkpoint + ".deletes")
+
+    if args.once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        q.stop()
+        if del_writer is not None:
+            dq = del_writer.trigger(availableNow=True).start()
+            dq.awaitTermination()
+            dq.stop()
+        if args.compact:
+            index.compact()
+        print(
+            json.dumps(
+                {
+                    "state": args.state,
+                    "cells": index.matrix().filter("n != 0").count(),
+                }
+            )
+        )
+    else:  # pragma: no cover - production mode runs until killed
+        qs = [writer.start()]
+        if del_writer is not None:
+            qs.append(del_writer.start())
+        for q in qs:
+            q.awaitTermination()
+    if owned:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

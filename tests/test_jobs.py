@@ -1078,3 +1078,56 @@ def test_cms_linearity_and_upper_bound(spark):
     }
     assert set(est) == set(true)
     assert all(est[u] >= true[u] for u in true)  # one-sided error
+
+
+def test_run_freq_cli(spark, tmp_path, capsys):
+    """The continuous frequency-estimation CLI: two ingest drops + a
+    deletion drop across --once runs; the served matrix must equal a
+    fresh batch build over (all events − deleted user's events), and
+    --compact folds history without changing it."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_freq
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.plans.sketches import cms_cells
+    from kube_etl_spark.streaming.freq import CountMinIndex
+
+    ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id")
+    watch, dels = tmp_path / "watch", tmp_path / "dels"
+    watch.mkdir(), dels.mkdir()
+    (watch / "b0.json").write_text(
+        "\n".join(ev.filter(F.col("event_id") % 2 == 0).toJSON().collect())
+    )
+    argv = [
+        "--watch", str(watch), "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--deletes", str(dels), "--once",
+    ]
+    run_freq.main(argv)
+    capsys.readouterr()
+
+    victim = ev.groupBy("user_id").count().orderBy(F.col("count").desc(), "user_id").first()["user_id"]
+    (watch / "b1.json").write_text(
+        "\n".join(ev.filter(F.col("event_id") % 2 == 1).toJSON().collect())
+    )
+    (dels / "d0.json").write_text(
+        "\n".join(ev.filter(F.col("user_id") == victim).toJSON().collect())
+    )
+    run_freq.main([*argv, "--compact"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    idx = CountMinIndex(spark, str(tmp_path / "state"), key_col="user_id")
+    served = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx.matrix().filter(F.col("n") != 0).collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in cms_cells(
+            ev.filter(F.col("user_id") != victim), "user_id"
+        ).collect()
+        if r["n"] != 0
+    }
+    assert want and served == want
+    assert out["cells"] == len(want)
