@@ -594,3 +594,48 @@ def test_substring_index_batch_split_invariant(
         for r in split.spans_df().collect()
     )
     assert got == want
+
+
+@PROPS
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=2), min_size=8, max_size=8),
+    replay=st.integers(min_value=0, max_value=2),
+    victim=st.integers(min_value=0, max_value=9),
+)
+def test_cms_index_split_replay_delete_invariant(
+    spark, tmp_path_factory, keys, cuts, replay, victim
+):
+    """The streaming Count-Min index converges to the one-shot batch
+    matrix under ANY micro-batch split of the key multiset, with one
+    batch replayed (at-least-once) and one key turnstile-deleted —
+    linearity + per-batch-keyed deltas make the whole trajectory
+    order- and delivery-independent."""
+    from kube_etl_spark.plans.sketches import cms_cells
+    from kube_etl_spark.streaming.freq import CountMinIndex
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+
+    base = tmp_path_factory.mktemp("cms")
+    idx = CountMinIndex(spark, str(base / "idx"), key_col="user_id")
+    for b in range(3):
+        batch = df.filter(F.col("event_id") % 8 >= 0).filter(
+            F.col("event_id").isin([i for i, _ in rows if cuts[i % 8] == b])
+        )
+        idx.ingest_batch(batch, b)
+        if b == replay:
+            idx.ingest_batch(batch, b)  # redelivery must overwrite
+    idx.delete_keys(df.filter(F.col("user_id") == victim), 7)
+
+    remaining = df.filter(F.col("user_id") != victim)
+    want = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in cms_cells(remaining, "user_id").collect()
+        if r["n"] != 0
+    }
+    got = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx.matrix().filter(F.col("n") != 0).collect()
+    }
+    assert got == want
