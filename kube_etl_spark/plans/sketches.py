@@ -241,3 +241,50 @@ def cms_estimate(cells: DataFrame, keys: DataFrame, key_col: str, w: int = CMS_W
         .groupBy(key_col)
         .agg(F.min("n").alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap layer — EXACT mergeable distinct counts (the non-approximate
+# counterpart of the HLL layer above). Spark's bitmap aggregates split
+# the key space into 32k-bit buckets (bitmap_bucket_number /
+# bitmap_bit_position); a (grain..., bucket) cell stores one bitmap,
+# coarser rollups OR the bitmaps PER BUCKET (bit positions collide
+# across buckets — the bucket column must survive every merge), and
+# the final count is Σ bitmap_count over the group's buckets. Union of
+# cells is EXACTLY the bitmap of the unioned data — no estimate, no
+# error bound; the trade vs HLL is size: bitmaps grow with the live
+# key range (≤ 4 KB per 32k-key bucket) instead of fixed registers.
+# The right tool when keys are dense integers (user ids) and the
+# answer must be exact (billing, compliance).
+# ---------------------------------------------------------------------------
+
+
+def build_daily_user_bitmaps(events: DataFrame) -> DataFrame:
+    """One corpus pass → (day, event_type, bucket, users_bm): exact
+    per-cell user bitmaps. Map-side partial aggregation applies
+    (bitmap_construct_agg is commutative/associative), so the shuffle
+    carries bitmaps, not user ids."""
+    return (
+        events.select(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day", "event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("users_bm"))
+    )
+
+
+def exact_distinct(bitmaps: DataFrame, *group_cols: str) -> DataFrame:
+    """Roll bitmap cells up to any coarser grain: OR per (group,
+    bucket), then Σ bitmap_count across the group's buckets — an EXACT
+    distinct count from |cells| rows, the corpus never rescanned."""
+    per_bucket = bitmaps.groupBy(*group_cols, "bucket").agg(
+        F.bitmap_or_agg("users_bm").alias("bm")
+    )
+    gb = per_bucket.groupBy(*group_cols) if group_cols else per_bucket.groupBy()
+    out = gb.agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users")
+    )
+    return out.orderBy(*group_cols) if group_cols else out

@@ -500,3 +500,37 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_bitmap_distinct_rollup",
+    tags=("A3", "A4"),
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 (EXT, round 4): EXACT mergeable distinct counts via the
+    bitmap layer (plans/sketches.build_daily_user_bitmaps) — the
+    non-approximate counterpart of the HLL cells: per-(day, type,
+    bucket) user bitmaps built in one pass, rolled up to per-type
+    counts by OR-merging bitmaps per bucket and summing bit counts.
+    The oracle is a plain COUNT(DISTINCT): their equality IS the
+    mergeability proof (union of daily cells ≡ distinct over the
+    unioned corpus), under the driver's hash gate.
+
+    Scale shape: the build shuffles bitmaps (≤4 KB per 32k-key
+    bucket), never user ids; the rollup reads |cells| rows. Against
+    COUNT(DISTINCT) at 100 TB this replaces the id-carrying Expand
+    exchange with a bitmap exchange, and — unlike HLL — serves any
+    later grain EXACTLY (billing/compliance-grade) while HLL serves it
+    within an error bound."""
+    from ..plans.sketches import build_daily_user_bitmaps, exact_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_distinct(build_daily_user_bitmaps(ev), "event_type").select(
+        "event_type", "distinct_users"
+    )

@@ -129,6 +129,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_cms_heavy_hitters",
     "q_sample_weighted",
     "q_triangle_count",
+    "q_bitmap_distinct_rollup",
 )
 
 
