@@ -269,3 +269,64 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_window_running_distinct",
+    tags=("W4", "A3"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+""",
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/A3 (EXT, round 4): RUNNING distinct count per key — after
+    each event, how many distinct event types has this user produced
+    so far? `COUNT(DISTINCT) OVER (...)` is unsupported in both
+    engines' windowed form; the standard re-expression is two stacked
+    windows: flag each row that is the FIRST occurrence of its
+    (user, type) (row_number = 1 over the value partition), then a
+    running SUM of the flags over event order — the is-first flag
+    linearizes set growth into an additive quantity.
+
+    Determinism: pure integers over the total order (ts, event_id).
+
+    Scale shape: two window exchanges — (user, type) for the
+    first-occurrence flag, then user for the running sum (the finer
+    partitioning is not reusable for the coarser one) — but no joins,
+    no distinct-Expand, and window state is O(partition); the
+    COUNT(DISTINCT)-per-prefix alternative would be a per-row
+    set-aggregation blowup."""
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -130,6 +130,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_sample_weighted",
     "q_triangle_count",
     "q_bitmap_distinct_rollup",
+    "q_window_running_distinct",
 )
 
 
