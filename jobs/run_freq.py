@@ -44,6 +44,11 @@ def main(argv: list[str]) -> None:
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-freq").getOrCreate())
+    # observability: health.json + metrics.jsonl per micro-batch, read
+    # by the k8s liveness probe (deploy/k8s/freq-stream.yaml)
+    from kube_etl_spark.streaming.health import attach_health
+
+    health = attach_health(spark, args.checkpoint + ".health")
     schema = StructType(
         [StructField("event_id", LongType()), StructField("user_id", LongType())]
     )
@@ -92,6 +97,7 @@ def main(argv: list[str]) -> None:
             qs.append(del_writer.start())
         for q in qs:
             q.awaitTermination()
+    spark.streams.removeListener(health)
     if owned:
         spark.stop()
 

@@ -1,0 +1,158 @@
+"""Streaming-job health and metrics — the observable-process half of
+the reference syncer's operational shell (its manager exposes a
+metrics endpoint and liveness/readiness probes;
+/root/reference/syncer/config/manager/manager.yaml wires them). A
+Spark Structured Streaming job's equivalent surface is the
+StreamingQueryListener: every micro-batch emits a progress event, and
+this module folds those into two small JSON artifacts a Kubernetes
+probe (or a human) can read without touching the Spark UI:
+
+  * ``metrics.jsonl`` — one line per micro-batch progress (append-only
+    history: batch id, input rows, processed rows/sec, batch duration,
+    state-store rows, watermark);
+  * ``health.json`` — the current snapshot, atomically replaced each
+    batch: last-progress wall-clock, per-query status, cumulative
+    totals. ``is_healthy`` evaluates it with a staleness budget — the
+    exec-probe analog of an HTTP liveness endpoint (the deploy/k8s
+    manifests can point a probe at ``python -m
+    kube_etl_spark.streaming.health <dir> --max-staleness 300``).
+
+Scale note: listener callbacks run on the driver and touch O(1) data
+per batch — no executor involvement; the artifacts are bytes-sized, so
+this adds zero load to the data path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, path)
+
+
+class HealthListener(StreamingQueryListener):
+    """Fold progress events into metrics.jsonl + health.json under
+    ``out_dir``. One listener can serve every query in the session;
+    health.json keys queries by name (falling back to id)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._totals: dict[str, dict] = {}
+
+    # -- listener protocol --------------------------------------------------
+    def onQueryStarted(self, event) -> None:
+        self._snapshot(str(event.name or event.id), {"status": "started"})
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        key = str(p.name or p.id)
+        row = {
+            "query": key,
+            "batch_id": p.batchId,
+            "timestamp": p.timestamp,
+            "num_input_rows": p.numInputRows,
+            "processed_rows_per_second": p.processedRowsPerSecond,
+            "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
+            "state_rows": sum(
+                (s.numRowsTotal or 0) for s in (p.stateOperators or [])
+            ),
+            "watermark": (p.eventTime or {}).get("watermark"),
+        }
+        with open(os.path.join(self.out_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+        tot = self._totals.setdefault(
+            key, {"batches": 0, "input_rows": 0}
+        )
+        tot["batches"] += 1
+        tot["input_rows"] += p.numInputRows or 0
+        self._snapshot(
+            key,
+            {
+                "status": "running",
+                "last_batch_id": p.batchId,
+                "last_batch_duration_ms": row["batch_duration_ms"],
+                **tot,
+            },
+        )
+
+    def onQueryTerminated(self, event) -> None:
+        self._snapshot(
+            str(event.id),
+            {"status": "failed" if event.exception else "terminated",
+             "exception": str(event.exception) if event.exception else None},
+        )
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - Spark ≥3.5 idle ticks
+        pass
+
+    # -- snapshot -----------------------------------------------------------
+    def _snapshot(self, key: str, fields: dict) -> None:
+        path = os.path.join(self.out_dir, "health.json")
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            cur = {"queries": {}}
+        q = cur["queries"].setdefault(key, {})
+        q.update(fields)
+        cur["last_progress_unix"] = time.time()
+        _atomic_write_json(path, cur)
+
+
+def attach_health(spark: SparkSession, out_dir: str) -> HealthListener:
+    """Register a HealthListener on the session; returns it (keep the
+    reference to remove it via spark.streams.removeListener)."""
+    listener = HealthListener(out_dir)
+    spark.streams.addListener(listener)
+    return listener
+
+
+def is_healthy(out_dir: str, max_staleness_s: float = 300.0) -> tuple[bool, str]:
+    """Probe verdict over health.json: healthy iff the file exists, no
+    query reports 'failed', and the last progress is fresher than the
+    staleness budget. Returns (ok, reason)."""
+    path = os.path.join(out_dir, "health.json")
+    try:
+        with open(path) as f:
+            h = json.load(f)
+    except FileNotFoundError:
+        return False, "no health.json (job never progressed)"
+    except json.JSONDecodeError:
+        return False, "torn health.json"
+    failed = [k for k, q in h.get("queries", {}).items() if q.get("status") == "failed"]
+    if failed:
+        return False, f"failed queries: {failed}"
+    age = time.time() - h.get("last_progress_unix", 0)
+    if age > max_staleness_s:
+        return False, f"stale: last progress {age:.0f}s ago (budget {max_staleness_s:.0f}s)"
+    return True, "ok"
+
+
+def main(argv: list[str] | None = None) -> int:  # pragma: no cover - probe shell
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--max-staleness", type=float, default=300.0)
+    args = ap.parse_args(argv)
+    ok, reason = is_healthy(args.out_dir, args.max_staleness)
+    print(reason)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    sys.exit(main(sys.argv[1:]))

@@ -1479,3 +1479,69 @@ def test_atomic_overwrite_migrates_plain_directory(spark, tmp_path):
     # only one live version dir remains beside the link
     vers = [d for d in os.listdir(tmp_path) if d.startswith("table.v-")]
     assert len(vers) == 1
+
+
+def test_health_listener_and_probe(spark, tmp_path):
+    """The operational shell: a real streaming query drives the
+    HealthListener; metrics.jsonl accumulates per-batch rows,
+    health.json reports running totals, and the probe verdict flips on
+    staleness exactly like a liveness endpoint."""
+    import json as _json
+    import time as _time
+
+    from kube_etl_spark.streaming.health import attach_health, is_healthy
+
+    out = str(tmp_path / "obs")
+    listener = attach_health(spark, out)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        ev = load_table(spark, SMOKE_SF, "events").select("event_id", "user_id", "value")
+        (src / "b0.json").write_text("\n".join(ev.limit(200).toJSON().collect()))
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .queryName("health-probe-test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        # listener callbacks are async — wait until the progress
+        # totals (not just the started snapshot) have landed
+        deadline = _time.time() + 30
+        qstate = None
+        while _time.time() < deadline:
+            try:
+                h = _json.load(open(f"{out}/health.json"))
+            except (FileNotFoundError, ValueError):
+                h = {"queries": {}}
+            matches = [
+                v
+                for k, v in h["queries"].items()
+                if "health-probe-test" in k and "input_rows" in v
+            ]
+            if matches and matches[0]["input_rows"] >= 200:
+                qstate = matches[0]
+                break
+            _time.sleep(0.5)
+        assert qstate is not None, f"no progress snapshot: {h}"
+        ok, reason = is_healthy(out, max_staleness_s=300)
+        assert ok, reason
+        assert qstate["input_rows"] == 200
+        assert qstate["batches"] >= 1
+        lines = [
+            _json.loads(l)
+            for l in open(f"{out}/metrics.jsonl").read().splitlines()
+        ]
+        assert sum(r["num_input_rows"] for r in lines if "health-probe-test" in r["query"]) == 200
+        # staleness: a 0-second budget must flip the verdict
+        ok2, reason2 = is_healthy(out, max_staleness_s=0.0)
+        assert not ok2 and "stale" in reason2
+    finally:
+        spark.streams.removeListener(listener)
