@@ -45,6 +45,11 @@ def main(argv: list[str]) -> None:
     spark = configure(
         SparkSession.builder.appName("kube-etl-index-stream").getOrCreate()
     )
+    # per-batch health/metrics artifacts beside the checkpoint —
+    # read by the k8s liveness probe (streaming/health.py)
+    from kube_etl_spark.streaming.health import attach_health
+
+    attach_health(spark, args.checkpoint + ".health")
     schema = StructType(
         [
             StructField("doc_id", LongType()),

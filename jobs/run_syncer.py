@@ -80,6 +80,11 @@ def main(argv: list[str]) -> None:
     )
 
     spark = configure(SparkSession.builder.appName("kube-etl-syncer").getOrCreate())
+    # per-batch health/metrics artifacts beside the checkpoint —
+    # read by the k8s liveness probe (streaming/health.py)
+    from kube_etl_spark.streaming.health import attach_health
+
+    attach_health(spark, args.checkpoint + ".health")
     rules = load_rules(spark, args.rules)
     stream = spark.readStream.schema(OBJ_SCHEMA).json(args.oplog)
 
