@@ -496,6 +496,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_triangle_count",
+    bench=True,
     tags=("J1", "A1"),
     oracle="""
 WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -3068,6 +3068,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ngram_novelty",
+    bench=True,
     tags=("L2", "L4"),
     oracle=f"""
 WITH sh AS (
@@ -3106,13 +3107,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashpartition(gram) — ONE gram-keyed exchange, no self-join and no
     vocabulary broadcast (the gram space is corpus-sized); the per-doc
     rollup is a second, doc-keyed exchange. Both aggregates are
-    map-side combinable."""
-    sh = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
-        .filter(F.size("s") > 0)
+    map-side combinable. Per-doc gram dedup happens AFTER the explode
+    as a shuffle dropDuplicates, not via array_distinct in the array:
+    array_distinct is O(len²) string comparisons per document and
+    measured 3.5× slower end-to-end at sf0.1 (11.6 s → 3.3 s,
+    value-identical) — the oracle's list_distinct is unaffected
+    because only the SET per doc matters."""
+    tok = _tokens(F.col("text"))
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - 3),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 3)),
     )
-    g = sh.select("doc_id", F.explode("s").alias("gram"))
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(tok) >= 3)  # sequence(0, negative) would descend
+        .select("doc_id", F.explode(grams_arr).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
     tagged = g.select(
         "doc_id",
         F.min("doc_id").over(Window.partitionBy("gram")).alias("first_doc"),

@@ -319,6 +319,7 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scd2_intervals",
+    bench=True,
     tags=("ST6", "ST7", "W3"),
     oracle="""
 WITH oplog AS (
