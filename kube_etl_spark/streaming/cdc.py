@@ -493,6 +493,27 @@ class BucketedStateTable:
                 self.lease.assert_held()
             atomic_overwrite(new_state, self._bucket_path(b))
 
+    def purge_tombstones(self, before_seq: int) -> None:
+        """Per-bucket tombstone compaction — same horizon contract as
+        StateTable.purge_tombstones; buckets without tombstones are
+        left untouched (no rewrite)."""
+        for d in sorted(os.listdir(self.path)):
+            # live buckets are the symlinks; skip their version dirs
+            if not d.startswith("bucket-") or not os.path.islink(
+                os.path.join(self.path, d)
+            ):
+                continue
+            b = int(d.split("-", 1)[1])
+            raw = self._read_bucket(b)
+            if raw is None or "__op" not in raw.columns:
+                continue
+            dead_old = (F.col("__op") == "delete") & (
+                F.col(self.seq_cols[0]) < F.lit(int(before_seq))
+            )
+            if not raw.filter(dead_old).head(1):
+                continue
+            atomic_overwrite(raw.filter(~dead_old), self._bucket_path(b))
+
 
 def retract_pairs(
     pairs: StateTable,

@@ -517,3 +517,40 @@ def test_cms_real_stream_converges(spark, tmp_path):
     direct = {(r["i"], r["bucket"]): r["n"] for r in cms_cells(ev, "user_id").collect()}
     served = {(r["i"], r["bucket"]): r["n"] for r in idx.matrix().collect()}
     assert served == direct
+
+
+def test_bucketed_purge_tombstones(spark, tmp_path):
+    """Per-bucket tombstone compaction honors the seq horizon and
+    leaves live rows and newer tombstones protecting their keys."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    t = BucketedStateTable(spark, str(tmp_path / "b"), ["k"], "seq", n_buckets=4)
+    t.merge_batch(
+        spark.createDataFrame(
+            [(i, 1, f"v{i}", "upsert") for i in range(8)],
+            "k long, seq long, v string, op string",
+        )
+    )
+    t.merge_batch(
+        spark.createDataFrame(
+            [(0, 3, None, "delete"), (1, 9, None, "delete")],
+            "k long, seq long, v string, op string",
+        )
+    )
+    t.purge_tombstones(before_seq=5)
+    assert {r["k"] for r in t.read().collect()} == set(range(2, 8))
+    # k=1's newer tombstone survives and still fences its stale replay
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, 1, "v1", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    assert 1 not in {r["k"] for r in t.read().collect()}
+    # k=0's tombstone was compacted: a replayed old upsert resurrects
+    # it (exactly why the horizon must trail the committed checkpoint)
+    t.merge_batch(
+        spark.createDataFrame(
+            [(0, 1, "v0", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    assert 0 in {r["k"] for r in t.read().collect()}
