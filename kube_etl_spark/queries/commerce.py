@@ -605,3 +605,223 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .orderBy("part")
     )
+
+
+@query(
+    "q_weighted_median",
+    tags=("A8",),
+    oracle=f"""
+WITH per_price AS (
+  SELECT l_returnflag, {money_sql('l_extendedprice')} AS price,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY l_returnflag, price
+),
+cum AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM per_price
+)
+SELECT l_returnflag, CAST(MIN(price) AS DOUBLE) AS wmedian_price,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cw >= tw
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): quantity-weighted median price per return flag —
+    the weighted-percentile aggregate (reference exposes only unweighted
+    percentiles; weighting by a second column is the common "median
+    price per unit sold" form).
+
+    Scale shape: pre-aggregate to one row per (group, price) FIRST
+    (map-side combinable; collapses the 100 TB fact to |groups|×|distinct
+    prices| rows), then a single window cumsum over the collapsed frame
+    picks the crossing point. Never sorts the raw fact table.
+
+    Determinism: weights are integral quantities (exact BIGINT sums),
+    prices exact decimals; the crossing predicate 2·cw ≥ tw is pure
+    integer/decimal comparison — no float aggregation anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        money("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    per_price = li.groupBy("l_returnflag", "price").agg(F.sum("q").alias("w"))
+    wcum = Window.partitionBy("l_returnflag").orderBy("price")
+    wall = Window.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("wmedian_price"),
+            F.min("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_pareto_concentration",
+    tags=("A1", "W4"),
+    oracle=f"""
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         SUM({money_sql('l_extendedprice')}) AS part_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+),
+ranked AS (
+  SELECT p_brand, part_rev,
+         SUM(part_rev) OVER (PARTITION BY p_brand
+                             ORDER BY part_rev DESC, l_partkey) AS cum_rev,
+         SUM(part_rev) OVER (PARTITION BY p_brand) AS tot_rev,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n_parts,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY part_rev DESC, l_partkey) AS rk
+  FROM rev
+),
+cut AS (
+  SELECT p_brand, MIN(n_parts) AS n_parts, MIN(rk) AS n_parts_80
+  FROM ranked WHERE 5 * cum_rev >= 4 * tot_rev
+  GROUP BY p_brand
+)
+SELECT p_brand, n_parts, n_parts_80,
+       CAST((n_parts_80 * 10000) // n_parts AS DOUBLE) / 10000.0 AS top_share
+FROM cut ORDER BY p_brand
+""",
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): Pareto 80/20 concentration — per brand, the
+    smallest number of parts whose cumulative revenue reaches 80% of
+    the brand's total (the "how top-heavy is this catalog" report).
+
+    Scale shape: fact collapses to |brand|×|part| rows in one map-side
+    combinable agg before any window; the ranked cumsum then runs on
+    the collapsed frame partitioned by brand (each partition is one
+    brand's parts — thousands, not billions). The 80% crossing is the
+    same min-over-threshold trick as q_weighted_median: no iterative
+    scan, no driver loop.
+
+    Determinism: revenue is exact decimal; 5·cum ≥ 4·tot is exact
+    decimal comparison; the share is 4dp floor integer math (positive
+    ints, so Spark DIV ≡ DuckDB //)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", money("l_extendedprice").alias("p")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(dsum("p").alias("part_rev"))
+    )
+    wo = Window.partitionBy("p_brand").orderBy(
+        F.col("part_rev").desc(), F.col("l_partkey")
+    )
+    wall = Window.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        F.sum("part_rev").over(wo).alias("cum_rev"),
+        F.sum("part_rev").over(wall).alias("tot_rev"),
+        F.count(F.lit(1)).over(wall).alias("n_parts"),
+        F.row_number().over(wo).cast("bigint").alias("rk"),
+    )
+    return (
+        ranked.filter(F.lit(5) * F.col("cum_rev") >= F.lit(4) * F.col("tot_rev"))
+        .groupBy("p_brand")
+        .agg(F.min("n_parts").alias("n_parts"), F.min("rk").alias("n_parts_80"))
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_parts_80",
+            F.expr(
+                "CAST((n_parts_80 * 10000) DIV n_parts AS DOUBLE) / 10000.0"
+            ).alias("top_share"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_percent_of_parent",
+    tags=("A1", "J3"),
+    oracle=f"""
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM({money_sql('o_totalprice')}) * 100 AS BIGINT) AS nat_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+),
+lvl AS (
+  SELECT r_name, n_name, nat_cents,
+         SUM(nat_cents) OVER (PARTITION BY r_name) AS reg_cents,
+         SUM(nat_cents) OVER () AS tot_cents
+  FROM nat
+)
+SELECT r_name, n_name,
+       CAST(nat_cents AS DOUBLE) / 100.0 AS nation_revenue,
+       CAST((nat_cents * 10000) // reg_cents AS DOUBLE) / 10000.0 AS share_of_region,
+       CAST((reg_cents * 10000) // tot_cents AS DOUBLE) / 10000.0 AS region_share_of_total
+FROM lvl ORDER BY r_name, n_name
+""",
+)
+def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): ratio-to-parent report — every nation's revenue as
+    a share of its region, and the region's share of the grand total,
+    in one pass (the standard two-level drill-down header).
+
+    Scale shape: orders⋈customer is the one real shuffle (customer is
+    SF-proportional — NOT broadcastable at 100 TB); nation/region are
+    broadcast. One agg collapses the fact to |nations| rows; both
+    parent levels come from windows over that tiny frame — the grand
+    total is a single-partition window over ~25 rows, not the fact.
+
+    Determinism: decimal revenue converted to exact integer cents, then
+    4dp floor integer math for both shares (positive ints → Spark DIV ≡
+    DuckDB //)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", money("o_totalprice").alias("p")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        # exact decimal sum (NOT dsum, which casts to double and would
+        # truncate a 1e9-cent total below the integer it represents)
+        .agg((F.sum("p") * F.lit(100)).cast("bigint").alias("nat_cents"))
+    )
+    wreg = Window.partitionBy("r_name")
+    wtot = Window.partitionBy()
+    lvl = per_nat.select(
+        "r_name",
+        "n_name",
+        "nat_cents",
+        F.sum("nat_cents").over(wreg).alias("reg_cents"),
+        F.sum("nat_cents").over(wtot).alias("tot_cents"),
+    )
+    return lvl.select(
+        "r_name",
+        "n_name",
+        (F.col("nat_cents").cast("double") / F.lit(100.0)).alias("nation_revenue"),
+        F.expr("CAST((nat_cents * 10000) DIV reg_cents AS DOUBLE) / 10000.0").alias(
+            "share_of_region"
+        ),
+        F.expr("CAST((reg_cents * 10000) DIV tot_cents AS DOUBLE) / 10000.0").alias(
+            "region_share_of_total"
+        ),
+    ).orderBy("r_name", "n_name")

@@ -3193,3 +3193,169 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("rank", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: canonicalization dedup + k-NN label classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_normalized",
+    tags=("L1", "L4"),
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, source,
+         upper(text) || '  '
+  FROM documents WHERE doc_id < 30
+),
+norm AS (
+  SELECT source, text,
+         trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS ntext
+  FROM aug
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_raw_distinct,
+       COUNT(DISTINCT ntext) AS n_norm_distinct,
+       COUNT(DISTINCT text) - COUNT(DISTINCT ntext) AS n_collapsed
+FROM norm GROUP BY source ORDER BY source
+""",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b (round 4): canonicalization dedup — collapse docs that are
+    byte-different but identical after case-folding + whitespace
+    normalization (the standard pre-pass before exact hashing in a
+    crawl pipeline; catches re-encoded/reformatted mirrors that raw
+    sha misses). Fixture augmentation plants upper-cased,
+    trailing-space copies of doc_id<30 so the normalized layer
+    visibly collapses more than the raw layer.
+
+    Scale shape: normalization is a per-row JVM expression chain
+    (lower/regexp_replace/trim — whole-stage codegen, no UDF); both
+    distinct counts ride ONE shuffle keyed on source via two
+    count(DISTINCT) in a single agg (Spark expands to grouping-set
+    partial aggs, still map-side combinable). At 100 TB you'd hash
+    ntext to 16 bytes before the distinct so the wide text never
+    crosses the wire — semantically identical, elided here so the
+    oracle stays engine-portable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            "source",
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    norm = aug.select(
+        "source",
+        "text",
+        F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("ntext"),
+    )
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_distinct"),
+            F.countDistinct("ntext").alias("n_norm_distinct"),
+            (F.countDistinct("text") - F.countDistinct("ntext")).alias("n_collapsed"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_knn_classify",
+    tags=("L3",),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+test AS (SELECT * FROM n WHERE vec_id % 25 = 0),
+train AS (SELECT * FROM n WHERE vec_id % 25 <> 0),
+scored AS (
+  SELECT t.vec_id AS qid, t.label AS true_label, c.label AS nbr_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.vec_id
+           ORDER BY ROUND(list_dot_product(t.v, c.v) / (t.nm * c.nm), 4) DESC,
+                    c.vec_id) AS rk
+  FROM test t JOIN train c ON true
+),
+votes AS (
+  SELECT qid, true_label, nbr_label, COUNT(*) AS nv
+  FROM scored WHERE rk <= 5
+  GROUP BY qid, true_label, nbr_label
+),
+pred AS (
+  SELECT qid, true_label, nbr_label AS predicted_label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY nv DESC, nbr_label) AS pr
+  FROM votes
+)
+SELECT qid, true_label, predicted_label,
+       CAST(true_label = predicted_label AS BIGINT) AS correct
+FROM pred WHERE pr = 1 ORDER BY qid
+""",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c (round 4): k-NN label classification — hold out vec_id%25=0,
+    predict each held-out vector's label by majority vote of its 5
+    nearest train neighbors (cosine), and report per-vector
+    prediction + correctness (the eval loop behind embedding-quality
+    dashboards; reference has similarity search but no supervised
+    eval on top of it).
+
+    Scale shape: the test set is tiny and broadcast; the train corpus
+    is scanned once, never shuffled (same regime as q_knn_cosine).
+    Norms hoisted per vector BEFORE the pair join — one fold per
+    vector, not per pair. Vote counting and the argmax run on
+    |test|×k rows. At 10⁹ vectors swap the scan for the IVF
+    partition-pruned probe (q_knn_ivf) — vote logic unchanged.
+
+    Determinism: rank on the 4dp-rounded cosine with vec_id
+    tie-break; vote argmax breaks count ties to the smallest label —
+    both engine-independent total orders."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.withColumn("nm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    test = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nm").alias("qn"),
+    )
+    train = emb.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nbr_label"),
+        F.col("v").alias("cv"),
+        F.col("nm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wrank = Window.partitionBy("qid").orderBy(
+        F.round(cos, 4).desc(), F.col("cid").asc()
+    )
+    votes = (
+        train.join(F.broadcast(test), F.lit(True))
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= 5)
+        .groupBy("qid", "true_label", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    wvote = Window.partitionBy("qid").orderBy(F.col("nv").desc(), F.col("nbr_label"))
+    return (
+        votes.withColumn("pr", F.row_number().over(wvote))
+        .filter(F.col("pr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("nbr_label").alias("predicted_label"),
+            (F.col("true_label") == F.col("nbr_label")).cast("bigint").alias("correct"),
+        )
+        .orderBy("qid")
+    )

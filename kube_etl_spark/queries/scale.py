@@ -9,6 +9,8 @@ pushdown reaching the scan) are asserted in tests/test_planshape.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,4 +105,146 @@ def q_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("l_returnflag")
+    )
+
+
+def bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Write lineitem + orders as bucketed tables (hash-bucketed and
+    per-bucket sorted on the join key) and return the bucketed reads.
+
+    Bucketing is the persist-side half of shuffle elimination: both
+    sides pre-hashed into the SAME number of buckets on the join key
+    means every subsequent join/groupBy on that key is exchange-free —
+    the 100 TB pattern for a fact table joined on the same key by many
+    downstream jobs (pay one shuffle at write time, amortized across
+    every read). Tables are external with pid-salted paths so
+    concurrent test/driver processes never race, and re-invocation in
+    one process overwrites in place."""
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    out: list[DataFrame] = []
+    for tbl, key, cols in (
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_returnflag"]),
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ):
+        name = f"bkt_{tbl}_{tag}_{os.getpid()}"
+        path = os.path.join(tempfile.gettempdir(), f"kube_etl_spark_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        out.append(spark.table(name))
+    return out[0], out[1]
+
+
+@query(
+    "q_join_bucketed",
+    tags=("J1", "scale"),
+    oracle=f"""
+SELECT o_orderpriority, l_returnflag,
+       COUNT(*) AS n_items,
+       {dsum_sql(money_sql('l_extendedprice'))} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+ORDER BY o_orderpriority, l_returnflag
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join — both sides bucketed 8-ways on the
+    join key at write time, so the sort-merge join reads bucket i of
+    each side directly: NO Exchange in the plan (asserted in
+    tests/test_planshape.py). The merge hint keeps the plan on the
+    co-located SMJ path instead of broadcast, which is the regime that
+    matters when BOTH sides are 100 TB-class and neither fits in
+    memory. Results must equal the plain-join oracle exactly —
+    bucketing, like salting, changes only the physical plan."""
+    bl, bo = bucketed_tables(spark, sf_dir)
+    return (
+        bl.join(bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )
+
+
+@query(
+    "q_key_skew_audit",
+    tags=("A1", "scale"),
+    oracle="""
+WITH stacked AS (
+  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_val FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per_key AS (
+  SELECT key_name, key_val, COUNT(*) AS cnt
+  FROM stacked GROUP BY key_name, key_val
+)
+SELECT key_name,
+       COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       MAX(cnt) AS max_cnt,
+       CAST((MAX(cnt) * 10000) // SUM(cnt) AS DOUBLE) / 10000.0 AS top1_share,
+       CAST((MAX(cnt) * COUNT(*) * 10000) // SUM(cnt) AS DOUBLE) / 10000.0
+         AS max_over_avg
+FROM per_key GROUP BY key_name ORDER BY key_name
+""",
+)
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit — per candidate join/partition key of the
+    fact table: distinct-key count, hottest-key row count, the hot
+    key's share of all rows, and max/avg ratio (the number that says
+    "this key needs salting"). This is the profiling pass you run
+    BEFORE choosing a 100 TB partition strategy; max_over_avg ≈ 1
+    means uniform, ≫ 1 means one reducer will stall the stage.
+
+    Scale shape: the three keys ride ONE scan via stack() (no
+    re-reads), the per-key count is map-side combinable, and the
+    final stats aggregate |keys| rows per key_name. All metrics are
+    pure integer math (4dp floor division) — exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+            " 'l_suppkey', l_suppkey) AS (key_name, key_val)"
+        )
+    )
+    per_key = stacked.groupBy("key_name", "key_val").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_key.groupBy("key_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .select(
+            "key_name",
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            F.expr("CAST((max_cnt * 10000) DIV total_rows AS DOUBLE) / 10000.0").alias(
+                "top1_share"
+            ),
+            F.expr(
+                "CAST((max_cnt * n_keys * 10000) DIV total_rows AS DOUBLE) / 10000.0"
+            ).alias("max_over_avg"),
+        )
+        .orderBy("key_name")
     )

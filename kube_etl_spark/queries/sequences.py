@@ -310,3 +310,47 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_mode_per_group",
+    tags=("A1", "W2"),
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+rk AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM cnt
+)
+SELECT user_id, event_type AS mode_type, n AS n_occurrences
+FROM rk WHERE rn = 1 ORDER BY user_id
+""",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): statistical mode per group — each user's most
+    frequent event type (the categorical companion to A8's numeric
+    percentiles; ties break to the lexicographically smallest type so
+    the winner is deterministic, unlike a bare F.mode/arg_max).
+
+    Scale shape: groupBy(user, type) count is map-side combinable and
+    collapses the 100 TB event log to |users|×|types| rows; the
+    ROW_NUMBER top-1 then runs per user on ≤|types| rows each — Spark
+    plans it as WindowGroupLimit (rank pushed down, nothing sorted
+    beyond the tiny per-user frame)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("user_id")
+    )

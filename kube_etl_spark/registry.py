@@ -131,6 +131,15 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_triangle_count",
     "q_bitmap_distinct_rollup",
     "q_window_running_distinct",
+    # round-4 second batch (authored after the window shipped)
+    "q_weighted_median",
+    "q_pareto_concentration",
+    "q_percent_of_parent",
+    "q_mode_per_group",
+    "q_dedup_normalized",
+    "q_knn_classify",
+    "q_join_bucketed",
+    "q_key_skew_audit",
 )
 
 

@@ -736,3 +736,45 @@ def test_scd2_intervals_single_window_no_join(spark):
     for node in ("Join", "CartesianProduct"):
         assert node not in plan
     assert plan.count("hashpartitioning(key") == 1
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The co-located bucketed join must read bucket i of each side
+    directly into the sort-merge join: ZERO Exchange below the join
+    (the one Exchange in the whole plan is the final groupBy's — and
+    even that keys on the columns, not a repartition of the join).
+    SelectedBucketsCount must show both scans bucket-pruned-ready."""
+    plan = _plan(spark, "q_join_bucketed")
+    tree = plan.split("(1) ")[0]  # formatted mode: tree, then node details
+    join_pos = tree.find("SortMergeJoin")
+    assert join_pos != -1, "expected the merge-hinted co-located SMJ"
+    # the join subtree (everything below the SMJ line in the tree) must
+    # contain NO Exchange: both children go scan → sort → join. The
+    # only exchanges allowed in the whole plan are the post-join
+    # groupBy/orderBy ones ABOVE the join.
+    assert "Exchange" not in tree[join_pos:], tree
+    assert plan.count("SelectedBucketsCount: 8 out of 8") >= 2
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_key_skew_audit_single_scan(spark):
+    """The three audited keys must ride ONE lineitem scan (stack(), not
+    three re-reads) and two map-side-combinable aggregations."""
+    plan = _plan(spark, "q_key_skew_audit")
+    # exactly one scan node (one Location entry in the node details)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan
+
+
+def test_mode_per_group_window_group_limit(spark):
+    """Mode-per-user must push the rank-1 filter into WindowGroupLimit
+    (top-1 per key without materializing full per-user sorts)."""
+    plan = _plan(spark, "q_mode_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_classify_broadcast_probes(spark):
+    """The held-out probe set must broadcast; the train corpus is
+    scanned once and never shuffled before scoring."""
+    plan = _plan(spark, "q_knn_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
