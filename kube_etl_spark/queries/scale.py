@@ -248,3 +248,37 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+@query(
+    "q_bucketed_point_lookup",
+    tags=("S2", "scale"),
+    oracle=f"""
+SELECT l_orderkey, COUNT(*) AS n_items,
+       {dsum_sql(money_sql('l_extendedprice'))} AS revenue
+FROM lineitem WHERE l_orderkey IN (1, 7, 42)
+GROUP BY l_orderkey ORDER BY l_orderkey
+""",
+)
+def q_bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup — an IN filter on the bucket column
+    scans ONLY the buckets those keys hash to, and grouping by the
+    bucket key makes the aggregation exchange-free on top (the grouped
+    lookup keeps the bucketed scan alive: Spark's planner auto-disables
+    bucketed scans that have no downstream distribution benefit, so a
+    bare filter would fall back to a plain pushdown scan). Plan-asserted:
+    SelectedBucketsCount < 8 AND zero exchanges before the agg. At
+    100 TB this is the read-side payoff of q_join_bucketed's layout —
+    a needle-in-haystack lookup that touches ≤3/8 of the files with
+    zero index-maintenance cost. Results must equal the same filter on
+    the raw parquet."""
+    bl, _ = bucketed_tables(spark, sf_dir)
+    return (
+        bl.filter(F.col("l_orderkey").isin(1, 7, 42))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -354,3 +354,59 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_rolling_active_users",
+    tags=("A3", "ST2"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+exp AS (
+  SELECT user_id, d, d + CAST(i AS INT) AS day
+  FROM ud, range(7) t(i)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
+       COUNT(DISTINCT user_id) AS wau
+FROM exp GROUP BY day ORDER BY day
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): DAU / trailing-7-day WAU — the engagement
+    headline metric, and the canonical exact-distinct-over-SLIDING-
+    window problem (q_window_running_distinct is the cumulative
+    cousin; a plain COUNT(DISTINCT) OVER a moving frame is unsupported
+    and would be quadratic anyway).
+
+    Scale shape: collapse the 100 TB event log to distinct
+    (user, day) pairs FIRST (map-side combinable; |users|×|days|
+    rows), then fan each pair out to the ≤7 window days it
+    contributes to and count distinct per day. The fan-out rides the
+    tiny collapsed frame — never the raw log — and both metrics share
+    one shuffle keyed on day. The same expansion gives any trailing
+    window W at |users|×|days|×W cost; for W ≫ 30 switch to the
+    bitmap layer (plans/sketches.py) which ORs per-day bitmaps
+    instead.
+
+    Determinism: dates and counts only; day emitted as yyyy-MM-dd
+    string so the dtype is engine-stable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    ud = ev.distinct()
+    exp = ud.withColumn(
+        "day", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+    )
+    return (
+        exp.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )

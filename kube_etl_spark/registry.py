@@ -140,6 +140,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_knn_classify",
     "q_join_bucketed",
     "q_key_skew_audit",
+    "q_bucketed_point_lookup",
+    "q_rolling_active_users",
 )
 
 

@@ -778,3 +778,28 @@ def test_knn_classify_broadcast_probes(spark):
     scanned once and never shuffled before scoring."""
     plan = _plan(spark, "q_knn_classify")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark):
+    """An IN filter on the bucket column must prune the scan to only
+    the buckets the 3 keys hash into — never all 8 — and grouping by
+    the bucket key must keep the pre-agg side exchange-free."""
+    plan = _plan(spark, "q_bucketed_point_lookup")
+    line = next(ln for ln in plan.splitlines() if "SelectedBucketsCount" in ln)
+    assert "out of 8" in line and "8 out of 8" not in line, line
+    tree = plan.split("(1) ")[0]
+    agg = tree.find("HashAggregate")
+    assert agg != -1 and "Exchange" not in tree[agg:], tree
+
+
+def test_rolling_active_users_collapses_before_fanout(spark):
+    """The 7-day fan-out must ride the distinct (user, day) frame, not
+    the raw event log: Generate (explode) sits ABOVE the distinct
+    aggregate in the plan, and the scan reads only user_id + ts."""
+    plan = _plan(spark, "q_rolling_active_users")
+    tree = plan.split("(1) ")[0]
+    gen = tree.find("Generate")
+    agg = tree.find("HashAggregate")
+    assert gen != -1 and agg != -1
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "user_id" in read and "props" not in read and "value" not in read
