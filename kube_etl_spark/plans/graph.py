@@ -6,12 +6,17 @@ rank ⋈ edges → groupBy(dst) — pure DataFrame algebra, so Catalyst
 plans every round and AQE sizes its shuffles. The two things naive
 Spark loops get wrong are handled explicitly:
 
-  * **lineage truncation**: each iteration's plan references the
-    previous one; after ~10 rounds the nested plan tree makes the
-    optimizer quadratic and a task retry recomputes the whole chain.
-    Ranks are localCheckpoint'ed every CHECKPOINT_EVERY rounds —
-    O(|nodes|) extra I/O that caps plan depth (the same fix
-    queries/llm.py's k-means applies).
+  * **lineage truncation**: each round references `ranks` THREE times
+    (contribs join, dangling anti-join, final rebuild), so the
+    un-truncated plan tree grows ~3^k — at 5 rounds that was ~250
+    copies of the base subtree and PLANNING took 4.5× longer than
+    execution (measured at sf0.01: 9.8 s build vs 2.2 s run).
+    Ranks are therefore localCheckpoint'ed EVERY round, NON-eagerly:
+    lazy checkpoints truncate the downstream plan just the same but
+    materialize inside the final action, avoiding a job submission
+    per round (measured: eager per-round checkpoints cost ~2.8 s/round
+    of scheduling overhead at sf0.01; lazy ones ~0.2 s/round). Plan
+    size stays at one round's algebra for any iteration count.
   * **dangling mass**: nodes with no out-edges leak rank; their mass is
     redistributed uniformly each round so Σrank stays 1 (asserted in
     tests), matching the canonical formulation.
@@ -26,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CHECKPOINT_EVERY = 5
+CHECKPOINT_EVERY = 1
 
 
 def pagerank(
@@ -77,5 +82,5 @@ def pagerank(
             )
         )
         if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
