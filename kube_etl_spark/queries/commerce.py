@@ -557,7 +557,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairs generate within orders (basket-bounded); the
     rank table is |nodes| rows (broadcastable); the three-way edge
     join shuffles on edge keys only. All integers — exact cross-engine
-    hashes."""
+    hashes.
+
+    The three multiply-consumed frames (pair ×2 via und, ori ×3 via
+    e1/e2/e3, tri ×3 via members) are lazily localCheckpoint'ed:
+    Spark's ReuseExchange cannot dedupe them (each consumer projects
+    different columns below the exchange, so the canonical plans
+    differ) and without truncation the expensive basket self-join
+    re-executed ~5× — measured 4.7 s → 1.x s at sf0.01. Lazy
+    checkpoints keep the materialization inside the caller's single
+    action (the pagerank lesson, plans/graph.py)."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -572,7 +581,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
         .select("pa", "pb")
-    )
+    ).localCheckpoint(eager=False)
     und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -585,7 +594,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rk.select(F.col("node").alias("v"), F.col("rk").alias("rv"))), "v")
         .filter(F.col("ru") < F.col("rv"))
         .select("u", "v", "ru", "rv")
-    )
+    ).localCheckpoint(eager=False)
     e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("rv").alias("rb"))
     e2 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("rv").alias("rc"))
     e3 = ori.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -594,7 +603,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rb") < F.col("rc"))
         .select("a", "b", "c")
         .join(e3, ["b", "c"])
-    )
+    ).localCheckpoint(eager=False)
     members = (
         tri.select(F.col("a").alias("part"))
         .unionByName(tri.select(F.col("b").alias("part")))
