@@ -34,6 +34,42 @@ from pyspark.sql import functions as F
 CHECKPOINT_EVERY = 1
 
 
+def pagerank_round(
+    nodes: DataFrame,
+    ranks: DataFrame,
+    w_edges: DataFrame,
+    out_deg: DataFrame,
+    n: int,
+    damping: float = 0.85,
+) -> DataFrame:
+    """One damped PageRank round — exposed so the plan-shape suite can
+    assert the round's physical shape (keyed contrib join + broadcast
+    1-row dangling frame) directly: the returned ranks from
+    ``pagerank`` are checkpoint scans, which rightly hide the round
+    algebra from their plan."""
+    contribs = (
+        ranks.join(w_edges, ranks.node == w_edges.src)
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+    )
+    # rank mass sitting on dangling nodes (no out-edges) this round
+    dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+    )
+    return (
+        nodes.join(contribs, nodes.node == contribs.dst, "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("m") / n)
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
@@ -59,28 +95,12 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
-        contribs = (
-            ranks.join(w_edges, ranks.node == w_edges.src)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-        )
-        # rank mass sitting on dangling nodes (no out-edges) this round
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("m") / n)
-                ).alias("rank"),
-            )
-        )
-        if (i + 1) % CHECKPOINT_EVERY == 0 and i + 1 < iterations:
+        ranks = pagerank_round(nodes, ranks, w_edges, out_deg, n, damping)
+        # the FINAL round is checkpointed too: the last round's algebra
+        # references the previous ranks 3×, so an un-truncated return
+        # value re-executes it 3× for any caller that consumes the
+        # result more than once (and carries ~46 exchange nodes of
+        # plan text instead of a checkpoint scan)
+        if (i + 1) % CHECKPOINT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -590,12 +590,38 @@ def test_gini_prunes_orders_scan(spark):
 def test_pagerank_rounds_stay_keyed(spark):
     """Every PageRank round must be an equi-join (rank⋈edges on src)
     plus a keyed aggregate — an accidental cartesian in the iteration
-    body would multiply by |nodes| at every round."""
-    plan = _plan(spark, "q_pagerank_copurchase")
+    body would multiply by |nodes| at every round. Asserted on ONE
+    round's plan via pagerank_round (the full pagerank's returned
+    frame is a checkpoint scan — per-round lineage truncation — so
+    the round algebra rightly no longer appears in its plan)."""
+    from kube_etl_spark.plans.graph import pagerank_round
+
+    edges = (
+        spark.read.parquet(f"{SMOKE_SF}/lineitem.parquet")
+        .selectExpr("l_partkey AS src", "l_suppkey AS dst")
+        .distinct()
+    )
+    nodes = (
+        edges.selectExpr("src AS node")
+        .unionByName(edges.selectExpr("dst AS node"))
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w_edges = edges.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    rnd = pagerank_round(nodes, ranks, w_edges, out_deg, n=10, damping=0.85)
+    plan = rnd._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     # the dangling-mass 1-row frame is the only legitimate NLJ input;
     # it must arrive broadcast, never shuffled
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the final checkpointed query plan must be lint-small
+    full = _plan(spark, "q_pagerank_copurchase", "simple")
+    assert full.count("Exchange") <= 6, full
 
 
 def test_sequence_ops_exchange_budget(spark):
