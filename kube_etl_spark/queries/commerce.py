@@ -834,3 +834,84 @@ def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_total"
         ),
     ).orderBy("r_name", "n_name")
+
+
+@query(
+    "q_bfs_hops",
+    tags=("J1", "A1"),
+    oracle="""
+WITH RECURSIVE
+lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+),
+und AS (SELECT pa AS u, pb AS v FROM pair UNION ALL SELECT pb, pa FROM pair),
+src AS (SELECT MIN(u) AS s FROM und),
+bfs(node, dist) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT e.v, b.dist + 1
+  FROM bfs b JOIN und e ON e.u = b.node
+  WHERE b.dist < 4
+)
+SELECT node AS part, CAST(MIN(dist) AS BIGINT) AS hops
+FROM bfs GROUP BY node ORDER BY part
+""",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): single-source BFS — minimum hop distance (≤4)
+    from the lowest-id part over the support-thresholded co-purchase
+    graph (the "how related is everything to X" neighborhood query;
+    the reachability primitive under recommendation walk-outs and
+    blast-radius analyses).
+
+    Scale shape: FRONTIER iteration, the Pregel pattern — each level
+    is one frontier⋈edges join plus an anti-join against the visited
+    set, both keyed on node; per-level work is proportional to the
+    frontier's edge cut, never to |graph|. A node is claimed the
+    first level it appears (the anti-join), which IS its BFS
+    distance, so no min-aggregation re-visits are needed. Both the
+    growing visited set and each frontier are lazily
+    localCheckpoint'ed (visited is consumed twice per level — the
+    pagerank/triangle lesson). The driver round-trip is the source
+    id only. Oracle: DuckDB recursive CTE with MIN(dist).
+
+    Determinism: pure integers; the anti-join level-claim equals the
+    CTE's MIN(dist) exactly."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("pa", "pb")
+    ).localCheckpoint(eager=False)
+    edges = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    src = edges.agg(F.min("u")).first()[0]
+    visited = spark.createDataFrame([(src, 0)], "node bigint, dist bigint")
+    frontier = visited
+    for depth in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"), F.lit(depth).cast("bigint").alias("dist"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return (
+        visited.select(F.col("node").alias("part"), F.col("dist").alias("hops"))
+        .orderBy("part")
+    )

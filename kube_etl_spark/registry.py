@@ -142,6 +142,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_key_skew_audit",
     "q_bucketed_point_lookup",
     "q_rolling_active_users",
+    "q_bfs_hops",
 )
 
 
