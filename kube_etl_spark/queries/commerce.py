@@ -17,6 +17,52 @@ from ..exact import dsum, money, money_sql
 from ..registry import query
 
 
+def basket_pairs(
+    spark: SparkSession, sf_dir: str, support: int = 2, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The shared co-purchase substrate for the graph/association
+    family (q_copurchase_pairs, q_market_basket, q_triangle_count,
+    q_bfs_hops): distinct (order, part) incidence `lp`, and the
+    support-thresholded unordered pair counts `pair` (pa < pb,
+    n_both ≥ support).
+
+    Both frames are lazily localCheckpoint'ed here because every
+    caller consumes them multiple times (lp feeds both join sides
+    plus item/order marginals; pair is mirrored into directed edges)
+    and ReuseExchange cannot dedupe the differently-projected
+    subtrees — without truncation the basket self-join re-executes
+    per consumer (the pagerank/triangle lesson, plans/graph.py).
+    ``checkpoint=False`` returns the raw frames — the plan-shape
+    suite uses it to assert the self-join's physical shape, which a
+    checkpoint scan would hide.
+
+    Scale shape: pairs generate WITHIN an order (equi-join on
+    l_orderkey), so fan-out is bounded by max basket size squared,
+    never corpus-sized; support pruning then caps the downstream
+    graph (the unthresholded sf0.1 graph has ~1.2M near-clique edges
+    and OOMs the triangle join — threshold ≥2 is both the standard
+    mining prune and the tractability bound)."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    if checkpoint:
+        lp = lp.localCheckpoint(eager=False)
+    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= support)
+    )
+    if checkpoint:
+        pair = pair.localCheckpoint(eager=False)
+    return lp, pair
+
+
 @query(
     "q_rfm_segments",
     tags=("A1", "W1"),
@@ -102,20 +148,15 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     max basket size squared (TPC-H: ≤ 7 lines), never corpus-sized.
     The distinct-per-order projection shrinks the join input first and
     shares the orderkey hash partitioning with the join. Pair counts
-    aggregate map-side (part×part keys)."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    aggregate map-side (part×part keys). Substrate shared via
+    basket_pairs."""
+    _, pair = basket_pairs(spark, sf_dir)
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        pair.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("n_both").alias("n_orders"),
+        )
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(100)
     )
@@ -368,23 +409,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairs are generated within an order (bounded by max
     basket size², never corpus-sized); item counts and the N scalar
     partial-aggregate map-side; item stats join back by part key —
-    broadcastable (|parts| ≪ |lineitem|); top-100 is a TakeOrdered."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    broadcastable (|parts| ≪ |lineitem|); top-100 is a TakeOrdered.
+    Substrate shared (and computed once) via basket_pairs."""
+    lp, pair = basket_pairs(spark, sf_dir)
     n_orders = lp.select(F.countDistinct("l_orderkey").alias("n"))
     item = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .filter(F.col("n_both") >= 2)
-    )
     directed = pair.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "n_both"
     ).unionByName(
@@ -567,21 +596,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-executed ~5× — measured 4.7 s → 1.x s at sf0.01. Lazy
     checkpoints keep the materialization inside the caller's single
     action (the pagerank lesson, plans/graph.py)."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("pa", "pb")
-    ).localCheckpoint(eager=False)
+    _, pair = basket_pairs(spark, sf_dir)
     und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -881,21 +896,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integers; the anti-join level-claim equals the
     CTE's MIN(dist) exactly."""
-    lp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-        .select("pa", "pb")
-    ).localCheckpoint(eager=False)
+    _, pair = basket_pairs(spark, sf_dir)
     edges = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )

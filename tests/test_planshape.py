@@ -550,8 +550,14 @@ def test_q17_fact_never_shuffled_for_dims(spark):
 def test_copurchase_join_stays_within_order(spark):
     """The market-basket self-join must be an equi-join keyed on
     l_orderkey (pairs generated within an order only) — never a
-    cartesian/nested-loop explosion."""
-    plan = _plan(spark, "q_copurchase_pairs")
+    cartesian/nested-loop explosion. Asserted on the un-checkpointed
+    substrate (the query's own plan is a checkpoint scan)."""
+    from kube_etl_spark.queries.commerce import basket_pairs
+
+    _, pair = basket_pairs(spark, SMOKE_SF, checkpoint=False)
+    plan = pair._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "l_orderkey" in plan
