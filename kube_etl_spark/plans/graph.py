@@ -104,3 +104,35 @@ def pagerank(
         if (i + 1) % CHECKPOINT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_hops(
+    spark, edges: DataFrame, source: int, max_depth: int = 4
+) -> DataFrame:
+    """Single-source BFS over a directed edge list (src, dst): minimum
+    hop distance from ``source``, bounded at ``max_depth``. Returns
+    (node, dist) including (source, 0).
+
+    Frontier iteration — the Pregel shape: each level joins only the
+    CURRENT frontier against the edge list and anti-joins the visited
+    set, so per-level work is the frontier's edge cut, never |graph|.
+    A node is claimed the first level it appears, which IS its BFS
+    distance (no min-aggregation re-visits). Frontier and visited are
+    lazily localCheckpoint'ed per level (visited is consumed twice per
+    level — anti-join + union — and un-truncated lineage re-executes
+    all prior levels per consumer)."""
+    visited = spark.createDataFrame([(source, 0)], "node bigint, dist bigint")
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.lit(depth).cast("bigint").alias("dist"),
+            )
+            .distinct()
+            .join(visited, "node", "left_anti")
+        ).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

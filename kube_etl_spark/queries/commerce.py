@@ -896,23 +896,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: pure integers; the anti-join level-claim equals the
     CTE's MIN(dist) exactly."""
+    from ..plans.graph import bfs_hops
+
     _, pair = basket_pairs(spark, sf_dir)
-    edges = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    edges = pair.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    src = edges.agg(F.min("u")).first()[0]
-    visited = spark.createDataFrame([(src, 0)], "node bigint, dist bigint")
-    frontier = visited
-    for depth in range(1, 5):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["u"])
-            .select(F.col("v").alias("node"), F.lit(depth).cast("bigint").alias("dist"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-        ).localCheckpoint(eager=False)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
+    source = edges.agg(F.min("src")).first()[0]
     return (
-        visited.select(F.col("node").alias("part"), F.col("dist").alias("hops"))
+        bfs_hops(spark, edges, source, max_depth=4)
+        .select(F.col("node").alias("part"), F.col("dist").alias("hops"))
         .orderBy("part")
     )

@@ -639,3 +639,51 @@ def test_cms_index_split_replay_delete_invariant(
         for r in idx.matrix().filter(F.col("n") != 0).collect()
     }
     assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(raw_edges=edges_strategy, max_depth=st.integers(min_value=1, max_value=5))
+def test_bfs_hops_matches_python_bfs(spark, raw_edges, max_depth):
+    """plans/graph.bfs_hops (frontier join + anti-join level claim) must
+    equal a dictionary BFS on arbitrary digraphs — including cycles,
+    self-loops, parallel edges, and unreachable nodes. The anti-join
+    claim is the subtle part: a node reachable at two depths must keep
+    the smaller one, and a node in the frontier must not re-enter."""
+    from kube_etl_spark.plans.graph import bfs_hops
+
+    edges = [(a, b) for a, b in raw_edges]
+    source = edges[0][0]
+    # pure-python reference: level-order BFS with a visited set
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expect = {source: 0}
+    frontier = [source]
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in expect:
+                    nxt.add(v)
+        for v in nxt:
+            expect[v] = d
+        frontier = sorted(nxt)
+        if not frontier:
+            break
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(spark, edf, source, max_depth=max_depth).collect()
+    }
+    assert got == set(expect.items())
