@@ -3359,3 +3359,66 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "q_hapax_ratio",
+    tags=("L4", "A1"),
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+)
+SELECT source,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) FILTER (WHERE n = 1) AS n_hapax,
+       CAST((COUNT(*) FILTER (WHERE n = 1) * 10000) // COUNT(*) AS DOUBLE)
+         / 10000.0 AS hapax_share,
+       CAST((COUNT(*) * 10000) // SUM(n) AS DOUBLE) / 10000.0
+         AS type_token_ratio
+FROM tf GROUP BY source ORDER BY source
+""",
+)
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (round 4): vocabulary-health statistics per source — vocab
+    size, hapax legomena (once-occurring types) count and share, and
+    type/token ratio. Hapax share is the classic crawl-quality signal:
+    OCR noise, mojibake, and boilerplate-stripped junk all inflate it,
+    while heavily templated sources depress it (the Heaps-law position
+    of a source at a glance; complements q_unigram_rarity's per-doc
+    scoring and q_oov_rate's reference-vocab view).
+
+    Scale shape: one explode → one (source, token) count (map-side
+    combinable — the classic word-count shape) → one |vocab|-sized
+    rollup per source. Nothing wider than a token ever shuffles; at
+    100 TB you'd hash tokens to 8 bytes first, identically shaped.
+
+    Determinism: counts and 4dp floor integer math only."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("n").alias("n_tokens"),
+            F.count_if(F.col("n") == 1).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            F.expr(
+                "CAST((n_hapax * 10000) DIV vocab_size AS DOUBLE) / 10000.0"
+            ).alias("hapax_share"),
+            F.expr(
+                "CAST((vocab_size * 10000) DIV n_tokens AS DOUBLE) / 10000.0"
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -979,3 +979,60 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_seasonality_index",
+    tags=("F2", "A1"),
+    oracle="""
+WITH cell AS (
+  SELECT isodow(ts) AS dow_iso, hour(ts) AS hr, COUNT(*) AS n_events
+  FROM events GROUP BY dow_iso, hr
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cell
+)
+SELECT CAST(dow_iso AS BIGINT) AS dow_iso, CAST(hr AS BIGINT) AS hr,
+       n_events,
+       CAST((n_events * n_cells * 10000) // total AS DOUBLE) / 10000.0
+         AS seasonality_idx
+FROM cell, tot ORDER BY dow_iso, hr
+""",
+)
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): weekly seasonality profile — event volume per
+    (ISO weekday, hour) cell, normalized by the mean cell volume
+    (index 1.0 = average load; the capacity-planning heatmap input,
+    complementing q_concurrency_profile's interval sweep with the
+    calendar-shape view).
+
+    Scale shape: one scan → one 168-cell-max aggregate (map-side
+    combinable); the normalizing total is a broadcast 1-row frame
+    over those cells. The timestamp never leaves the scan — only the
+    two extracted small ints shuffle.
+
+    Determinism: Spark weekday() (0=Mon) + 1 ≡ DuckDB isodow()
+    (1=Mon); hour() agrees on the µs-ntz timestamps; the index is
+    4dp floor integer math."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.expr("weekday(ts)") + F.lit(1)).cast("bigint").alias("dow_iso"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    cell = ev.groupBy("dow_iso", "hr").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cell.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow_iso",
+            "hr",
+            "n_events",
+            F.expr(
+                "CAST((n_events * n_cells * 10000) DIV total AS DOUBLE) / 10000.0"
+            ).alias("seasonality_idx"),
+        )
+        .orderBy("dow_iso", "hr")
+    )

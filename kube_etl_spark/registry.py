@@ -143,6 +143,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_bucketed_point_lookup",
     "q_rolling_active_users",
     "q_bfs_hops",
+    "q_hapax_ratio",
+    "q_seasonality_index",
 )
 
 
