@@ -3310,12 +3310,15 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards; reference has similarity search but no supervised
     eval on top of it).
 
-    Scale shape: the test set is tiny and broadcast; the train corpus
-    is scanned once, never shuffled (same regime as q_knn_cosine).
-    Norms hoisted per vector BEFORE the pair join — one fold per
-    vector, not per pair. Vote counting and the argmax run on
-    |test|×k rows. At 10⁹ vectors swap the scan for the IVF
-    partition-pruned probe (q_knn_ivf) — vote logic unchanged.
+    Scale shape: the held-out set is broadcast; the train corpus is
+    scanned once, never shuffled (same regime as q_knn_cosine). Norms
+    hoisted per vector BEFORE the pair join — one fold per vector,
+    not per pair. Vote counting and the argmax run on |test|×k rows.
+    Honest caveat: the vec_id%25 hold-out is SF-proportional, so at
+    10⁹ vectors it outgrows a broadcast — there you cap the probe set
+    (a sampled eval is statistically sufficient) or swap the scan for
+    the IVF partition-pruned probe (q_knn_ivf); vote logic unchanged
+    either way.
 
     Determinism: rank on the 4dp-rounded cosine with vec_id
     tie-break; vote argmax breaks count ties to the smallest label —
