@@ -743,7 +743,10 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "l_partkey")
-        .agg(dsum("p").alias("part_rev"))
+        # exact decimal sum (NOT dsum: double cumsums over an unordered
+        # window frame are order-nondeterministic, and the 80% crossing
+        # compares against a 0.01-granular exact threshold)
+        .agg(F.sum("p").alias("part_rev"))
     )
     wo = Window.partitionBy("p_brand").orderBy(
         F.col("part_rev").desc(), F.col("l_partkey")

