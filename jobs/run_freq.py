@@ -8,13 +8,19 @@ original event rows) and are applied as negative deltas — the turnstile
 path, so compliance removal never rebuilds the index.
 
     run_freq.py --watch <dir> --state <dir> --checkpoint <dir>
-                [--deletes <dir>] [--once] [--compact]
+                [--deletes <dir>] [--once] [--compact] [--lease]
 
 --once drains what is currently in the directories (availableNow) and
 exits — the test/cron mode; without it the query runs until killed.
 --compact folds the per-batch delta history into a single baseline
 after the drain (only valid with --once: the fold horizon must be
 behind the committed checkpoint).
+--lease acquires a WriterLease beside the state dir and fences every
+state publish with it — required whenever more than one replica could
+point at the same state dir (the k8s manifest's single-replica
+Deployment can still race with itself across a forced reschedule).
+In-process, the ingest and delete streams are already serialized by
+the index's merge lock; the lease is the cross-process half.
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--deletes", default=None)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--lease", action="store_true")
     args = ap.parse_args(argv)
     if args.compact and not args.once:
         ap.error("--compact requires --once (fold horizon must be committed)")
@@ -52,7 +59,14 @@ def main(argv: list[str]) -> None:
     schema = StructType(
         [StructField("event_id", LongType()), StructField("user_id", LongType())]
     )
-    index = CountMinIndex(spark, args.state, key_col="user_id")
+    lease = None
+    if args.lease:
+        from kube_etl_spark.streaming.lease import WriterLease
+
+        lease = WriterLease(args.state.rstrip("/") + ".lease")
+        if not lease.acquire():
+            raise SystemExit(f"state {args.state} is leased by another writer")
+    index = CountMinIndex(spark, args.state, key_col="user_id", lease=lease)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
         args.watch
@@ -98,6 +112,8 @@ def main(argv: list[str]) -> None:
         for q in qs:
             q.awaitTermination()
     spark.streams.removeListener(health)
+    if lease is not None:
+        lease.release()
     if owned:
         spark.stop()
 

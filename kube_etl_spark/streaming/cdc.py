@@ -36,6 +36,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Publish a small JSON artifact with the tmp-file + rename
+    discipline (atomic on POSIX; readers never see a torn file). The
+    one shared copy of the pattern — health.json, the writer lease,
+    and any future control-plane artifact publish through here so the
+    discipline can't drift between copies."""
+    import json
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, path)
+
+
 def latest_op(oplog: DataFrame, key_cols: list[str], seq_cols: list[str]) -> DataFrame:
     """Last op per key, ordered by seq_cols (all descending)."""
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in seq_cols])

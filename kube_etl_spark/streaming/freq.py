@@ -34,6 +34,7 @@ it stores: that is the point of a sketch.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,14 +50,40 @@ class CountMinIndex:
     column. State: (batch_id, i, bucket, n) — per-batch delta matrices,
     idempotent on (batch_id, i, bucket)."""
 
-    def __init__(self, spark: SparkSession, base_dir: str, key_col: str = "user_id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        key_col: str = "user_id",
+        lease=None,
+    ):
         self.spark = spark
         self.key_col = key_col
+        # lease= forwards to the underlying StateTable so multi-replica
+        # deployments get enforced fencing (the freq Deployment manifest
+        # instructs operators to pair the index with a WriterLease — this
+        # is the API that instruction needs)
         self.cells = StateTable(
-            spark, os.path.join(base_dir, "cells"), ["batch_id", "i", "bucket"], "seq"
+            spark,
+            os.path.join(base_dir, "cells"),
+            ["batch_id", "i", "bucket"],
+            "seq",
+            lease=lease,
         )
+        # serializes SAME-PROCESS writers: production mode runs the
+        # ingest and delete streams as two concurrent foreachBatch
+        # threads against this one state table, whose merge is a
+        # read-whole-table-then-atomic-overwrite — unserialized, the
+        # later rename erases the earlier delta while both checkpoints
+        # commit (a permanently lost update). Cross-process exclusion
+        # is the lease's job; this lock is the in-process half.
+        self._merge_lock = threading.Lock()
 
     def _merge_delta(self, delta: DataFrame, batch_id: int) -> None:
+        with self._merge_lock:
+            self._merge_delta_locked(delta, batch_id)
+
+    def _merge_delta_locked(self, delta: DataFrame, batch_id: int) -> None:
         self.cells.merge_batch(
             delta.withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
             .withColumn("seq", F.lit(int(batch_id)).cast("bigint"))
@@ -96,12 +123,18 @@ class CountMinIndex:
         committed past every folded batch (a replay of a folded batch
         would re-apply it); the same horizon contract as
         StateTable.purge_tombstones."""
-        folded = self.matrix().localCheckpoint(eager=True)
-        self.cells._atomic_overwrite(
-            folded.withColumn("batch_id", F.lit(_BASELINE_BID).cast("bigint"))
-            .withColumn("seq", F.lit(_BASELINE_BID).cast("bigint"))
-            .withColumn("__op", F.lit("upsert"))
-        )
+        # lazy checkpoint: materializes during the new-version write,
+        # while the old version dir is still intact (atomic_overwrite
+        # swaps the symlink only after the write completes), so the
+        # read-path safety is identical and the extra up-front job
+        # submission of eager=True is saved
+        with self._merge_lock:
+            folded = self.matrix().localCheckpoint(eager=False)
+            self.cells._atomic_overwrite(
+                folded.withColumn("batch_id", F.lit(_BASELINE_BID).cast("bigint"))
+                .withColumn("seq", F.lit(_BASELINE_BID).cast("bigint"))
+                .withColumn("__op", F.lit("upsert"))
+            )
 
 
 def run_cms_stream(

@@ -27,17 +27,12 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
 
-def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.rename(tmp, path)
+from .cdc import atomic_write_json as _atomic_write_json
 
 
 class HealthListener(StreamingQueryListener):
@@ -49,14 +44,26 @@ class HealthListener(StreamingQueryListener):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
         self._totals: dict[str, dict] = {}
+        # id -> name so EVERY event keys the same health entry: progress
+        # events carry the name but terminated/idle events carry only the
+        # id — without the map, a named query's failure landed under a
+        # fresh id key that a successful restart (keyed by name) never
+        # cleared, wedging the probe red forever.
+        self._names: dict[str, str] = {}
+
+    def _key(self, event_id, name=None) -> str:
+        if name:
+            self._names[str(event_id)] = str(name)
+            return str(name)
+        return self._names.get(str(event_id), str(event_id))
 
     # -- listener protocol --------------------------------------------------
     def onQueryStarted(self, event) -> None:
-        self._snapshot(str(event.name or event.id), {"status": "started"})
+        self._snapshot(self._key(event.id, event.name), {"status": "started"})
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        key = str(p.name or p.id)
+        key = self._key(p.id, p.name)
         row = {
             "query": key,
             "batch_id": p.batchId,
@@ -88,13 +95,17 @@ class HealthListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         self._snapshot(
-            str(event.id),
+            self._key(event.id),
             {"status": "failed" if event.exception else "terminated",
              "exception": str(event.exception) if event.exception else None},
         )
 
-    def onQueryIdle(self, event) -> None:  # pragma: no cover - Spark ≥3.5 idle ticks
-        pass
+    def onQueryIdle(self, event) -> None:
+        # idle is HEALTHY: Spark emits no progress events without data,
+        # so without this refresh a quiet-source job goes "stale" and a
+        # liveness probe crash-loops a perfectly healthy pod. The idle
+        # tick proves the driver is alive — refresh its freshness stamp.
+        self._snapshot(self._key(event.id), {"status": "idle"})
 
     # -- snapshot -----------------------------------------------------------
     def _snapshot(self, key: str, fields: dict) -> None:
@@ -106,6 +117,9 @@ class HealthListener(StreamingQueryListener):
             cur = {"queries": {}}
         q = cur["queries"].setdefault(key, {})
         q.update(fields)
+        # per-query freshness: one hung sibling must not hide behind a
+        # progressing query's global timestamp
+        q["last_seen_unix"] = time.time()
         cur["last_progress_unix"] = time.time()
         _atomic_write_json(path, cur)
 
@@ -133,9 +147,27 @@ def is_healthy(out_dir: str, max_staleness_s: float = 300.0) -> tuple[bool, str]
     failed = [k for k, q in h.get("queries", {}).items() if q.get("status") == "failed"]
     if failed:
         return False, f"failed queries: {failed}"
-    age = time.time() - h.get("last_progress_unix", 0)
-    if age > max_staleness_s:
-        return False, f"stale: last progress {age:.0f}s ago (budget {max_staleness_s:.0f}s)"
+    now = time.time()
+    # staleness is judged PER LIVE QUERY (started/running/idle): a hung
+    # sibling must not hide behind a progressing query's heartbeat, and
+    # cleanly-terminated queries don't count against the budget. Idle
+    # ticks refresh last_seen_unix, so quiet-but-alive jobs stay green.
+    stale = []
+    live = {
+        k: q
+        for k, q in h.get("queries", {}).items()
+        if q.get("status") in ("started", "running", "idle")
+    }
+    for k, q in live.items():
+        age = now - q.get("last_seen_unix", h.get("last_progress_unix", 0))
+        if age > max_staleness_s:
+            stale.append(f"{k} ({age:.0f}s)")
+    if stale:
+        return False, f"stale queries (budget {max_staleness_s:.0f}s): {stale}"
+    if not live:
+        age = now - h.get("last_progress_unix", 0)
+        if age > max_staleness_s:
+            return False, f"stale: last event {age:.0f}s ago (budget {max_staleness_s:.0f}s)"
     return True, "ok"
 
 

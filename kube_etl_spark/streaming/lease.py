@@ -17,9 +17,19 @@ Implementation is a JSON lease file beside the state dir, updated with
 the same atomic-rename publish discipline as cdc.atomic_overwrite —
 the single-host filesystem analog of the k8s Lease object (on an
 object store this role is played by a conditional-put on the lease
-key; the acquire/renew/fence protocol is identical). Takeover races
-are resolved by re-reading after the rename: the rename that lands
-last wins, and every competitor verifies rather than assumes.
+key; the acquire/renew/fence protocol is identical). POSIX rename
+cannot express a conditional put, so every lease MUTATION (create,
+takeover, renew, release) runs under a short-lived O_EXCL mutex file:
+the read-check-publish critical section is serialized, which closes
+the check-then-publish races a bare rename leaves open (a paused
+renewer resurrecting an expired lease over a verified takeover; a
+paused releaser unlinking the new owner's record). The mutex guards a
+microseconds-long section and carries a 10 s orphan-breaker, so a
+crashed mutator cannot wedge the lease. release() publishes a
+deadline-0 record rather than unlinking, keeping the fencing token
+MONOTONE across release/re-acquire cycles (an unlink would reset the
+next owner to token 1, breaking consumers that persist the high-water
+token).
 """
 
 from __future__ import annotations
@@ -57,62 +67,97 @@ class WriterLease:
             return {"owner": "?", "token": 0, "deadline": 0.0}
 
     def _publish(self, rec: dict) -> None:
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.rename(tmp, self.path)  # atomic on POSIX
+        from .cdc import atomic_write_json
+
+        atomic_write_json(self.path, rec)
+
+    def _with_mutex(self, fn):
+        """Serialize a lease mutation: O_EXCL lock file around the
+        read-check-publish section. The section is microseconds; locks
+        older than 10 s are orphans of a crashed mutator and broken."""
+        lock = f"{self.path}.lock"
+        deadline = time.time() + 5.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise LeaseHeld(f"mutation lock wedged on {lock}")
+                time.sleep(0.01)
+        try:
+            return fn()
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     # -- protocol ----------------------------------------------------------
     def acquire(self) -> bool:
         """Try to take the lease. Returns True (and sets the fencing
         token) on success; False while another owner's lease is live.
-        A stale lease (deadline passed) is taken over with a BUMPED
-        token; the takeover is verified by re-read, so a lost race
-        reports False rather than split-brain success."""
-        now = time.time()
-        cur = self._read()
-        if cur is None:
+        A stale or released lease is taken over with a BUMPED token.
+        The whole read-check-publish section runs under the mutation
+        mutex, so a lost race reports False rather than split-brain
+        success (the previous O_EXCL-create + publish-then-verify
+        protocol left a torn-create window where a competitor's
+        torn-read fallback could mint a second token-1 owner)."""
+
+        def _do() -> bool:
+            now = time.time()
+            cur = self._read()
+            if cur is None:
+                # first-ever acquire: publish via the same atomic rename
+                # (full record lands in one shot — no torn JSON visible)
+                self._publish(
+                    {"owner": self.owner, "token": 1, "deadline": now + self.ttl_s}
+                )
+                self.token = 1
+                return True
+            if cur["owner"] == self.owner and cur["deadline"] > now:
+                self.token = int(cur["token"])
+                return True  # already ours (re-acquire after restart)
+            if cur["deadline"] > now:
+                return False  # live foreign lease
+            # stale or released: take over with a higher fencing token
             rec = {
                 "owner": self.owner,
-                "token": 1,
+                "token": int(cur["token"]) + 1,
                 "deadline": now + self.ttl_s,
             }
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False  # lost the creation race; caller may retry
-            with os.fdopen(fd, "w") as f:
-                json.dump(rec, f)
-            self.token = 1
-            return True
-        if cur["owner"] == self.owner and cur["deadline"] > now:
-            self.token = int(cur["token"])
-            return True  # already ours (re-acquire after restart)
-        if cur["deadline"] > now:
-            return False  # live foreign lease
-        # stale: take over with a higher fencing token, then VERIFY
-        rec = {
-            "owner": self.owner,
-            "token": int(cur["token"]) + 1,
-            "deadline": now + self.ttl_s,
-        }
-        self._publish(rec)
-        after = self._read()
-        if after and after["owner"] == self.owner and after["token"] == rec["token"]:
+            self._publish(rec)
             self.token = rec["token"]
             return True
-        return False  # a competing takeover landed after ours
+
+        return self._with_mutex(_do)
 
     def renew(self) -> None:
-        """Extend the deadline; raises LeaseLost if fenced off."""
-        self.assert_held()
-        self._publish(
-            {
-                "owner": self.owner,
-                "token": self.token,
-                "deadline": time.time() + self.ttl_s,
-            }
-        )
+        """Extend the deadline; raises LeaseLost if fenced off. Runs
+        under the mutation mutex: a renewer that pauses before its
+        publish cannot interleave with (and silently overwrite) a
+        competitor's takeover — the takeover would have to wait for the
+        mutex, and a renewer paused long enough to trip the orphan
+        breaker finds a newer token on its next assert_held."""
+
+        def _do() -> None:
+            self.assert_held()
+            self._publish(
+                {
+                    "owner": self.owner,
+                    "token": self.token,
+                    "deadline": time.time() + self.ttl_s,
+                }
+            )
+
+        self._with_mutex(_do)
 
     def assert_held(self) -> None:
         """Raise LeaseLost unless this owner still holds the CURRENT
@@ -132,13 +177,22 @@ class WriterLease:
             )
 
     def release(self) -> None:
-        """Drop the lease if (and only if) still ours."""
-        try:
-            self.assert_held()
-        except LeaseLost:
-            return
-        os.unlink(self.path)
-        self.token = None
+        """Drop the lease if (and only if) still ours. Publishes a
+        deadline-0 record (NOT an unlink): the check-and-drop runs
+        under the mutex so a paused releaser cannot delete a new
+        owner's record, and keeping the record preserves fencing-token
+        monotonicity — the next acquire takes over at token+1 instead
+        of restarting at 1."""
+
+        def _do() -> None:
+            try:
+                self.assert_held()
+            except LeaseLost:
+                return
+            self._publish({"owner": self.owner, "token": self.token, "deadline": 0.0})
+            self.token = None
+
+        self._with_mutex(_do)
 
     def __enter__(self) -> "WriterLease":
         if not self.acquire():

@@ -110,3 +110,21 @@ def test_fenced_writer_cannot_publish_state(spark, tmp_path):
     )
     rows = {(r["k"], r["v"]) for r in t_new.read().collect()}
     assert rows == {(1, "v1"), (2, "v2")}  # stale write never landed
+
+
+def test_release_keeps_fencing_token_monotone(tmp_path):
+    """release() must not reset the token universe: a release/re-acquire
+    cycle bumps the token past every previously-issued one (consumers
+    persist the high-water token; an unlink-based release restarted the
+    next owner at 1, regressing it)."""
+    from kube_etl_spark.streaming.lease import WriterLease
+
+    path = str(tmp_path / "lease.json")
+    a = WriterLease(path, owner="a", ttl_s=60)
+    assert a.acquire() and a.token == 1
+    a.release()
+    b = WriterLease(path, owner="b", ttl_s=60)
+    assert b.acquire()
+    assert b.token == 2  # strictly above a's released token
+    b.release()
+    assert a.acquire() and a.token == 3
