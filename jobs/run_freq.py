@@ -60,12 +60,32 @@ def main(argv: list[str]) -> None:
         [StructField("event_id", LongType()), StructField("user_id", LongType())]
     )
     lease = None
+    renew_stop = None
     if args.lease:
-        from kube_etl_spark.streaming.lease import WriterLease
+        import threading
+
+        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
 
         lease = WriterLease(args.state.rstrip("/") + ".lease")
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
+        # background renewal at ttl/3: without it a long-running stream
+        # outlives its own lease and every merge after the first minute
+        # is fenced off (assert_held fails on the expired deadline). On
+        # LeaseLost the renewer stops the streams — a fenced writer must
+        # halt, not retry.
+        renew_stop = threading.Event()
+
+        def _renew_loop() -> None:  # pragma: no cover - timing loop
+            while not renew_stop.wait(lease.ttl_s / 3.0):
+                try:
+                    lease.renew()
+                except LeaseLost:
+                    for q in spark.streams.active:
+                        q.stop()
+                    return
+
+        threading.Thread(target=_renew_loop, daemon=True).start()
     index = CountMinIndex(spark, args.state, key_col="user_id", lease=lease)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
@@ -112,6 +132,8 @@ def main(argv: list[str]) -> None:
         for q in qs:
             q.awaitTermination()
     spark.streams.removeListener(health)
+    if renew_stop is not None:
+        renew_stop.set()
     if lease is not None:
         lease.release()
     if owned:

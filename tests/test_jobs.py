@@ -1100,9 +1100,13 @@ def test_run_freq_cli(spark, tmp_path, capsys):
     (watch / "b0.json").write_text(
         "\n".join(ev.filter(F.col("event_id") % 2 == 0).toJSON().collect())
     )
+    # --lease on both runs: the second acquire proves a released lease
+    # is re-takeable (at a bumped fencing token) and every merge inside
+    # runs lease-guarded
     argv = [
         "--watch", str(watch), "--state", str(tmp_path / "state"),
         "--checkpoint", str(tmp_path / "ckpt"), "--deletes", str(dels), "--once",
+        "--lease",
     ]
     run_freq.main(argv)
     capsys.readouterr()
