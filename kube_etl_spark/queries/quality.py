@@ -161,3 +161,105 @@ def orphan_check(
         )
         .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
     )
+
+
+@query(
+    "q_audit_constraints",
+    tags=("P8", "A2"),
+    oracle="""
+SELECT * FROM (
+  SELECT 'accepted_values' AS check_name, 'orders.o_orderstatus' AS subject,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'fk', 'lineitem.l_orderkey->orders',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+  UNION ALL
+  SELECT 'not_null', 'orders.o_custkey',
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'pk_unique', 'orders.o_orderkey',
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'value_range', 'lineitem.l_discount in [0, 0.1]',
+         CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+  FROM lineitem
+)
+ORDER BY check_name
+""",
+)
+def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): the expectations suite as one report — five
+    warehouse constraint checks (primary-key uniqueness, not-null,
+    accepted values, referential integrity, value range) evaluated to
+    (check, subject, n_violations) rows, the Deequ/dbt-test shape.
+    This puts the audit layer (plans/audit.py runs the full battery as
+    a job) under the driver's hash gate through a representative
+    cross-section.
+
+    Scale shape: each check is one aggregate over one scan (the
+    kind Catalyst collapses to partial+final with no wide state), and
+    the FK check is a broadcast-able anti-join count; the report frame
+    is five rows. At 100 TB the checks share scans per table via the
+    audit job's unioned plan; here each stays independent so the
+    oracle decomposes obviously.
+
+    Determinism: pure integer counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, subject: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.lit(subject).alias("subject"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        row(
+            "accepted_values",
+            "orders.o_orderstatus",
+            orders.agg(
+                F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias("v")
+            ),
+        ),
+        row(
+            "fk",
+            "lineitem.l_orderkey->orders",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        row(
+            "not_null",
+            "orders.o_custkey",
+            orders.agg(F.count_if(F.col("o_custkey").isNull()).alias("v")),
+        ),
+        row(
+            "pk_unique",
+            "orders.o_orderkey",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+            ),
+        ),
+        row(
+            "value_range",
+            "lineitem.l_discount in [0, 0.1]",
+            li.agg(
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

@@ -417,3 +417,91 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "q_time_to_convert",
+    tags=("A1", "W3"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
+  FROM s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+),
+lat AS (
+  SELECT user_id,
+         CASE WHEN first_purchase_ts IS NULL THEN NULL
+              ELSE CAST(floor(epoch(first_purchase_ts) - epoch(signup_ts)) AS BIGINT)
+         END AS lat_s
+  FROM p
+)
+SELECT COUNT(*) AS n_signup_users,
+       COUNT(lat_s) AS n_converted,
+       CAST((COUNT(lat_s) * 10000) // COUNT(*) AS DOUBLE) / 10000.0 AS conv_rate,
+       CAST((SUM(lat_s) * 10000) // (86400 * COUNT(lat_s)) AS DOUBLE) / 10000.0
+         AS avg_days_to_convert,
+       CAST((MAX(lat_s) * 10000) // 86400 AS DOUBLE) / 10000.0 AS max_days_to_convert
+FROM lat
+""",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 4): signup→purchase conversion latency — of the users
+    who ever signed up, how many purchased AFTER signing up, and how
+    long that took (the activation-funnel headline; complements
+    q_funnel_stages' reach counts and q_attribution_last_touch's
+    credit assignment with the TIME dimension).
+
+    Scale shape: the signup anchor collapses the log to |users| rows
+    first; the earliest qualifying purchase comes from one
+    conditional min over a keyed join (user_id — co-partitioned with
+    the anchor aggregate); the final frame is a 1-row reduce.
+
+    Determinism: latencies are integer epoch seconds; all three
+    ratios are 4dp floor integer math."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    # the qualifying-purchase condition lives in the JOIN (a post-join
+    # filter would drop signup users whose only purchases PREDATE the
+    # signup — they must stay, unconverted, like the oracle's LEFT JOIN)
+    p = (
+        s.join(
+            purch,
+            (s["user_id"] == purch["p_user"]) & (purch["pts"] >= s["signup_ts"]),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("first_purchase_ts"))
+    )
+    lat = p.select(
+        F.when(
+            F.col("first_purchase_ts").isNotNull(),
+            F.floor(
+                F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+            ).cast("bigint"),
+        ).alias("lat_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.count("lat_s").alias("n_converted"),
+        F.expr(
+            "CAST((count(lat_s) * 10000) DIV count(1) AS DOUBLE) / 10000.0"
+        ).alias("conv_rate"),
+        F.expr(
+            "CAST((sum(lat_s) * 10000) DIV (86400 * count(lat_s)) AS DOUBLE) / 10000.0"
+        ).alias("avg_days_to_convert"),
+        F.expr("CAST((max(lat_s) * 10000) DIV 86400 AS DOUBLE) / 10000.0").alias(
+            "max_days_to_convert"
+        ),
+    )

@@ -145,6 +145,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_bfs_hops",
     "q_hapax_ratio",
     "q_seasonality_index",
+    "q_time_to_convert",
+    "q_audit_constraints",
 )
 
 
