@@ -430,7 +430,8 @@ WITH s AS (
 p AS (
   SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
   FROM s LEFT JOIN events e
-    ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts AND e.ts < s.signup_ts + INTERVAL 7 DAY
   GROUP BY s.user_id, s.signup_ts
 ),
 lat AS (
@@ -454,7 +455,10 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     who ever signed up, how many purchased AFTER signing up, and how
     long that took (the activation-funnel headline; complements
     q_funnel_stages' reach counts and q_attribution_last_touch's
-    credit assignment with the TIME dimension).
+    credit assignment with the TIME dimension). Conversion counts only
+    within a 7-DAY window of signup — the bounded-window form every
+    real activation metric uses (and what keeps the rate informative:
+    unbounded, every fixture user eventually purchases).
 
     Scale shape: the signup anchor collapses the log to |users| rows
     first; the earliest qualifying purchase comes from one
@@ -478,7 +482,9 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         s.join(
             purch,
-            (s["user_id"] == purch["p_user"]) & (purch["pts"] >= s["signup_ts"]),
+            (s["user_id"] == purch["p_user"])
+            & (purch["pts"] >= s["signup_ts"])
+            & (purch["pts"] < s["signup_ts"] + F.expr("INTERVAL 7 DAY")),
             "left",
         )
         .groupBy("user_id", "signup_ts")
