@@ -75,17 +75,26 @@ def main(argv: list[str]) -> None:
         # LeaseLost the renewer stops the streams — a fenced writer must
         # halt, not retry.
         renew_stop = threading.Event()
+        lease_lost = threading.Event()
 
         def _renew_loop() -> None:  # pragma: no cover - timing loop
             while not renew_stop.wait(lease.ttl_s / 3.0):
                 try:
                     lease.renew()
                 except LeaseLost:
+                    # fenced: stop the streams AND flag the main thread
+                    # so it skips compaction — a stale writer folding
+                    # history would overwrite the new owner's state
+                    # (freq.compact also asserts the lease; this flag
+                    # makes the skip graceful instead of a late raise)
+                    lease_lost.set()
                     for q in spark.streams.active:
                         q.stop()
                     return
 
         threading.Thread(target=_renew_loop, daemon=True).start()
+    else:
+        lease_lost = None
     index = CountMinIndex(spark, args.state, key_col="user_id", lease=lease)
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
@@ -116,7 +125,13 @@ def main(argv: list[str]) -> None:
             dq.awaitTermination()
             dq.stop()
         if args.compact:
-            index.compact()
+            if lease_lost is not None and lease_lost.is_set():
+                print(
+                    "lease lost during drain; skipping compaction",
+                    file=sys.stderr,
+                )
+            else:
+                index.compact()
         print(
             json.dumps(
                 {

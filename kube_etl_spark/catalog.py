@@ -40,12 +40,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with normalized types.
 
-    events.ts arrives as parquet TIMESTAMP(NANOS,false): Spark reads it
-    (under spark.sql.legacy.parquet.nanosAsLong) as raw ns-since-epoch
-    long; actual fixture precision is µs (verified sub-µs == 0 at every
-    sf), so `timestamp_micros(ts div 1000)` is lossless. We convert to
-    TIMESTAMP_NTZ to match the naive-timestamp semantics DuckDB and the
-    other fixture tables (timestamp_ntz in parquet ms) use.
+    This branch exists for NS-TYPED inputs only: a fixture whose
+    events.ts is parquet TIMESTAMP(NANOS) surfaces (under
+    spark.sql.legacy.parquet.nanosAsLong) as raw ns-since-epoch long,
+    and `timestamp_micros(ts div 1000)` converts it. The shipped
+    fixture SFs all store ts as timestamp[us], so no current fixture
+    exercises it (ADVICE r4 — the docstring used to claim otherwise).
+    Because the div-1000 silently drops sub-µs precision, the
+    conversion raises per-row on any ts with nonzero sub-µs ns
+    instead of truncating: real nanosecond data must fail loudly, not
+    quietly lose its low digits. The guard is a JVM-side integer mod
+    in the rarely-taken branch — no extra pass, no cost to the
+    µs-typed fixtures.
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -53,7 +59,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "IF(ts % 1000 = 0, timestamp_micros(ts DIV 1000),"
+                " raise_error(CONCAT('events.ts has sub-microsecond"
+                " precision (ns value ', CAST(ts AS STRING),"
+                " '); the div-1000 conversion would truncate it')))"
+            ).cast("timestamp_ntz"),
         )
     return df
 

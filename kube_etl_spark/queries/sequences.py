@@ -437,7 +437,7 @@ p AS (
 lat AS (
   SELECT user_id,
          CASE WHEN first_purchase_ts IS NULL THEN NULL
-              ELSE CAST(floor(epoch(first_purchase_ts) - epoch(signup_ts)) AS BIGINT)
+              ELSE (epoch_us(first_purchase_ts) - epoch_us(signup_ts)) // 1000000
          END AS lat_s
   FROM p
 )
@@ -490,11 +490,18 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "signup_ts")
         .agg(F.min("pts").alias("first_purchase_ts"))
     )
+    # latency = floor of the EXACT microsecond difference (ADVICE r4:
+    # unix_timestamp truncates each operand to whole seconds first,
+    # which disagrees with the oracle's full-precision epoch diff on
+    # any sub-second carry — ~half the converted users at sf0.1).
+    # pts >= signup_ts guarantees the difference is non-negative, so
+    # integer DIV is the floor on both engines.
     lat = p.select(
         F.when(
             F.col("first_purchase_ts").isNotNull(),
-            F.floor(
-                F.unix_timestamp("first_purchase_ts") - F.unix_timestamp("signup_ts")
+            F.expr(
+                "(unix_micros(CAST(first_purchase_ts AS TIMESTAMP))"
+                " - unix_micros(CAST(signup_ts AS TIMESTAMP))) DIV 1000000"
             ).cast("bigint"),
         ).alias("lat_s")
     )

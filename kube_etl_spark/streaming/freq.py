@@ -130,6 +130,13 @@ class CountMinIndex:
         # submission of eager=True is saved
         with self._merge_lock:
             folded = self.matrix().localCheckpoint(eager=False)
+            # fencing (ADVICE r4): merge_batch asserts the lease inside
+            # StateTable, but this path publishes via _atomic_overwrite
+            # directly — without the same check a writer fenced off
+            # mid-run would overwrite the new owner's state with its
+            # stale folded matrix. Same raise-don't-publish contract.
+            if self.cells.lease is not None:
+                self.cells.lease.assert_held()
             self.cells._atomic_overwrite(
                 folded.withColumn("batch_id", F.lit(_BASELINE_BID).cast("bigint"))
                 .withColumn("seq", F.lit(_BASELINE_BID).cast("bigint"))

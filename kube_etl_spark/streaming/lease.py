@@ -19,13 +19,13 @@ the single-host filesystem analog of the k8s Lease object (on an
 object store this role is played by a conditional-put on the lease
 key; the acquire/renew/fence protocol is identical). POSIX rename
 cannot express a conditional put, so every lease MUTATION (create,
-takeover, renew, release) runs under a short-lived O_EXCL mutex file:
-the read-check-publish critical section is serialized, which closes
-the check-then-publish races a bare rename leaves open (a paused
-renewer resurrecting an expired lease over a verified takeover; a
-paused releaser unlinking the new owner's record). The mutex guards a
-microseconds-long section and carries a 10 s orphan-breaker, so a
-crashed mutator cannot wedge the lease. release() publishes a
+takeover, renew, release) runs under a short-lived exclusive flock
+mutex: the read-check-publish critical section is serialized, which
+closes the check-then-publish races a bare rename leaves open (a
+paused renewer resurrecting an expired lease over a verified takeover;
+a paused releaser unlinking the new owner's record). The mutex guards
+a microseconds-long section; the kernel drops a crashed mutator's
+flock automatically, so the lease cannot wedge. release() publishes a
 deadline-0 record rather than unlinking, keeping the fencing token
 MONOTONE across release/re-acquire cycles (an unlink would reset the
 next owner to token 1, breaking consumers that persist the high-water
@@ -72,33 +72,39 @@ class WriterLease:
         atomic_write_json(self.path, rec)
 
     def _with_mutex(self, fn):
-        """Serialize a lease mutation: O_EXCL lock file around the
-        read-check-publish section. The section is microseconds; locks
-        older than 10 s are orphans of a crashed mutator and broken."""
+        """Serialize a lease mutation: an exclusive ``flock`` on a
+        persistent lock file around the read-check-publish section.
+
+        flock (not O_EXCL-create) because the kernel releases it when
+        the holder dies — a crashed mutator cannot wedge the lease and
+        no orphan-breaking is ever needed. (ADVICE r4: the previous
+        10 s mtime orphan-breaker was itself racy — two waiters could
+        both judge the lock stale and the slower one unlink the
+        winner's freshly re-created lock, letting two mutators into
+        the critical section and minting duplicate fencing tokens.
+        Any check-then-unlink scheme has that window; flock removes
+        the problem class.) A wedged-but-ALIVE mutator still surfaces
+        as LeaseHeld via the 5 s acquisition deadline, as before. The
+        lock file is deliberately never unlinked: waiters hold open
+        descriptors to its inode, and an unlink would let a later
+        creator lock a DIFFERENT inode concurrently."""
+        import fcntl
+
         lock = f"{self.path}.lock"
-        deadline = time.time() + 5.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)
-                        continue
-                except FileNotFoundError:
-                    continue
-                if time.time() > deadline:
-                    raise LeaseHeld(f"mutation lock wedged on {lock}")
-                time.sleep(0.01)
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
+            deadline = time.time() + 5.0
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise LeaseHeld(f"mutation lock wedged on {lock}")
+                    time.sleep(0.01)
             return fn()
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # releases the flock
 
     # -- protocol ----------------------------------------------------------
     def acquire(self) -> bool:

@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import sys
 
+import pytest
+
 from .conftest import SMOKE_SF
 
 
@@ -1135,3 +1137,52 @@ def test_run_freq_cli(spark, tmp_path, capsys):
     }
     assert want and served == want
     assert out["cells"] == len(want)
+
+
+def test_cms_compact_is_lease_fenced(spark, tmp_path):
+    """compact() publishes via _atomic_overwrite directly, bypassing
+    merge_batch's lease check — it must carry its own (ADVICE r4): a
+    writer fenced off after the drain would otherwise overwrite the
+    new owner's state with its stale folded matrix. Raise, don't
+    publish; the state the new owner wrote must survive."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.freq import CountMinIndex
+    from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
+
+    lease_path = str(tmp_path / "state.lease")
+    old = WriterLease(lease_path, owner="old", ttl_s=60)
+    assert old.acquire()
+    idx_old = CountMinIndex(spark, str(tmp_path / "state"), "user_id", lease=old)
+    rows = spark.range(0, 50).select((F.col("id") % 7).alias("user_id"))
+    idx_old.ingest_batch(rows, 0)
+
+    # writer pause: deadline passes, a new owner takes over and ingests
+    rec = _json.load(open(lease_path))
+    rec["deadline"] = _time.time() - 1
+    with open(lease_path, "w") as f:
+        _json.dump(rec, f)
+    new = WriterLease(lease_path, owner="new", ttl_s=60)
+    assert new.acquire()
+    idx_new = CountMinIndex(spark, str(tmp_path / "state"), "user_id", lease=new)
+    idx_new.ingest_batch(rows.withColumn("user_id", F.col("user_id") + 100), 1)
+    want = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx_new.matrix().filter(F.col("n") != 0).collect()
+    }
+
+    with pytest.raises(LeaseLost):
+        idx_old.compact()  # stale fold must NOT publish
+    got = {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx_new.matrix().filter(F.col("n") != 0).collect()
+    }
+    assert got == want  # both batches intact — the stale fold never landed
+    idx_new.compact()  # the live owner's fold still works
+    assert {
+        (r["i"], r["bucket"]): r["n"]
+        for r in idx_new.matrix().filter(F.col("n") != 0).collect()
+    } == want

@@ -128,3 +128,61 @@ def test_release_keeps_fencing_token_monotone(tmp_path):
     assert b.token == 2  # strictly above a's released token
     b.release()
     assert a.acquire() and a.token == 3
+
+
+def test_crashed_mutator_does_not_wedge(tmp_path):
+    """A mutator that dies while holding the mutation mutex must not
+    block the next mutation: flock is kernel-released on process death
+    (the previous mtime orphan-breaker made waiters stall 10 s and
+    could race two breakers into the critical section — ADVICE r4)."""
+    import subprocess
+    import sys as _sys
+
+    path = str(tmp_path / "state.lease")
+    lock = path + ".lock"
+    # simulate a crash mid-mutation: grab the flock and die holding it
+    subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import fcntl, os, sys\n"
+            f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "os._exit(0)\n",  # no unlock, no close — kernel cleans up
+        ],
+        check=True,
+    )
+    t0 = time.time()
+    a = WriterLease(path, owner="a", ttl_s=60)
+    assert a.acquire()  # immediate — no 10 s orphan wait
+    assert time.time() - t0 < 5.0
+
+
+def test_concurrent_takeover_mints_single_token(tmp_path):
+    """The duplicate-fencing-token race the flock mutex closes: many
+    writers racing to take over an expired lease must produce exactly
+    ONE winner at exactly old_token+1."""
+    import threading
+
+    path = str(tmp_path / "state.lease")
+    a = WriterLease(path, owner="a", ttl_s=0.01)
+    assert a.acquire()
+    time.sleep(0.05)  # expire it
+    results: list[tuple[str, int]] = []
+    lock = threading.Lock()
+    start = threading.Barrier(8)
+
+    def contender(i: int) -> None:
+        w = WriterLease(path, owner=f"w{i}", ttl_s=60)
+        start.wait()
+        if w.acquire():
+            with lock:
+                results.append((w.owner, w.token))
+
+    ts = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(results) == 1, f"split-brain: {results}"
+    assert results[0][1] == 2  # exactly one bump past a's token

@@ -687,3 +687,43 @@ def test_bfs_hops_matches_python_bfs(spark, raw_edges, max_depth):
         for r in bfs_hops(spark, edf, source, max_depth=max_depth).collect()
     }
     assert got == set(expect.items())
+
+
+def test_ns_fixture_branch_lossless_and_loud(spark, tmp_path):
+    """catalog.load_table's nanosAsLong branch (exercised by NO shipped
+    fixture — they are all timestamp[us]) must convert µs-aligned ns
+    losslessly and FAIL LOUDLY on real sub-µs precision instead of
+    silently truncating it (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kube_etl_spark.catalog import load_table
+
+    def write_events(dirname, ns_values):
+        d = tmp_path / dirname
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(ns_values)), pa.int64()),
+                "ts": pa.array(ns_values, pa.timestamp("ns")),
+                "user_id": pa.array([1] * len(ns_values), pa.int64()),
+                "event_type": pa.array(["a"] * len(ns_values)),
+                "value": pa.array([0.0] * len(ns_values)),
+                "props": pa.array(["{}"] * len(ns_values)),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    ok = load_table(
+        spark, write_events("ns_ok", [1_700_000_000_123_456_000]), "events"
+    )
+    assert [str(r["ts"]) for r in ok.select("ts").collect()] == [
+        "2023-11-14 22:13:20.123456"
+    ]
+    bad = load_table(
+        spark, write_events("ns_bad", [1_700_000_000_123_456_789]), "events"
+    )
+    with pytest.raises(Exception, match="sub-microsecond"):
+        bad.select("ts").collect()
