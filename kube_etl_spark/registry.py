@@ -38,26 +38,41 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of __spark_entry__.queries() (CORRECTNESS_r01.json was exactly
 # the first 50 registrations in module-import order, which starved whole
 # operator families of a driver-green row). This list pins the window:
-# a curated, all-oracle-backed spread. ROTATION POLICY (ADVICE r2): the
-# window is re-curated each round so queries without a driver hash-green
-# row in ANY prior CORRECTNESS_r*.json get a slot, while a core of
-# family anchors (flagship, reference rule engine, one per §2 family)
-# stays pinned every round so regressions in the load-bearing paths
-# surface immediately. Queries rotated OUT remain covered by the local
-# oracle-parity suite (tests/test_parity.py runs all of them) and keep
+# a curated, all-oracle-backed spread.
+#
+# ROTATION POLICY (mechanical from r5 on — VERDICT r4 #6). Each round
+# the 50 slots are filled in strict priority order:
+#   1. ANCHORS (8): one per load-bearing §2 family — the flagship agg,
+#      the reference rule engine, the round-1 hard-fail, the upsert and
+#      delete-propagation sinks, a pandas UDF, a subquery, a status
+#      write-back. Pinned EVERY round so regressions in the paths
+#      everything else composes with surface immediately.
+#   2. NEWEST-UNPROVEN: every name in ROTATE_NEXT (oracle-backed
+#      queries registered after the previous window filled — the only
+#      queries with NO driver evidence). All of them, every round; the
+#      cap in tests/test_entry.py guarantees they fit.
+#   3. OLDEST-EVIDENCE RE-PINS: remaining slots go to the queries whose
+#      newest driver hash row is the OLDEST (ties broken toward bench
+#      headliners and families named by the current VERDICT), so
+#      shared-helper churn between a query's last external check and
+#      today's code keeps getting re-proven. The re-pin queue lives in
+#      ROTATE_NEXT once the unproven backlog is drained (see below).
+# Constraints (enforced by tests/test_entry.py): every slot
+# oracle-backed; all ten §2 family letters represented; ≥3 streaming-
+# family names. Queries rotated OUT remain covered by the local
+# oracle-parity suite (tests/test_parity.py runs all 193) and keep
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-4 window: 8 pinned anchors + the 35 ROTATE_NEXT names from r3
-# (locally parity-proven, guaranteed a slot this round) + q_join_anti
-# (its only driver row is r01's VACUOUS 0-row green — the de-vacuized
-# r3 reshape has never been driver-hashed) + 6 queries new this round
-# (8+36+6 = 50). With this rotation every oracle-backed query
-# registered through r3 carries a REAL (non-vacuous) driver hash row
-# across r01∪r02∪r03∪r04. Queries rotated OUT all keep ≥1 prior
-# driver-green row and run in the local parity suite every round.
+# Round-5 window: 8 anchors + all 22 r4 ROTATE_NEXT (draining the
+# unproven backlog to ZERO — after this round every oracle-backed
+# query in the registry carries a real driver hash row) + 20 re-pins
+# whose only (or oldest) driver evidence is r01/r02: the full join
+# family, the filter family, the rollup/cube/grouping-sets trio,
+# having/stats aggregates, the tumbling-window streaming twin, and the
+# TPC-H Q3 bench headliner (8+22+20 = 50).
 PRIORITY: tuple[str, ...] = (
-    # pinned anchors — one per §2 family, all driver-green r01-r03
+    # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
     "q_validate_rules",     # P8 — reference rule engine
     "q_array_funcs2",       # F4 — the round-1 hard fail, keep pinned
@@ -66,64 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # rotated IN: the full r3 ROTATE_NEXT backlog
-    "q_retention_cohort",
-    "q_histogram_value",
-    "q_zscore_outliers",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_profile_columns",
-    "q_event_transitions",
-    "q_user_entropy",
-    "q_collapse_runs",
-    "q_cusum_changepoint",
-    "q_rolling_median",
-    "q_anomaly_mad",
-    "q_winsorize",
-    "q_tpch_q17_small_quantity",
-    "q_tpch_q22_idle_balance",
-    "q_dedup_containment",
-    "q_skipgram_cooccur",
-    "q_rfm_segments",
-    "q_copurchase_pairs",
-    "q_revenue_gini",
-    "q_benford_digits",
-    "q_fk_orphans",
-    "q_concurrency_profile",
-    "q_drift_psi",
-    "q_ewma_smoothing",
-    "q_embedding_cohesion",
-    "q_oov_rate",
-    "q_session_stats",
-    "q_order_gap_stats",
-    "q_dup_rate_by_source",
-    "q_tpch_q4_order_priority",
-    "q_pagerank_copurchase",
-    "q_bigram_lm_score",
-    "q_dedup_substring",
-    "q_dedup_simhash_pairs",
-    # rotated IN: r01's 0-row green was vacuous; re-verify the reshape
-    "q_join_anti",
-    # new this round
-    "q_scd2_intervals",
-    "q_market_basket",
-    "q_decile_lift",
-    "q_time_weighted_avg",
-    "q_attribution_last_touch",
-    "q_null_safe_join",
-)
-
-# Oracle-backed queries registered too late in the round to claim one of
-# the 50 driver slots (the window was already fully committed to queries
-# with no prior driver evidence). They are locally parity-tested on
-# registration and hold a GUARANTEED slot in the next round's window —
-# the rotation test in tests/test_entry.py enforces that nothing stays
-# here across rounds once a CORRECTNESS file newer than its registration
-# exists. Empty after the r4 rotation: the entire 35-name r3 backlog is
-# in the r4 window, so every oracle-backed query registered through r3
-# will hold driver hash evidence across r01..r04.
-ROTATE_NEXT: tuple[str, ...] = (
-    # registered after the r4 window filled; guaranteed r5 slots
+    # 2. newest-unproven: the full r4 ROTATE_NEXT backlog (22)
     "q_recursive_cte",
     "q_ngram_novelty",
     "q_cms_heavy_hitters",
@@ -131,7 +89,6 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_triangle_count",
     "q_bitmap_distinct_rollup",
     "q_window_running_distinct",
-    # round-4 second batch (authored after the window shipped)
     "q_weighted_median",
     "q_pareto_concentration",
     "q_percent_of_parent",
@@ -147,6 +104,65 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_seasonality_index",
     "q_time_to_convert",
     "q_audit_constraints",
+    # 3. oldest-evidence re-pins (r01-only except the last two):
+    # three rounds of shared-helper churn (catalog.load_table, session
+    # config, exact.py) sit between their last external check and
+    # today's code (VERDICT r4 #2 names these families explicitly)
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_cross",
+    "q_join_range",
+    "q_filter_conjunction",
+    "q_filter_like_suffix",
+    "q_filter_array_contains",
+    "q_filter_isin",
+    "q_filter_not_contains",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_stats",
+    "q_stream_tumbling",            # ST1 — r02; streaming-slot quota
+    "q_tpch_q3_shipping_priority",  # TPCH — r02; bench headliner
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # r6 re-pin queue: the remaining r01-only evidence (19 names —
+    # fits the next round's ~20 step-3 slots exactly). After r6 every
+    # oracle-backed query's evidence is ≤4 rounds old and the queue
+    # refills from the then-oldest (r02) cohort.
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_percentile",
+    "q_agg_collect",
+    "q_agg_conditional",
+    "q_agg_argmax",
+    "q_project_nested",
+    "q_drop_normalize",
+    "q_case_coalesce_concat",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_hash_funcs",
+    "q_string_funcs2",
+    "q_date_funcs2",
+    "q_conditional_funcs",
+    "q_regex_funcs",
 )
 
 
