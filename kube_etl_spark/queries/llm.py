@@ -278,6 +278,15 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(
         _neardup_corpus(spark, sf_dir, limit=10**9).repartition(n_parts, "doc_id")
     ).localCheckpoint(eager=True)
+    # eager is MEASURED faster here, unlike the iterative-loop sites
+    # where lazy wins: this frame's consumers are CONCURRENT stages
+    # (both sides of the band self-join + the estimate join launch
+    # together), and an unmaterialized lazy checkpoint gets its
+    # partitions recomputed by each in-flight stage — in-flight
+    # computation isn't shared, only completed materialization is.
+    # sf0.1, 3 runs: eager 1.72/1.30/1.20 s vs lazy 1.75/1.52/1.40 s.
+    # Rule of thumb: sequential re-consumption (pagerank rounds) →
+    # lazy; concurrent same-job consumers → eager.
     # Only (doc_id, band, bucket) rides the band shuffle — exploding the
     # shingle arrays 8× would make the "cheap" band shuffles carry the
     # whole corpus 8 times over at the 100 TB target.

@@ -219,9 +219,25 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     # is correct for relative and absolute state paths alike)
     os.symlink(os.path.basename(version), tmp_link)
     os.rename(tmp_link, path)  # atomic publish
+    # Grace GC (VERDICT r4): keep exactly ONE previous version and
+    # delete only older ones. The WriterLease serializes writers, but
+    # a separate READER process that resolved the symlink just before
+    # this publish still holds paths into the previous version dir —
+    # deleting it here would yank files out from under a running job.
+    # With one grace version, a reader survives one concurrent publish
+    # and loses its files only if a SECOND publish lands mid-job (the
+    # documented read contract: resolve-to-read windows must span at
+    # most one publish cycle; see docs/pipelines.md). Everything older
+    # — including crashed publishes' partial version dirs, which the
+    # lease guarantees are ours — is garbage.
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    keep = {os.path.basename(version)}
     if old_target is not None:
-        old_dir = os.path.join(os.path.dirname(path), os.path.basename(old_target))
-        shutil.rmtree(old_dir, ignore_errors=True)
+        keep.add(os.path.basename(old_target))
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}.v-") and d not in keep:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def run_cdc_stream(

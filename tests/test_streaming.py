@@ -1476,9 +1476,12 @@ def test_atomic_overwrite_migrates_plain_directory(spark, tmp_path):
 
     atomic_overwrite(spark.read.parquet(path).filter(F.col("k") < 2), path)
     assert {r["k"] for r in spark.read.parquet(path).collect()} == {0, 1}
-    # only one live version dir remains beside the link
+    # grace GC: the current version plus exactly ONE previous remain
+    # (the immediately-prior version survives so a concurrent reader
+    # outlives one publish); anything older is gone
     vers = [d for d in os.listdir(tmp_path) if d.startswith("table.v-")]
-    assert len(vers) == 1
+    assert len(vers) == 2
+    assert os.path.basename(os.path.realpath(path)) in vers
 
 
 def test_health_listener_and_probe(spark, tmp_path):
@@ -1545,3 +1548,39 @@ def test_health_listener_and_probe(spark, tmp_path):
         assert not ok2 and "stale" in reason2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_atomic_overwrite_grace_gc_survives_one_publish(spark, tmp_path):
+    """The reader-side half of the publish contract (VERDICT r4): the
+    WriterLease serializes writers, but a separate reader process that
+    resolved the symlink just before a publish still holds paths into
+    the previous version dir. atomic_overwrite therefore keeps exactly
+    one previous version: a lazy read over the pre-publish version
+    survives the NEXT publish and loses its files only after the one
+    after that — and each publish prunes everything older, so disk use
+    stays bounded at two versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import atomic_overwrite
+
+    path = str(tmp_path / "table")
+    atomic_overwrite(
+        spark.createDataFrame([(i,) for i in range(10)], "k long"), path
+    )
+    # a concurrent reader resolves the symlink and plans a job over the
+    # concrete version dir (what a second Spark job's file index holds)
+    v0 = os.path.realpath(path)
+    reader = spark.read.parquet(v0).filter(F.col("k") >= 0)
+
+    atomic_overwrite(spark.createDataFrame([(1,)], "k long"), path)
+    assert reader.count() == 10  # one publish later: still readable
+
+    atomic_overwrite(spark.createDataFrame([(2,)], "k long"), path)
+    assert not os.path.exists(v0)  # second publish: v0 is pruned
+    with pytest.raises(Exception):
+        spark.read.parquet(v0).count()
+    # steady state: current + one grace version, never more
+    vers = [d for d in os.listdir(tmp_path) if d.startswith("table.v-")]
+    assert len(vers) == 2
