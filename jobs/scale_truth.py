@@ -1,0 +1,365 @@
+#!/usr/bin/env python
+"""Scale-truth experiment (VERDICT r4 #3): re-measure the LSH margin
+and IVF recall constants one order of magnitude above the 500-doc /
+500-vector fixtures they were tuned on.
+
+Both experiments amplify the sf0.1 fixtures deterministically (no RNG:
+all pseudo-randomness is xxhash64 of ids — rerunning reproduces the
+exact corpus, the same amplification trick as bench.py's skew suite):
+
+  LSH  (--lsh):  documents ×R replicas with per-replica consonant
+      rotation (replicas share almost no shingles), plus injected
+      near-dup pairs spanning the exact-Jaccard range AROUND the
+      J=0.5 output boundary (junk-token suffixes of graded length).
+      Measures, per true-J bucket: banding recall (candidate
+      generation), final pipeline recall, and — the margin claim —
+      how many pairs the estimate-prune tier loses ON TOP of banding
+      (EST_PRUNE=0.28 is sized to lose ~none at 2.5sigma).
+  IVF  (--ivf):  embeddings ×R replicas with small deterministic
+      perturbations, k-means at k≈sqrt(n) (the documented scale
+      sizing, vs the fixture cap k≤16), then top-1 recall vs
+      brute-force cosine for a query sample at a sweep of nprobe —
+      the claim under test is that recall is governed by nprobe/k,
+      not by the fixture's absolute nprobe=2.
+
+Results are recorded in docs/architecture.md §"Scale-truthed
+constants"; this script is the reproducer.
+
+    python jobs/scale_truth.py --lsh --ivf [--replicas N] [--json out]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+
+
+def _spark():
+    from kube_etl_spark.session import get_spark
+
+    return get_spark(app_name="scale-truth")
+
+
+# ---------------------------------------------------------------------------
+# LSH: pair recall at the J=0.5 output boundary, >=50k docs
+# ---------------------------------------------------------------------------
+
+# graded junk-suffix lengths (fraction of the doc's own token count):
+# J ≈ s/(s+m') for s base shingles and m' junk shingles, so these land
+# true J roughly at .88/.72/.59/.50/.41/.30 — brackets the boundary
+_FRACS = (0.12, 0.38, 0.68, 1.0, 1.45, 2.3)
+_DUP_OFF = 500_000  # injected dup id = replica_base + orig + _DUP_OFF
+_REP_OFF = 1_000_000  # replica i ids live at i*_REP_OFF
+
+
+def lsh_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import (
+        _shingles,
+        _tokens,
+        lsh_bands,
+        lsh_estimate_verify,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # per-replica consonant rotation: replica i maps each consonant j
+    # places down the ring, so cross-replica shingle overlap collapses
+    cons = "bcdfghjklmnpqrstvwxz"
+    reps = []
+    for i in range(replicas):
+        rot = cons[i % len(cons) :] + cons[: i % len(cons)]
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + i * _REP_OFF).alias("doc_id"),
+                F.translate("text", cons, rot).alias("text"),
+            )
+        )
+    base = reps[0]
+    for r in reps[1:]:
+        base = base.unionByName(r)
+
+    # inject near-dups: every 20th doc gets a copy with a junk-token
+    # suffix whose length (as a fraction of the doc's tokens) cycles
+    # through _FRACS — deterministic junk from xxhash64(doc_id, j)
+    frac = F.element_at(
+        F.array(*[F.lit(x) for x in _FRACS]),
+        ((F.col("doc_id") % _REP_OFF) / 20 % len(_FRACS) + 1).cast("int"),
+    )
+    m = F.greatest(
+        F.lit(1), F.ceil(frac * F.size(F.split(F.col("text"), " "))).cast("int")
+    )
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.concat(
+                F.lit("q"), (F.abs(F.xxhash64(F.col("doc_id"), j)) % 999983).cast("string")
+            ),
+        ),
+    )
+    dups = (
+        base.filter((F.col("doc_id") % _REP_OFF) % 20 == 0)
+        .select(
+            (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
+        )
+    )
+    corpus = base.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n_docs = corpus.count()
+
+    # ground truth: exact 3-gram Jaccard for each injected pair ONLY
+    # (pair ids are known by construction — no O(n^2) scan)
+    sh = corpus.select("doc_id", _shingles(_tokens(F.col("text"))).alias("s"))
+    truth = (
+        sh.filter(F.col("doc_id") % _REP_OFF >= _DUP_OFF)
+        .select(
+            (F.col("doc_id") - _DUP_OFF).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("s").alias("sb"),
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("true_j"),
+        )
+    )
+    truth_rows = {(r["doc_a"], r["doc_b"]): r["true_j"] for r in truth.collect()}
+
+    # the pipeline, exactly as q_dedup_fuzzy composes it
+    t0 = time.time()
+    sig = minhash_signatures(corpus).localCheckpoint(eager=True)
+    bands = lsh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cand.count()
+    final = lsh_estimate_verify(cand, sig)
+    final_pairs = {(r["doc_a"], r["doc_b"]) for r in final.collect()}
+    wall = time.time() - t0
+    cand_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in cand.join(
+            truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        ).collect()
+    }
+
+    # bucket the injected pairs by true J and score the tiers
+    from collections import defaultdict
+
+    buckets: dict[float, dict] = defaultdict(
+        lambda: {"n": 0, "band_hit": 0, "final_hit": 0, "est_lost": 0}
+    )
+    for pair, j in truth_rows.items():
+        bkt = round(math.floor(j * 20) / 20, 2)  # 0.05-wide buckets
+        s = buckets[bkt]
+        s["n"] += 1
+        in_band = pair in cand_pairs
+        s["band_hit"] += in_band
+        if j >= 0.5:
+            s["final_hit"] += pair in final_pairs
+            s["est_lost"] += in_band and pair not in final_pairs
+    out = {}
+    for bkt in sorted(buckets):
+        s = buckets[bkt]
+        row = {
+            "n_pairs": s["n"],
+            "band_recall": round(s["band_hit"] / s["n"], 4),
+            "band_theory": round(1 - (1 - bkt**4) ** 8, 4),
+        }
+        if bkt >= 0.5:
+            row["final_recall"] = round(s["final_hit"] / s["n"], 4)
+            row["est_tier_losses"] = s["est_lost"]
+        out[str(bkt)] = row
+    return {
+        "n_docs": n_docs,
+        "n_injected_pairs": len(truth_rows),
+        "n_candidates": n_cand,
+        "pipeline_wall_s": round(wall, 2),
+        "buckets": out,
+    }
+
+
+# ---------------------------------------------------------------------------
+# IVF: top-1 recall vs nprobe at k ≈ sqrt(n), >=30k vectors
+# ---------------------------------------------------------------------------
+
+
+def ivf_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot, _kmeans_centroids, assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # replicas with deterministic per-dimension perturbation (±0.035):
+    # keeps the fixture's cluster structure while making every vector
+    # distinct — the dense near-dup clumps a real corpus has
+    reps = []
+    for i in range(replicas):
+        pert = F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda x, d: x
+            + ((F.abs(F.xxhash64(F.col("vec_id"), F.lit(i), d)) % 1000) / 1000.0 - 0.5)
+            * 0.07,
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + i * _REP_OFF).alias("vec_id"),
+                (pert if i else F.col("v")).alias("v"),
+            )
+        )
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    corpus = corpus.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    corpus = corpus.withColumn(
+        "vn", F.transform(F.col("v"), lambda x: x / F.col("norm"))
+    ).localCheckpoint(eager=True)
+    n = corpus.count()
+    k = int(round(math.sqrt(n)))
+
+    t0 = time.time()
+    cents = _kmeans_centroids(
+        spark, corpus.select("vec_id", F.col("vn").alias("v")), k=k
+    )
+    train_wall = time.time() - t0
+    lists = assign_cells(
+        corpus.select("vec_id", "vn"), cents, n=1, vec_col="vn"
+    ).localCheckpoint(eager=True)
+
+    # query sample: 200 deterministic vectors; ground truth by brute
+    # force (cosine == dot on the normalized column)
+    q = corpus.filter(F.col("vec_id") % (n // 200 * 7 + 1) % 157 == 3).limit(200)
+    q = q.select(F.col("vec_id").alias("qid"), F.col("vn").alias("qv"))
+    n_q = q.count()
+    from pyspark.sql import Window
+
+    cos = _dot(F.col("qv"), F.col("vn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    # two difficulty regimes from one corpus:
+    #   easy  — true NN anywhere (usually the query's own perturbed
+    #           replica twin, cosine ≈ .98: the near-dup-dense case);
+    #   cross — true NN restricted to a DIFFERENT original vector
+    #           (replica family excluded): the diffuse case where the
+    #           neighbor can sit across a cell boundary.
+    fam_excl = (F.col("qid") % _REP_OFF) != (F.col("vec_id") % _REP_OFF)
+    scored = (
+        q.crossJoin(corpus.select("vec_id", "vn"))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cos.alias("cos"), fam_excl.alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    truth = {
+        r["qid"]: r["vec_id"]
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    truth_x = {
+        r["qid"]: r["vec_id"]
+        for r in scored.filter("x")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    results = {}
+    for nprobe in (1, 2, 4, 8, 16, 32, int(round(k / 4))):
+        t0 = time.time()
+        probes = assign_cells(
+            q.select(F.col("qid").alias("vec_id"), F.col("qv").alias("vn")),
+            cents,
+            n=nprobe,
+            vec_col="vn",
+        ).select(F.col("vec_id").alias("qid"), "vn", "centroid_id")
+        scored_p = (
+            probes.withColumnRenamed("vn", "qv")
+            .join(lists.select("vec_id", "vn", "centroid_id"), "centroid_id")
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", "vec_id", cos.alias("cos"), fam_excl.alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        got = {
+            r["qid"]: r["vec_id"]
+            for r in scored_p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        got_x = {
+            r["qid"]: r["vec_id"]
+            for r in scored_p.filter("x")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+        rec = sum(1 for qid, v in truth.items() if got.get(qid) == v) / len(truth)
+        rec_x = sum(1 for qid, v in truth_x.items() if got_x.get(qid) == v) / len(
+            truth_x
+        )
+        results[str(nprobe)] = {
+            "recall_at_1": round(rec, 4),
+            "recall_at_1_cross": round(rec_x, 4),
+            "nprobe_over_k": round(nprobe / k, 4),
+            "probe_wall_s": round(time.time() - t0, 2),
+        }
+    return {
+        "n_vectors": n,
+        "k": k,
+        "n_queries": n_q,
+        "kmeans_wall_s": round(train_wall, 2),
+        "by_nprobe": results,
+    }
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lsh", action="store_true")
+    ap.add_argument("--ivf", action="store_true")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+    spark = _spark()
+    out: dict = {"sf_dir": args.sf_dir, "replicas": args.replicas}
+    if args.lsh:
+        out["lsh"] = lsh_experiment(spark, args.sf_dir, args.replicas)
+    if args.ivf:
+        out["ivf"] = ivf_experiment(spark, args.sf_dir, min(args.replicas + 6, 16))
+    line = json.dumps(out)
+    print(line)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -315,7 +315,12 @@ def lsh_estimate_verify(cand: DataFrame, sig_state: DataFrame) -> DataFrame:
          OUTPUT threshold (J=0.5), the worst-kept pair: est-J there has
          σ=sqrt(0.5·0.5/32)≈0.088, so a 0.28 cutoff keeps ~2.5σ of
          headroom even for borderline true positives (a 0.35 cutoff
-         left only ~1.7σ ⇒ ~4% silent false-negative rate at J≈0.5);
+         left only ~1.7σ ⇒ ~4% silent false-negative rate at J≈0.5).
+         Scale-truthed r5 (jobs/scale_truth.py, 52.5k docs, 2.5k
+         injected pairs spanning J 0.25-0.9): the estimate tier lost
+         ZERO pairs beyond banding in every J bucket — the margin
+         holds at 105× the corpus it was tuned on (docs/
+         architecture.md §"Scale-truthed constants");
       2. exact-Jaccard on the survivors only, joining the (heavy)
          shingle arrays just for that small set.
 
@@ -743,6 +748,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 2) -> DataFrame:
     # lists on diffuse data destroy recall (measured: k=16 on the
     # 500-vector fixture halves top-1 recall vs k=8). Real deployments
     # scale k ~ sqrt(n) with larger nprobe; the plumbing is identical.
+    # Scale-truthed r5 (jobs/scale_truth.py, 32k vectors, k=√n=179):
+    # diffuse-query recall is governed by the nprobe/k RATIO, not by
+    # absolute nprobe — ratio 1/4 gives 0.88 recall@1 at 32k (vs ~0.5
+    # at fixture scale, same ratio: fixed-ratio recall IMPROVES with
+    # n), and near-dup-dense workloads hit 1.0 from nprobe=2 at any k.
+    # Sizing rule: k ~ √n; nprobe ≈ k/4 diffuse, 2 near-dup-dense.
     # Corpus size comes from parquet footer metadata (table stats), not
     # an extra full pass over the embedding table.
     n = table_rowcount(sf_dir, "embeddings")
