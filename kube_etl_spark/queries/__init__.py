@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     commerce,
     filters,
     functions,
+    growth,
     joins,
     llm,
     mediaq,

