@@ -3445,3 +3445,188 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    tags=("L2",),
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id < 120 AND doc_id % 5 != 0
+),
+inc AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id < 120 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, string_split(text || ' qq zz', ' ') FROM documents
+  WHERE doc_id < 40 AND doc_id % 5 != 0
+),
+cs AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM corpus),
+ix AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM inc),
+cand AS (
+  SELECT i.doc_id AS iid, c.doc_id AS cid,
+         len(list_intersect(i.s, c.s)) AS inter,
+         len(i.s) + len(c.s) - len(list_intersect(i.s, c.s)) AS un
+  FROM ix i JOIN cs c ON len(list_intersect(i.s, c.s)) > 0
+),
+j AS (
+  SELECT iid, cid, (inter * 10000) // un AS j4
+  FROM cand WHERE (inter * 10000) // un >= 5000
+),
+best AS (
+  SELECT iid, cid, j4,
+         ROW_NUMBER() OVER (PARTITION BY iid ORDER BY j4 DESC, cid) AS rn
+  FROM j
+)
+SELECT i.doc_id AS inc_doc_id,
+       CAST(len(i.s) AS BIGINT) AS n_shingles,
+       b.cid IS NOT NULL AS is_dup,
+       CAST(COALESCE(b.cid, -1) AS BIGINT) AS best_match,
+       CAST(COALESCE(b.j4, 0) AS DOUBLE) / 10000.0 AS best_j
+FROM ix i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.iid
+ORDER BY inc_doc_id
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f: incremental dedup screen — the DAILY-BATCH shape of fuzzy
+    dedup: a new crawl increment is checked against the EXISTING corpus
+    only (never within itself, never corpus-vs-corpus), emitting one
+    verdict row per increment doc: is it a near-dup (3-gram Jaccard ≥
+    0.5) of anything already held, and of what. This is the pipeline
+    op production dedup actually runs every day; the full-corpus pair
+    queries (q_dedup_ngram_jaccard etc.) are its backfill/bootstrap.
+
+    Candidate generation is an INVERTED-INDEX join, not all-pairs: the
+    corpus's distinct shingles explode to (shingle → doc) postings, the
+    increment's shingles probe them, and the (inc, corpus) intersection
+    count falls out of one groupBy over the postings join — pairs
+    sharing zero shingles are never materialized, which is exactly the
+    oracle's `len(list_intersect) > 0` join condition, so the pruning
+    is LOSSLESS by construction (a pair with J ≥ 0.5 shares ≥1
+    shingle). Union size is |A| + |B| − inter from the two hoisted
+    array sizes — the shingle arrays themselves never ride the
+    postings shuffle, only (doc_id, size, shingle) rows.
+
+    Scale (100 TB): the postings join is the standard sharded inverted
+    index — shuffle keyed on shingle, per-shingle fanout = its corpus
+    DF. Hot (boilerplate) shingles are the skew risk: the production
+    path drops shingles with DF > τ from candidate generation *and*
+    tightens the threshold accordingly, or LSH-prunes first
+    (q_dedup_fuzzy's banding); at fixture scale no cap is applied so
+    the query stays exactly ≡ the brute-force oracle. Increment docs
+    with < 3 tokens have empty shingle sets and surface as non-dups
+    (the guarded-shingle contract).
+
+    Determinism: intersection/union are integer counts over distinct
+    shingle sets; J is 4dp floor integer math; best-match ties break
+    (J desc, corpus id asc) — total order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    in_range = F.col("doc_id") < 120
+    corpus = docs.filter(in_range & (F.col("doc_id") % 5 != 0))
+    inc = docs.filter(in_range & (F.col("doc_id") % 5 == 0)).unionByName(
+        docs.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 5 != 0)).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+    cs = corpus.select(
+        F.col("doc_id").alias("cid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    ix = inc.select(
+        F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    ixz = ix.select("iid", "s", F.size("s").alias("na"))
+    post_c = cs.select("cid", F.size("s").alias("nb"), F.explode("s").alias("sh"))
+    post_i = ixz.select("iid", "na", F.explode("s").alias("sh"))
+    cand = (
+        post_i.join(post_c, "sh")
+        .groupBy("iid", "cid", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        cand.withColumn("un", F.expr("na + nb - inter"))
+        .withColumn("j4", F.expr("(inter * 10000) DIV un"))
+        .filter(F.col("j4") >= 5000)
+    )
+    w_best = Window.partitionBy("iid").orderBy(F.col("j4").desc(), F.col("cid"))
+    best = (
+        j.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(F.col("iid").alias("bid"), "cid", "j4")
+    )
+    return (
+        ixz.join(best, ixz["iid"] == best["bid"], "left")
+        .select(
+            F.col("iid").alias("inc_doc_id"),
+            F.col("na").cast("bigint").alias("n_shingles"),
+            F.col("cid").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("cid"), F.lit(-1)).cast("bigint").alias("best_match"),
+            (F.coalesce(F.col("j4"), F.lit(0)).cast("double") / 10000.0).alias("best_j"),
+        )
+        .orderBy("inc_doc_id")
+    )
+
+
+@query(
+    "q_sample_user_consistent",
+    tags=("L4", "A10"),
+    oracle="""
+WITH tagged AS (
+  SELECT event_type, user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') AS sampled
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+       CAST(COUNT(DISTINCT CASE WHEN sampled THEN user_id END) AS BIGINT)
+         AS n_users_sampled,
+       CAST((COUNT(*) FILTER (WHERE sampled)) * 10000 // COUNT(*) AS DOUBLE)
+         / 10000.0 AS sampled_share
+FROM tagged GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_sample_user_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): entity-consistent sampling — a ~25% sample drawn at
+    the USER grain (md5 of the id, first hex digit in 0..3): every
+    event of a sampled user is kept, every event of an unsampled user
+    dropped. The all-or-nothing property is what row sampling
+    (q_sample) destroys and sequence/session analyses require — a row
+    sample of 25% leaves no user with a complete session, an entity
+    sample leaves 25% of users with ALL of theirs. Same determinism
+    trick as q_split_train_test's content-hash split, applied to the
+    entity key; emitted as the per-event-type audit (total vs sampled
+    rows + sampled-user counts + achieved rate vs the nominal 4/16).
+
+    Scale shape: the sample flag is a pure map-side hash — no joins,
+    no state, any worker can evaluate it on any row (the property that
+    lets a 1000-executor scan sample consistently with zero
+    coordination); the audit agg is event-type-sized."""
+    sampled = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", sampled.alias("sampled"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.countDistinct(F.when(F.col("sampled"), F.col("user_id")))
+            .cast("bigint")
+            .alias("n_users_sampled"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_sampled",
+            "n_users_sampled",
+            F.expr("CAST((n_sampled * 10000) DIV n_total AS DOUBLE) / 10000.0").alias(
+                "sampled_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

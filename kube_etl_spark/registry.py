@@ -172,6 +172,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_window_ntile_cume",
     "q_partition_pruned_scan",
     "q_schema_evolution_read",
+    "q_dedup_incremental",
+    "q_sample_user_consistent",
 )
 
 
