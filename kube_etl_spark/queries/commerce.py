@@ -911,3 +911,107 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("part"), F.col("dist").alias("hops"))
         .orderBy("part")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    tags=("A1", "W4", "EXT"),
+    oracle="""
+WITH fo AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+),
+coh AS (
+  SELECT o_custkey, CAST(year(first_dt) AS BIGINT) AS cy,
+         CAST(month(first_dt) AS BIGINT) AS cm
+  FROM fo
+),
+csize AS (SELECT cy, cm, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM coh GROUP BY 1, 2),
+rev AS (
+  SELECT c.cy, c.cm,
+         CAST((year(o.o_orderdate) - c.cy) * 12
+              + (month(o.o_orderdate) - c.cm) AS BIGINT) AS age_m,
+         CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+  FROM orders o JOIN coh c ON o.o_custkey = c.o_custkey
+),
+agg AS (
+  SELECT cy, cm, age_m, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM rev GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT cy, cm, age_m,
+         CAST(SUM(cents) OVER (PARTITION BY cy, cm ORDER BY age_m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM agg
+)
+SELECT c.cy AS cohort_yr, c.cm AS cohort_mon, c.age_m,
+       s.n_customers,
+       CAST((c.cum_cents * 100) // s.n_customers AS DOUBLE) / 10000.0
+         AS ltv_usd
+FROM cum c JOIN csize s ON c.cy = s.cy AND c.cm = s.cm
+ORDER BY cohort_yr, cohort_mon, age_m
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 5): cohort lifetime-value curve — customers grouped
+    by first-order month, cumulative revenue per customer tracked by
+    months-since-acquisition. THE growth-finance query (payback period,
+    LTV/CAC) and the revenue-weighted complement of q_retention_cohort's
+    headcount matrix.
+
+    Determinism: exact cents throughout; the cumulative sum runs over
+    the (cohort, age) AGGREGATE (age is a total order within cohort —
+    no peer ambiguity), and per-customer LTV is 4dp floor integer math.
+
+    Scale shape: the first-order frame rides one hashpartition
+    (o_custkey) agg, joins back to orders co-partitioned on the same
+    key (no broadcast needed — both sides custkey-keyed), collapses
+    map-side to |cohorts × ages| (≤ 80×80) rows, and the cumulative
+    window + cohort-size join run on that tiny frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    coh = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_dt"))
+        .select(
+            "o_custkey",
+            F.year("first_dt").cast("bigint").alias("cy"),
+            F.month("first_dt").cast("bigint").alias("cm"),
+        )
+    )
+    csize = coh.groupBy("cy", "cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = orders.join(coh, "o_custkey").select(
+        "cy",
+        "cm",
+        (
+            (F.year("o_orderdate").cast("bigint") - F.col("cy")) * 12
+            + (F.month("o_orderdate").cast("bigint") - F.col("cm"))
+        ).alias("age_m"),
+        "cents",
+    )
+    agg = rev.groupBy("cy", "cm", "age_m").agg(F.sum("cents").alias("cents"))
+    w_cum = Window.partitionBy("cy", "cm").orderBy("age_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = agg.select(
+        "cy", "cm", "age_m", F.sum("cents").over(w_cum).cast("bigint").alias("cum_cents")
+    )
+    return (
+        cum.join(F.broadcast(csize), ["cy", "cm"])
+        .selectExpr(
+            "cy AS cohort_yr",
+            "cm AS cohort_mon",
+            "age_m",
+            "n_customers",
+            "CAST((cum_cents * 100) DIV n_customers AS DOUBLE) / 10000.0 AS ltv_usd",
+        )
+        .orderBy("cohort_yr", "cohort_mon", "age_m")
+    )

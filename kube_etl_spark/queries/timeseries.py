@@ -1036,3 +1036,127 @@ def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow_iso", "hr")
     )
+
+
+@query(
+    "q_gapfill_interpolate",
+    tags=("ST", "W5", "EXT"),
+    oracle="""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hv AS (SELECT user_id, hour, cents FROM b WHERE rn = 1),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM b GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+  FROM span
+),
+g AS (
+  SELECT g.user_id, g.hour, hv.cents,
+         CAST(epoch(g.hour) AS BIGINT) // 3600 AS hr
+  FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.hour = hv.hour
+),
+f AS (
+  SELECT user_id, hour, cents, hr,
+         LAST_VALUE(cents IGNORE NULLS) OVER wp AS prev_c,
+         LAST_VALUE(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wp AS prev_h,
+         FIRST_VALUE(cents IGNORE NULLS) OVER wn AS next_c,
+         FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER wn AS next_h
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, CAST(hour AS TIMESTAMP_NS) AS hour,
+       cents IS NULL AS is_gap,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents * 100
+                 ELSE ((prev_c * (next_h - prev_h)
+                        + (next_c - prev_c) * (hr - prev_h)) * 100)
+                      // (next_h - prev_h) END AS DOUBLE) / 10000.0
+         AS value_interp
+FROM f ORDER BY user_id, hour
+""",
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 5): dense hourly gap-fill with LINEAR INTERPOLATION —
+    the hypertable `interpolate()` complement of q_gapfill_locf (LOCF
+    holds the last reading flat; interpolation draws the line between
+    the bracketing readings — the right fill for continuously-varying
+    measurements vs LOCF's right fill for state). Same per-user grid
+    contract as LOCF: buckets span each user's own activity window, so
+    every grid row has both a preceding and a following observation
+    (the span endpoints are observed hours) and no edge NULLs exist.
+
+    Determinism: observations are exact cents; hour positions are
+    epoch-hour integers used only as DIFFERENCES (any constant
+    session-zone offset cancels); the interpolated value is one floor
+    integer division of an integer numerator — prev·(nh−ph) +
+    (Δc)·(h−ph) — per row, emitted at 4dp USD. Gap rows are strictly
+    between observations so the divisor is ≥ 1 by construction.
+
+    Scale shape: identical exchange family to q_gapfill_locf — hour
+    pick, span agg, grid explode, and BOTH fill windows all keyed on
+    user_id (the forward window adds no exchange: same partitioning,
+    opposite frame). No Python, no corpus-wide grid."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w_pick = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hv = (
+        b.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "cents")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    g = grid.join(hv, ["user_id", "hour"], "left").withColumn(
+        "hr", F.expr("unix_timestamp(hour) DIV 3600")
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_hr = F.when(F.col("cents").isNotNull(), F.col("hr"))
+    f = g.select(
+        "user_id",
+        "hour",
+        "cents",
+        "hr",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_hr, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    return f.select(
+        "user_id",
+        "hour",
+        F.col("cents").isNull().alias("is_gap"),
+        F.expr(
+            "CAST(CASE WHEN cents IS NOT NULL THEN cents * 100"
+            " ELSE ((prev_c * (next_h - prev_h)"
+            "        + (next_c - prev_c) * (hr - prev_h)) * 100)"
+            "      DIV (next_h - prev_h) END AS DOUBLE) / 10000.0"
+        ).alias("value_interp"),
+    ).orderBy("user_id", "hour")

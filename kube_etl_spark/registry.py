@@ -174,6 +174,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_schema_evolution_read",
     "q_dedup_incremental",
     "q_sample_user_consistent",
+    "q_gapfill_interpolate",
+    "q_cohort_ltv",
 )
 
 
