@@ -487,3 +487,126 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tier").asc_nulls_first())
     )
+
+
+@query(
+    "q_join_nearest_event",
+    tags=("J10", "EXT"),
+    oracle="""
+WITH clk AS (
+  SELECT user_id, ts AS cts, MIN(event_id) AS cid
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+cand AS (
+  SELECT e.event_id, e.user_id, c.cid,
+         abs(epoch_us(c.cts) - epoch_us(e.ts)) AS adt,
+         CAST(epoch_us(c.cts) <= epoch_us(e.ts) AS INT) AS is_before,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+           ORDER BY abs(epoch_us(c.cts) - epoch_us(e.ts)) ASC,
+                    CAST(epoch_us(c.cts) <= epoch_us(e.ts) AS INT) DESC,
+                    c.cid ASC) AS rn
+  FROM err e JOIN clk c USING (user_id)
+)
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(b.cid, -1) AS BIGINT) AS nearest_click,
+       CAST(COALESCE(b.adt, -1) AS BIGINT) AS dt_us,
+       CASE WHEN b.cid IS NULL THEN 'none'
+            WHEN b.is_before = 1 THEN 'before'
+            ELSE 'after' END AS direction
+FROM err e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b USING (event_id)
+ORDER BY e.event_id
+""",
+)
+def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10b: nearest-event join — each error is matched to the CLOSEST
+    click by the same user in EITHER time direction (as-of joins look
+    only backward; log/diagnostic correlation wants the nearest
+    neighbor, before or after). Ties at equal distance resolve to the
+    earlier (before) click; same-µs clicks are pre-deduped to the
+    lowest event_id so every pick is a total order.
+
+    Implemented scale-first with the q_join_asof union-carry trick run
+    in BOTH directions over one sort: tag clicks and errors, one
+    shuffle on user_id ordered by (µs, kind) — clicks sort before
+    same-instant errors, so the backward frame sees them and the
+    forward frame does not (no double count) — then `last(ignorenulls)`
+    carries the previous click and `first(ignorenulls)` over the
+    mirrored frame carries the next one. No row explosion: the
+    inequality-join-then-argmin alternative the oracle runs is
+    O(|errors| × |clicks per user|) and dies at 100 TB; this plan is
+    two window passes over ONE exchange.
+
+    Determinism: distances are exact µs integer differences (the
+    q_time_to_convert unix_micros pattern); the before/after choice is
+    dt_before <= dt_after on integers."""
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("cid"))
+        .select("user_id", F.expr(us).alias("t_us"), "cid")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.expr(us).alias("t_us"), F.col("event_id")
+    )
+    tagged = clk.select(
+        "user_id",
+        "t_us",
+        F.lit(0).alias("is_err"),
+        F.lit(None).cast("long").alias("event_id"),
+        "cid",
+        F.col("t_us").alias("c_us"),
+    ).unionByName(
+        err.select(
+            "user_id",
+            "t_us",
+            F.lit(1).alias("is_err"),
+            "event_id",
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("long").alias("c_us"),
+        )
+    )
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_err")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "is_err")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = (
+        tagged.withColumn("prev_c", F.last("cid", ignorenulls=True).over(w_b))
+        .withColumn("prev_t", F.last("c_us", ignorenulls=True).over(w_b))
+        .withColumn("next_c", F.first("cid", ignorenulls=True).over(w_f))
+        .withColumn("next_t", F.first("c_us", ignorenulls=True).over(w_f))
+        .filter(F.col("is_err") == 1)
+    )
+    take_before = F.col("prev_c").isNotNull() & (
+        F.col("next_c").isNull()
+        | ((F.col("t_us") - F.col("prev_t")) <= (F.col("next_t") - F.col("t_us")))
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(take_before, F.col("prev_c"))
+        .otherwise(F.coalesce(F.col("next_c"), F.lit(-1)))
+        .cast("bigint")
+        .alias("nearest_click"),
+        F.when(take_before, F.col("t_us") - F.col("prev_t"))
+        .otherwise(
+            F.coalesce(F.col("next_t") - F.col("t_us"), F.lit(-1))
+        )
+        .cast("bigint")
+        .alias("dt_us"),
+        F.when(take_before, F.lit("before"))
+        .when(F.col("next_c").isNotNull(), F.lit("after"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    ).orderBy("event_id")

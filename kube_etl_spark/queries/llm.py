@@ -3630,3 +3630,82 @@ def q_sample_user_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_dedup_savings",
+    tags=("L1", "A10"),
+    oracle="""
+WITH aug AS (
+  SELECT doc_id, source, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, source, n_chars, text FROM documents WHERE doc_id < 50
+),
+k AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_saved,
+       CAST((SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) * 10000)
+            // SUM(n_chars) AS DOUBLE) / 10000.0 AS savings_share
+FROM k GROUP BY source ORDER BY source
+""",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1b: dedup impact report — BEFORE running a destructive dedup,
+    quantify what it would remove: per source, how many docs are
+    non-canonical exact copies (keep-first by doc_id within each
+    content-hash group) and how many characters of storage/compute the
+    dedup saves. The go/no-go artifact a data owner reads before
+    approving the pipeline change; rides the same content-hash shuffle
+    as q_dedup_exact (same +100000 fixture augmentation so every SF has
+    duplicates to count).
+
+    Scale shape: one shuffle keyed on the 16-byte digest for the
+    keep-first rank, one source-sized rollup; text never rides a wire
+    (the hash is computed at the scan and only (digest, doc_id, source,
+    n_chars) shuffles).
+
+    Determinism: integer counts/sums + 4dp floor share; rank order is
+    (hash, doc_id) — total."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "n_chars", "text"
+        )
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    k = aug.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_dup_docs",
+            "chars_saved",
+            F.expr(
+                "CAST((chars_saved * 10000) DIV n_chars AS DOUBLE) / 10000.0"
+            ).alias("savings_share"),
+        )
+        .orderBy("source")
+    )

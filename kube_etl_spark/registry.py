@@ -176,6 +176,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_sample_user_consistent",
     "q_gapfill_interpolate",
     "q_cohort_ltv",
+    "q_join_nearest_event",
+    "q_dedup_savings",
 )
 
 
