@@ -865,3 +865,15 @@ def test_schema_evolution_read_backfills_nulls(spark):
     assert field.nullable, "evolved column must be nullable for legacy files"
     legacy_nulls = merged.filter(F.col("channel").isNull()).count()
     assert legacy_nulls > 0, "legacy batch lost its NULL backfill"
+
+
+def test_nearest_event_join_is_joinless(spark):
+    """q_join_nearest_event's bidirectional match must compile to the
+    union-carry shape — window carries over one user-keyed sort, ZERO
+    join operators (the O(|errors|·|clicks per user|) argmin join is
+    exactly what the implementation exists to avoid)."""
+    plan = _plan(spark, "q_join_nearest_event")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"nearest-event match regressed to a {node}"
+    assert plan.count("Window") >= 1
