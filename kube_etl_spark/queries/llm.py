@@ -3709,3 +3709,105 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_knn_quantized",
+    tags=("L3",),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+  FROM e
+),
+qv AS (
+  SELECT vec_id, sc,
+         CASE WHEN sc = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+         END AS q
+  FROM s
+),
+p AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         ROUND((a.sc * b.sc) * CAST(list_sum(
+            list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))
+            AS DOUBLE), 4) AS adc
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+),
+r AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+  FROM p
+)
+SELECT qid, CAST(rn AS BIGINT) AS rank, cid, adc
+FROM r WHERE rn <= 3 ORDER BY qid, rank
+""",
+)
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: int8-quantized MIPS retrieval (asymmetric distance) — the
+    memory-bound production ANN mode: corpus vectors stored as int8
+    codes + one scale (4 bytes/dim → 1 byte/dim, 4× more corpus per
+    executor page), probes compared via the INTEGER dot product of the
+    codes, rescaled by the two per-vector scales. Same probe set and
+    top-k contract as q_knn_cosine (the float twin), so overlap between
+    the two IS the quantization-recall measurement
+    (tests/test_dedup.py pins it).
+
+    Determinism: quantization is floor(x/scale + 0.5) — one double
+    division + floor per element, identical ops both engines; the code
+    dot product is an exact BIGINT fold; the final score is the
+    3-factor product in one parenthesized order, ranked 4dp-rounded
+    with vec_id tie-break (the q_knn_cosine pattern).
+
+    Scale shape: probes broadcast over one corpus scan, exactly like
+    the float path — but the scan ships int8 codes (the point); at
+    100 TB the IVF cell-pruning (q_knn_ivf) composes on top: probe →
+    nprobe cells → ADC within cells. No Python anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    s = emb.withColumn(
+        "sc", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    )
+    qv = s.select(
+        "vec_id",
+        "sc",
+        F.when(
+            F.col("sc") == 0,
+            F.transform("v", lambda x: F.lit(0).cast("bigint")),
+        )
+        .otherwise(
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("sc") + F.lit(0.5)).cast("bigint")
+            )
+        )
+        .alias("q"),
+    )
+    probes = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("sc").alias("sp"), F.col("q").alias("qp")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("qp"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    p = (
+        qv.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.round((F.col("sp") * F.col("sc")) * qdot.cast("double"), 4).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", F.col("rn").cast("bigint").alias("rank"), "cid", "adc")
+        .orderBy("qid", "rank")
+    )

@@ -178,6 +178,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_cohort_ltv",
     "q_join_nearest_event",
     "q_dedup_savings",
+    "q_knn_quantized",
 )
 
 

