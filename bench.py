@@ -61,6 +61,23 @@ _OBJECT_BASELINE: dict[str, dict[str, float]] = {
     "neardup": {"ingest_per_batch_flat": 1.7736, "ingest_per_batch_bucketed": 2.1628},
 }
 
+# First-measured sf0.1 baselines for headliner QUERIES added after r1
+# (BASELINE.md §2 r3/r4/r5 tables; r1 queries are covered by vs_r01) —
+# emitted as "vs_baseline_queries" so every headliner carries a
+# mechanical ratio against its own first measurement, not just the
+# r1-era subset.
+_QUERY_BASELINE: dict[str, float] = {
+    "q_bm25_topk": 0.87,
+    "q_dedup_fuzzy": 1.45,
+    "q_hybrid_rrf": 1.48,
+    "q_scd2_intervals": 1.88,
+    "q_ngram_novelty": 2.52,
+    "q_triangle_count": 4.71,
+    "q_attribution_linear": 0.76,
+    "q_gapfill_interpolate": 2.76,
+    "q_knn_quantized": 0.68,
+}
+
 
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -473,7 +490,13 @@ def main() -> None:
     # object-level regression ratios vs the first-measured baselines
     # (only meaningful at the baseline's sf0.1 scale)
     vs_baseline: dict[str, dict[str, float]] = {}
+    vs_baseline_queries: dict[str, float] = {}
     if sf == 0.1:
+        vs_baseline_queries = {
+            n: round(timings[n] / b, 3)
+            for n, b in _QUERY_BASELINE.items()
+            if timings.get(n)
+        }
         measured = {
             "skew": skew,
             "udf": udf,
@@ -499,6 +522,7 @@ def main() -> None:
                 "sf": sf,
                 "vs_r01": vs_r01,
                 "vs_baseline": vs_baseline,
+                "vs_baseline_queries": vs_baseline_queries,
                 "skew": skew,
                 "udf": udf,
                 "index": index,

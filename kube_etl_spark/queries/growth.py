@@ -229,6 +229,7 @@ def q_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_attribution_linear",
+    bench=True,
     tags=("J8", "A10", "EXT"),
     oracle=f"""
 WITH purch AS (

@@ -576,16 +576,23 @@ def q_join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_us", "is_err")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # forward carry = backward carry over the REVERSED total order:
+    # Spark's (CURRENT ROW, UNBOUNDED FOLLOWING) frame re-scans the
+    # partition tail per row — O(n²) per user (measured 10× on the
+    # gapfill grid); the mirrored UnboundedPreceding frame streams in
+    # O(n). (t_us desc, is_err desc) is the exact mirror of the asc
+    # order, so same-instant clicks stay OUT of the forward frame and
+    # IN the backward one, as before.
     w_f = (
         Window.partitionBy("user_id")
-        .orderBy("t_us", "is_err")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("t_us").desc(), F.col("is_err").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (
         tagged.withColumn("prev_c", F.last("cid", ignorenulls=True).over(w_b))
         .withColumn("prev_t", F.last("c_us", ignorenulls=True).over(w_b))
-        .withColumn("next_c", F.first("cid", ignorenulls=True).over(w_f))
-        .withColumn("next_t", F.first("c_us", ignorenulls=True).over(w_f))
+        .withColumn("next_c", F.last("cid", ignorenulls=True).over(w_f))
+        .withColumn("next_t", F.last("c_us", ignorenulls=True).over(w_f))
         .filter(F.col("is_err") == 1)
     )
     take_before = F.col("prev_c").isNotNull() & (

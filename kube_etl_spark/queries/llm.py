@@ -3713,6 +3713,7 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_knn_quantized",
+    bench=True,
     tags=("L3",),
     oracle="""
 WITH e AS (

@@ -1040,6 +1040,7 @@ def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_gapfill_interpolate",
+    bench=True,
     tags=("ST", "W5", "EXT"),
     oracle="""
 WITH b AS (
@@ -1135,8 +1136,15 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_prev = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    w_next = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
-        0, Window.unboundedFollowing
+    # The forward carry is expressed as a BACKWARD carry over the
+    # DESCENDING hour order, not first() over (CURRENT ROW, UNBOUNDED
+    # FOLLOWING): Spark's UnboundedFollowing frame re-scans the rest of
+    # the partition for EVERY row — O(n²) per user, measured 24 s vs
+    # 2.4 s at sf0.1 (1.05 M grid rows). The reversed UnboundedPreceding
+    # frame is the O(n) streaming accumulator; hours are unique per user
+    # so the reversed order is the exact mirror.
+    w_next = Window.partitionBy("user_id").orderBy(F.col("hour").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     obs_hr = F.when(F.col("cents").isNotNull(), F.col("hr"))
     f = g.select(
@@ -1146,8 +1154,8 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hr",
         F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
         F.last(obs_hr, ignorenulls=True).over(w_prev).alias("prev_h"),
-        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
-        F.first(obs_hr, ignorenulls=True).over(w_next).alias("next_h"),
+        F.last("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.last(obs_hr, ignorenulls=True).over(w_next).alias("next_h"),
     )
     return f.select(
         "user_id",

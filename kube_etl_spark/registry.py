@@ -140,10 +140,10 @@ PRIORITY: tuple[str, ...] = (
 #      hash row is the oldest, pre-curated for the next round's step-3
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
-    # r6 re-pin queue: the remaining r01-only evidence (19 names —
-    # fits the next round's ~20 step-3 slots exactly). After r6 every
-    # oracle-backed query's evidence is ≤4 rounds old and the queue
-    # refills from the then-oldest (r02) cohort.
+    # r6 queue = 19 oldest-evidence re-pins (r01-only names, below) +
+    # the 14 round-5 widening queries (newest-unproven, appended).
+    # 8 anchors + 33 = 41 window slots; the ~9 remaining r6 slots go
+    # to the then-oldest (r02) cohort at curation time.
     "q_agg_global",
     "q_agg_count_distinct",
     "q_agg_percentile",

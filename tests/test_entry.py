@@ -101,3 +101,25 @@ def test_operator_catalog_in_sync():
 
     with open(_DOC) as f:
         assert f.read() == render(), "docs/operators.md is stale — run `make catalog`"
+
+
+def test_bench_query_baselines_cover_headliners():
+    """Every post-r1 headliner must carry a first-measured baseline in
+    bench.py's _QUERY_BASELINE (else its vs_baseline_queries ratio
+    silently vanishes and a regression hides), and every baseline key
+    must still BE a registered headliner (else the row is stale)."""
+    import bench
+
+    from kube_etl_spark.registry import bench_specs
+
+    headliners = set(bench_specs())
+    r01_covered = {
+        "q_agg_groupby", "q_dedup_exact", "q_join_inner", "q_join_star",
+        "q_knn_cosine", "q_stream_tumbling", "q_text_stats",
+        "q_window_topk_group", "q_tpch_q3_shipping_priority",
+    }
+    baselined = set(bench._QUERY_BASELINE)
+    missing = headliners - r01_covered - baselined
+    assert not missing, f"headliners with no first-measured baseline: {missing}"
+    stale = baselined - headliners
+    assert not stale, f"baseline rows for non-headliners: {stale}"
