@@ -10,10 +10,25 @@ re-executes N times and whose plan text grows exponentially).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from kube_etl_spark.registry import all_specs
 from .conftest import SMOKE_SF
+
+# A window frame that ENDS at UNBOUNDED FOLLOWING but does not START at
+# UNBOUNDED PRECEDING (e.g. rowsBetween(0, unboundedFollowing)) is
+# evaluated by Spark's UnboundedFollowingWindowFunctionFrame, which
+# re-scans the partition tail for EVERY row — O(n²) per partition
+# (measured: 24 s vs 2.76 s on the 1 M-row gapfill grid). The whole-
+# partition frame (unboundedpreceding, unboundedfollowing) is a single
+# O(n) aggregate buffer and is allowed. Express forward carries as
+# backward carries over the reversed order instead.
+_QUADRATIC_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,"
+    r" (?!unboundedpreceding\$\(\))[^,]*(?:\$\(\))?, unboundedfollowing\$\(\)\)"
+)
 
 # Row-at-a-time Python UDFs are the declared slow-path surface of
 # exactly these operators (U1 scalar UDF, U4 UDTF) — anywhere else a
@@ -42,6 +57,12 @@ def _fails(name, plan: str) -> list[str]:
         and not name.startswith(ARROW_ALLOWED_PREFIXES)
     ):
         out.append("Arrow/pandas exec outside the declared surfaces")
+    if _QUADRATIC_FRAME.search(plan):
+        out.append(
+            "O(n²) window frame: ends at UNBOUNDED FOLLOWING without "
+            "starting at UNBOUNDED PRECEDING — mirror it as a backward "
+            "carry over the reversed order"
+        )
     n_exch = plan.count("Exchange")
     if n_exch > MAX_EXCHANGES:
         out.append(f"{n_exch} exchanges (lineage blowup?)")
