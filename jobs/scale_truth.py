@@ -205,6 +205,173 @@ def lsh_experiment(spark, sf_dir: str, replicas: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Incremental screen: inverted-index dedup of a new batch vs >=50k corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for q_dedup_incremental's inverted-index screen
+    (round 5): at replicas x 5,000 corpus docs, (a) the screen must
+    stay LOSSLESS — every injected pair with true 3-gram J >= 0.5 must
+    surface as is_dup on the increment side; (b) novel docs (disjoint
+    consonant rotation) must stay clean; (c) the hot-shingle DF
+    distribution and the effect of the df_cap skew valve are measured:
+    candidate reduction bought vs true pairs lost (claimed ~zero at
+    cap=100 because near-dup pairs share many RARE shingles, not only
+    boilerplate)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import (
+        _shingles,
+        _tokens,
+        incremental_screen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cons = "bcdfghjklmnpqrstvwxz"
+    reps = []
+    for i in range(replicas):
+        rot = cons[i % len(cons) :] + cons[: i % len(cons)]
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + i * _REP_OFF).alias("doc_id"),
+                F.translate("text", cons, rot).alias("text"),
+            )
+        )
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    # increment = graded near-dups of every 20th corpus doc (junk
+    # suffix, the LSH experiment's injection) + novel docs on an UNUSED
+    # rotation (replicas+7) that share ~no shingles with any replica
+    frac = F.element_at(
+        F.array(*[F.lit(x) for x in _FRACS]),
+        ((F.col("doc_id") % _REP_OFF) / 20 % len(_FRACS) + 1).cast("int"),
+    )
+    m = F.greatest(
+        F.lit(1), F.ceil(frac * F.size(F.split(F.col("text"), " "))).cast("int")
+    )
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.concat(
+                F.lit("q"), (F.abs(F.xxhash64(F.col("doc_id"), j)) % 999983).cast("string")
+            ),
+        ),
+    )
+    dups = corpus.filter((F.col("doc_id") % _REP_OFF) % 20 == 0).select(
+        (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
+    )
+    nrot = (replicas + 7) % len(cons)
+    novel_rot = cons[nrot:] + cons[:nrot]
+    novels = docs.select(
+        (F.col("doc_id") + (replicas + 7) * _REP_OFF).alias("doc_id"),
+        F.translate("text", cons, novel_rot).alias("text"),
+    )
+    inc = dups.unionByName(novels).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    cs = corpus.select(
+        F.col("doc_id").alias("cid"),
+        _shingles(_tokens(F.col("text"))).alias("s"),
+    )
+    ix = inc.select(
+        F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    cs = cs.localCheckpoint(eager=True)
+    ix = ix.localCheckpoint(eager=True)
+    n_corpus, n_inc = cs.count(), ix.count()
+
+    # ground truth: exact J of each injected (base, dup) pair
+    truth = (
+        ix.filter(F.col("iid") % _REP_OFF >= _DUP_OFF)
+        .select((F.col("iid") - _DUP_OFF).alias("cid"), F.col("iid"), F.col("s").alias("sb"))
+        .join(cs.select("cid", F.col("s").alias("sa")), "cid")
+        .select(
+            "iid",
+            "cid",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("true_j"),
+        )
+    )
+    truth_rows = {r["iid"]: (r["cid"], r["true_j"]) for r in truth.collect()}
+    true_dups = {i for i, (_, j) in truth_rows.items() if j >= 0.5}
+
+    # corpus shingle DF distribution (the skew profile the cap targets)
+    df_stats = (
+        cs.select(F.explode("s").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.max("df").alias("max_df"),
+            F.expr("percentile(df, 0.99)").alias("p99_df"),
+            F.count_if(F.col("df") > 100).alias("n_hot_over_100"),
+        )
+        .collect()[0]
+    )
+
+    def run(df_cap):
+        t0 = time.time()
+        verdicts = {
+            r["inc_doc_id"]: (r["is_dup"], r["best_j"])
+            for r in incremental_screen(cs, ix, df_cap=df_cap).collect()
+        }
+        wall = time.time() - t0
+        found = {i for i, (d, _) in verdicts.items() if d}
+        lost_true = sorted(true_dups - found)
+        novel_fp = sum(
+            1 for i, (d, _) in verdicts.items() if d and i % _REP_OFF < _DUP_OFF
+        )
+        return wall, verdicts, lost_true, novel_fp
+
+    wall, verdicts, lost_true, novel_fp = run(None)
+    wall_cap, _, lost_cap, novel_fp_cap = run(100)
+    # stress the valve at p99: the synthetic corpus has NO boilerplate
+    # (max DF 70 — every shingle is rarer than a production cap would
+    # cut), so cap=100 is a no-op here; capping at the p99 DF is the
+    # aggressive setting that shows what over-capping costs
+    p99_cap = int(df_stats["p99_df"])
+    wall_p99, _, lost_p99, novel_fp_p99 = run(p99_cap)
+
+    return {
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "n_injected_pairs": len(truth_rows),
+        "n_true_dups_j50": len(true_dups),
+        "exact": {
+            "wall_s": round(wall, 2),
+            "lost_true_pairs": len(lost_true),
+            "novel_false_positives": novel_fp,
+        },
+        "df_cap_100": {
+            "wall_s": round(wall_cap, 2),
+            "lost_true_pairs": len(lost_cap),
+            "novel_false_positives": novel_fp_cap,
+        },
+        f"df_cap_p99_{p99_cap}": {
+            "wall_s": round(wall_p99, 2),
+            "lost_true_pairs": len(lost_p99),
+            "novel_false_positives": novel_fp_p99,
+        },
+        "shingle_df": {
+            "n_shingles": df_stats["n_shingles"],
+            "max_df": df_stats["max_df"],
+            "p99_df": float(df_stats["p99_df"]),
+            "n_hot_over_100": df_stats["n_hot_over_100"],
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # IVF: top-1 recall vs nprobe at k ≈ sqrt(n), >=30k vectors
 # ---------------------------------------------------------------------------
 
@@ -344,6 +511,7 @@ def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
     ap.add_argument("--ivf", action="store_true")
+    ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -354,6 +522,8 @@ def main(argv: list[str]) -> None:
         out["lsh"] = lsh_experiment(spark, args.sf_dir, args.replicas)
     if args.ivf:
         out["ivf"] = ivf_experiment(spark, args.sf_dir, min(args.replicas + 6, 16))
+    if args.incremental:
+        out["incremental"] = incremental_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

@@ -3536,9 +3536,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = inc.select(
         F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
     )
+    return incremental_screen(cs, ix).orderBy("inc_doc_id")
+
+
+def incremental_screen(
+    cs: DataFrame, ix: DataFrame, j4_threshold: int = 5000, df_cap: int | None = None
+) -> DataFrame:
+    """The increment-vs-corpus inverted-index screen shared by
+    q_dedup_incremental and the scale-truth harness (jobs/
+    scale_truth.py --incremental) — one implementation, so the measured
+    constants apply to the code the query actually runs.
+
+    cs: (cid, s) corpus shingle sets; ix: (iid, s) increment shingle
+    sets. Returns one verdict row per increment doc (inc_doc_id,
+    n_shingles, is_dup, best_match, best_j), unsorted.
+
+    df_cap (None = exact): drop shingles whose CORPUS document
+    frequency exceeds the cap from candidate generation on BOTH sides —
+    the hot-shingle (boilerplate) skew valve for the 100 TB path.
+    Capping can only LOSE pairs whose every shared shingle is hot
+    (measured at 52k docs: zero such pairs at cap=100 — see
+    docs/architecture.md); intersection counts for surviving candidates
+    are computed over the capped vocabulary, so reported J is a lower
+    bound under a cap and exact without one."""
     ixz = ix.select("iid", "s", F.size("s").alias("na"))
     post_c = cs.select("cid", F.size("s").alias("nb"), F.explode("s").alias("sh"))
     post_i = ixz.select("iid", "na", F.explode("s").alias("sh"))
+    if df_cap is not None:
+        hot = (
+            post_c.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("sh")
+        )
+        post_c = post_c.join(hot, "sh", "left_anti")
+        post_i = post_i.join(hot, "sh", "left_anti")
     cand = (
         post_i.join(post_c, "sh")
         .groupBy("iid", "cid", "na", "nb")
@@ -3547,7 +3579,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         cand.withColumn("un", F.expr("na + nb - inter"))
         .withColumn("j4", F.expr("(inter * 10000) DIV un"))
-        .filter(F.col("j4") >= 5000)
+        .filter(F.col("j4") >= F.lit(j4_threshold))
     )
     w_best = Window.partitionBy("iid").orderBy(F.col("j4").desc(), F.col("cid"))
     best = (
@@ -3555,16 +3587,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("iid").alias("bid"), "cid", "j4")
     )
-    return (
-        ixz.join(best, ixz["iid"] == best["bid"], "left")
-        .select(
-            F.col("iid").alias("inc_doc_id"),
-            F.col("na").cast("bigint").alias("n_shingles"),
-            F.col("cid").isNotNull().alias("is_dup"),
-            F.coalesce(F.col("cid"), F.lit(-1)).cast("bigint").alias("best_match"),
-            (F.coalesce(F.col("j4"), F.lit(0)).cast("double") / 10000.0).alias("best_j"),
-        )
-        .orderBy("inc_doc_id")
+    return ixz.join(best, ixz["iid"] == best["bid"], "left").select(
+        F.col("iid").alias("inc_doc_id"),
+        F.col("na").cast("bigint").alias("n_shingles"),
+        F.col("cid").isNotNull().alias("is_dup"),
+        F.coalesce(F.col("cid"), F.lit(-1)).cast("bigint").alias("best_match"),
+        (F.coalesce(F.col("j4"), F.lit(0)).cast("double") / 10000.0).alias("best_j"),
     )
 
 
