@@ -3840,3 +3840,98 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("rn").cast("bigint").alias("rank"), "cid", "adc")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "q_embedding_drift",
+    tags=("L3", "A7"),
+    oracle="""
+WITH q AS (
+  SELECT label, vec_id % 2 AS half, d.i AS dim,
+         CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+),
+s AS (
+  SELECT label, half, dim, CAST(SUM(qv) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT a.label, a.dim, a.sv AS s0, a.n AS n0, b.sv AS s1, b.n AS n1
+  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       MIN(n0) AS n_old, MIN(n1) AS n_new,
+       CAST(SUM((s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)) AS BIGINT)
+         AS d2_scaled,
+       sqrt(CAST(SUM((s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)) AS DOUBLE))
+         / (1000.0 * MIN(n0) * MIN(n1)) AS drift_l2
+FROM p GROUP BY label ORDER BY label
+""",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3d: embedding-distribution drift — per label, the L2 distance
+    between the centroid of the 'old' batch (even vec_ids) and the
+    'new' batch (odd vec_ids). The monitoring query an embedding
+    pipeline runs at every model or corpus change: a label whose
+    centroid moved is a label whose downstream ANN index / classifier
+    thresholds need revisiting. (Scalar-feature drift has q_drift_psi;
+    this is its vector-space counterpart.)
+
+    Determinism: a float AVG over rows is order-dependent, so the
+    centroids are never computed in floating point — vectors are
+    quantized per element (floor(x·1000 + 0.5), one double op,
+    identical both engines) and each centroid becomes an exact integer
+    SUM; the centroid difference is cross-multiplied to the common
+    denominator (s0·n1 − s1·n0 — still exact BIGINT; |t| < 2.4×10⁷
+    here, and Σt² < 9.2×10¹⁸ holds up to ~10⁵ vectors per label at
+    this quantization — swap the square-sum to DECIMAL(38,0) beyond),
+    and only the FINAL scalar takes a sqrt/divide (identical inputs →
+    identical doubles).
+
+    Scale shape: posexplode to (label, half, dim) rides one
+    map-side-combinable agg (64·|labels|·2 cells); the half-vs-half
+    join and the label rollup run on that tiny frame. The raw vectors
+    never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+            )
+        ).alias("pos", "qv"),
+    ).select("label", "half", (F.col("pos") + 1).alias("dim"), "qv")
+    s = q.groupBy("label", "half", "dim").agg(
+        F.sum("qv").alias("sv"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("sv").alias("s0"), F.col("n").alias("n0")
+    )
+    b = s.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("sv").alias("s1"), F.col("n").alias("n1")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.min("n0").alias("n_old"),
+            F.min("n1").alias("n_new"),
+            F.sum(F.expr("(s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)"))
+            .cast("bigint")
+            .alias("d2_scaled"),
+        )
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            "d2_scaled",
+            F.expr(
+                "sqrt(CAST(d2_scaled AS DOUBLE)) / (1000.0 * n_old * n_new)"
+            ).alias("drift_l2"),
+        )
+        .orderBy("label")
+    )

@@ -179,6 +179,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_join_nearest_event",
     "q_dedup_savings",
     "q_knn_quantized",
+    "q_embedding_drift",
 )
 
 
