@@ -267,7 +267,17 @@ def incremental_experiment(spark, sf_dir: str, replicas: int) -> dict:
         (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
     )
-    nrot = (replicas + 7) % len(cons)
+    # the novel rotation must be DISJOINT from every corpus replica's
+    # rotation (used set = {i % len(cons)}): a collision would make the
+    # "novel" docs byte-identical to a replica and invalidate the
+    # false-positive metric. With replicas < len(cons) an unused
+    # rotation always exists; beyond that the metric is undefined.
+    if replicas >= len(cons):
+        raise ValueError(
+            f"--replicas must be < {len(cons)} so a disjoint novel rotation exists"
+        )
+    used = {i % len(cons) for i in range(replicas)}
+    nrot = next(r for r in range(1, len(cons)) if r not in used)
     novel_rot = cons[nrot:] + cons[:nrot]
     novels = docs.select(
         (F.col("doc_id") + (replicas + 7) * _REP_OFF).alias("doc_id"),

@@ -239,8 +239,8 @@ WITH purch AS (
 ),
 clicks AS (
   SELECT user_id, ts AS cts,
-         'ch_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
-           AS channel
+         COALESCE('ch_' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                                AS VARCHAR), 'ch_unknown') AS channel
   FROM events WHERE event_type = 'click'
 ),
 touched AS (
@@ -290,12 +290,20 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr(_CENTS.format(c="value")).alias("cents"),
     )
+    # a click whose props carries no parseable k must still be a TOUCH
+    # (channel 'ch_unknown'), never a NULL channel: NULL would drop it
+    # from n_touch AND route it to 'organic' with the FULL purchase
+    # value — double-crediting the purchase past 100% (review find;
+    # dormant on fixtures where every click has k, wrong in production)
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("cuser"),
         F.col("ts").alias("cts"),
-        F.concat(
-            F.lit("ch_"),
-            (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+        F.coalesce(
+            F.concat(
+                F.lit("ch_"),
+                (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+            ),
+            F.lit("ch_unknown"),
         ).alias("channel"),
     )
     touched = purch.join(

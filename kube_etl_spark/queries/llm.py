@@ -3559,7 +3559,14 @@ def incremental_screen(
     docs/architecture.md); intersection counts for surviving candidates
     are computed over the capped vocabulary, so reported J is a lower
     bound under a cap and exact without one."""
-    ixz = ix.select("iid", "s", F.size("s").alias("na"))
+    # ixz is consumed twice (postings explode + the final verdict
+    # left-join) below DIFFERENT exchanges, so ReuseExchange cannot
+    # dedupe the scan+tokenize+shingle subtree — the triangle/pagerank
+    # re-execution pitfall. Lazy localCheckpoint: the second consumer
+    # (the verdict join) only runs after `best`, which depends on the
+    # postings, so the first stage materializes and the second reuses
+    # without an extra job submission.
+    ixz = ix.select("iid", "s", F.size("s").alias("na")).localCheckpoint(eager=False)
     post_c = cs.select("cid", F.size("s").alias("nb"), F.explode("s").alias("sh"))
     post_i = ixz.select("iid", "na", F.explode("s").alias("sh"))
     if df_cap is not None:
@@ -3847,9 +3854,10 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L3", "A7"),
     oracle="""
 WITH q AS (
-  SELECT label, vec_id % 2 AS half, d.i AS dim,
-         CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
-  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+  SELECT label, vec_id % 2 AS half, u.dim,
+         CAST(floor(CAST(embedding[u.dim] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS dim) u
 ),
 s AS (
   SELECT label, half, dim, CAST(SUM(qv) AS BIGINT) AS sv,

@@ -141,8 +141,8 @@ PRIORITY: tuple[str, ...] = (
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
     # r6 queue = 19 oldest-evidence re-pins (r01-only names, below) +
-    # the 14 round-5 widening queries (newest-unproven, appended).
-    # 8 anchors + 33 = 41 window slots; the ~9 remaining r6 slots go
+    # the 15 round-5 widening queries (newest-unproven, appended).
+    # 8 anchors + 34 = 42 window slots; the ~8 remaining r6 slots go
     # to the then-oldest (r02) cohort at curation time.
     "q_agg_global",
     "q_agg_count_distinct",

@@ -77,6 +77,11 @@ def test_attribution_linear_splits_exactly(spark, tmp_path):
         (5, t0, 1, "purchase", 3.0, "{}"),
         # user 2: no clicks → organic
         (6, t0, 2, "purchase", 2.5, "{}"),
+        # user 3: one in-window click with NO parseable k — must be a
+        # ch_unknown TOUCH (full credit), never a NULL that both drops
+        # from n_touch and double-credits organic (review find)
+        (7, t0 - 1 * day, 3, "click", 0.0, "{}"),
+        (8, t0, 3, "purchase", 1.0, "{}"),
     ]
     sf = _with_events(spark, tmp_path, rows)
     out = {
@@ -89,3 +94,8 @@ def test_attribution_linear_splits_exactly(spark, tmp_path):
         assert out[ch]["n_purchases"] == 1
     assert "ch_3" not in out, "8-day-old click must be outside the window"
     assert out["organic"]["credit_microcents"] == 250 * 1_000_000
+    assert out["ch_unknown"]["credit_microcents"] == 100 * 1_000_000
+    assert out["ch_unknown"]["n_purchases"] == 1
+    # conservation: total credited micro-cents == total purchase value
+    total = sum(r["credit_microcents"] for r in out.values())
+    assert total == (300 + 250 + 100) * 1_000_000, total

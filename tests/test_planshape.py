@@ -847,10 +847,19 @@ def test_partition_pruned_scan_prunes_days(spark):
     a row filter over a full scan."""
     plan = _plan(spark, "q_partition_pruned_scan")
     pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
-    assert "event_date" in pf, f"date range not a partition filter: {pf}"
-    # the data filter side must NOT carry the date predicate: pruning
-    # happened at planning, there is nothing left to filter per-row
-    assert "Exchange" in plan  # the one agg shuffle survives, nothing more
+    assert "event_date" in pf and ">=" in pf and "<=" in pf, (
+        f"date range not a partition filter: {pf}"
+    )
+    # the predicate must NOT survive as a row-level residual: pruning
+    # happened at planning, so no Filter exec node may mention the
+    # partition column (a full scan + row filter is exactly the
+    # regression this test fences)
+    residual = [
+        line
+        for line in plan.splitlines()
+        if "Filter" in line and "PartitionFilters" not in line and "event_date" in line
+    ]
+    assert not residual, f"date predicate degraded to a row filter: {residual}"
 
 
 def test_schema_evolution_read_backfills_nulls(spark):
