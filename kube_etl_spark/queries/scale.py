@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -514,4 +514,100 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
         .orderBy("channel", "event_type")
+    )
+
+
+@query(
+    "q_quantile_bucket_join",
+    tags=("W1", "A1", "scale"),
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey AS okey,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(14,2)), o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+edges AS (
+  SELECT list(struct_pack(p := p, k := okey) ORDER BY p, okey) AS es
+  FROM r
+  WHERE list_contains(list_transform(range(1, 10), q -> (q * n) // 10), rn)
+),
+b AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_totalprice AS DECIMAL(14,2)) AS p,
+         len(list_filter(e.es, x -> x.p < CAST(o.o_totalprice AS DECIMAL(14,2))
+               OR (x.p = CAST(o.o_totalprice AS DECIMAL(14,2)) AND x.k < o.o_orderkey)))
+           AS bucket
+  FROM orders o, edges e
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(p) AS DOUBLE) AS lo,
+       CAST(MAX(p) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(p * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_quantile_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning WITHOUT sorting the fact — the broadcast-edge
+    escape hatch that q_rfm_segments / q_window_ntile_cume docstrings
+    promise for the 100 TB regime, materialized as a first-class
+    operator. NTILE must globally sort every fact row inside each
+    partition; here only the EDGES are computed from an ordered pass
+    (nine order statistics — at 100 TB you swap that pass for
+    percentile_approx and nothing else changes), collected into ONE
+    broadcast row, and every fact row computes its decile map-side by
+    counting edges below it. The fact's only exchange is the final
+    10-row rollup — plan-asserted: exactly one Window (the edge
+    ranking), no sort-merge join, fact agg map-side combinable.
+
+    Determinism: edges are exact ORDER STATISTICS at ranks k·n DIV 10
+    over the total order (2dp decimal price, orderkey) — 2dp decimals
+    compare exactly in both engines (no interpolated percentile
+    doubles, whose last-ulp disagreement would misclassify boundary
+    rows); the bucket count uses the same strict total order, so every
+    row lands in exactly one deterministic decile; revenue is exact
+    cents."""
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    r = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        dec.alias("p"),
+    )
+    w_rank = Window.orderBy("p", "okey")
+    n_row = r.agg(F.count(F.lit(1)).alias("n"))
+    ranked = r.select(
+        "okey",
+        "p",
+        F.row_number().over(w_rank).alias("rn"),
+    ).crossJoin(F.broadcast(n_row))
+    edges = ranked.filter(
+        F.expr("array_contains(transform(sequence(1, 9), q -> (q * n) DIV 10), rn)")
+    ).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("okey").alias("k"))))
+        .alias("es")
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec.alias("p")
+    )
+    b = fact.crossJoin(F.broadcast(edges)).select(
+        "o_orderkey",
+        "p",
+        F.size(
+            F.filter(
+                F.col("es"),
+                lambda x: (x["p"] < F.col("p"))
+                | ((x["p"] == F.col("p")) & (x["k"] < F.col("o_orderkey"))),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.sum((F.col("p") * 100).cast("bigint")).cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("bucket")
     )

@@ -180,6 +180,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_dedup_savings",
     "q_knn_quantized",
     "q_embedding_drift",
+    "q_quantile_bucket_join",
 )
 
 

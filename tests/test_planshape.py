@@ -886,3 +886,19 @@ def test_nearest_event_join_is_joinless(spark):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan, f"nearest-event match regressed to a {node}"
     assert plan.count("Window") >= 1
+
+
+def test_quantile_bucket_join_never_sorts_the_fact(spark):
+    """q_quantile_bucket_join's whole point: deciles WITHOUT a global
+    sort/window over the fact. Exactly one Window may appear (the
+    nine-edge order-statistic ranking); the bucket assignment must be
+    the broadcast of the one-row edge frame (nested-loop over 9 array
+    elements per row), never a sort-merge join or a fact-side ntile."""
+    plan = _plan(spark, "q_quantile_bucket_join")
+    assert plan.count("(1) Window") + plan.count("Window (") <= 2  # one node, 2 mentions
+    n_window_nodes = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and ") Window" in line
+    )
+    assert n_window_nodes == 1, f"expected exactly one Window node, got {n_window_nodes}"
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
