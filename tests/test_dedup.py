@@ -287,3 +287,48 @@ def test_quantized_knn_recall_vs_exact_dot(spark):
     for q in range(10):
         t, a = exact[(q, 1)][1], quant[(q, 1)][1]
         assert abs(a - t) <= 0.02 * max(abs(t), 1e-9), (q, a, t)
+
+
+def test_incremental_screen_batch_independence(spark):
+    """The increment screen's verdicts must be INDEPENDENT per
+    increment doc: screening two daily batches separately must equal
+    screening their union (each verdict depends only on that doc vs
+    the corpus — increment docs never compare to each other). This is
+    the contract that lets the daily pipeline shard its increment
+    arbitrarily."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import (
+        _shingles,
+        _tokens,
+        incremental_screen,
+    )
+
+    docs = load_table(spark, SMOKE_SF, "documents").select("doc_id", "text")
+    corpus = docs.filter((F.col("doc_id") < 120) & (F.col("doc_id") % 5 != 0))
+    inc = docs.filter((F.col("doc_id") < 120) & (F.col("doc_id") % 5 == 0)).unionByName(
+        docs.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 5 != 0)).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+    cs = corpus.select(
+        F.col("doc_id").alias("cid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+
+    def shingle(frame):
+        return frame.select(
+            F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
+        )
+
+    def rows(df):
+        return {
+            r["inc_doc_id"]: (r["is_dup"], r["best_match"], r["best_j"])
+            for r in df.collect()
+        }
+
+    whole = rows(incremental_screen(cs, shingle(inc)))
+    half_a = rows(incremental_screen(cs, shingle(inc.filter(F.col("doc_id") % 2 == 0))))
+    half_b = rows(incremental_screen(cs, shingle(inc.filter(F.col("doc_id") % 2 == 1))))
+    assert {**half_a, **half_b} == whole
