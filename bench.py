@@ -512,26 +512,31 @@ def main() -> None:
             }
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "vs_r01": vs_r01,
-                "vs_baseline": vs_baseline,
-                "vs_baseline_queries": vs_baseline_queries,
-                "skew": skew,
-                "udf": udf,
-                "index": index,
-                "ivm": ivm,
-                "neardup": neardup,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "vs_r01": vs_r01,
+            "vs_baseline": vs_baseline,
+            "vs_baseline_queries": vs_baseline_queries,
+            "skew": skew,
+            "udf": udf,
+            "index": index,
+            "ivm": ivm,
+            "neardup": neardup,
+        }
     )
+    # Print the contract line only AFTER the JVM is down: BENCH_r05.json
+    # was `parsed: null` because a Spark console progress bar raced the
+    # JSON onto the same stdout (VERDICT r5 #1). Belt (showConsoleProgress
+    # off in session.py) and suspenders (nothing Spark-side can write
+    # once the session is stopped).
     spark.stop()
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -102,34 +102,42 @@ def main(argv: list[str]) -> None:
     window = args.window or DEFAULT_WINDOW
     watermark = args.watermark or DEFAULT_WATERMARK
 
-    if args.once:
-        run_attribution_stream(
-            stream, table, args.checkpoint, window=window, watermark=watermark
-        )
-        pairs = table.pairs()
-        print(
-            json.dumps(
-                {"state": args.state, "pairs": pairs.count() if pairs is not None else 0}
+    try:
+        if args.once:
+            run_attribution_stream(
+                stream, table, args.checkpoint, window=window, watermark=watermark
             )
-        )
-    else:  # pragma: no cover - production mode runs until killed
-        clicks, purchases = split_sides(stream, watermark)
-        (
-            interval_join(clicks, purchases, window)
-            .writeStream.foreachBatch(
-                lambda batch, bid: table.merge_matches(batch, bid)
+            pairs = table.pairs()
+            print(
+                json.dumps(
+                    {"state": args.state, "pairs": pairs.count() if pairs is not None else 0}
+                )
             )
-            .option("checkpointLocation", args.checkpoint)
-            .start()
-            .awaitTermination()
-        )
-    spark.streams.removeListener(health)
-    if renew_stop is not None:
-        renew_stop.set()
-    if lease is not None:
-        lease.release()
-    if owned:
-        spark.stop()
+        else:  # pragma: no cover - production mode runs until killed
+            clicks, purchases = split_sides(stream, watermark)
+            (
+                interval_join(clicks, purchases, window)
+                .writeStream.foreachBatch(
+                    lambda batch, bid: table.merge_matches(batch, bid)
+                )
+                .option("checkpointLocation", args.checkpoint)
+                .start()
+                .awaitTermination()
+            )
+    finally:
+        # A failed drain (e.g. LeaseLost fencing a merge mid-batch) must
+        # still detach the health listener, stop the renewal thread, and
+        # release the lease — otherwise the lease only frees via TTL and
+        # the listener leaks into any session reuse (ADVICE r5). release()
+        # is fenced-safe: releasing a lease another writer already took
+        # over is a no-op.
+        spark.streams.removeListener(health)
+        if renew_stop is not None:
+            renew_stop.set()
+        if lease is not None:
+            lease.release()
+        if owned:
+            spark.stop()
 
 
 if __name__ == "__main__":

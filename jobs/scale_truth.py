@@ -435,7 +435,17 @@ def ivf_experiment(spark, sf_dir: str, replicas: int) -> dict:
 
     # query sample: 200 deterministic vectors; ground truth by brute
     # force (cosine == dot on the normalized column)
-    q = corpus.filter(F.col("vec_id") % (n // 200 * 7 + 1) % 157 == 3).limit(200)
+    # pure-id selection: the predicate alone admits slightly more than
+    # 200 ids, and the orderBy pins WHICH 200 survive regardless of
+    # partition layout or defaultParallelism — a bare .limit(200) on a
+    # distributed frame returns whichever partitions answer first and
+    # broke the module's "reruns reproduce the exact corpus" claim
+    # (ADVICE r5)
+    q = (
+        corpus.filter(F.col("vec_id") % (n // 200 * 7 + 1) % 157 == 3)
+        .orderBy("vec_id")
+        .limit(200)
+    )
     q = q.select(F.col("vec_id").alias("qid"), F.col("vn").alias("qv"))
     n_q = q.count()
     from pyspark.sql import Window
@@ -517,11 +527,206 @@ def ivf_experiment(spark, sf_dir: str, replicas: int) -> dict:
     }
 
 
+def boilerplate_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """VERDICT r5 #7: the DF-cap valve measured on a corpus WITH real
+    boilerplate — the r5 run documented the valve as untestable on the
+    clean synthetic corpus (max DF 70: no shingle a production cap
+    would cut). Here a fixed 40-token template preamble (ToS/cookie-
+    banner shape) is prepended to 70% of corpus docs (doc_id % 10 < 7),
+    so its shingles carry DF ≈ 0.7·n_corpus ≫ cap. Measured claims:
+
+      (a) candidate-pair reduction — boilerplate-only overlaps dominate
+          the uncapped candidate set (every preambled increment doc is
+          a candidate against every preambled corpus doc); cap=100
+          must cut candidates by an order of magnitude;
+      (b) the cap trades FULL-TEXT losslessness for CONTENT semantics,
+          and the trade must be measured with a DUAL truth: J_full
+          (preamble included) and J_content (preamble stripped). On
+          short docs a shared 40-token preamble alone pushes J_full
+          past 0.5, so the exact screen must find every J_full ≥ 0.5
+          pair INCLUDING unrelated docs that share only boilerplate
+          (those are not false positives — they really are near-dups
+          of their boilerplate); the capped screen must find every
+          J_content ≥ 0.5 pair and flag ZERO boilerplate-only docs.
+          Production wants the capped semantics — nobody dedups a
+          corpus down to one cookie banner.
+    """
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _shingles, _tokens, incremental_screen
+
+    boiler = (
+        "this site uses cookies to improve your experience by continuing "
+        "to browse you agree to our terms of service and privacy policy "
+        "all rights reserved unauthorized reproduction is prohibited "
+        "contact support for questions about your account and settings"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cons = "bcdfghjklmnpqrstvwxz"
+    if replicas >= len(cons):
+        raise ValueError(f"--replicas must be < {len(cons)}")
+    reps = []
+    for i in range(replicas):
+        rot = cons[i % len(cons) :] + cons[: i % len(cons)]
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + i * _REP_OFF).alias("doc_id"),
+                F.translate("text", cons, rot).alias("text"),
+            )
+        )
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    # template injection: 70% of docs open with the SAME preamble
+    # (deterministic membership so reruns reproduce the exact corpus)
+    preambled = (F.col("doc_id") % 10) < 7
+    corpus = corpus.select(
+        "doc_id",
+        F.when(preambled, F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    # increment: junk-suffix near-dups of every 20th corpus doc (they
+    # inherit the preamble) + novel docs on an unused rotation, ALSO
+    # 70% preambled — the boilerplate-only-overlap FP pressure case
+    frac = F.element_at(
+        F.array(*[F.lit(x) for x in _FRACS]),
+        ((F.col("doc_id") % _REP_OFF) / 20 % len(_FRACS) + 1).cast("int"),
+    )
+    m = F.greatest(
+        F.lit(1), F.ceil(frac * F.size(F.split(F.col("text"), " "))).cast("int")
+    )
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.concat(
+                F.lit("q"), (F.abs(F.xxhash64(F.col("doc_id"), j)) % 999983).cast("string")
+            ),
+        ),
+    )
+    dups = corpus.filter((F.col("doc_id") % _REP_OFF) % 20 == 0).select(
+        (F.col("doc_id") + _DUP_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
+    )
+    used = {i % len(cons) for i in range(replicas)}
+    nrot = next(r for r in range(1, len(cons)) if r not in used)
+    novel_rot = cons[nrot:] + cons[:nrot]
+    novels = docs.select(
+        (F.col("doc_id") + (replicas + 7) * _REP_OFF).alias("doc_id"),
+        F.translate("text", cons, novel_rot).alias("text"),
+    ).select(
+        "doc_id",
+        F.when(preambled, F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    inc = dups.unionByName(novels).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    cs = corpus.select(
+        F.col("doc_id").alias("cid"), _shingles(_tokens(F.col("text"))).alias("s")
+    ).localCheckpoint(eager=True)
+    ix = inc.select(
+        F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
+    ).localCheckpoint(eager=True)
+    n_corpus, n_inc = cs.count(), ix.count()
+
+    # dual ground truth: J over the full text AND J over the content
+    # with the (known, fixed) preamble stripped — the latter is what a
+    # data owner means by "duplicate" on a boilerplated corpus
+    strip = lambda c: F.when(  # noqa: E731
+        c.startswith(boiler + " "), F.substring(c, len(boiler) + 2, 2**30)
+    ).otherwise(c)
+    csc = corpus.select(
+        F.col("doc_id").alias("cid"),
+        _shingles(_tokens(strip(F.col("text")))).alias("sa_c"),
+    )
+    ixc = inc.select(
+        F.col("doc_id").alias("iid"),
+        _shingles(_tokens(strip(F.col("text")))).alias("sb_c"),
+    )
+    jac = lambda a, b: (  # noqa: E731
+        F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+    )
+    truth = (
+        ix.filter(F.col("iid") % _REP_OFF >= _DUP_OFF)
+        .select((F.col("iid") - _DUP_OFF).alias("cid"), F.col("iid"), F.col("s").alias("sb"))
+        .join(cs.select("cid", F.col("s").alias("sa")), "cid")
+        .join(csc, "cid")
+        .join(ixc, "iid")
+        .select(
+            "iid",
+            jac(F.col("sa"), F.col("sb")).alias("j_full"),
+            jac(F.col("sa_c"), F.col("sb_c")).alias("j_content"),
+        )
+    )
+    rows = truth.collect()
+    true_full = {r["iid"] for r in rows if r["j_full"] >= 0.5}
+    true_content = {r["iid"] for r in rows if r["j_content"] >= 0.5}
+
+    post_c = cs.select("cid", F.explode("s").alias("sh"))
+    post_i = ix.select("iid", F.explode("s").alias("sh"))
+    dfreq = post_c.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    df_stats = dfreq.agg(
+        F.max("df").alias("max_df"),
+        F.count_if(F.col("df") > 100).alias("n_hot_over_100"),
+    ).collect()[0]
+
+    def n_candidates(df_cap):
+        pc, pi = post_c, post_i
+        if df_cap is not None:
+            hot = dfreq.filter(F.col("df") > df_cap).select("sh")
+            pc = pc.join(hot, "sh", "left_anti")
+            pi = pi.join(hot, "sh", "left_anti")
+        return pi.join(pc, "sh").select("iid", "cid").distinct().count()
+
+    def run(df_cap):
+        t0 = time.time()
+        verdicts = {
+            r["inc_doc_id"]: r["is_dup"]
+            for r in incremental_screen(cs, ix, df_cap=df_cap).collect()
+        }
+        wall = time.time() - t0
+        found = {i for i, d in verdicts.items() if d}
+        novel_flagged = sum(1 for i in found if i % _REP_OFF < _DUP_OFF)
+        return {
+            "wall_s": round(wall, 2),
+            "lost_full_j50": len(true_full - found),
+            "lost_content_j50": len(true_content - found),
+            # exact-mode flags of novel docs are boilerplate-carried
+            # real J ≥ 0.5 matches, not false positives; under the cap
+            # this must drop to zero
+            "novel_docs_flagged": novel_flagged,
+        }
+
+    cand_exact = n_candidates(None)
+    cand_cap = n_candidates(100)
+    return {
+        "n_corpus": n_corpus,
+        "n_increment": n_inc,
+        "n_true_full_j50": len(true_full),
+        "n_true_content_j50": len(true_content),
+        "boiler_share": 0.7,
+        "max_df": df_stats["max_df"],
+        "n_hot_over_100": df_stats["n_hot_over_100"],
+        "candidates_exact": cand_exact,
+        "candidates_cap_100": cand_cap,
+        "candidate_reduction": round(1 - cand_cap / cand_exact, 4) if cand_exact else 0.0,
+        "exact": run(None),
+        "df_cap_100": run(100),
+    }
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
     ap.add_argument("--ivf", action="store_true")
     ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -534,6 +739,8 @@ def main(argv: list[str]) -> None:
         out["ivf"] = ivf_experiment(spark, args.sf_dir, min(args.replicas + 6, 16))
     if args.incremental:
         out["incremental"] = incremental_experiment(spark, args.sf_dir, args.replicas)
+    if args.boilerplate:
+        out["boilerplate"] = boilerplate_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

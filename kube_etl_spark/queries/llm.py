@@ -3554,11 +3554,18 @@ def incremental_screen(
     df_cap (None = exact): drop shingles whose CORPUS document
     frequency exceeds the cap from candidate generation on BOTH sides —
     the hot-shingle (boilerplate) skew valve for the 100 TB path.
-    Capping can only LOSE pairs whose every shared shingle is hot
-    (measured at 52k docs: zero such pairs at cap=100 — see
-    docs/architecture.md); intersection counts for surviving candidates
-    are computed over the capped vocabulary, so reported J is a lower
-    bound under a cap and exact without one."""
+    Under a cap, BOTH the intersection and the set sizes are computed
+    over the capped vocabulary, so reported J is the boilerplate-blind
+    Jaccard — the content semantics a data owner actually wants on a
+    boilerplated corpus (nobody dedups a corpus down to one cookie
+    banner). The r6 boilerplate scale-truth run measured why this
+    matters: with capped intersections but FULL-size denominators
+    (the r5 form), a 40-token shared preamble deflated J enough to
+    lose 14/18 content-true pairs at cap=100; with capped sizes the
+    screen is lossless on content-J (docs/architecture.md). Without a
+    cap, J is the exact full-text Jaccard. Capping can only LOSE pairs
+    whose content-only J < threshold (boilerplate-carried matches —
+    measured at 52k clean docs: zero pairs at cap=100)."""
     # ixz is consumed twice (postings explode + the final verdict
     # left-join) below DIFFERENT exchanges, so ReuseExchange cannot
     # dedupe the scan+tokenize+shingle subtree — the triangle/pagerank
@@ -3578,6 +3585,18 @@ def incremental_screen(
         )
         post_c = post_c.join(hot, "sh", "left_anti")
         post_i = post_i.join(hot, "sh", "left_anti")
+        # boilerplate-blind sizes: recount per doc over the SURVIVING
+        # postings (one doc-keyed exchange each — modest next to the
+        # candidate explosion the cap removes; whole-partition count
+        # frame is O(n), planlint-clean). Docs whose every shingle is
+        # hot vanish from candidate generation and surface as clean
+        # via the final left join.
+        post_c = post_c.withColumn(
+            "nb", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+        )
+        post_i = post_i.withColumn(
+            "na", F.count(F.lit(1)).over(Window.partitionBy("iid"))
+        )
     cand = (
         post_i.join(post_c, "sh")
         .groupBy("iid", "cid", "na", "nb")
@@ -3768,18 +3787,21 @@ qv AS (
 ),
 p AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
-         ROUND((a.sc * b.sc) * CAST(list_sum(
-            list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))
-            AS DOUBLE), 4) AS adc
+         CAST(floor(a.sc * 1000000 + 0.5) AS BIGINT)
+           * CAST(floor(b.sc * 1000000 + 0.5) AS BIGINT)
+           * CAST(list_sum(
+               list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]))
+             AS BIGINT) AS adc_scaled
   FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
 ),
 r AS (
-  SELECT qid, cid, adc,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+  SELECT qid, cid, adc_scaled,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_scaled DESC, cid) AS rn
   FROM p
 )
-SELECT qid, CAST(rn AS BIGINT) AS rank, cid, adc
+SELECT qid, CAST(rn AS BIGINT) AS rank, cid,
+       CAST(adc_scaled AS DOUBLE) / 1e12 AS adc
 FROM r WHERE rn <= 3 ORDER BY qid, rank
 """,
 )
@@ -3795,9 +3817,15 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: quantization is floor(x/scale + 0.5) — one double
     division + floor per element, identical ops both engines; the code
-    dot product is an exact BIGINT fold; the final score is the
-    3-factor product in one parenthesized order, ranked 4dp-rounded
-    with vec_id tie-break (the q_knn_cosine pattern).
+    dot product is an exact BIGINT fold; the per-vector scales are
+    themselves quantized (floor(sc·10⁶ + 0.5)) so the ranked score is
+    an exact BIGINT 3-factor product — no ROUND anywhere, removing the
+    Spark-HALF_UP vs DuckDB-nearbyint .00005-tie hazard ADVICE r5
+    flagged on the rounded form. The emitted double is the scaled
+    integer ÷ 10¹² — a per-row monotone transform of identical
+    integers, bit-identical both engines. Magnitudes: |isc| ≤ 10⁶·max|x|
+    /127, |dot| ≤ d·127², product < 10¹⁵ at d ≤ 4096 on unit-ish
+    embeddings — far inside BIGINT.
 
     Scale shape: probes broadcast over one corpus scan, exactly like
     the float path — but the scan ships int8 codes (the point); at
@@ -3832,19 +3860,25 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    iscale = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")  # noqa: E731
     p = (
         qv.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            F.round((F.col("sp") * F.col("sc")) * qdot.cast("double"), 4).alias("adc"),
+            (iscale(F.col("sp")) * iscale(F.col("sc")) * qdot).alias("adc_scaled"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc_scaled").desc(), F.col("cid"))
     return (
         p.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", F.col("rn").cast("bigint").alias("rank"), "cid", "adc")
+        .select(
+            "qid",
+            F.col("rn").cast("bigint").alias("rank"),
+            "cid",
+            (F.col("adc_scaled").cast("double") / F.lit(1e12)).alias("adc"),
+        )
         .orderBy("qid", "rank")
     )
 
@@ -3942,4 +3976,212 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_l2"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    tags=("L1", "W2"),
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id, source, n_chars, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, source, n_chars + 1, text || ' '
+  FROM documents WHERE doc_id < 40
+),
+k AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY trim(lower(regexp_replace(text, '\s+', ' ', 'g')))
+           ORDER BY n_chars DESC, doc_id) AS rn
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM k GROUP BY source ORDER BY source
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1c (EXT, round 6): quality-canonical dedup — within each
+    normalized-content cluster keep the BEST document (max n_chars,
+    doc_id tie-break), not the first-seen one. The policy production
+    dedup actually wants: when a crawl holds a truncated copy and a
+    complete copy of the same page, keep-first by id keeps whichever
+    crawled earlier; keep-best keeps the complete one. Fixture plants
+    trailing-space twins of doc_id<40 with n_chars+1, so the winner is
+    the TWIN — a keep-first policy would provably pick the other doc,
+    making the hash match evidence of the quality ordering, not just
+    of clustering.
+
+    Scale shape: identical to q_dedup_savings — ONE shuffle keyed on
+    the normalized-content key for the rank (at 100 TB you hash ntext
+    to 16 bytes first so text never rides the exchange), then a
+    source-sized map-combinable rollup. No joins, no Python.
+
+    Determinism: rank order (n_chars DESC, doc_id) is total; outputs
+    are exact integer counts/sums."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            "source",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.concat("text", F.lit(" ")).alias("text"),
+        )
+    )
+    ntext = F.trim(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy(ntext).orderBy(F.col("n_chars").desc(), "doc_id")
+    k = aug.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_mixture_rebalance",
+    tags=("L4", "A2"),
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM s
+)
+SELECT s.source, s.n_docs, s.src_tokens,
+       CAST(LEAST(10000, ((tot.total_tokens // tot.n_sources) * 10000)
+                          // s.src_tokens) AS BIGINT) AS rate_bp,
+       CAST((s.src_tokens * LEAST(10000,
+              ((tot.total_tokens // tot.n_sources) * 10000) // s.src_tokens))
+            // 10000 AS BIGINT) AS kept_tokens
+FROM s, tot ORDER BY s.source
+""",
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e (EXT, round 6): training-mixture rebalance — the data-mixing
+    step every pretraining pipeline runs before sampling: given the
+    observed per-source token mass and a target mixture (equal share
+    here; any target vector works the same), compute each source's
+    down-sampling rate and the token mass that survives. Over-
+    represented sources get rate < 1, under-represented ones are
+    capped at 1 (this operator never up-samples — repetition policy is
+    q_pack_sequences' epoch layer's job).
+
+    Scale shape: ONE corpus pass → source-sized partial agg; the
+    global total is a 1-row broadcast joined back map-side. Token
+    counting is the JVM split+size expression (no Python); text never
+    shuffles — only (source, n) pairs do.
+
+    Determinism: pure integer math — basis-point rates via bigint DIV
+    (both engines truncate toward zero), exact token sums."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).cast("bigint").alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("src_tokens"),
+        )
+    )
+    tot = s.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    rate = F.least(
+        F.lit(10000).cast("bigint"),
+        F.expr("((total_tokens DIV n_sources) * 10000) DIV src_tokens"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            rate.alias("rate_bp"),
+            F.expr(
+                "(src_tokens * LEAST(CAST(10000 AS BIGINT),"
+                " ((total_tokens DIV n_sources) * 10000) DIV src_tokens)) DIV 10000"
+            )
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_dedup_prefix_cluster",
+    tags=("L2", "L4"),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS pre
+  FROM documents
+)
+SELECT md5(pre) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM p GROUP BY pre HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, cluster_id
+""",
+)
+def q_dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2c (EXT, round 6): shared-prefix clustering — group documents
+    whose first 8 tokens are identical. The cheap screen that catches
+    templated/boilerplate-led duplicates (mirror pages, generated
+    docs, chat transcripts sharing a system preamble) BEFORE the
+    MinHash tier spends signatures on them; the corpus has natural
+    prefix collisions at every SF (21/23/233 clusters), so no fixture
+    augmentation is needed. Emits one row per multi-doc cluster with
+    its md5 id, size, source spread, and canonical (min) doc id.
+
+    Scale shape: ONE groupBy keyed on the 8-token prefix — bounded-
+    width key (never the full text) on the wire, map-side combinable
+    counts; the distinct-source count rides the same exchange via
+    Spark's grouping-set expansion. At 100 TB you'd key on
+    xxhash64(prefix) instead of the prefix string — same plan, 8-byte
+    key (elided here so the oracle stays engine-portable; md5 is the
+    output id precisely because both engines spell it identically).
+
+    Determinism: md5 hex is identical cross-engine; (n_docs DESC,
+    cluster_id) is a total order because cluster_id is unique."""
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ").alias("pre"),
+    )
+    return (
+        p.groupBy("pre")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(F.md5("pre").alias("cluster_id"), "n_docs", "n_sources", "min_doc_id")
+        .orderBy(F.col("n_docs").desc(), "cluster_id")
     )

@@ -337,3 +337,184 @@ def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    tags=("S9", "J5"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS p
+  FROM orders
+),
+old AS (SELECT k, pri, p FROM base WHERE k % 11 <> 3),
+new AS (
+  SELECT k, pri, CASE WHEN k % 13 = 1 THEN p + 5 ELSE p END AS p
+  FROM base WHERE k % 7 <> 2
+)
+SELECT CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN o.p <> n.p THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       COALESCE(n.pri, o.pri) AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(COALESCE(CAST(n.p * 100 AS BIGINT), 0)
+              - COALESCE(CAST(o.p * 100 AS BIGINT), 0)) AS BIGINT)
+         AS delta_cents
+FROM old o FULL JOIN new n ON o.k = n.k
+GROUP BY 1, 2 ORDER BY change_type, priority
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b (EXT, round 6 — VERDICT r5 #6): snapshot diff — the batch
+    twin of delete propagation. Given two corpus exports of the same
+    table (the reference's export sink run at two points in time,
+    export.go:64-168), classify every key as added / removed / changed
+    / unchanged and report per-class row counts and the exact revenue
+    delta — the reconciliation report an export consumer runs before
+    trusting an incremental feed, and the fallback that RE-DERIVES a
+    CDC stream when the upstream never emitted one. Fixture: the 'old'
+    snapshot drops keys ≡3 (mod 11) (later additions), the 'new' drops
+    keys ≡2 (mod 7) (deletions) and reprices keys ≡1 (mod 13) by
+    +5.00 (changes).
+
+    Scale shape: ONE full-outer equi-join on the snapshot key — both
+    sides hash-partition on k and AQE right-sizes the post-join
+    partitions; the classification is a map-side CASE over the joined
+    row and the rollup is ≤ 4·|priorities| rows, partial-aggregated.
+    No window, no sort except the ≤20-row presentation ordering. At
+    100 TB both exports are parquet already partitioned by the key
+    family, so the join co-locates without a shuffle (the bucketed-
+    join path q_join_bucketed evidences).
+
+    Determinism: 2dp DECIMAL prices compare exactly in both engines
+    (+5 stays decimal-exact); deltas are exact cents; class+priority
+    is a total grouping key."""
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        dec.alias("p"),
+    )
+    old = base.filter(F.col("k") % 11 != 3).select(
+        F.col("k").alias("ok"), F.col("pri").alias("opri"), F.col("p").alias("op")
+    )
+    new = base.filter(F.col("k") % 7 != 2).select(
+        F.col("k").alias("nk"),
+        F.col("pri").alias("npri"),
+        F.when(F.col("k") % 13 == 1, F.col("p") + 5).otherwise(F.col("p")).alias("np"),
+    )
+    j = old.join(new, old.ok == new.nk, "full")
+    change = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(F.col("op") != F.col("np"), "changed")
+        .otherwise("unchanged")
+    )
+    cents = lambda c: F.coalesce((F.col(c) * 100).cast("bigint"), F.lit(0))  # noqa: E731
+    return (
+        j.select(
+            change.alias("change_type"),
+            F.coalesce("npri", "opri").alias("priority"),
+            (cents("np") - cents("op")).alias("d"),
+        )
+        .groupBy("change_type", "priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("d").cast("bigint").alias("delta_cents"),
+        )
+        .orderBy("change_type", "priority")
+    )
+
+
+@query(
+    "q_profile_incremental",
+    tags=("S1", "A1", "ST6"),
+    oracle="""
+WITH f AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 13 = 5
+              THEN CAST(o_totalprice + 5 AS DECIMAL(20,2))
+              ELSE CAST(o_totalprice AS DECIMAL(20,2)) END AS p
+  FROM orders
+  WHERE NOT (o_orderkey % 3 = 1 AND o_orderkey % 13 = 7)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(p) * 100 AS BIGINT) AS total_cents
+FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1c (EXT, round 6 — VERDICT r5 #6): the incrementally-maintained
+    per-source stats profile, putting the IVM layer itself under the
+    driver's hash gate. The orders table arrives as FOUR CDC batches —
+    three inserts partitioned by key mod 3, then a churn batch that
+    REPRICES keys ≡(0 mod 3, 5 mod 13) by +5.00 and DELETES keys
+    ≡(1 mod 3, 7 mod 13) — maintained through MaterializedAgg
+    (streaming/matview.py: per-batch delta = new-minus-old contribution
+    of the batch's keys only, exact decimal credit/debit). The emitted
+    frame is the VIEW STATE after the last batch, and the oracle is the
+    plain one-shot GROUP BY over the logically-final table — so the
+    hash match proves insert, update (debit old + credit new), and
+    delete maintenance all converge to the recompute.
+
+    Scale shape: per batch the fact table is never re-scanned — two
+    key-pruned state slices + a |groups-touched| view merge (the ivm
+    bench measures exactly this economics); the final read is a
+    ≤|priorities|-row parquet scan. +5.00 on a ~10⁴-magnitude double
+    is ulp-exact (5 is a multiple of ulp(x) at that exponent), so the
+    decimal(20,2) cast agrees bit-for-bit across engines.
+
+    Determinism: all state arithmetic is exact decimal(20,2)/bigint;
+    batch seq order is fixed; emitted columns are integer counts and
+    exact cents."""
+    import shutil
+
+    from ..streaming.cdc import StateTable
+    from ..streaming.matview import MaterializedAgg
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="profile-incr-")
+    try:
+        ma = MaterializedAgg(
+            StateTable(spark, f"{root}/fact", ["o_orderkey"], "seq"),
+            StateTable(spark, f"{root}/view", ["o_orderpriority"], "seq"),
+            fact_key="o_orderkey",
+            group_col="o_orderpriority",
+            value_col="o_totalprice",
+        )
+        k = F.col("o_orderkey")
+        for i in range(3):
+            ma.apply_fact_batch(
+                orders.filter(k % 3 == i).withColumn("op", F.lit("upsert")), i + 1
+            )
+        churn = (
+            orders.filter((k % 3 == 0) & (k % 13 == 5))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+            .withColumn("op", F.lit("upsert"))
+            .unionByName(
+                orders.filter((k % 3 == 1) & (k % 13 == 7)).withColumn(
+                    "op", F.lit("delete")
+                )
+            )
+        )
+        ma.apply_fact_batch(churn, 4)
+        view = ma.read()
+        return (
+            view.select(
+                "o_orderpriority",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                (F.col("total") * 100).cast("bigint").alias("total_cents"),
+            )
+            .orderBy("o_orderpriority")
+            # materialize BEFORE the state dir is removed: the returned
+            # frame must survive the finally below (the driver collects
+            # it later); the view is ≤|priorities| rows
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

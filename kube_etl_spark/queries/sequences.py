@@ -518,3 +518,87 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_days_to_convert"
         ),
     )
+
+
+@query(
+    "q_dedup_events_window",
+    tags=("ST5", "W3", "L1"),
+    oracle="""
+WITH aug AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id + 1000000000, ts + INTERVAL '2 seconds',
+         user_id, event_type, value
+  FROM events WHERE event_id % 37 = 5
+),
+f AS (
+  SELECT event_type,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id, event_type, value
+                       ORDER BY ts, event_id) <= 300
+              THEN 1 ELSE 0 END AS is_redelivery
+  FROM aug
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_redelivery) AS BIGINT) AS n_redelivered,
+       CAST((SUM(is_redelivery) * 10000) // COUNT(*) AS DOUBLE) / 10000.0
+         AS redelivery_share
+FROM f GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5b (EXT, round 6): at-least-once redelivery audit — the BATCH
+    twin of streaming dedup-withinWatermark: an event is a redelivery
+    if an identical payload (same user, type, value) arrived within
+    the preceding 5 minutes. The data-quality report a pipeline owner
+    runs over a landed day to size how much duplicate mass the
+    streaming dedup would have absorbed (and to pick its watermark).
+    Fixture plants +2s copies of event_id ≡ 5 (mod 37) — the classic
+    producer-retry shape — so every SF has real redeliveries to count.
+
+    Scale shape: one hashpartition(user, type, value) exchange for the
+    LAG, then an event-type-sized map-combinable rollup — the payload
+    identity IS the partition key, so dup detection is a per-partition
+    sorted scan, never a self-join. At 100 TB the key would be
+    xxhash64(payload) (8 bytes on the wire); value doubles as the
+    payload here.
+
+    Determinism: second-truncated epoch diffs (integer), planted
+    copies are bit-identical doubles so the equality partition is
+    exact; 4dp share via integer DIV."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    aug = ev.unionByName(
+        ev.filter(F.col("event_id") % 37 == 5).select(
+            (F.col("event_id") + 1000000000).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    f = aug.select(
+        "event_type",
+        F.when((sec - F.lag(sec).over(w)) <= 300, 1).otherwise(0).alias("is_redelivery"),
+    )
+    return (
+        f.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_redelivery").cast("bigint").alias("n_redelivered"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_redelivered",
+            F.expr(
+                "CAST((n_redelivered * 10000) DIV n_events AS DOUBLE) / 10000.0"
+            ).alias("redelivery_share"),
+        )
+        .orderBy("event_type")
+    )

@@ -64,13 +64,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-5 window: 8 anchors + all 22 r4 ROTATE_NEXT (draining the
-# unproven backlog to ZERO — after this round every oracle-backed
-# query in the registry carries a real driver hash row) + 20 re-pins
-# whose only (or oldest) driver evidence is r01/r02: the full join
-# family, the filter family, the rollup/cube/grouping-sets trio,
-# having/stats aggregates, the tumbling-window streaming twin, and the
-# TPC-H Q3 bench headliner (8+22+20 = 50).
+# Round-6 window (VERDICT r5 #1: drain ROTATE_NEXT completely):
+# 8 anchors + all 35 r5 ROTATE_NEXT (16 round-5 widening queries with
+# no driver evidence yet + the 19 re-pins whose ONLY evidence is r01)
+# + 7 oldest-evidence (r02) extras chosen to satisfy the window's
+# family quotas (O via q_orderby_multi, T via q_tpch_q7, streaming #3
+# via q_stream_watermark) with ties toward bench headliners
+# (q_join_star, q_knn_cosine, q_text_stats, q_window_topk_group).
+# After this round every oracle-backed query's newest driver evidence
+# is r03+ and the unproven backlog is zero again (8+35+7 = 50).
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -81,69 +83,27 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the full r4 ROTATE_NEXT backlog (22)
-    "q_recursive_cte",
-    "q_ngram_novelty",
-    "q_cms_heavy_hitters",
-    "q_sample_weighted",
-    "q_triangle_count",
-    "q_bitmap_distinct_rollup",
-    "q_window_running_distinct",
-    "q_weighted_median",
-    "q_pareto_concentration",
-    "q_percent_of_parent",
-    "q_mode_per_group",
-    "q_dedup_normalized",
-    "q_knn_classify",
-    "q_join_bucketed",
-    "q_key_skew_audit",
-    "q_bucketed_point_lookup",
-    "q_rolling_active_users",
-    "q_bfs_hops",
-    "q_hapax_ratio",
-    "q_seasonality_index",
-    "q_time_to_convert",
-    "q_audit_constraints",
-    # 3. oldest-evidence re-pins (r01-only except the last two):
-    # three rounds of shared-helper churn (catalog.load_table, session
-    # config, exact.py) sit between their last external check and
-    # today's code (VERDICT r4 #2 names these families explicitly)
-    "q_join_inner",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_cross",
-    "q_join_range",
-    "q_filter_conjunction",
-    "q_filter_like_suffix",
-    "q_filter_array_contains",
-    "q_filter_isin",
-    "q_filter_not_contains",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_stats",
-    "q_stream_tumbling",            # ST1 — r02; streaming-slot quota
-    "q_tpch_q3_shipping_priority",  # TPCH — r02; bench headliner
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # r6 queue = 19 oldest-evidence re-pins (r01-only names, below) +
-    # the 15 round-5 widening queries (newest-unproven, appended).
-    # 8 anchors + 34 = 42 window slots; the ~8 remaining r6 slots go
-    # to the then-oldest (r02) cohort at curation time.
+    # 2. newest-unproven: the 16 round-5 widening queries (r5 ROTATE_NEXT
+    # step-2 cohort — zero driver evidence until this window runs)
+    "q_user_trend_slope",
+    "q_yoy_growth",
+    "q_reactivation",
+    "q_attribution_linear",
+    "q_window_ntile_cume",
+    "q_partition_pruned_scan",
+    "q_schema_evolution_read",
+    "q_dedup_incremental",
+    "q_sample_user_consistent",
+    "q_gapfill_interpolate",
+    "q_cohort_ltv",
+    "q_join_nearest_event",
+    "q_dedup_savings",
+    "q_knn_quantized",
+    "q_embedding_drift",
+    "q_quantile_bucket_join",
+    # 3a. oldest-evidence re-pins: the 19 names whose ONLY driver
+    # evidence is r01 — five rounds of shared-helper churn
+    # (catalog.load_table, session config, exact.py) since then
     "q_agg_global",
     "q_agg_count_distinct",
     "q_agg_percentile",
@@ -163,24 +123,69 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_date_funcs2",
     "q_conditional_funcs",
     "q_regex_funcs",
-    # round-5 widening batch (no driver evidence yet — step-2 names
-    # for the r6 window alongside the re-pins above)
-    "q_user_trend_slope",
-    "q_yoy_growth",
-    "q_reactivation",
-    "q_attribution_linear",
-    "q_window_ntile_cume",
-    "q_partition_pruned_scan",
-    "q_schema_evolution_read",
-    "q_dedup_incremental",
-    "q_sample_user_consistent",
-    "q_gapfill_interpolate",
-    "q_cohort_ltv",
-    "q_join_nearest_event",
-    "q_dedup_savings",
-    "q_knn_quantized",
-    "q_embedding_drift",
-    "q_quantile_bucket_join",
+    # 3b. oldest-evidence extras from the r02 cohort (quota + headliners)
+    "q_stream_watermark",           # ST4 — streaming-slot quota #3
+    "q_orderby_multi",              # O1 — O-family quota
+    "q_tpch_q7_nation_volume",      # TPCH — T-family quota
+    "q_join_star",                  # J3 — bench headliner
+    "q_knn_cosine",                 # L3 — bench headliner
+    "q_text_stats",                 # L4 — bench headliner
+    "q_window_topk_group",          # W2 — bench headliner
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # round-6 widening batch (no driver evidence yet — step-2 names
+    # for the r7 window; keep these FIRST so the cap trims re-pins,
+    # never unproven queries)
+    "q_snapshot_diff",
+    "q_profile_incremental",
+    "q_dedup_keep_best",
+    "q_mixture_rebalance",
+    "q_dedup_prefix_cluster",
+    "q_dedup_events_window",
+    # r7 re-pin queue: the r02-evidence cohort (newest driver hash row
+    # is round 2), oldest families first, trimmed to the 35-name cap
+    # (the five names that don't fit — q_window_running_sum,
+    # q_window_rank, q_window_range_frame, q_window_lag_lead,
+    # q_window_last_state — go to the r8 queue; the window family has
+    # five r03+ greens via its ntile/running-distinct/topk twins)
+    "q_catalog_scan",
+    "q_scan_project",
+    "q_sink_partitioned",
+    "q_split_spec_status",
+    "q_rules_fanout",
+    "q_join_asof",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stream_join",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_fingerprint",
+    "q_multimodal_join",
+    "q_text_tf",
+    "q_token_count",
+    "q_udaf_grouped_map",
+    "q_udf_scalar",
+    "q_udtf_explode",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_topk",
+    "q_pivot",
+    "q_json_funcs",
+    "q_from_json_explode",
+    "q_to_json",
 )
 
 

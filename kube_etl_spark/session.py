@@ -97,6 +97,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Static conf: keep Spark's console progress bars off stdout.
+        # BENCH_r05.json came back `parsed: null` because a progress bar
+        # (`[Stage 1141:===…`) interleaved bench.py's final JSON line —
+        # the driver parses stdout and the bar corrupted it (VERDICT r5
+        # what's-wrong #1).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.mergeSchema", "false")
     )
     for k, v in RUNTIME_CONFS.items():

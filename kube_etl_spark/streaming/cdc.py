@@ -238,6 +238,15 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     for d in os.listdir(parent):
         if d.startswith(f"{base}.v-") and d not in keep:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        elif d.startswith(f"{base}.ln-"):
+            # a crash between os.symlink(tmp_link) and os.rename leaves a
+            # stale staging symlink that nothing else ever touches; the
+            # lease guarantees any survivor here is from OUR crashed
+            # publish, so sweep it (ADVICE r5)
+            try:
+                os.remove(os.path.join(parent, d))
+            except OSError:
+                pass
 
 
 def run_cdc_stream(

@@ -902,3 +902,25 @@ def test_quantile_bucket_join_never_sorts_the_fact(spark):
     assert n_window_nodes == 1, f"expected exactly one Window node, got {n_window_nodes}"
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantile_bucket_join_approx_no_window_no_sort(spark):
+    """The registered 100 TB twin (VERDICT r5 #4) must actually drop the
+    exact form's single-task edge sort: NO Window node, NO Sort outside
+    the final 10-row ordering, NO sort-merge join — the edge pass is one
+    mergeable percentile_approx aggregate and the bucket assignment is
+    the broadcast of its one-row result."""
+    plan = _plan(spark, "q_quantile_bucket_join_approx")
+    n_window_nodes = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and ") Window" in line
+    )
+    assert n_window_nodes == 0, f"approx twin regrew a Window: {n_window_nodes}"
+    assert "SortMergeJoin" not in plan
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only Sort allowed is the final presentation ordering of ≤10 rows
+    sort_nodes = [
+        line for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Sort" in line
+    ]
+    assert len(sort_nodes) <= 1, f"unexpected sorts: {sort_nodes}"

@@ -1584,3 +1584,23 @@ def test_atomic_overwrite_grace_gc_survives_one_publish(spark, tmp_path):
     # steady state: current + one grace version, never more
     vers = [d for d in os.listdir(tmp_path) if d.startswith("table.v-")]
     assert len(vers) == 2
+
+
+def test_atomic_overwrite_sweeps_stale_staging_symlink(spark, tmp_path):
+    """ADVICE r5: a crash between os.symlink(tmp_link) and os.rename
+    leaves a '{base}.ln-*' staging symlink that nothing references; it
+    used to accumulate forever across crashed publishes. The next
+    successful publish must sweep it (and must NOT touch the live
+    link or version dirs)."""
+    import os
+
+    from kube_etl_spark.streaming.cdc import atomic_overwrite
+
+    path = str(tmp_path / "table")
+    atomic_overwrite(spark.createDataFrame([(1,)], "k long"), path)
+    # simulate the crashed publish's leftover staging link
+    stale = f"{path}.ln-deadbeef"
+    os.symlink("nowhere", stale)
+    atomic_overwrite(spark.createDataFrame([(2,)], "k long"), path)
+    assert not os.path.lexists(stale), "stale staging symlink not swept"
+    assert spark.read.parquet(path).count() == 1
