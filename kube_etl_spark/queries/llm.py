@@ -3860,13 +3860,17 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+    # per-VECTOR integer scale, hoisted before the probe join — computed
+    # once per row on each side, never per candidate pair
     iscale = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    qvi = qv.withColumn("isc", iscale(F.col("sc")))
+    probes = probes.withColumn("isp", iscale(F.col("sp")))
     p = (
-        qv.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))
+        qvi.join(F.broadcast(probes), F.col("qid") != F.col("vec_id"))
         .select(
             "qid",
             F.col("vec_id").alias("cid"),
-            (iscale(F.col("sp")) * iscale(F.col("sc")) * qdot).alias("adc_scaled"),
+            (F.col("isp") * F.col("isc") * qdot).alias("adc_scaled"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_scaled").desc(), F.col("cid"))
@@ -4091,9 +4095,14 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_pack_sequences' epoch layer's job).
 
     Scale shape: ONE corpus pass → source-sized partial agg; the
-    global total is a 1-row broadcast joined back map-side. Token
-    counting is the JVM split+size expression (no Python); text never
-    shuffles — only (source, n) pairs do.
+    global total comes from a whole-frame window over the ALREADY-
+    AGGREGATED |sources|-row frame (single-partition by construction,
+    |sources| rows — never the corpus), so the corpus is scanned
+    exactly once; a naive `s.agg(...)` + cross-join recomputes the
+    scan+tokenize subtree (no ReuseExchange across different final
+    aggs — the triangle-count pitfall, caught in this query's r6 plan
+    audit). Token counting is the JVM split+size expression (no
+    Python); text never shuffles — only (source, n) pairs do.
 
     Determinism: pure integer math — basis-point rates via bigint DIV
     (both engines truncate toward zero), exact token sums."""
@@ -4106,17 +4115,16 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("bigint").alias("src_tokens"),
         )
     )
-    tot = s.agg(
-        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
-    )
+    w_all = Window.partitionBy()
+    s = s.withColumn(
+        "total_tokens", F.sum("src_tokens").over(w_all).cast("bigint")
+    ).withColumn("n_sources", F.count(F.lit(1)).over(w_all).cast("bigint"))
     rate = F.least(
         F.lit(10000).cast("bigint"),
         F.expr("((total_tokens DIV n_sources) * 10000) DIV src_tokens"),
     )
     return (
-        s.crossJoin(F.broadcast(tot))
-        .select(
+        s.select(
             "source",
             "n_docs",
             "src_tokens",

@@ -154,10 +154,11 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_dedup_events_window",
     # r7 re-pin queue: the r02-evidence cohort (newest driver hash row
     # is round 2), oldest families first, trimmed to the 35-name cap
-    # (the five names that don't fit — q_window_running_sum,
-    # q_window_rank, q_window_range_frame, q_window_lag_lead,
-    # q_window_last_state — go to the r8 queue; the window family has
-    # five r03+ greens via its ntile/running-distinct/topk twins)
+    # (the four names that don't fit — q_window_running_sum,
+    # q_window_rank, q_window_range_frame, q_window_lag_lead — go to
+    # the r8 queue; the window family has five r03+ greens via its
+    # ntile/running-distinct/topk twins, and q_window_last_state rides
+    # this queue because the CDC layer reuses it)
     "q_catalog_scan",
     "q_scan_project",
     "q_sink_partitioned",
@@ -186,6 +187,7 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_json_funcs",
     "q_from_json_explode",
     "q_to_json",
+    "q_window_last_state",
 )
 
 
