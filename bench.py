@@ -538,8 +538,13 @@ def main() -> None:
     # was `parsed: null` because a Spark console progress bar raced the
     # JSON onto the same stdout (VERDICT r5 #1). Belt (showConsoleProgress
     # off in session.py) and suspenders (nothing Spark-side can write
-    # once the session is stopped).
-    spark.stop()
+    # once the session is stopped). A stop-time failure must not discard
+    # the fully-computed payload (self-review r6) — it no longer needs
+    # the session.
+    try:
+        spark.stop()
+    except Exception:
+        pass
     sys.stdout.flush()
     print(payload, flush=True)
 

@@ -95,14 +95,18 @@ def main(argv: list[str]) -> None:
                     return
 
         threading.Thread(target=_renew_loop, daemon=True).start()
-    table = AttributionTable(spark, args.state, lease=lease)
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
-        args.watch
-    )
-    window = args.window or DEFAULT_WINDOW
-    watermark = args.watermark or DEFAULT_WATERMARK
-
     try:
+        # everything after lease acquisition sits inside the try: an
+        # AttributionTable ctor error or a readStream setup error must
+        # release the lease just like a failed drain (self-review r6 —
+        # the first cut started the try after these and leaked on them)
+        table = AttributionTable(spark, args.state, lease=lease)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(args.watch)
+        window = args.window or DEFAULT_WINDOW
+        watermark = args.watermark or DEFAULT_WATERMARK
+
         if args.once:
             run_attribution_stream(
                 stream, table, args.checkpoint, window=window, watermark=watermark
@@ -128,16 +132,24 @@ def main(argv: list[str]) -> None:
         # A failed drain (e.g. LeaseLost fencing a merge mid-batch) must
         # still detach the health listener, stop the renewal thread, and
         # release the lease — otherwise the lease only frees via TTL and
-        # the listener leaks into any session reuse (ADVICE r5). release()
-        # is fenced-safe: releasing a lease another writer already took
+        # the listener leaks into any session reuse (ADVICE r5). Each
+        # step is guarded so a dead JVM (removeListener raising) cannot
+        # skip the lease release (self-review r6); release() is
+        # fenced-safe: releasing a lease another writer already took
         # over is a no-op.
-        spark.streams.removeListener(health)
+        try:
+            spark.streams.removeListener(health)
+        except Exception:
+            pass
         if renew_stop is not None:
             renew_stop.set()
         if lease is not None:
             lease.release()
         if owned:
-            spark.stop()
+            try:
+                spark.stop()
+            except Exception:
+                pass
 
 
 if __name__ == "__main__":

@@ -668,20 +668,24 @@ def boilerplate_experiment(spark, sf_dir: str, replicas: int) -> dict:
     true_full = {r["iid"] for r in rows if r["j_full"] >= 0.5}
     true_content = {r["iid"] for r in rows if r["j_content"] >= 0.5}
 
-    post_c = cs.select("cid", F.explode("s").alias("sh"))
-    post_i = ix.select("iid", F.explode("s").alias("sh"))
-    dfreq = post_c.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    df_stats = dfreq.agg(
-        F.max("df").alias("max_df"),
-        F.count_if(F.col("df") > 100).alias("n_hot_over_100"),
-    ).collect()[0]
+    from kube_etl_spark.queries.llm import screen_postings
+
+    df_stats = (
+        cs.select("cid", F.explode("s").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.max("df").alias("max_df"),
+            F.count_if(F.col("df") > 100).alias("n_hot_over_100"),
+        )
+        .collect()[0]
+    )
+    ixz = ix.select("iid", "s", F.size("s").alias("na"))
 
     def n_candidates(df_cap):
-        pc, pi = post_c, post_i
-        if df_cap is not None:
-            hot = dfreq.filter(F.col("df") > df_cap).select("sh")
-            pc = pc.join(hot, "sh", "left_anti")
-            pi = pi.join(hot, "sh", "left_anti")
+        # the EXACT candidate stage the screen runs (shared helper), so
+        # the published reduction constants describe executed code
+        pi, pc = screen_postings(cs, ixz, df_cap)
         return pi.join(pc, "sh").select("iid", "cid").distinct().count()
 
     def run(df_cap):

@@ -3539,6 +3539,45 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_screen(cs, ix).orderBy("inc_doc_id")
 
 
+def screen_postings(
+    cs: DataFrame, ixz: DataFrame, df_cap: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The candidate-generation stage of the inverted-index screen —
+    ONE implementation shared by incremental_screen and the scale-truth
+    harnesses (jobs/scale_truth.py --incremental / --boilerplate), so
+    the measured candidate/reduction constants in docs/architecture.md
+    always describe the code the query runs (self-review r6: the
+    boilerplate harness briefly re-implemented this stage inline).
+
+    cs: (cid, s) corpus shingle sets; ixz: (iid, s, na) increment sets
+    with precomputed sizes. Returns (post_i, post_c) postings carrying
+    (iid, na, sh) / (cid, nb, sh); joining them on sh yields the
+    candidate pairs. Under a cap, shingles with corpus DF > df_cap are
+    dropped from BOTH sides and na/nb are recounted over the SURVIVING
+    postings (boilerplate-blind sizes — one doc-keyed exchange each,
+    modest next to the candidate explosion the cap removes;
+    whole-partition count frame is O(n), planlint-clean). Docs whose
+    every shingle is hot vanish from candidate generation."""
+    post_c = cs.select("cid", F.size("s").alias("nb"), F.explode("s").alias("sh"))
+    post_i = ixz.select("iid", "na", F.explode("s").alias("sh"))
+    if df_cap is not None:
+        hot = (
+            post_c.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("sh")
+        )
+        post_c = post_c.join(hot, "sh", "left_anti")
+        post_i = post_i.join(hot, "sh", "left_anti")
+        post_c = post_c.withColumn(
+            "nb", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+        )
+        post_i = post_i.withColumn(
+            "na", F.count(F.lit(1)).over(Window.partitionBy("iid"))
+        )
+    return post_i, post_c
+
+
 def incremental_screen(
     cs: DataFrame, ix: DataFrame, j4_threshold: int = 5000, df_cap: int | None = None
 ) -> DataFrame:
@@ -3574,29 +3613,7 @@ def incremental_screen(
     # postings, so the first stage materializes and the second reuses
     # without an extra job submission.
     ixz = ix.select("iid", "s", F.size("s").alias("na")).localCheckpoint(eager=False)
-    post_c = cs.select("cid", F.size("s").alias("nb"), F.explode("s").alias("sh"))
-    post_i = ixz.select("iid", "na", F.explode("s").alias("sh"))
-    if df_cap is not None:
-        hot = (
-            post_c.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > df_cap)
-            .select("sh")
-        )
-        post_c = post_c.join(hot, "sh", "left_anti")
-        post_i = post_i.join(hot, "sh", "left_anti")
-        # boilerplate-blind sizes: recount per doc over the SURVIVING
-        # postings (one doc-keyed exchange each — modest next to the
-        # candidate explosion the cap removes; whole-partition count
-        # frame is O(n), planlint-clean). Docs whose every shingle is
-        # hot vanish from candidate generation and surface as clean
-        # via the final left join.
-        post_c = post_c.withColumn(
-            "nb", F.count(F.lit(1)).over(Window.partitionBy("cid"))
-        )
-        post_i = post_i.withColumn(
-            "na", F.count(F.lit(1)).over(Window.partitionBy("iid"))
-        )
+    post_i, post_c = screen_postings(cs, ixz, df_cap)
     cand = (
         post_i.join(post_c, "sh")
         .groupBy("iid", "cid", "na", "nb")
@@ -4124,15 +4141,15 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((total_tokens DIV n_sources) * 10000) DIV src_tokens"),
     )
     return (
-        s.select(
+        s.withColumn("rate_bp", rate)
+        .select(
             "source",
             "n_docs",
             "src_tokens",
-            rate.alias("rate_bp"),
-            F.expr(
-                "(src_tokens * LEAST(CAST(10000 AS BIGINT),"
-                " ((total_tokens DIV n_sources) * 10000) DIV src_tokens)) DIV 10000"
-            )
+            "rate_bp",
+            # derived FROM rate_bp so the pair stays consistent by
+            # construction if the target-share policy ever changes
+            F.expr("(src_tokens * rate_bp) DIV 10000")
             .cast("bigint")
             .alias("kept_tokens"),
         )
