@@ -924,3 +924,46 @@ def test_quantile_bucket_join_approx_no_window_no_sort(spark):
         if line.strip().startswith("(") and ") Sort" in line
     ]
     assert len(sort_nodes) <= 1, f"unexpected sorts: {sort_nodes}"
+
+
+def test_snapshot_diff_single_key_join_rollup(spark):
+    """q_snapshot_diff must be ONE key-keyed join (full outer — never
+    broadcastable, SMJ/shuffled-hash are the honest strategies) feeding
+    a map-side-combinable rollup; no window, no nested loop."""
+    plan = _plan(spark, "q_snapshot_diff")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_joins = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and ("Join" in line.split()[1] if len(line.split()) > 1 else False)
+    )
+    assert n_joins == 1, f"expected exactly one join, got {n_joins}"
+    assert ") Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dedup_events_window_one_payload_exchange(spark):
+    """q_dedup_events_window's dup detection must be a per-partition
+    sorted scan over ONE payload-keyed exchange — never a self-join
+    (the O(pairs) shape the LAG formulation exists to avoid)."""
+    plan = _plan(spark, "q_dedup_events_window")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"redelivery screen regressed to a {node}"
+    n_window_nodes = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("(") and ") Window" in line
+    )
+    assert n_window_nodes == 1
+
+
+def test_mixture_rebalance_single_corpus_scan(spark):
+    """q_mixture_rebalance's global total must ride a whole-frame window
+    over the |sources|-row aggregate — the naive agg+cross-join form
+    scans the corpus twice (caught in this query's r6 plan audit)."""
+    plan = _plan(spark, "q_mixture_rebalance")
+    scans = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and ") Scan parquet" in line
+    )
+    assert scans == 1, f"corpus scanned {scans}x — the total re-derived the scan"
+    assert "Join" not in plan

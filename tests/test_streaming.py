@@ -1604,3 +1604,80 @@ def test_atomic_overwrite_sweeps_stale_staging_symlink(spark, tmp_path):
     atomic_overwrite(spark.createDataFrame([(2,)], "k long"), path)
     assert not os.path.lexists(stale), "stale staging symlink not swept"
     assert spark.read.parquet(path).count() == 1
+
+
+def test_snapshot_delta_classifies_all_transitions(spark):
+    """snapshot_delta must emit upserts for added+changed keys, deletes
+    carrying the OLD payload for vanished keys, nothing for unchanged —
+    including NULL→value, value→NULL and NULL→NULL value transitions
+    (the eqNullSafe contract)."""
+    from kube_etl_spark.streaming.snapdiff import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "b2"), (3, None), (5, "e")], "k long, v string"
+    )
+    rows = {(r["k"], r["v"], r["op"]) for r in snapshot_delta(old, new, ["k"]).collect()}
+    assert rows == {
+        (2, "b2", "upsert"),   # NULL → value = changed
+        (3, None, "upsert"),   # value → NULL = changed
+        (5, "e", "upsert"),    # added
+        (4, None, "delete"),   # vanished, old payload carried
+    }  # k=1 unchanged → absent; k=4 was NULL→NULL on a vanished key
+    # first snapshot: everything upserts
+    first = snapshot_delta(None, new, ["k"])
+    assert first.filter("op <> 'upsert'").count() == 0
+    assert first.count() == 4
+
+
+def test_snapshot_diff_source_converges_and_replays(spark, tmp_path):
+    """Poll-based CDC end-to-end: successive full snapshots produce
+    delta-sized StateTable merges; state always equals the latest
+    snapshot exactly (deletes propagate); re-applying the same snapshot
+    is an EMPTY delta (at-least-once snapshot delivery converges); and
+    the deltas drive MaterializedAgg to the same view a direct
+    aggregation of the final snapshot gives — full exports in,
+    incremental maintenance out."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedAgg
+    from kube_etl_spark.streaming.snapdiff import SnapshotDiffSource
+
+    src = SnapshotDiffSource(StateTable(spark, str(tmp_path / "snap"), ["k"], "seq"))
+    ma = MaterializedAgg(
+        StateTable(spark, str(tmp_path / "fact"), ["k"], "seq"),
+        StateTable(spark, str(tmp_path / "view"), ["g"], "seq"),
+        fact_key="k",
+        group_col="g",
+        value_col="x",
+    )
+    s1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "k long, g string, x double"
+    )
+    s2 = spark.createDataFrame(  # k=2 repriced, k=3 deleted, k=4 added (group move n/a)
+        [(1, "a", 10.0), (2, "a", 25.0), (4, "b", 40.0)], "k long, g string, x double"
+    )
+    s3 = spark.createDataFrame(  # k=1 moves group a→b
+        [(1, "b", 10.0), (2, "a", 25.0), (4, "b", 40.0)], "k long, g string, x double"
+    )
+    for i, snap in enumerate((s1, s2, s3), start=1):
+        delta = src.apply(snap, seq=i)
+        ma.apply_fact_batch(delta, i)
+    # deltas were minimal, not snapshot-sized
+    assert src.apply(s3, seq=4).count() == 0  # replay: empty delta
+    state = {(r["k"], r["g"], r["x"]) for r in src.state.read().drop("seq").collect()}
+    assert state == {(1, "b", 10.0), (2, "a", 25.0), (4, "b", 40.0)}
+    view = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in ma.read().select("g", "n_rows", "total").collect()
+    }
+    direct = {
+        (r["g"], r["n"], float(r["s"]))
+        for r in s3.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("x").cast("decimal(20,2)")).alias("s"))
+        .collect()
+    }
+    assert view == direct  # insert+update+delete+group-move all maintained
