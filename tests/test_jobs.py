@@ -1268,3 +1268,67 @@ def test_run_attribution_cli(spark, tmp_path, capsys):
     run_attribution.main(argv)
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["pairs"] == len(expected)
+
+
+def test_run_snapshot_sync_cli(spark, tmp_path, capsys):
+    """Poll-based CDC job e2e: three full snapshot drops → state equals
+    the LAST snapshot exactly (adds/changes/deletes applied as deltas);
+    the applied-marker makes a re-run a no-op; and losing the marker is
+    harmless: older snapshots re-diff non-empty against the NEWER state,
+    but their merges land at stale seqs and the monotone-seq guard
+    discards them — the latest snapshot re-diffs empty and state is
+    bit-preserved (the crash-window contract in run_snapshot_sync's
+    docstring)."""
+    import json as _json
+    import os
+
+    from jobs import run_snapshot_sync
+
+    watch = tmp_path / "snapshots"
+    watch.mkdir()
+    snaps = {
+        "snap-0001": [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "snap-0002": [(1, "a", 10.0), (2, "a", 25.0), (4, "b", 40.0)],
+        "snap-0003": [(1, "b", 10.0), (2, "a", 25.0), (4, "b", 40.0)],
+    }
+    for name, rows in snaps.items():
+        spark.createDataFrame(rows, "uid long, g string, x double").coalesce(
+            1
+        ).write.parquet(str(watch / name))
+    state = str(tmp_path / "synced")
+    argv = ["--watch", str(watch), "--state", state, "--keys", "uid", "--once"]
+    run_snapshot_sync.main(argv)
+    lines = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert [r["snapshot"] for r in lines] == sorted(snaps)
+    assert [r["delta_rows"] for r in lines] == [3, 3, 1]  # delta-sized, not dump-sized
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    got = {
+        (r["uid"], r["g"], r["x"])
+        for r in StateTable(spark, state, ["uid"], "seq").read().drop("seq").collect()
+    }
+    assert got == set(snaps["snap-0003"])
+    # re-run: marker skips everything
+    run_snapshot_sync.main(argv)
+    assert not [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    # crash window: marker lost AFTER merges — older snapshots re-diff
+    # non-empty (they describe rolling state BACK), but their stale-seq
+    # merges are discarded by the max-seq winner rule; the latest
+    # snapshot re-diffs EMPTY and state survives bit-for-bit
+    os.remove(state + ".applied.json")
+    run_snapshot_sync.main(argv)
+    replay = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert replay[-1]["delta_rows"] == 0  # latest snapshot: empty re-diff
+    got2 = {
+        (r["uid"], r["g"], r["x"])
+        for r in StateTable(spark, state, ["uid"], "seq").read().drop("seq").collect()
+    }
+    assert got2 == got
