@@ -3539,6 +3539,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_screen(cs, ix).orderBy("inc_doc_id")
 
 
+@query(
+    "q_dedup_incremental_capped",
+    tags=("L2", "scale"),
+    oracle=None,  # rows-only: capped (boilerplate-blind) J has no exact SQL twin
+)
+def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2f-capped: the 100 TB form of q_dedup_incremental as EXECUTED
+    registry code (the q_profile_columns_approx / quantile_approx
+    pattern) — the DF-cap skew valve ON, over a fixture with real
+    boilerplate to cut: a fixed template preamble is planted on 70% of
+    both corpus and increment docs (doc_id % 10 < 7), so the preamble's
+    shingles carry DF ≈ 0.7·|corpus| ≫ cap and the hot-shingle
+    anti-join actually fires at every SF. J is the boilerplate-blind
+    Jaccard (set sizes recounted over the capped vocabulary — see
+    incremental_screen; the r6 boilerplate scale-truth measured why:
+    99.45% candidate reduction, 36× wall, zero content-true pairs lost
+    at 50k docs, docs/architecture.md §round-6).
+
+    Rows-only by contract: the capped J is intentionally blind to
+    boilerplate shingles, which no engine-portable SQL reproduces; the
+    exact twin anchors value correctness, this one keeps the scale
+    path's plan (hot-shingle anti-join + size recount) permanently
+    registered and linted."""
+    boiler = (
+        "this site uses cookies to improve your experience by continuing "
+        "to browse you agree to our terms of service"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    preambled = (F.col("doc_id") % 10) < 7
+    stamp = lambda d: d.select(  # noqa: E731
+        "doc_id",
+        F.when(preambled, F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    in_range = F.col("doc_id") < 120
+    corpus = stamp(docs.filter(in_range & (F.col("doc_id") % 5 != 0)))
+    inc = stamp(docs.filter(in_range & (F.col("doc_id") % 5 == 0))).unionByName(
+        stamp(docs.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 5 != 0))).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" qq zz")).alias("text"),
+        )
+    )
+    cs = corpus.select(
+        F.col("doc_id").alias("cid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    ix = inc.select(
+        F.col("doc_id").alias("iid"), _shingles(_tokens(F.col("text"))).alias("s")
+    )
+    # cap 30 < boilerplate DF (≈0.7·96) at the fixed fixture slice, far
+    # above any content shingle's DF — the 50k-run's cap=100 regime,
+    # scaled to the fixture
+    return incremental_screen(cs, ix, df_cap=30).orderBy("inc_doc_id")
+
+
 def screen_postings(
     cs: DataFrame, ixz: DataFrame, df_cap: int | None
 ) -> tuple[DataFrame, DataFrame]:

@@ -967,3 +967,14 @@ def test_mixture_rebalance_single_corpus_scan(spark):
     )
     assert scans == 1, f"corpus scanned {scans}x — the total re-derived the scan"
     assert "Join" not in plan
+
+
+def test_dedup_incremental_capped_hot_shingle_anti_join(spark):
+    """The capped screen's plan must actually contain the skew valve:
+    hot-shingle LEFT ANTI joins on both postings sides plus the
+    doc-keyed size recounts — and the exact twin must contain NEITHER
+    (its plan is the uncapped postings join, ≡ the oracle)."""
+    capped = _plan(spark, "q_dedup_incremental_capped")
+    assert "LeftAnti" in capped, "hot-shingle anti-join missing from capped plan"
+    exact = _plan(spark, "q_dedup_incremental")
+    assert "LeftAnti" not in exact
