@@ -727,3 +727,59 @@ def test_ns_fixture_branch_lossless_and_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="sub-microsecond"):
         bad.select("ts").collect()
+
+
+def test_snapshot_delta_sequence_converges_property(spark):
+    """Property (snapdiff): for ANY sequence of snapshots — random adds,
+    drops, value changes, NULL values, even empty snapshots — applying
+    each successive delta to keyed state reproduces the last snapshot
+    exactly, and the delta between consecutive EQUAL snapshots is
+    empty. Pins the eqNullSafe change detection and the delete
+    propagation over the whole input space, not just the curated
+    transition test."""
+    from hypothesis import given, settings, strategies as st
+
+    from kube_etl_spark.streaming.snapdiff import snapshot_delta
+
+    snap_strategy = st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),                              # key
+                st.one_of(st.none(), st.integers(-100, 100)),   # value (nullable)
+            ),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda t: t[0],                           # snapshot = keyed set
+        ),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(snap_strategy)
+    def run(snaps):
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("k", LongType(), False), StructField("v", IntegerType(), True)]
+        )
+        state = None  # simulated keyed state: apply deltas by hand
+        state_rows: dict[int, object] = {}
+        for rows in snaps:
+            snap = spark.createDataFrame(
+                [(k, v) for k, v in rows], schema
+            )
+            delta = snapshot_delta(state, snap, ["k"]).collect()
+            for r in delta:
+                if r["op"] == "delete":
+                    state_rows.pop(r["k"], None)
+                else:
+                    state_rows[r["k"]] = r["v"]
+            assert state_rows == dict(rows)  # state ≡ latest snapshot
+            state = spark.createDataFrame(
+                [(k, v) for k, v in state_rows.items()], schema
+            )
+            # self-diff of the just-applied snapshot must be empty
+            assert snapshot_delta(state, snap, ["k"]).count() == 0
+
+    run()
