@@ -88,6 +88,60 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Queries whose implementation has been UNCHANGED since round 1 —
+# co-measured every run as a VM-speed sentinel (ADVICE r6 #2): instead
+# of re-writing absolute baselines when a round's VM is slow/fast, the
+# median of these queries' vs_r01 ratios estimates the VM factor, and
+# "vs_baseline_queries_vmadj" divides it out so the 2× band measures
+# CODE on every VM. A regression in one sentinel can't skew the factor
+# (median of five); a regression in ALL five is a real shared-helper
+# regression and shows up in vs_r01 directly.
+_SENTINELS = (
+    "q_join_inner",
+    "q_dedup_exact",
+    "q_stream_tumbling",
+    "q_text_stats",
+    "q_tpch_q3_shipping_priority",
+)
+
+# The driver records only the LAST 2,000 characters of stdout and
+# json.loads the final line (BENCH_r05/r06 were `parsed: null` —
+# first a progress-bar race, then the full payload line itself
+# outgrowing the tail capture, VERDICT r6 #1). The final line is
+# therefore a COMPACT payload holding exactly the contract keys plus
+# the headline regression ratios, hard-capped well under the capture;
+# everything else (skew/udf/index/ivm/neardup objects, vs_r01,
+# vm_factor) goes to bench_full.json and a NON-final stdout line.
+_FINAL_LINE_MAX = 1500
+_FULL_OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+)
+
+
+def compact_payload(
+    total: float,
+    timings: dict[str, float],
+    sf: float | None,
+    vs_baseline_queries: dict[str, float],
+) -> str:
+    """The driver-contract line: metric/value/unit/queries/sf plus the
+    per-query baseline ratios. tests/test_bench_contract.py pins its
+    length under _FINAL_LINE_MAX with the real headliner set, so
+    adding bench queries can't silently outgrow the driver's
+    stdout-tail capture again."""
+    return json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "vs_baseline_queries": vs_baseline_queries,
+        },
+        separators=(",", ":"),
+    )
+
+
 def _timed(fn, runs: int = 3) -> float:
     ts = []
     for _ in range(runs):
@@ -472,8 +526,15 @@ def main() -> None:
     spark = get_spark("kube-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    specs = sorted(bench_specs().items())
+    # one untimed throwaway before the loop so the alphabetically-first
+    # headliners stop absorbing JVM JIT / shuffle-service startup in
+    # their medians (VERDICT r6 #3) — the flagship agg touches scan,
+    # shuffle and codegen, which is exactly what warm-up must prime
+    _materialize(specs[0][1].fn(spark, sf_dir))
+
     timings: dict[str, float] = {}
-    for name, spec in sorted(bench_specs().items()):
+    for name, spec in specs:
         timings[name] = _timed(lambda: _materialize(spec.fn(spark, sf_dir)))
 
     vs_r01: dict[str, float] = {}
@@ -516,8 +577,20 @@ def main() -> None:
                 if measured[obj].get(k)
             }
 
+    # VM-speed sentinel (ADVICE r6 #2): median vs_r01 ratio of the five
+    # unchanged-since-r1 sentinel queries estimates how fast THIS VM is
+    # relative to the r1 baseline VM; vmadj divides it out so re-basing
+    # absolute baselines on VM-variance grounds is never needed again.
+    sent = [vs_r01[n] for n in _SENTINELS if n in vs_r01]
+    vm_factor = round(statistics.median(sent), 3) if sent else None
+    vs_vmadj = (
+        {n: round(r / vm_factor, 3) for n, r in vs_baseline_queries.items()}
+        if vm_factor
+        else {}
+    )
+
     total = round(sum(timings.values()), 4)
-    payload = json.dumps(
+    full = json.dumps(
         {
             "metric": "headline_total_wall",
             "value": total,
@@ -525,8 +598,10 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "vs_r01": vs_r01,
+            "vm_factor": vm_factor,
             "vs_baseline": vs_baseline,
             "vs_baseline_queries": vs_baseline_queries,
+            "vs_baseline_queries_vmadj": vs_vmadj,
             "skew": skew,
             "udf": udf,
             "index": index,
@@ -534,19 +609,28 @@ def main() -> None:
             "neardup": neardup,
         }
     )
-    # Print the contract line only AFTER the JVM is down: BENCH_r05.json
-    # was `parsed: null` because a Spark console progress bar raced the
-    # JSON onto the same stdout (VERDICT r5 #1). Belt (showConsoleProgress
-    # off in session.py) and suspenders (nothing Spark-side can write
-    # once the session is stopped). A stop-time failure must not discard
-    # the fully-computed payload (self-review r6) — it no longer needs
-    # the session.
+    compact = compact_payload(total, timings, sf, vs_baseline_queries)
+    # Output discipline, the product of two parsed:null rounds
+    # (VERDICT r5 #1, r6 #1): (a) print only AFTER the JVM is down so
+    # nothing Spark-side can interleave; (b) the FINAL stdout line is
+    # the compact contract payload, kept under _FINAL_LINE_MAX — the
+    # driver records only the last 2,000 chars of stdout and parses the
+    # last line, so the full payload goes to bench_full.json and a
+    # NON-final line. A stop-time failure must not discard the
+    # fully-computed payload — it no longer needs the session.
     try:
         spark.stop()
     except Exception:
         pass
+    with open(_FULL_OUT, "w") as f:
+        f.write(full + "\n")
     sys.stdout.flush()
-    print(payload, flush=True)
+    print(full, flush=True)
+    if len(compact) > _FINAL_LINE_MAX:  # pragma: no cover - fenced by test
+        # never let the contract line outgrow the tail capture: shed the
+        # extras first, then (still too long?) ship contract keys only
+        compact = compact_payload(total, timings, sf, {})
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

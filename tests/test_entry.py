@@ -123,3 +123,31 @@ def test_bench_query_baselines_cover_headliners():
     assert not missing, f"headliners with no first-measured baseline: {missing}"
     stale = baselined - headliners
     assert not stale, f"baseline rows for non-headliners: {stale}"
+
+
+def test_bench_final_line_fits_driver_tail():
+    """The driver records only the LAST 2,000 chars of bench stdout and
+    json.loads the final line; BENCH_r06 went `parsed: null` because
+    the payload line outgrew that capture (VERDICT r6 #1). Pin the
+    compact contract line — built with the REAL headliner set and
+    worst-case-width values — under bench._FINAL_LINE_MAX so adding a
+    headliner (or a baseline row) re-breaks this test, not the gate."""
+    import bench
+
+    from kube_etl_spark.registry import bench_specs
+
+    names = sorted(bench_specs())
+    # worst realistic widths: 4dp timings in the hundreds of seconds,
+    # 3dp ratios ≥ 10×
+    timings = {n: 123.4567 for n in names}
+    ratios = {n: 12.345 for n in bench._QUERY_BASELINE}
+    line = bench.compact_payload(9999.9999, timings, 0.1, ratios)
+    assert len(line) <= bench._FINAL_LINE_MAX, (
+        f"compact contract line is {len(line)} chars; driver tail capture "
+        f"is 2,000 — trim keys or shrink the headliner set"
+    )
+    # and it must still BE the contract: the five required keys present
+    import json as _json
+
+    parsed = _json.loads(line)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(parsed)
