@@ -64,15 +64,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-6 window (VERDICT r5 #1: drain ROTATE_NEXT completely):
-# 8 anchors + all 35 r5 ROTATE_NEXT (16 round-5 widening queries with
-# no driver evidence yet + the 19 re-pins whose ONLY evidence is r01)
-# + 7 oldest-evidence (r02) extras chosen to satisfy the window's
-# family quotas (O via q_orderby_multi, T via q_tpch_q7, streaming #3
-# via q_stream_watermark) with ties toward bench headliners
-# (q_join_star, q_knn_cosine, q_text_stats, q_window_topk_group).
-# After this round every oracle-backed query's newest driver evidence
-# is r03+ and the unproven backlog is zero again (8+35+7 = 50).
+# Round-7 window (VERDICT r6 #2: the queue already in ROTATE_NEXT):
+# 8 anchors + all 35 r6 ROTATE_NEXT (the 6 round-6 widening queries
+# with no driver evidence yet + the 29 r02-evidence re-pins) + 7
+# oldest-evidence fills: the 4 r8-deferred window-family names (the
+# only r02-or-older evidence left) and 3 of the r03 cohort chosen for
+# quotas and VERDICT-named families (q_tpch_q5 for the T quota,
+# q_join_skew_salted for the scale story, q_media_frames for the
+# multimodal mandate). After this round every oracle-backed query's
+# newest driver evidence is r03+ and the unproven backlog is zero
+# again (8+35+7 = 50).
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -83,82 +84,16 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 16 round-5 widening queries (r5 ROTATE_NEXT
+    # 2. newest-unproven: the 6 round-6 widening queries (r6 ROTATE_NEXT
     # step-2 cohort — zero driver evidence until this window runs)
-    "q_user_trend_slope",
-    "q_yoy_growth",
-    "q_reactivation",
-    "q_attribution_linear",
-    "q_window_ntile_cume",
-    "q_partition_pruned_scan",
-    "q_schema_evolution_read",
-    "q_dedup_incremental",
-    "q_sample_user_consistent",
-    "q_gapfill_interpolate",
-    "q_cohort_ltv",
-    "q_join_nearest_event",
-    "q_dedup_savings",
-    "q_knn_quantized",
-    "q_embedding_drift",
-    "q_quantile_bucket_join",
-    # 3a. oldest-evidence re-pins: the 19 names whose ONLY driver
-    # evidence is r01 — five rounds of shared-helper churn
-    # (catalog.load_table, session config, exact.py) since then
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_percentile",
-    "q_agg_collect",
-    "q_agg_conditional",
-    "q_agg_argmax",
-    "q_project_nested",
-    "q_drop_normalize",
-    "q_case_coalesce_concat",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_hash_funcs",
-    "q_string_funcs2",
-    "q_date_funcs2",
-    "q_conditional_funcs",
-    "q_regex_funcs",
-    # 3b. oldest-evidence extras from the r02 cohort (quota + headliners)
-    "q_stream_watermark",           # ST4 — streaming-slot quota #3
-    "q_orderby_multi",              # O1 — O-family quota
-    "q_tpch_q7_nation_volume",      # TPCH — T-family quota
-    "q_join_star",                  # J3 — bench headliner
-    "q_knn_cosine",                 # L3 — bench headliner
-    "q_text_stats",                 # L4 — bench headliner
-    "q_window_topk_group",          # W2 — bench headliner
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # round-6 widening batch (no driver evidence yet — step-2 names
-    # for the r7 window; keep these FIRST so the cap trims re-pins,
-    # never unproven queries)
     "q_snapshot_diff",
     "q_profile_incremental",
     "q_dedup_keep_best",
     "q_mixture_rebalance",
     "q_dedup_prefix_cluster",
     "q_dedup_events_window",
-    # r7 re-pin queue: the r02-evidence cohort (newest driver hash row
-    # is round 2), oldest families first, trimmed to the 35-name cap
-    # (the four names that don't fit — q_window_running_sum,
-    # q_window_rank, q_window_range_frame, q_window_lag_lead — go to
-    # the r8 queue; the window family has five r03+ greens via its
-    # ntile/running-distinct/topk twins, and q_window_last_state rides
-    # this queue because the CDC layer reuses it)
+    # 3a. oldest-evidence re-pins: the 29 names whose newest driver
+    # evidence is r02 (queued in the r6 ROTATE_NEXT)
     "q_catalog_scan",
     "q_scan_project",
     "q_sink_partitioned",
@@ -188,6 +123,67 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_from_json_explode",
     "q_to_json",
     "q_window_last_state",
+    # 3b. oldest-evidence fills: the four r02 window-family names the
+    # r6 cap deferred, then the r03 quota/mandate picks
+    "q_window_running_sum",         # W4
+    "q_window_rank",                # W1
+    "q_window_range_frame",         # W5
+    "q_window_lag_lead",            # W3
+    "q_tpch_q5_local_volume",       # TPCH — T-family quota
+    "q_join_skew_salted",           # J1/skew — the scale story's join
+    "q_media_frames",               # L6 — multimodal mandate
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # round-7 widening batch goes FIRST as it lands (no driver evidence
+    # yet — step-2 names for the r8 window; the cap trims re-pins,
+    # never unproven queries)
+    # r8 re-pin queue: the r03-evidence cohort (newest driver hash row
+    # is round 3), minus the three promoted into the r7 window, trimmed
+    # to the 35-name cap. The eight remaining TPC-H r03 names
+    # (q_tpch_q6/q8/q10/q13/q14/q15/q18/q19) are deferred to the r9
+    # queue — the T family carries r06 greens via q3 and r07 via q5/q7,
+    # and every deferred query stays locally parity-proven every run.
+    "q_agg_two_phase",
+    "q_bigram_pmi",
+    "q_boilerplate_ngrams",
+    "q_contamination",
+    "q_correlated_scalar",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_domain_mixture",
+    "q_embedding_quantize",
+    "q_exists_subquery",
+    "q_funnel_stages",
+    "q_gapfill_locf",
+    "q_lang_id",
+    "q_lateral",
+    "q_media_features",
+    "q_not_in_subquery",
+    "q_pack_sequences",
+    "q_pii_scrub",
+    "q_quality_filter_pipeline",
+    "q_quality_score",
+    "q_repetition_ratio",
+    "q_rollup_multires",
+    "q_sample_stratified",
+    "q_shuffle_order",
+    "q_split_train_test",
+    "q_string_similarity",
+    "q_text_chunk",
+    "q_unigram_rarity",
+    "q_union_distinct",
+    "q_unpivot",
+    "q_window_distribution",
 )
 
 
