@@ -13,8 +13,9 @@ gives, and the per-snapshot work is |changed keys|, not |snapshot|.
                          [--once] [--lease] [--health <path>]
 
 --watch holds one subdirectory per snapshot (any parquet dataset);
-subdirectory NAMES order the snapshots lexicographically (snap-0001,
-snap-0002, ... — the exporter's natural naming). Processed names are
+subdirectory NAMES order the snapshots NATURALLY — digit runs compare
+numerically (snap-2 before snap-10), so both zero-padded and unpadded
+exporter naming schemes apply in the intended order. Processed names are
 remembered in <state>.applied.json, so restarts resume. Losing the
 marker (crash between merge and marker write) is safe twice over: the
 LATEST snapshot re-diffs empty against its own resulting state, and
@@ -33,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -49,15 +51,27 @@ def _load_applied(state: str) -> list[str]:
         return []
 
 
+def _snap_order(name: str) -> list:
+    """Natural-sort key: digit runs compare numerically, so snap-2
+    orders before snap-10 even when an exporter emits unpadded names
+    (ADVICE r6 — lexicographic ordering would diff snapshots out of
+    order and merge newer data at lower seqs). Zero-padded names sort
+    identically to before."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
+
+
 def _pending(watch: str, applied: list[str]) -> list[str]:
     done = set(applied)
     return sorted(
-        d
-        for d in os.listdir(watch)
-        if os.path.isdir(os.path.join(watch, d))
-        and d not in done
-        # only complete datasets: the exporter's _SUCCESS is the commit
-        and os.path.exists(os.path.join(watch, d, "_SUCCESS"))
+        (
+            d
+            for d in os.listdir(watch)
+            if os.path.isdir(os.path.join(watch, d))
+            and d not in done
+            # only complete datasets: the exporter's _SUCCESS is the commit
+            and os.path.exists(os.path.join(watch, d, "_SUCCESS"))
+        ),
+        key=_snap_order,
     )
 
 
@@ -89,13 +103,13 @@ def main(argv: list[str]) -> None:
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
     try:
+        applied = _load_applied(args.state)
         src = SnapshotDiffSource(
             StateTable(
                 spark, args.state, args.keys.split(","), "seq", lease=lease
-            )
+            ),
+            seq=len(applied),
         )
-        applied = _load_applied(args.state)
-        src._seq = len(applied)
         while True:
             for name in _pending(args.watch, applied):
                 snap = spark.read.parquet(os.path.join(args.watch, name))

@@ -3659,7 +3659,13 @@ def incremental_screen(
     screen is lossless on content-J (docs/architecture.md). Without a
     cap, J is the exact full-text Jaccard. Capping can only LOSE pairs
     whose content-only J < threshold (boilerplate-carried matches —
-    measured at 52k clean docs: zero pairs at cap=100)."""
+    measured at 52k clean docs: zero pairs at cap=100).
+
+    Column semantics under a cap (ADVICE r6): `n_shingles` is ALWAYS
+    the full (uncapped) shingle count of the increment doc, while
+    is_dup/best_match/best_j come from the capped (boilerplate-blind)
+    vocabulary — do not re-derive J from the emitted columns when
+    df_cap is set."""
     # ixz is consumed twice (postings explode + the final verdict
     # left-join) below DIFFERENT exchanges, so ReuseExchange cannot
     # dedupe the scan+tokenize+shingle subtree — the triangle/pagerank

@@ -23,7 +23,10 @@ by the key family co-locate the join without a shuffle (the
 q_join_bucketed path).
 
 Determinism: eqNullSafe on every non-key column — NULL→value,
-value→NULL, and NULL→NULL transitions all classify correctly.
+value→NULL, and NULL→NULL transitions all classify correctly — and
+side presence after the full-outer join is detected via injected
+non-nullable marker columns, so NULL-valued KEYS also classify
+correctly (the join itself matches them via eqNullSafe).
 """
 
 from __future__ import annotations
@@ -52,21 +55,29 @@ def snapshot_delta(
     o = old.select(
         *[F.col(c).alias(f"__o_{c}") for c in key_cols],
         *[F.col(c).alias(f"__ov_{c}") for c in val_cols],
+        F.lit(1).alias("__o_present"),
     )
+    n = new.select(*new.columns, F.lit(1).alias("__n_present"))
     cond = reduce(
         lambda a, b: a & b,
-        [new[c].eqNullSafe(F.col(f"__o_{c}")) for c in key_cols],
+        [n[c].eqNullSafe(F.col(f"__o_{c}")) for c in key_cols],
     )
-    j = new.join(o, cond, "full")
-    added = F.col(f"__o_{key_cols[0]}").isNull() & new[key_cols[0]].isNotNull()
-    removed = new[key_cols[0]].isNull()
+    j = n.join(o, cond, "full")
+    # Side presence is detected with NON-NULLABLE markers, never key
+    # nullness (ADVICE r6): the join keys match via eqNullSafe, so a
+    # NULL-keyed row present in BOTH snapshots joins — but its key
+    # VALUE is NULL on both sides, and the old key-isNull form
+    # classified it 'removed' every poll (a spurious delete each cycle,
+    # and the row's new value never upserted).
+    added = F.col("__o_present").isNull()
+    removed = F.col("__n_present").isNull()
     unchanged = reduce(
         lambda a, b: a & b,
-        [new[c].eqNullSafe(F.col(f"__ov_{c}")) for c in val_cols],
+        [n[c].eqNullSafe(F.col(f"__ov_{c}")) for c in val_cols],
         ~added & ~removed,
     )
     upserts = j.filter(~removed & ~unchanged).select(
-        *[new[c] for c in new.columns], F.lit("upsert").alias("op")
+        *[n[c] for c in new.columns], F.lit("upsert").alias("op")
     )
     deletes = j.filter(removed).select(
         *[F.col(f"__o_{c}").alias(c) for c in key_cols],
@@ -87,9 +98,18 @@ class SnapshotDiffSource:
     (every key compares unchanged against state), so at-least-once
     snapshot delivery converges — the invariant tests pin it."""
 
-    def __init__(self, state: StateTable):
+    def __init__(self, state: StateTable, seq: int = 0):
+        """`seq` restores the monotone merge sequence on restart (e.g.
+        the count of already-applied snapshots) — the public seam
+        jobs/run_snapshot_sync.py uses, so callers never reach into
+        private state (ADVICE r6)."""
         self.state = state
-        self._seq = 0
+        self._seq = seq
+
+    @property
+    def seq(self) -> int:
+        """Sequence of the most recently applied snapshot."""
+        return self._seq
 
     def apply(self, snapshot: DataFrame, seq: int | None = None) -> DataFrame:
         self._seq = self._seq + 1 if seq is None else seq

@@ -1332,3 +1332,30 @@ def test_run_snapshot_sync_cli(spark, tmp_path, capsys):
         for r in StateTable(spark, state, ["uid"], "seq").read().drop("seq").collect()
     }
     assert got2 == got
+
+
+def test_snapshot_sync_natural_ordering(tmp_path):
+    """ADVICE r6: an exporter emitting UNPADDED names (snap-2, snap-10)
+    must still be applied in numeric order — lexicographic ordering
+    would diff snapshots out of order and merge newer data at lower
+    seqs. Zero-padded names keep their order too, and the seq restore
+    goes through SnapshotDiffSource's public `seq` parameter."""
+    import os
+
+    from jobs.run_snapshot_sync import _pending, _snap_order
+
+    for name in ("snap-1", "snap-2", "snap-10", "snap-9"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "_SUCCESS").touch()
+    assert _pending(str(tmp_path), []) == [
+        "snap-1", "snap-2", "snap-9", "snap-10"
+    ]
+    assert _pending(str(tmp_path), ["snap-1", "snap-2"]) == ["snap-9", "snap-10"]
+    # padded names unaffected
+    assert sorted(["snap-0010", "snap-0002"], key=_snap_order) == [
+        "snap-0002", "snap-0010"
+    ]
+    # incomplete dataset (no _SUCCESS) never pending
+    os.remove(tmp_path / "snap-9" / "_SUCCESS")
+    assert "snap-9" not in _pending(str(tmp_path), [])

@@ -1681,3 +1681,45 @@ def test_snapshot_diff_source_converges_and_replays(spark, tmp_path):
         .collect()
     }
     assert view == direct  # insert+update+delete+group-move all maintained
+
+
+def test_snapshot_delta_null_keys_classify_by_presence(spark):
+    """ADVICE r6 (medium): a NULL-keyed row present in BOTH snapshots
+    joins (eqNullSafe keys) but its key VALUE is NULL on both sides —
+    the old key-isNull presence test classified it 'removed' every
+    poll, re-emitting a spurious delete and never upserting its new
+    value. Presence is now marker-based: NULL-keyed rows must classify
+    unchanged / changed / removed / added exactly like any other key."""
+    from kube_etl_spark.streaming.snapdiff import snapshot_delta
+
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string")
+
+    # NULL key present in both, value unchanged → NO delta at all
+    same = spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string")
+    assert snapshot_delta(old, same, ["k"]).count() == 0
+
+    # NULL key present in both, value changed → ONE upsert, no delete
+    changed = spark.createDataFrame([(None, "a2"), (1, "b")], "k long, v string")
+    rows = {
+        (r["k"], r["v"], r["op"])
+        for r in snapshot_delta(old, changed, ["k"]).collect()
+    }
+    assert rows == {(None, "a2", "upsert")}
+
+    # NULL key vanishes → one delete carrying the old payload
+    gone = spark.createDataFrame([(1, "b")], "k long, v string")
+    rows = {
+        (r["k"], r["v"], r["op"]) for r in snapshot_delta(old, gone, ["k"]).collect()
+    }
+    assert rows == {(None, "a", "delete")}
+
+    # NULL key appears → one upsert
+    appear = spark.createDataFrame(
+        [(None, "z"), (1, "b")], "k long, v string"
+    )
+    no_null = spark.createDataFrame([(1, "b")], "k long, v string")
+    rows = {
+        (r["k"], r["v"], r["op"])
+        for r in snapshot_delta(no_null, appear, ["k"]).collect()
+    }
+    assert rows == {(None, "z", "upsert")}
