@@ -842,6 +842,114 @@ def snapdiff_experiment(spark, sf_dir: str, replicas: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the snapshot-sync state REGIME choice (VERDICT
+    r6 #4): the r6 --snapdiff run honestly reported flat-state O(state)
+    rewrites losing to naive re-agg at 1.5M rows under UNIFORM churn;
+    this run measures the OTHER regime — recent-key-skewed churn (the
+    common CDC trickle: appends plus edits near the head of the key
+    space) merged into a RANGE-bucketed state vs the flat table, on the
+    SAME snapshot sequence. Expected and measured: the bucketed table
+    rewrites only the hot tail bucket(s), so its per-poll merge wall is
+    O(bucket), while the flat table rewrites all state every poll.
+
+    Churn per poll is deterministic (no RNG): every poll appends 0.2%
+    NEW keys above the current max and reprices 1% of the keys in the
+    TOP 2% of the key range; nothing below the hot range ever changes.
+
+    Correctness anchor: after all polls, flat state ≡ bucketed state ≡
+    the final snapshot (exact row-set equality)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+    from kube_etl_spark.streaming.snapdiff import SnapshotDiffSource
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    snap0 = (
+        base.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(
+            (F.col("o_orderkey") * replicas + F.col("__r")).alias("k"),
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n0 = snap0.count()
+    maxk = snap0.agg(F.max("k")).collect()[0][0]
+    # RANGE buckets sized over the key domain + append headroom: the
+    # hot tail (top 2% + appends) lands in the last bucket(s) only
+    width = (maxk + maxk // 10) // 16 + 1
+    root = tempfile.mkdtemp(prefix="snapdiff-skew-")
+    try:
+        flat = SnapshotDiffSource(StateTable(spark, f"{root}/flat", ["k"], "seq"))
+        bucketed = SnapshotDiffSource(
+            BucketedStateTable(
+                spark,
+                f"{root}/bucketed",
+                ["k"],
+                "seq",
+                n_buckets=16,
+                bucket_col=(F.col("k") / F.lit(width)).cast("bigint"),
+            )
+        )
+        flat.apply(snap0, seq=1)
+        bucketed.apply(snap0, seq=1)
+
+        polls = []
+        cur = snap0
+        cur_max = maxk
+        for p in (1, 2, 3):
+            hot_lo = int(cur_max * 0.98)
+            repriced = (F.col("k") >= hot_lo) & ((F.col("k") % 100) == p)
+            n_new = n0 // 500  # 0.2% appends per poll
+            appends = spark.range(cur_max + 1, cur_max + 1 + n_new).select(
+                F.col("id").alias("k"),
+                F.lit("5-LOW").alias("g"),
+                (F.col("id") % 9000 + 1000).cast("double").alias("x"),
+            )
+            nxt = (
+                cur.select(
+                    "k",
+                    "g",
+                    F.when(repriced, F.col("x") + 1.0).otherwise(F.col("x")).alias("x"),
+                )
+                .unionByName(appends)
+                .localCheckpoint(eager=True)
+            )
+            cur_max += n_new
+            t0 = time.time()
+            d_flat = flat.apply(nxt, seq=p + 1)
+            flat_wall = round(time.time() - t0, 2)
+            t0 = time.time()
+            bucketed.apply(nxt, seq=p + 1)
+            bucketed_wall = round(time.time() - t0, 2)
+            polls.append(
+                {
+                    "delta_rows": d_flat.count(),
+                    "flat_merge_wall_s": flat_wall,
+                    "bucketed_merge_wall_s": bucketed_wall,
+                }
+            )
+            cur = nxt
+        fs = {tuple(r) for r in flat.state.read().drop("seq").collect()}
+        bs = {tuple(r) for r in bucketed.state.read().drop("seq").collect()}
+        snap = {tuple(r) for r in cur.collect()}
+        return {
+            "snapshot_rows": n0,
+            "range_bucket_width": width,
+            "polls": polls,
+            "states_match": fs == bs == snap,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -849,6 +957,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--incremental", action="store_true")
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--snapdiff", action="store_true")
+    ap.add_argument("--snapdiff-skew", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -865,6 +974,10 @@ def main(argv: list[str]) -> None:
         out["boilerplate"] = boilerplate_experiment(spark, args.sf_dir, args.replicas)
     if args.snapdiff:
         out["snapdiff"] = snapdiff_experiment(spark, args.sf_dir, args.replicas)
+    if args.snapdiff_skew:
+        out["snapdiff_skew"] = snapdiff_skew_experiment(
+            spark, args.sf_dir, args.replicas
+        )
     line = json.dumps(out)
     print(line)
     if args.json:
