@@ -857,6 +857,13 @@ def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
     NEW keys above the current max and reprices 1% of the keys in the
     TOP 2% of the key range; nothing below the hot range ever changes.
 
+    The DIFF is computed once per poll and timed separately: it is an
+    O(snapshot) full-outer join either way (that's the input format),
+    so folding it into the timed path would drown the merge-regime
+    difference the experiment exists to measure — the first run of
+    this experiment did exactly that (apply-wall flat ≈ bucketed at
+    1.5M rows) and taught the isolation.
+
     Correctness anchor: after all polls, flat state ≡ bucketed state ≡
     the final snapshot (exact row-set equality)."""
     import shutil
@@ -866,7 +873,7 @@ def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
 
     from kube_etl_spark.catalog import load_table
     from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
-    from kube_etl_spark.streaming.snapdiff import SnapshotDiffSource
+    from kube_etl_spark.streaming.snapdiff import snapshot_delta
 
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -887,19 +894,20 @@ def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
     width = (maxk + maxk // 10) // 16 + 1
     root = tempfile.mkdtemp(prefix="snapdiff-skew-")
     try:
-        flat = SnapshotDiffSource(StateTable(spark, f"{root}/flat", ["k"], "seq"))
-        bucketed = SnapshotDiffSource(
-            BucketedStateTable(
-                spark,
-                f"{root}/bucketed",
-                ["k"],
-                "seq",
-                n_buckets=16,
-                bucket_col=(F.col("k") / F.lit(width)).cast("bigint"),
-            )
+        flat = StateTable(spark, f"{root}/flat", ["k"], "seq")
+        bucketed = BucketedStateTable(
+            spark,
+            f"{root}/bucketed",
+            ["k"],
+            "seq",
+            n_buckets=16,
+            bucket_col=(F.col("k") / F.lit(width)).cast("bigint"),
         )
-        flat.apply(snap0, seq=1)
-        bucketed.apply(snap0, seq=1)
+        boot = snap0.withColumn("op", F.lit("upsert")).withColumn(
+            "seq", F.lit(1).cast("bigint")
+        )
+        flat.merge_batch(boot)
+        bucketed.merge_batch(boot)
 
         polls = []
         cur = snap0
@@ -923,22 +931,30 @@ def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
                 .localCheckpoint(eager=True)
             )
             cur_max += n_new
+            # ONE diff per poll, same delta merged into BOTH regimes —
+            # the merge is the only timed variable
             t0 = time.time()
-            d_flat = flat.apply(nxt, seq=p + 1)
+            delta = snapshot_delta(cur, nxt, ["k"]).localCheckpoint(eager=True)
+            n_delta = delta.count()
+            diff_wall = round(time.time() - t0, 2)
+            seqd = delta.withColumn("seq", F.lit(p + 1).cast("bigint"))
+            t0 = time.time()
+            flat.merge_batch(seqd)
             flat_wall = round(time.time() - t0, 2)
             t0 = time.time()
-            bucketed.apply(nxt, seq=p + 1)
+            bucketed.merge_batch(seqd)
             bucketed_wall = round(time.time() - t0, 2)
             polls.append(
                 {
-                    "delta_rows": d_flat.count(),
+                    "delta_rows": n_delta,
+                    "diff_wall_s": diff_wall,
                     "flat_merge_wall_s": flat_wall,
                     "bucketed_merge_wall_s": bucketed_wall,
                 }
             )
             cur = nxt
-        fs = {tuple(r) for r in flat.state.read().drop("seq").collect()}
-        bs = {tuple(r) for r in bucketed.state.read().drop("seq").collect()}
+        fs = {tuple(r) for r in flat.read().drop("seq").collect()}
+        bs = {tuple(r) for r in bucketed.read().drop("seq").collect()}
         snap = {tuple(r) for r in cur.collect()}
         return {
             "snapshot_rows": n0,

@@ -62,3 +62,167 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.frame_sample(media.attach_payload(docs, "video"), every_ms=250).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "q_media_neardup",
+    tags=("L6", "L2", "media"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 120
+  UNION ALL
+  SELECT doc_id + 100000, text || ' v2' FROM documents
+  WHERE doc_id < 120 AND doc_id % 10 = 0
+),
+hx AS (
+  SELECT media_id, hex(encode(text)) AS h FROM docs
+  WHERE length(hex(encode(text))) >= 16
+),
+sh AS (
+  SELECT DISTINCT media_id, substr(h, 1 + 16 * i.k, 16) AS s
+  FROM hx, LATERAL unnest(range(0, length(h) // 16)) AS i(k)
+),
+th AS (
+  SELECT media_id,
+         CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+  FROM sh
+),
+bits AS (
+  SELECT media_id, b.bit,
+         SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+  FROM th, (SELECT unnest(range(0, 16)) AS bit) b
+  GROUP BY media_id, b.bit
+),
+sig AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN sm > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM bits GROUP BY media_id
+),
+band AS (SELECT media_id, sig, sig & 255 AS b0, sig >> 8 AS b1 FROM sig),
+cand AS (
+  SELECT a.media_id AS x, a.sig AS sa, b.media_id AS y, b.sig AS sb
+  FROM band a JOIN band b ON a.b0 = b.b0 AND a.media_id < b.media_id
+  UNION
+  SELECT a.media_id, a.sig, b.media_id, b.sig
+  FROM band a JOIN band b ON a.b1 = b.b1 AND a.media_id < b.media_id
+)
+SELECT x AS media_a, y AS media_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY media_a, media_b
+""",
+)
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6/L2 (EXT, round 7 — VERDICT r6 #7b): binary-payload near-dup
+    SCREEN — byte-shingle SimHash over the opaque `binary` media
+    column, extending the dedup family to multimodal payloads with no
+    codec at all (the screen never interprets the bytes). The fixture
+    plants near-duplicate binaries (every 10th payload re-encoded with
+    a 3-byte tail change — an EXIF-style perturbation); the screen must
+    surface them without pairing the unrelated payloads.
+
+    Pipeline: payload → hex → non-overlapping 8-byte shingles →
+    md5-derived 32-bit shingle hashes (cross-engine exact) → 16-bit
+    SimHash by bit vote → TWO 8-bit band keys → band-keyed candidate
+    self-joins → Hamming ≤ 3 verdict via bit_count(xor).
+
+    Scale shape: linear scan + two keyed aggregations build the
+    signature table (8 bytes/payload — 100 TB of media becomes ~GBs of
+    signatures); candidates come from band-keyed equi-joins (never
+    all-pairs — the LSH banding argument, reference-free); the Hamming
+    check is a map-side bit op on the joined row. Banding with B bands
+    of r bits catches any pair with ≤ (16/B - 1)-bit agreement gaps at
+    recall 1 - (1 - (1-d/16)^r)^B; two 8-bit bands guarantee every
+    Hamming ≤ 1 pair shares a band and catch most ≤ 3 pairs (a missed
+    pair must split its ≤3 flipped bits across BOTH bands).
+
+    Determinism: md5-derived hashes, integer bit votes (sign ties → 0
+    in both engines), bit_count/xor/shift all integer-exact; hex() is
+    uppercase in both engines."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    payloads = docs.unionByName(variants).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    hx = payloads.select("media_id", F.hex("payload").alias("h")).filter(
+        F.length("h") >= 16
+    )
+    sh = (
+        hx.select(
+            "media_id",
+            "h",
+            F.expr("explode(sequence(0, CAST(length(h) DIV 16 AS INT) - 1))").alias(
+                "i"
+            ),
+        )
+        .select("media_id", F.expr("substr(h, 1 + 16 * i, 16)").alias("s"))
+        .distinct()
+    )
+    th = sh.select(
+        "media_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hv"),
+    )
+    bits = (
+        th.select(
+            "media_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("media_id", "bit")
+        .agg(F.sum("contrib").alias("sm"))
+    )
+    sig = bits.groupBy("media_id").agg(
+        F.sum(
+            F.when(F.col("sm") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+    band = sig.select(
+        "media_id", "sig", F.expr("sig & 255").alias("b0"), F.expr("sig >> 8").alias("b1")
+    )
+    a0, b0 = band.alias("a"), band.alias("b")
+    cand = (
+        a0.join(
+            b0, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.media_id") < F.col("b.media_id"))
+        )
+        .select(
+            F.col("a.media_id").alias("x"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.media_id").alias("y"),
+            F.col("b.sig").alias("sb"),
+        )
+        .union(
+            a0.join(
+                b0,
+                (F.col("a.b1") == F.col("b.b1"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            ).select(
+                F.col("a.media_id").alias("x"),
+                F.col("a.sig").alias("sa"),
+                F.col("b.media_id").alias("y"),
+                F.col("b.sig").alias("sb"),
+            )
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("x").alias("media_a"), F.col("y").alias("media_b"), "hamming"
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -144,9 +144,11 @@ PRIORITY: tuple[str, ...] = (
 #      hash row is the oldest, pre-curated for the next round's step-3
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
-    # round-7 widening batch goes FIRST as it lands (no driver evidence
-    # yet — step-2 names for the r8 window; the cap trims re-pins,
-    # never unproven queries)
+    # round-7 widening batch FIRST (no driver evidence yet — step-2
+    # names for the r8 window; the cap trims re-pins, never unproven
+    # queries)
+    "q_schema_drift_report",
+    "q_media_neardup",
     # r8 re-pin queue: the r03-evidence cohort (newest driver hash row
     # is round 3), minus the three promoted into the r7 window, trimmed
     # to the 35-name cap. The eight remaining TPC-H r03 names
