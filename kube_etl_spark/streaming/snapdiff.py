@@ -116,6 +116,19 @@ class SnapshotDiffSource:
         prev = self.state.read()
         if prev is not None:
             prev = prev.drop("seq")
+            # Schema drift between generations fails LOUDLY here, not
+            # three operators deep in the state merge: an upstream that
+            # added/dropped/renamed columns needs an explicit migration
+            # (q_schema_drift_report is the diagnosis tool), because a
+            # keyed state table cannot silently widen or narrow.
+            old_cols, new_cols = set(prev.columns), set(snapshot.columns)
+            if old_cols != new_cols:
+                raise ValueError(
+                    "snapshot schema drifted from state: added="
+                    f"{sorted(new_cols - old_cols)} dropped="
+                    f"{sorted(old_cols - new_cols)}; run a schema "
+                    "migration (see q_schema_drift_report) before syncing"
+                )
         delta = snapshot_delta(prev, snapshot, self.state.key_cols)
         # the delta reads state THROUGH the symlink merge_batch swaps;
         # materialize before mutating (the atomic_overwrite read-path

@@ -1723,3 +1723,23 @@ def test_snapshot_delta_null_keys_classify_by_presence(spark):
         for r in snapshot_delta(no_null, appear, ["k"]).collect()
     }
     assert rows == {(None, "z", "upsert")}
+
+
+def test_snapshot_diff_source_rejects_schema_drift(spark, tmp_path):
+    """A generation whose column set drifted must fail LOUDLY at
+    apply() with the added/dropped columns named — not three operators
+    deep in the state merge (q_schema_drift_report is the diagnosis
+    companion)."""
+    import pytest
+
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.snapdiff import SnapshotDiffSource
+
+    src = SnapshotDiffSource(StateTable(spark, str(tmp_path / "s"), ["k"], "seq"))
+    src.apply(spark.createDataFrame([(1, "a")], "k long, v string"), seq=1)
+    drifted = spark.createDataFrame([(1, "a", 9)], "k long, v string, extra long")
+    with pytest.raises(ValueError, match=r"added=\['extra'\]"):
+        src.apply(drifted, seq=2)
+    narrowed = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match=r"dropped=\['v'\]"):
+        src.apply(narrowed, seq=2)
