@@ -226,3 +226,74 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+@query(
+    "q_media_dedup_exact",
+    tags=("L6", "L1", "media"),
+    oracle="""
+WITH docs AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents
+  WHERE doc_id < 150 AND doc_id % 7 = 0
+),
+hashed AS (
+  SELECT media_id, md5(hex(encode(text))) AS content_md5,
+         octet_length(encode(text)) AS n_bytes
+  FROM docs
+)
+SELECT content_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(media_id) AS BIGINT) AS canonical_id,
+       CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
+FROM hashed
+GROUP BY content_md5
+HAVING COUNT(*) > 1
+ORDER BY canonical_id
+""",
+)
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6/L1 (EXT, round 7): EXACT binary dedup — the multimodal twin
+    of q_dedup_exact: group opaque payloads by content hash (md5 over
+    the hex encoding, byte-exact and codec-free), keep the minimum id
+    as canonical, and report the storage the duplicates waste. The
+    fixture plants byte-identical copies (every 7th payload re-ingested
+    under a new id — the re-crawled-asset case).
+
+    Scale shape: ONE content-hash-keyed shuffle (partial-aggregated
+    map-side), no joins, no pair space — the same plan at 100 TB of
+    media, where the hash (16 bytes) shuffles instead of the payload.
+
+    Determinism: md5 over the uppercase hex of the payload bytes is
+    identical in both engines (DuckDB's md5 takes VARCHAR only, so
+    both engines hash the hex string); counts/sizes exact integers."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    payloads = docs.unionByName(copies).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    hashed = payloads.select(
+        "media_id",
+        F.md5(F.hex("payload")).alias("content_md5"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("canonical_id"),
+            ((F.count(F.lit(1)) - 1) * F.min("n_bytes"))
+            .cast("bigint")
+            .alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("canonical_id")
+    )

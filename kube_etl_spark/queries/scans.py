@@ -518,3 +518,95 @@ def q_profile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q_snapshot_survivorship",
+    tags=("S1", "S9", "A1"),
+    oracle="""
+WITH g1 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 <> 3),
+g2 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 2),
+g3 AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 <> 0),
+u AS (
+  SELECT k, 1 AS gen FROM g1
+  UNION ALL SELECT k, 2 FROM g2
+  UNION ALL SELECT k, 3 FROM g3
+),
+lifecycle AS (
+  SELECT k,
+         MAX(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN gen = 2 THEN 1 ELSE 0 END) AS p2,
+         MAX(CASE WHEN gen = 3 THEN 1 ELSE 0 END) AS p3
+  FROM u GROUP BY k
+)
+SELECT CAST(p1 AS VARCHAR) || CAST(p2 AS VARCHAR) || CAST(p3 AS VARCHAR)
+         AS pattern,
+       CASE CAST(p1 AS VARCHAR) || CAST(p2 AS VARCHAR) || CAST(p3 AS VARCHAR)
+            WHEN '111' THEN 'stable'
+            WHEN '110' THEN 'dropped_latest'
+            WHEN '011' THEN 'late_added'
+            WHEN '101' THEN 'flapping'
+            WHEN '100' THEN 'retired'
+            WHEN '001' THEN 'new'
+            ELSE 'transient' END AS lifecycle,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(k) AS BIGINT) AS key_checksum
+FROM lifecycle
+GROUP BY 1, 2
+ORDER BY pattern
+""",
+)
+def q_snapshot_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1e/S9 (EXT, round 7): key survivorship across THREE export
+    generations — the n-way extension of q_snapshot_diff's pairwise
+    report. Every key is classified by its presence pattern over the
+    generations (stable / retired / new / late_added / dropped_latest /
+    transient / FLAPPING — the present→absent→present pattern that
+    signals an unstable upstream exporter, the failure mode a consumer
+    of the reference's repeated full exports (export.go:111-163) can't
+    see in any single pairwise diff). Fixture generations drop keys by
+    coprime moduli (11, 7, 5), so all seven patterns occur.
+
+    Scale shape: one projected scan per generation (at 100 TB the
+    generations ARE separate exports — three scans is the honest
+    shape), ONE key-keyed shuffle for the presence rollup
+    (partial-aggregated map-side), then a ≤7-row pattern aggregate.
+    No joins at all — the n-way full-outer join this replaces would
+    shuffle n sides; the union+rollup shuffles once.
+
+    Determinism: presence bits, counts and the key checksum are exact
+    integers; the pattern vocabulary is closed."""
+    base = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    gens = [
+        base.filter(F.col("k") % 11 != 3).withColumn("gen", F.lit(1)),
+        base.filter(F.col("k") % 7 != 2).withColumn("gen", F.lit(2)),
+        base.filter(F.col("k") % 5 != 0).withColumn("gen", F.lit(3)),
+    ]
+    u = gens[0].unionByName(gens[1]).unionByName(gens[2])
+    life = u.groupBy("k").agg(
+        *[
+            F.max(F.when(F.col("gen") == i, 1).otherwise(0)).alias(f"p{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    pattern = F.concat(
+        F.col("p1").cast("string"), F.col("p2").cast("string"), F.col("p3").cast("string")
+    )
+    lifecycle = (
+        F.when(pattern == "111", "stable")
+        .when(pattern == "110", "dropped_latest")
+        .when(pattern == "011", "late_added")
+        .when(pattern == "101", "flapping")
+        .when(pattern == "100", "retired")
+        .when(pattern == "001", "new")
+        .otherwise("transient")
+    )
+    return (
+        life.select(pattern.alias("pattern"), lifecycle.alias("lifecycle"), "k")
+        .groupBy("pattern", "lifecycle")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("pattern")
+    )

@@ -149,10 +149,14 @@ ROTATE_NEXT: tuple[str, ...] = (
     # queries)
     "q_schema_drift_report",
     "q_media_neardup",
+    "q_media_dedup_exact",
+    "q_snapshot_survivorship",
     # r8 re-pin queue: the r03-evidence cohort (newest driver hash row
     # is round 3), minus the three promoted into the r7 window, trimmed
     # to the 35-name cap. The eight remaining TPC-H r03 names
-    # (q_tpch_q6/q8/q10/q13/q14/q15/q18/q19) are deferred to the r9
+    # (q_tpch_q6/q8/q10/q13/q14/q15/q18/q19) plus the four re-pins the
+    # widening batch displaced (q_union_distinct, q_unpivot,
+    # q_window_distribution, q_unigram_rarity) are deferred to the r9
     # queue — the T family carries r06 greens via q3 and r07 via q5/q7,
     # and every deferred query stays locally parity-proven every run.
     "q_agg_two_phase",
@@ -182,10 +186,6 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_split_train_test",
     "q_string_similarity",
     "q_text_chunk",
-    "q_unigram_rarity",
-    "q_union_distinct",
-    "q_unpivot",
-    "q_window_distribution",
 )
 
 
