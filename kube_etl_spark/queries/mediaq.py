@@ -190,9 +190,16 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sig")
     )
+    # band feeds FOUR join inputs across two differently-keyed joins
+    # (b0 vs b1 partitionings), so ReuseExchange cannot dedupe the
+    # shingle→simhash subtree across them; eager checkpoint (the
+    # measured choice for concurrent same-job consumers — see
+    # docs/architecture.md) computes the signatures exactly once.
+    # At scale this frame is 8 bytes/payload — checkpointing it is
+    # the cheap side of the trade by construction.
     band = sig.select(
         "media_id", "sig", F.expr("sig & 255").alias("b0"), F.expr("sig >> 8").alias("b1")
-    )
+    ).localCheckpoint(eager=True)
     a0, b0 = band.alias("a"), band.alias("b")
     cand = (
         a0.join(
