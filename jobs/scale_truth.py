@@ -966,6 +966,93 @@ def snapdiff_skew_experiment(spark, sf_dir: str, replicas: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def mediasim_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the binary-payload SimHash screen (media.
+    simhash_screen, round 7 — shared with q_media_neardup so these
+    constants apply to the code the query runs). Corpus: documents ×
+    replicas, each replica's payload prefixed with a distinct marker
+    (no accidental exact dups); ground truth: every 25th payload gets a
+    planted variant with a 3-byte tail append (the EXIF-style
+    perturbation). Measured: wall, band-candidate count vs the
+    all-pairs space, planted recall at the shipped Hamming ≤ 4
+    threshold (and ≤ 3 for the curve), and the pair-provenance split —
+    replicas of the same source doc differ only in a 3-byte prefix, so
+    same-source hits are GENUINE near-dups; only cross-source hits are
+    chance. This run is what chose the shipped design: the 16-bit/2-band
+    prototype measured recall .92 but 12.1M candidates with 4.55M
+    cross-source junk; 32-bit/4-band cut candidates 43× and junk ~300×
+    (docs/architecture.md §round-7 tabulates all variants).
+
+    The candidate set is obtained by running the screen at
+    hamming_max=32 (no filter) — same code path, thresholds applied
+    afterwards in plain arithmetic."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.media import simhash_screen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).select(
+        (F.col("doc_id") * replicas + F.col("__r")).alias("media_id"),
+        F.concat(
+            F.lit("r"), F.col("__r").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    planted = base.filter(F.col("media_id") % 25 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    payloads = (
+        base.unionByName(planted)
+        .select("media_id", F.encode("text", "utf-8").alias("payload"))
+        .localCheckpoint(eager=True)
+    )
+    n = payloads.count()
+    n_planted = payloads.filter(F.col("media_id") >= 10_000_000).count()
+
+    t0 = time.time()
+    cand = simhash_screen(payloads, hamming_max=32).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    wall = round(time.time() - t0, 2)
+
+    def _src(col: str):
+        mid = F.col(col)
+        base_id = F.when(mid >= 10_000_000, mid - 10_000_000).otherwise(mid)
+        return (base_id / replicas).cast("bigint")
+
+    is_planted = (F.col("media_b") >= 10_000_000) & (
+        F.col("media_b") - 10_000_000 == F.col("media_a")
+    )
+    hits = cand.filter(F.col("hamming") <= 4)
+    n_hits = hits.count()
+    n_planted_found = hits.filter(is_planted).count()
+    n_same_source = hits.filter(
+        ~is_planted & (_src("media_a") == _src("media_b"))
+    ).count()
+    n_planted_le3 = cand.filter(is_planted & (F.col("hamming") <= 3)).count()
+    # missed planted pairs: candidates whose hamming exceeded the
+    # threshold vs pairs banding never surfaced at all
+    planted_h_gt = cand.filter(is_planted & (F.col("hamming") > 4)).count()
+    return {
+        "payloads": n,
+        "planted_pairs": n_planted,
+        "wall_s": wall,
+        "all_pairs_space": n * (n - 1) // 2,
+        "band_candidates": n_cand,
+        "candidate_share": round(n_cand / (n * (n - 1) / 2), 6),
+        "pairs_hamming_le4": n_hits,
+        "planted_found_le4": n_planted_found,
+        "recall_planted_le4": round(n_planted_found / n_planted, 4),
+        "recall_planted_le3": round(n_planted_le3 / n_planted, 4),
+        "planted_candidate_but_h_gt4": planted_h_gt,
+        "planted_not_candidates": n_planted - n_planted_found - planted_h_gt,
+        "same_source_pairs_le4": n_same_source,
+        "cross_source_pairs_le4": n_hits - n_planted_found - n_same_source,
+    }
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -974,6 +1061,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--boilerplate", action="store_true")
     ap.add_argument("--snapdiff", action="store_true")
     ap.add_argument("--snapdiff-skew", action="store_true")
+    ap.add_argument("--mediasim", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -994,6 +1082,8 @@ def main(argv: list[str]) -> None:
         out["snapdiff_skew"] = snapdiff_skew_experiment(
             spark, args.sf_dir, args.replicas
         )
+    if args.mediasim:
+        out["mediasim"] = mediasim_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

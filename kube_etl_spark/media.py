@@ -163,3 +163,127 @@ def frame_sample(media: DataFrame, every_ms: int = 250, codec: str = "fake") -> 
         F.col("frame_idx").cast("int").alias("frame_idx"),
         (F.col("frame_idx") * every_ms).cast("int").alias("frame_ts_ms"),
     )
+
+
+# Band-key expressions for the 32-bit SimHash screen, shared verbatim
+# with the DuckDB oracle in queries/mediaq.py (generated once so both
+# engines evaluate the exact same integer expression). Bands: low 16
+# bits, high 16 bits, the 16 even-position bits, the 16 odd-position
+# bits — a pair is a candidate if ANY band matches, so a missed pair
+# must scatter its flipped bits across the lo/hi split AND the
+# even/odd split (measured recall in docs/architecture.md §round-7).
+SIMHASH_BAND_SQL = (
+    "sig & 65535",
+    "sig >> 16",
+    " + ".join(f"(((sig >> {2 * i}) & 1) * {1 << i})" for i in range(16)),
+    " + ".join(f"(((sig >> {2 * i + 1}) & 1) * {1 << i})" for i in range(16)),
+)
+
+
+def simhash_signatures(payloads: DataFrame) -> DataFrame:
+    """32-bit byte-shingle SimHash signature per payload: (media_id,
+    sig). Payloads shorter than 8 bytes (one shingle) are excluded —
+    nothing to sign. Shared by simhash_screen and the scale-truth
+    harness, so measured constants apply to the shipped code.
+
+    Width choice is measured (docs/architecture.md §round-7): a 16-bit
+    signature collides by chance at Hamming ≤ 3 for ~0.3% of arbitrary
+    pairs — 4.5M junk pairs at 52k payloads; 32 bits cut the chance
+    load ~300× at the same wall clock. Wider still (64-bit) would push
+    the honest threshold past the banding budget for payloads this
+    small (~40 shingles), where a 1-shingle edit already flips ~2-4
+    of 32 bits."""
+    hx = payloads.select("media_id", F.hex("payload").alias("h")).filter(
+        F.length("h") >= 16
+    )
+    sh = (
+        hx.select(
+            "media_id",
+            "h",
+            F.expr("explode(sequence(0, CAST(length(h) DIV 16 AS INT) - 1))").alias(
+                "i"
+            ),
+        )
+        .select("media_id", F.expr("substr(h, 1 + 16 * i, 16)").alias("s"))
+        .distinct()
+    )
+    th = sh.select(
+        "media_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hv"),
+    )
+    bits = (
+        th.select(
+            "media_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        .groupBy("media_id", "bit")
+        .agg(F.sum("contrib").alias("sm"))
+    )
+    return bits.groupBy("media_id").agg(
+        F.sum(
+            F.when(F.col("sm") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sig")
+    )
+
+
+def simhash_screen(payloads: DataFrame, hamming_max: int = 4) -> DataFrame:
+    """Binary-payload near-dup SCREEN shared by q_media_neardup and the
+    scale-truth harness (jobs/scale_truth.py --mediasim) — one
+    implementation, so the measured constants apply to the code the
+    query actually runs (the incremental_screen precedent).
+
+    payloads: (media_id, payload binary). Returns candidate near-dup
+    pairs (media_a, media_b, hamming) with media_a < media_b and
+    Hamming(simhash32) <= hamming_max, unsorted.
+
+    Design chosen by measurement at 52k payloads with planted 3-byte
+    perturbations (full table in docs/architecture.md §round-7): the
+    16-bit/2×8-band form had the best raw recall (.92) but drowned the
+    verify stage in chance collisions (12.1M candidates, 4.55M junk
+    verdicts); this 32-bit/4-band form keeps ~.87 recall on the
+    adversarially short fixture payloads at 43× fewer candidates and
+    ~300× fewer junk verdicts — and on realistic media (KB-MB payloads,
+    thousands of shingles) a small edit flips proportionally fewer
+    bits, so recall only improves with payload size.
+
+    Pipeline and scale shape: payload -> uppercase hex ->
+    non-overlapping 8-byte shingles (distinct per payload) ->
+    md5-derived 32-bit shingle hashes -> 32-bit SimHash by bit vote ->
+    FOUR 16-bit band keys (lo/hi/even/odd — any match makes a
+    candidate, so a miss must scatter flips across BOTH splits) ->
+    band-keyed candidate self-joins (never all-pairs) -> map-side
+    Hamming via bit_count(xor). The signature table is 8
+    bytes/payload (100 TB of media becomes ~GBs of signatures) and is
+    eagerly checkpointed once: it feeds eight join inputs across four
+    differently-keyed joins, which ReuseExchange cannot dedupe."""
+    band = simhash_signatures(payloads).select(
+        "media_id",
+        "sig",
+        *[F.expr(b).alias(f"b{i}") for i, b in enumerate(SIMHASH_BAND_SQL)],
+    ).localCheckpoint(eager=True)
+    a0, b0 = band.alias("a"), band.alias("b")
+
+    def _half(key: str) -> DataFrame:
+        return a0.join(
+            b0,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        ).select(
+            F.col("a.media_id").alias("x"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.media_id").alias("y"),
+            F.col("b.sig").alias("sb"),
+        )
+
+    cand = _half("b0").union(_half("b1")).union(_half("b2")).union(_half("b3"))
+    return (
+        cand.distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select(F.col("x").alias("media_a"), F.col("y").alias("media_b"), "hamming")
+    )

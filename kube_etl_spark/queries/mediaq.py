@@ -67,7 +67,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_media_neardup",
     tags=("L6", "L2", "media"),
-    oracle="""
+    oracle=f"""
 WITH docs AS (
   SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 120
   UNION ALL
@@ -90,7 +90,7 @@ th AS (
 bits AS (
   SELECT media_id, b.bit,
          SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS sm
-  FROM th, (SELECT unnest(range(0, 16)) AS bit) b
+  FROM th, (SELECT unnest(range(0, 32)) AS bit) b
   GROUP BY media_id, b.bit
 ),
 sig AS (
@@ -99,18 +99,31 @@ sig AS (
               AS BIGINT) AS sig
   FROM bits GROUP BY media_id
 ),
-band AS (SELECT media_id, sig, sig & 255 AS b0, sig >> 8 AS b1 FROM sig),
+band AS (
+  SELECT media_id, sig,
+         {media.SIMHASH_BAND_SQL[0]} AS b0,
+         {media.SIMHASH_BAND_SQL[1]} AS b1,
+         {media.SIMHASH_BAND_SQL[2]} AS b2,
+         {media.SIMHASH_BAND_SQL[3]} AS b3
+  FROM sig
+),
 cand AS (
   SELECT a.media_id AS x, a.sig AS sa, b.media_id AS y, b.sig AS sb
   FROM band a JOIN band b ON a.b0 = b.b0 AND a.media_id < b.media_id
   UNION
   SELECT a.media_id, a.sig, b.media_id, b.sig
   FROM band a JOIN band b ON a.b1 = b.b1 AND a.media_id < b.media_id
+  UNION
+  SELECT a.media_id, a.sig, b.media_id, b.sig
+  FROM band a JOIN band b ON a.b2 = b.b2 AND a.media_id < b.media_id
+  UNION
+  SELECT a.media_id, a.sig, b.media_id, b.sig
+  FROM band a JOIN band b ON a.b3 = b.b3 AND a.media_id < b.media_id
 )
 SELECT x AS media_a, y AS media_b,
        CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand
-WHERE bit_count(xor(sa, sb)) <= 3
+WHERE bit_count(xor(sa, sb)) <= 4
 ORDER BY media_a, media_b
 """,
 )
@@ -120,23 +133,33 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, extending the dedup family to multimodal payloads with no
     codec at all (the screen never interprets the bytes). The fixture
     plants near-duplicate binaries (every 10th payload re-encoded with
-    a 3-byte tail change — an EXIF-style perturbation); the screen must
-    surface them without pairing the unrelated payloads.
+    a 3-byte tail change — an EXIF-style perturbation); the screen
+    surfaces the plants whose flip count stays inside the banded
+    Hamming budget (12/12, 8/12, 12/12 at the three fixture SFs — the
+    misses are the shortest payloads, where one edited shingle is a
+    large feature-fraction; the measured recall/precision table across
+    signature widths is docs/architecture.md §round-7) and pairs no
+    unrelated payloads.
 
     Pipeline: payload → hex → non-overlapping 8-byte shingles →
-    md5-derived 32-bit shingle hashes (cross-engine exact) → 16-bit
-    SimHash by bit vote → TWO 8-bit band keys → band-keyed candidate
-    self-joins → Hamming ≤ 3 verdict via bit_count(xor).
+    md5-derived 32-bit shingle hashes (cross-engine exact) → 32-bit
+    SimHash by bit vote → FOUR 16-bit band keys (lo/hi/even/odd) →
+    band-keyed candidate self-joins → Hamming ≤ 4 verdict via
+    bit_count(xor). The signature width, band layout, and threshold
+    are MEASURED choices — docs/architecture.md §round-7 tabulates the
+    16-bit and 32-bit variants at 52k payloads (recall vs candidate
+    volume vs junk-verdict load); media.simhash_screen is the single
+    shared implementation, and the band-key SQL is generated once
+    (media.SIMHASH_BAND_SQL) so this oracle evaluates bit-identical
+    expressions.
 
     Scale shape: linear scan + two keyed aggregations build the
     signature table (8 bytes/payload — 100 TB of media becomes ~GBs of
     signatures); candidates come from band-keyed equi-joins (never
-    all-pairs — the LSH banding argument, reference-free); the Hamming
-    check is a map-side bit op on the joined row. Banding with B bands
-    of r bits catches any pair with ≤ (16/B - 1)-bit agreement gaps at
-    recall 1 - (1 - (1-d/16)^r)^B; two 8-bit bands guarantee every
-    Hamming ≤ 1 pair shares a band and catch most ≤ 3 pairs (a missed
-    pair must split its ≤3 flipped bits across BOTH bands).
+    all-pairs — the LSH banding argument); the Hamming check is a
+    map-side bit op on the joined row. Any Hamming ≤ 3 pair that
+    matches no band must scatter its flips across the lo/hi split AND
+    the even/odd split simultaneously.
 
     Determinism: md5-derived hashes, integer bit votes (sign ties → 0
     in both engines), bit_count/xor/shift all integer-exact; hex() is
@@ -154,84 +177,8 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    hx = payloads.select("media_id", F.hex("payload").alias("h")).filter(
-        F.length("h") >= 16
-    )
-    sh = (
-        hx.select(
-            "media_id",
-            "h",
-            F.expr("explode(sequence(0, CAST(length(h) DIV 16 AS INT) - 1))").alias(
-                "i"
-            ),
-        )
-        .select("media_id", F.expr("substr(h, 1 + 16 * i, 16)").alias("s"))
-        .distinct()
-    )
-    th = sh.select(
-        "media_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("hv"),
-    )
-    bits = (
-        th.select(
-            "media_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
-        )
-        .withColumn(
-            "contrib",
-            F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        .groupBy("media_id", "bit")
-        .agg(F.sum("contrib").alias("sm"))
-    )
-    sig = bits.groupBy("media_id").agg(
-        F.sum(
-            F.when(F.col("sm") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("sig")
-    )
-    # band feeds FOUR join inputs across two differently-keyed joins
-    # (b0 vs b1 partitionings), so ReuseExchange cannot dedupe the
-    # shingle→simhash subtree across them; eager checkpoint (the
-    # measured choice for concurrent same-job consumers — see
-    # docs/architecture.md) computes the signatures exactly once.
-    # At scale this frame is 8 bytes/payload — checkpointing it is
-    # the cheap side of the trade by construction.
-    band = sig.select(
-        "media_id", "sig", F.expr("sig & 255").alias("b0"), F.expr("sig >> 8").alias("b1")
-    ).localCheckpoint(eager=True)
-    a0, b0 = band.alias("a"), band.alias("b")
-    cand = (
-        a0.join(
-            b0, (F.col("a.b0") == F.col("b.b0")) & (F.col("a.media_id") < F.col("b.media_id"))
-        )
-        .select(
-            F.col("a.media_id").alias("x"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.media_id").alias("y"),
-            F.col("b.sig").alias("sb"),
-        )
-        .union(
-            a0.join(
-                b0,
-                (F.col("a.b1") == F.col("b.b1"))
-                & (F.col("a.media_id") < F.col("b.media_id")),
-            ).select(
-                F.col("a.media_id").alias("x"),
-                F.col("a.sig").alias("sa"),
-                F.col("b.media_id").alias("y"),
-                F.col("b.sig").alias("sb"),
-            )
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-        .filter(F.col("hamming") <= 3)
-        .select(
-            F.col("x").alias("media_a"), F.col("y").alias("media_b"), "hamming"
-        )
-        .orderBy("media_a", "media_b")
+    return media.simhash_screen(payloads, hamming_max=4).orderBy(
+        "media_a", "media_b"
     )
 
 
