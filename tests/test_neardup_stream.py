@@ -554,3 +554,78 @@ def test_bucketed_purge_tombstones(spark, tmp_path):
         )
     )
     assert 0 in {r["k"] for r in t.read().collect()}
+
+
+def _simdup_corpus(spark):
+    """The q_media_neardup fixture corpus at SMOKE_SF as (media_id,
+    payload) — originals + the planted 3-byte tail variants."""
+    from kube_etl_spark.catalog import load_table
+
+    docs = (
+        load_table(spark, SMOKE_SF, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    return docs.unionByName(variants).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def test_streaming_simdup_matches_batch(spark, tmp_path):
+    """The incremental binary SimHash index (streaming/simdup.py) must
+    converge to EXACTLY q_media_neardup's batch screen output when the
+    same payloads arrive as a stream — in id order, so every planted
+    variant arrives in a LATER batch than its original (the cross-batch
+    case is the point)."""
+    from kube_etl_spark.streaming.simdup import SimDupIndex, run_simdup_stream
+    from kube_etl_spark.streaming.sources import chunked_file_stream
+
+    corpus = _simdup_corpus(spark)
+    stream = chunked_file_stream(
+        spark, corpus, str(tmp_path / "src"), n_chunks=3, order_col="media_id"
+    )
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    run_simdup_stream(stream, index, str(tmp_path / "ckpt"))
+    streamed = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in index.pairs_df().collect()
+    }
+    batch = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in all_specs()["q_media_neardup"].fn(spark, SMOKE_SF).collect()
+    }
+    assert batch, "batch screen found no pairs — fixture regression"
+    assert streamed == batch
+
+
+def test_simdup_replay_and_deletion(spark, tmp_path):
+    """At-least-once + compliance: re-ingesting a batch changes nothing;
+    deleting a media_id retracts every pair referencing it and drops its
+    signature/band state; re-ingesting the id re-detects its pairs."""
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    corpus = _simdup_corpus(spark).localCheckpoint(eager=True)
+    b1 = corpus.filter(F.col("media_id") < 100000)
+    b2 = corpus.filter(F.col("media_id") >= 100000)
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(b1, 1)
+    index.ingest_batch(b2, 2)
+    pairs0 = {tuple(r) for r in index.pairs_df().collect()}
+    assert pairs0, "no pairs detected — fixture regression"
+    # replay batch 2
+    index.ingest_batch(b2, 2)
+    assert {tuple(r) for r in index.pairs_df().collect()} == pairs0
+    # delete one variant that participates in a pair
+    victim = max(b for _, b, _ in pairs0)
+    index.delete_docs(spark.createDataFrame([(victim,)], "media_id long"), 3)
+    after = {tuple(r) for r in index.pairs_df().collect()}
+    assert all(victim not in (a, b) for a, b, _ in after)
+    assert index.sigs.read().filter(F.col("media_id") == victim).count() == 0
+    # re-ingest the victim: its pairs come back
+    index.ingest_batch(corpus.filter(F.col("media_id") == victim), 4)
+    assert {tuple(r) for r in index.pairs_df().collect()} == pairs0
