@@ -6,11 +6,16 @@ incrementally (see kube_etl_spark/streaming/neardup.py) — every new
 document is checked against everything already ingested, and detected
 pairs (exact Jaccard ≥ 0.5) accumulate in the index's pairs table.
 
-    run_neardup.py --watch <dir> --state <dir> --checkpoint <dir> [--once]
+    run_neardup.py --watch <dir> --state <dir> --checkpoint <dir>
+                   [--once] [--media]
 
 --once drains what is currently in the directory (availableNow) and
 exits — the test/cron mode; without it the query runs until killed, the
 production mode.
+--media switches to the BINARY payload index (json rows: media_id,
+payload_b64 — base64 because json carries no bytes): the incremental
+byte-shingle SimHash screen (kube_etl_spark/streaming/simdup.py),
+detected pairs at Hamming ≤ 4 of the 32-bit signature.
 """
 
 from __future__ import annotations
@@ -26,13 +31,16 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--state", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--once", action="store_true")
+    ap.add_argument("--media", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from kube_etl_spark.session import configure
     from kube_etl_spark.streaming.neardup import NearDupIndex, run_neardup_stream
+    from kube_etl_spark.streaming.simdup import SimDupIndex, run_simdup_stream
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-neardup").getOrCreate())
@@ -41,16 +49,30 @@ def main(argv: list[str]) -> None:
     from kube_etl_spark.streaming.health import attach_health
 
     attach_health(spark, args.checkpoint + ".health")
-    schema = StructType(
-        [StructField("doc_id", LongType()), StructField("text", StringType())]
-    )
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
-        args.watch
-    )
-    index = NearDupIndex(spark, args.state)
+    if args.media:
+        schema = StructType(
+            [StructField("media_id", LongType()), StructField("payload_b64", StringType())]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(args.watch)
+            .select("media_id", F.unbase64("payload_b64").alias("payload"))
+        )
+        index = SimDupIndex(spark, args.state)
+        runner = run_simdup_stream
+    else:
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+            args.watch
+        )
+        index = NearDupIndex(spark, args.state)
+        runner = run_neardup_stream
     if args.once:
         # the library wiring (foreachBatch + checkpoint + availableNow)
-        run_neardup_stream(stream, index, args.checkpoint)
+        runner(stream, index, args.checkpoint)
         sigs = index.sigs.read()
         print(
             json.dumps(

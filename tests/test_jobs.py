@@ -1359,3 +1359,71 @@ def test_snapshot_sync_natural_ordering(tmp_path):
     # incomplete dataset (no _SUCCESS) never pending
     os.remove(tmp_path / "snap-9" / "_SUCCESS")
     assert "snap-9" not in _pending(str(tmp_path), [])
+
+
+def test_run_neardup_media_cli(spark, tmp_path, capsys):
+    """--media mode: feed the binary fixture corpus as two base64 json
+    drops with the planted variants arriving SECOND (cross-batch
+    detection), run --once twice, and the accumulated pair set must
+    equal the one-shot q_media_neardup screen."""
+    import base64
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_neardup
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.registry import all_specs
+
+    docs = (
+        load_table(spark, SMOKE_SF, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+
+    def drop(df, path):
+        rows = [
+            json.dumps(
+                {
+                    "media_id": r["doc_id"],
+                    "payload_b64": base64.b64encode(
+                        r["text"].encode("utf-8")
+                    ).decode("ascii"),
+                }
+            )
+            for r in df.collect()
+        ]
+        path.write_text("\n".join(rows))
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    drop(docs, watch / "batch-0.json")
+    argv = [
+        "--watch", str(watch), "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"), "--once", "--media",
+    ]
+    run_neardup.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["docs_indexed"] == docs.count()
+
+    drop(variants, watch / "batch-1.json")
+    run_neardup.main(argv)
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in index.pairs_df().collect()
+    }
+    want = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in all_specs()["q_media_neardup"].fn(spark, SMOKE_SF).collect()
+    }
+    assert want and got == want
