@@ -989,7 +989,7 @@ def mediasim_experiment(spark, sf_dir: str, replicas: int) -> dict:
     from pyspark.sql import functions as F
 
     from kube_etl_spark.catalog import load_table
-    from kube_etl_spark.media import simhash_screen
+    from kube_etl_spark.media import byte_jaccard_verify, simhash_screen
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.withColumn(
@@ -1035,6 +1035,17 @@ def mediasim_experiment(spark, sf_dir: str, replicas: int) -> dict:
     # missed planted pairs: candidates whose hamming exceeded the
     # threshold vs pairs banding never surfaced at all
     planted_h_gt = cand.filter(is_planted & (F.col("hamming") > 4)).count()
+
+    # the VERIFY stage (byte_jaccard_verify) on the screen's verdicts:
+    # candidate-pair-sized work that should erase the chance pairs and
+    # keep every planted/same-source pair (tail/prefix edits leave
+    # byte-shingle J >= ~0.9)
+    t0 = time.time()
+    ver = byte_jaccard_verify(hits, payloads, 5000).localCheckpoint(eager=True)
+    n_ver = ver.count()
+    verify_wall = round(time.time() - t0, 2)
+    ver_planted = ver.filter(is_planted).count()
+    ver_same = ver.filter(~is_planted & (_src("media_a") == _src("media_b"))).count()
     return {
         "payloads": n,
         "planted_pairs": n_planted,
@@ -1050,6 +1061,11 @@ def mediasim_experiment(spark, sf_dir: str, replicas: int) -> dict:
         "planted_not_candidates": n_planted - n_planted_found - planted_h_gt,
         "same_source_pairs_le4": n_same_source,
         "cross_source_pairs_le4": n_hits - n_planted_found - n_same_source,
+        "verify_wall_s": verify_wall,
+        "verified_pairs": n_ver,
+        "verified_planted": ver_planted,
+        "verified_same_source": ver_same,
+        "verified_cross_source": n_ver - ver_planted - ver_same,
     }
 
 
