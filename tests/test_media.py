@@ -61,3 +61,36 @@ def test_frame_sample_counts(spark, payloads):
     feats = {r["media_id"]: r["duration_ms"] for r in media.decode_features(payloads).collect()}
     for mid, dur in feats.items():
         assert counts[mid] == dur // 250 + 1
+
+
+def test_byte_jaccard_verify_exact_and_filtering(spark):
+    """byte_jaccard_verify keeps pairs by EXACT distinct-shingle
+    Jaccard: identical payloads → j4=10000, a small tail edit stays
+    near 10000, disjoint payloads are dropped; sub-shingle payloads
+    never reach the output (no shingle set to verify)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.media import byte_jaccard_verify
+
+    base = "0123456789abcdef" * 4  # 64 bytes = 8 distinct-ish shingles
+    payloads = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),               # identical → J = 1
+            (3, base + "ZZZZZZZZ"),  # one extra shingle → J = 8/9... (dedup'd shingles)
+            (4, "Z" * 64),           # disjoint content
+            (5, "tiny"),             # < 8 bytes: no shingles
+        ],
+        "media_id long, t string",
+    ).select("media_id", F.encode("t", "utf-8").alias("payload"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "media_a long, media_b long"
+    )
+    got = {
+        (r["media_a"], r["media_b"]): r["j4"]
+        for r in byte_jaccard_verify(pairs, payloads, j4_threshold=5000).collect()
+    }
+    assert got[(1, 2)] == 10000
+    assert (1, 3) in got and 5000 <= got[(1, 3)] < 10000
+    assert (1, 4) not in got          # disjoint → below threshold
+    assert (1, 5) not in got          # unshingleable side → no row
