@@ -629,3 +629,40 @@ def test_simdup_replay_and_deletion(spark, tmp_path):
     # re-ingest the victim: its pairs come back
     index.ingest_batch(corpus.filter(F.col("media_id") == victim), 4)
     assert {tuple(r) for r in index.pairs_df().collect()} == pairs0
+
+
+def test_simdup_crash_window_converges(spark, tmp_path):
+    """Crash between the index's state merges: simulate a batch that
+    died after merging signatures but BEFORE merging bands/probing
+    (the worst redelivery window — state tables individually
+    consistent, index incomplete), then redeliver the whole batch.
+    The final state and pair set must equal a clean run's."""
+    from kube_etl_spark.media import simhash_signatures
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    corpus = _simdup_corpus(spark).localCheckpoint(eager=True)
+    b1 = corpus.filter(F.col("media_id") < 100000)
+    b2 = corpus.filter(F.col("media_id") >= 100000)
+
+    crashed = SimDupIndex(spark, str(tmp_path / "crashed"))
+    crashed.ingest_batch(b1, 1)
+    # simulated crash mid-ingest of batch 2: sigs merged, bands not
+    sig = simhash_signatures(b2.select("media_id", "payload"))
+    crashed.sigs.merge_batch(
+        sig.withColumn("seq", F.lit(2).cast("bigint")).withColumn(
+            "op", F.lit("upsert")
+        )
+    )
+    # redelivery of the full batch (what the checkpoint replays)
+    crashed.ingest_batch(b2, 2)
+
+    clean = SimDupIndex(spark, str(tmp_path / "clean"))
+    clean.ingest_batch(b1, 1)
+    clean.ingest_batch(b2, 2)
+
+    assert {tuple(r) for r in crashed.pairs_df().collect()} == {
+        tuple(r) for r in clean.pairs_df().collect()
+    }
+    assert {tuple(r) for r in crashed.bands.read().drop("seq").collect()} == {
+        tuple(r) for r in clean.bands.read().drop("seq").collect()
+    }
