@@ -25,6 +25,14 @@ All state is written via idempotent MERGE keyed on media_id (winner by
 seq), so at-least-once redelivery converges — replaying a batch probes
 an index it is already in, and a < b canonicalization keeps each pair
 single.
+
+Unlike the text NearDupIndex (which retains shingle sets for its
+exact-verify tier), this index retains NOTHING content-derived beyond
+the 8-byte signature — deliberately: media payloads are large and the
+compliance-deletion contract is then trivial. The exact-verify tier
+(media.byte_jaccard_verify) composes on demand against the payload
+store (the landing zone) for the pairs table's candidates, at
+candidate-pair-sized cost (measured: docs/architecture.md §round-7c).
 """
 
 from __future__ import annotations
