@@ -81,6 +81,10 @@ _QUERY_BASELINE: dict[str, float] = {
     "q_attribution_linear": 1.1,
     "q_gapfill_interpolate": 3.55,
     "q_knn_quantized": 1.02,
+    # r7 first measurement (idle r7 VM, vm_factor 0.772 — note the
+    # factor when reading future vmadj rows): the 32-bit/4-band binary
+    # SimHash screen, standalone post-warmup noop-write median of 5
+    "q_media_neardup": 1.10,
 }
 
 

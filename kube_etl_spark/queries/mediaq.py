@@ -67,6 +67,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_media_neardup",
     tags=("L6", "L2", "media"),
+    bench=True,
     oracle=f"""
 WITH docs AS (
   SELECT doc_id AS media_id, text FROM documents WHERE doc_id < 120
