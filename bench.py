@@ -626,8 +626,14 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
-    with open(_FULL_OUT, "w") as f:
-        f.write(full + "\n")
+    try:
+        with open(_FULL_OUT, "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        # a full/read-only disk must not discard the fully-computed
+        # payload — it is duplicated on the non-final stdout line, and
+        # the contract line depends on nothing but stdout
+        pass
     sys.stdout.flush()
     print(full, flush=True)
     if len(compact) > _FINAL_LINE_MAX:  # pragma: no cover - fenced by test

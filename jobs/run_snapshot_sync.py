@@ -60,9 +60,17 @@ def _snap_order(name: str) -> list:
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", name)]
 
 
-def _pending(watch: str, applied: list[str]) -> list[str]:
+def _pending(watch: str, applied: list[str]) -> tuple[list[str], list[str]]:
+    """(to_apply, stale): complete, unapplied snapshot dirs in natural
+    order — EXCLUDING any that order below the newest applied name.
+    A lower-numbered snapshot whose _SUCCESS lands only after a higher
+    one was applied (exporter still writing snap-9 when snap-10
+    commits) must never be applied late: its diff would describe
+    rolling state BACK and would win the max-seq merge, regressing
+    state until the next poll (review r7). Such stragglers are
+    returned separately so the caller can mark them consumed and warn."""
     done = set(applied)
-    return sorted(
+    fresh = sorted(
         (
             d
             for d in os.listdir(watch)
@@ -72,6 +80,13 @@ def _pending(watch: str, applied: list[str]) -> list[str]:
             and os.path.exists(os.path.join(watch, d, "_SUCCESS"))
         ),
         key=_snap_order,
+    )
+    if not applied:
+        return fresh, []
+    horizon = max(_snap_order(a) for a in applied)
+    return (
+        [d for d in fresh if _snap_order(d) > horizon],
+        [d for d in fresh if _snap_order(d) <= horizon],
     )
 
 
@@ -111,7 +126,20 @@ def main(argv: list[str]) -> None:
             seq=len(applied),
         )
         while True:
-            for name in _pending(args.watch, applied):
+            to_apply, stale = _pending(args.watch, applied)
+            for name in stale:
+                # superseded by an already-applied newer snapshot:
+                # consume WITHOUT applying (its diff would roll state
+                # back at a winning seq) and say so
+                applied.append(name)
+                atomic_write_json(_applied_path(args.state), {"applied": applied})
+                print(
+                    json.dumps(
+                        {"snapshot": name, "skipped": "superseded"}
+                    ),
+                    flush=True,
+                )
+            for name in to_apply:
                 snap = spark.read.parquet(os.path.join(args.watch, name))
                 delta = src.apply(snap)
                 # marker written AFTER the merge: a crash in between

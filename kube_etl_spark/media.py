@@ -180,6 +180,29 @@ SIMHASH_BAND_SQL = (
 )
 
 
+def shingle_sets(payloads: DataFrame) -> DataFrame:
+    """(media_id, s): each payload's DISTINCT non-overlapping 8-byte
+    shingle set as an array of 16-hex-char strings; payloads under one
+    shingle (8 bytes) are excluded. The SINGLE shingle definition both
+    the SimHash screen (simhash_signatures) and the exact-verify tier
+    (byte_jaccard_verify) build on — screen and verify desynchronizing
+    on window width/stride would silently corrupt verdicts (review
+    r7), the same one-implementation discipline SIMHASH_BAND_SQL
+    applies to the band keys."""
+    hx = payloads.select("media_id", F.hex("payload").alias("h")).filter(
+        F.length("h") >= 16
+    )
+    return hx.select(
+        "media_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, CAST(length(h) DIV 16 AS INT) - 1), "
+                "i -> substr(h, 1 + 16 * i, 16))"
+            )
+        ).alias("s"),
+    )
+
+
 def simhash_signatures(payloads: DataFrame) -> DataFrame:
     """32-bit byte-shingle SimHash signature per payload: (media_id,
     sig). Payloads shorter than 8 bytes (one shingle) are excluded —
@@ -193,19 +216,8 @@ def simhash_signatures(payloads: DataFrame) -> DataFrame:
     the honest threshold past the banding budget for payloads this
     small (~40 shingles), where a 1-shingle edit already flips ~2-4
     of 32 bits."""
-    hx = payloads.select("media_id", F.hex("payload").alias("h")).filter(
-        F.length("h") >= 16
-    )
-    sh = (
-        hx.select(
-            "media_id",
-            "h",
-            F.expr("explode(sequence(0, CAST(length(h) DIV 16 AS INT) - 1))").alias(
-                "i"
-            ),
-        )
-        .select("media_id", F.expr("substr(h, 1 + 16 * i, 16)").alias("s"))
-        .distinct()
+    sh = shingle_sets(payloads).select(
+        "media_id", F.explode("s").alias("s")
     )
     th = sh.select(
         "media_id",
@@ -309,19 +321,7 @@ def byte_jaccard_verify(
     grouped once per side), intersection/union via array ops on the
     joined row. Work is candidate-pair-sized; the corpus is scanned
     once to build the sets."""
-    sets = (
-        payloads.select("media_id", F.hex("payload").alias("h"))
-        .filter(F.length("h") >= 16)
-        .select(
-            "media_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, CAST(length(h) DIV 16 AS INT) - 1), "
-                    "i -> substr(h, 1 + 16 * i, 16))"
-                )
-            ).alias("s"),
-        )
-    )
+    sets = shingle_sets(payloads)
     j = (
         pairs.select("media_a", "media_b")
         .join(

@@ -581,8 +581,11 @@ def retract_pairs(
         )
         .dropDuplicates([a_col, b_col])
     )
+    # tombstone value typed from the table's OWN schema — a hardcoded
+    # double forced every pairs table to store doubles (review r7)
+    value_type = dict(cur.dtypes)[value_col]
     pairs.merge_batch(
-        dead.withColumn(value_col, F.lit(None).cast("double"))
+        dead.withColumn(value_col, F.lit(None).cast(value_type))
         .withColumn("seq", F.lit(int(seq)).cast("bigint"))
         .withColumn("op", F.lit("delete"))
     )

@@ -95,8 +95,17 @@ class NearDupIndex:
     def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Sign, index, and near-dup-check one micro-batch of
         (doc_id, text) rows. Idempotent: replaying a batch merges the
-        same state rows and upserts the same pairs."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        same state rows and upserts the same pairs.
+
+        Re-ingesting a doc_id with CHANGED text first RETRACTS every
+        pair the old content produced, then re-probes under the new
+        signature — without this, stale pairs survive a re-crawl
+        forever (review r7). Seqs are phase-split (2·batch_id for
+        retractions, 2·batch_id+1 for upserts) because StateTable
+        breaks same-seq ties toward delete: a changed doc whose NEW
+        text still pairs with the same partner must win over its own
+        retraction."""
+        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
         sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint(
             eager=True
         )
@@ -105,6 +114,23 @@ class NearDupIndex:
             # nothing to index, and on a FRESH index the probe below
             # would read a state table that does not exist yet.
             return
+        stored = self.sigs.read()
+        if stored is not None:
+            changed = (
+                sig.select("doc_id", F.col("sig").alias("__new"))
+                .join(
+                    stored.select("doc_id", F.col("sig").alias("__old")),
+                    "doc_id",
+                )
+                .filter(F.col("__new") != F.col("__old"))
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            if changed.head(1):
+                retract_pairs(
+                    self.pairs, changed, "doc_a", "doc_b", "jaccard",
+                    2 * int(batch_id),
+                )
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
         # and a replayed batch probes an index it is already in — the
@@ -154,7 +180,7 @@ class NearDupIndex:
         that references a deleted doc. Idempotent (seq-keyed delete
         winners); a later re-ingest of the same doc_id re-detects its
         pairs. doc_ids: a 1-column (doc_id) frame."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        seq = F.lit(2 * int(batch_id)).cast("bigint")
         ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
         dels = ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
         self.sigs.merge_batch(dels)
@@ -165,7 +191,9 @@ class NearDupIndex:
             .withColumn("seq", seq)
             .withColumn("op", F.lit("delete"))
         )
-        retract_pairs(self.pairs, ids, "doc_a", "doc_b", "jaccard", batch_id)
+        retract_pairs(
+            self.pairs, ids, "doc_a", "doc_b", "jaccard", 2 * int(batch_id)
+        )
 
     def pairs_df(self) -> DataFrame:
         """All near-dup pairs detected so far (doc_a, doc_b, jaccard)."""

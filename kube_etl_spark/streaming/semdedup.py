@@ -75,13 +75,38 @@ class SemanticDedupIndex:
     def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Assign, index, and near-dup-check one micro-batch of
         (vec_id, v) rows. Idempotent under replay (seq-keyed merges,
-        same pairs re-upserted)."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        same pairs re-upserted).
+
+        Re-ingesting a vec_id with a CHANGED vector first RETRACTS the
+        pairs its old embedding produced, then re-detects under the new
+        one (review r7 — the same stale-pair gap as the text/binary
+        indexes). Seqs are phase-split (2·batch_id retractions,
+        2·batch_id+1 upserts): StateTable breaks same-seq ties toward
+        delete, and a changed vector that still pairs with the same
+        partner must win over its own retraction."""
+        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
         assigned = self._assign(batch.select("vec_id", "v")).localCheckpoint(
             eager=True
         )
         if not assigned.head(1):
             return
+        stored = self.members.read()
+        if stored is not None:
+            changed = (
+                assigned.select("vec_id", F.col("v").alias("__new"))
+                .join(
+                    stored.select("vec_id", F.col("v").alias("__old")),
+                    "vec_id",
+                )
+                .filter(F.col("__new") != F.col("__old"))
+                .select("vec_id")
+                .localCheckpoint(eager=True)
+            )
+            if changed.head(1):
+                retract_pairs(
+                    self.pairs, changed, "vec_a", "vec_b", "cos",
+                    2 * int(batch_id),
+                )
         self.members.merge_batch(
             assigned.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
@@ -117,14 +142,16 @@ class SemanticDedupIndex:
         vectors leave the member state (both their cells) and every
         pair referencing them retracts; idempotent, and a later
         re-ingest re-detects. vec_ids: a 1-column (vec_id) frame."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        seq = F.lit(2 * int(batch_id)).cast("bigint")
         ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
         self.members.merge_batch(
             ids.crossJoin(self.centroids.select("centroid_id"))
             .withColumn("seq", seq)
             .withColumn("op", F.lit("delete"))
         )
-        retract_pairs(self.pairs, ids, "vec_a", "vec_b", "cos", batch_id)
+        retract_pairs(
+            self.pairs, ids, "vec_a", "vec_b", "cos", 2 * int(batch_id)
+        )
 
     def pairs_df(self) -> DataFrame:
         cur = self.pairs.read()

@@ -104,8 +104,17 @@ class SimDupIndex:
     def ingest_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Sign, index, and near-dup-check one micro-batch of
         (media_id, payload) rows. Idempotent: replaying a batch merges
-        the same state rows and upserts the same pairs."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        the same state rows and upserts the same pairs.
+
+        Re-ingesting an id with CHANGED bytes (the re-crawl/re-encode
+        case) first RETRACTS every pair the old content produced, then
+        re-probes under the new signature — without this, stale pairs
+        survive forever and the index diverges from the batch screen
+        (review r7). Seqs are phase-split (2·batch_id for retractions,
+        2·batch_id+1 for upserts) because StateTable breaks same-seq
+        ties toward delete: a changed doc whose NEW content still pairs
+        with the same partner must win over its own retraction."""
+        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
         sig = simhash_signatures(batch.select("media_id", "payload")).localCheckpoint(
             eager=True
         )
@@ -114,6 +123,25 @@ class SimDupIndex:
             # nothing to index, and on a fresh index the probe below
             # would read state that does not exist yet
             return
+        stored = self.sigs.read()
+        if stored is not None:
+            changed = (
+                sig.alias("n")
+                .join(
+                    stored.select(
+                        "media_id", F.col("sig").alias("__old")
+                    ),
+                    "media_id",
+                )
+                .filter(F.col("n.sig") != F.col("__old"))
+                .select("media_id")
+                .localCheckpoint(eager=True)
+            )
+            if changed.head(1):
+                retract_pairs(
+                    self.pairs, changed, "media_a", "media_b", "hamming",
+                    2 * int(batch_id),
+                )
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
         # and a replayed batch probes an index it is already in — the
@@ -154,7 +182,7 @@ class SimDupIndex:
                 ),
                 "media_b",
             )
-            .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS DOUBLE)"))
+            .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
             .filter(F.col("hamming") <= self.hamming_max)
             .select("media_a", "media_b", "hamming")
             .withColumn("seq", seq)
@@ -169,7 +197,7 @@ class SimDupIndex:
         deleted id. Idempotent (seq-keyed delete winners); a later
         re-ingest of the same media_id re-detects its pairs.
         media_ids: a 1-column (media_id) frame."""
-        seq = F.lit(int(batch_id)).cast("bigint")
+        seq = F.lit(2 * int(batch_id)).cast("bigint")
         ids = media_ids.select("media_id").distinct().localCheckpoint(eager=True)
         self.sigs.merge_batch(
             ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
@@ -183,7 +211,9 @@ class SimDupIndex:
             .withColumn("seq", seq)
             .withColumn("op", F.lit("delete"))
         )
-        retract_pairs(self.pairs, ids, "media_a", "media_b", "hamming", batch_id)
+        retract_pairs(
+            self.pairs, ids, "media_a", "media_b", "hamming", 2 * int(batch_id)
+        )
 
     def pairs_df(self) -> DataFrame:
         """All detected pairs so far (media_a, media_b, hamming) — the
@@ -193,9 +223,7 @@ class SimDupIndex:
             return self.spark.createDataFrame(
                 [], "media_a bigint, media_b bigint, hamming bigint"
             )
-        return cur.select(
-            "media_a", "media_b", F.col("hamming").cast("bigint").alias("hamming")
-        )
+        return cur.select("media_a", "media_b", "hamming")
 
 
 def run_simdup_stream(

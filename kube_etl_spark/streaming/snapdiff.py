@@ -118,16 +118,23 @@ class SnapshotDiffSource:
             prev = prev.drop("seq")
             # Schema drift between generations fails LOUDLY here, not
             # three operators deep in the state merge: an upstream that
-            # added/dropped/renamed columns needs an explicit migration
-            # (q_schema_drift_report is the diagnosis tool), because a
-            # keyed state table cannot silently widen or narrow.
-            old_cols, new_cols = set(prev.columns), set(snapshot.columns)
-            if old_cols != new_cols:
+            # added/dropped/renamed/RETYPED columns needs an explicit
+            # migration (q_schema_drift_report is the diagnosis tool),
+            # because a keyed state table cannot silently widen, narrow,
+            # or coerce. Compared on dtypes, not names — a retyped
+            # column under the same name is the headline drift case.
+            old_t, new_t = dict(prev.dtypes), dict(snapshot.dtypes)
+            if old_t != new_t:
+                retyped = sorted(
+                    c for c in old_t.keys() & new_t.keys() if old_t[c] != new_t[c]
+                )
                 raise ValueError(
                     "snapshot schema drifted from state: added="
-                    f"{sorted(new_cols - old_cols)} dropped="
-                    f"{sorted(old_cols - new_cols)}; run a schema "
-                    "migration (see q_schema_drift_report) before syncing"
+                    f"{sorted(new_t.keys() - old_t.keys())} dropped="
+                    f"{sorted(old_t.keys() - new_t.keys())} retyped="
+                    f"{[(c, old_t[c], new_t[c]) for c in retyped]}; run a "
+                    "schema migration (see q_schema_drift_report) before "
+                    "syncing"
                 )
         delta = snapshot_delta(prev, snapshot, self.state.key_cols)
         # the delta reads state THROUGH the symlink merge_batch swaps;

@@ -1348,17 +1348,24 @@ def test_snapshot_sync_natural_ordering(tmp_path):
         d = tmp_path / name
         d.mkdir()
         (d / "_SUCCESS").touch()
-    assert _pending(str(tmp_path), []) == [
+    assert _pending(str(tmp_path), [])[0] == [
         "snap-1", "snap-2", "snap-9", "snap-10"
     ]
-    assert _pending(str(tmp_path), ["snap-1", "snap-2"]) == ["snap-9", "snap-10"]
+    assert _pending(str(tmp_path), ["snap-1", "snap-2"])[0] == [
+        "snap-9", "snap-10"
+    ]
     # padded names unaffected
     assert sorted(["snap-0010", "snap-0002"], key=_snap_order) == [
         "snap-0002", "snap-0010"
     ]
+    # a LATE-committing lower-numbered snapshot (exporter finished
+    # snap-9 after snap-10 was applied) must be returned as STALE, not
+    # applied — applying it would roll state back at a winning seq
+    to_apply, stale = _pending(str(tmp_path), ["snap-1", "snap-2", "snap-10"])
+    assert to_apply == [] and stale == ["snap-9"]
     # incomplete dataset (no _SUCCESS) never pending
     os.remove(tmp_path / "snap-9" / "_SUCCESS")
-    assert "snap-9" not in _pending(str(tmp_path), [])
+    assert "snap-9" not in _pending(str(tmp_path), [])[0]
 
 
 def test_run_neardup_media_cli(spark, tmp_path, capsys):

@@ -666,3 +666,104 @@ def test_simdup_crash_window_converges(spark, tmp_path):
     assert {tuple(r) for r in crashed.bands.read().drop("seq").collect()} == {
         tuple(r) for r in clean.bands.read().drop("seq").collect()
     }
+
+
+def test_simdup_changed_content_retracts_stale_pairs(spark, tmp_path):
+    """Re-ingesting a media_id with DIFFERENT bytes (re-crawl /
+    re-encode — the module's advertised workload) must retract the
+    pairs its OLD content produced and re-detect under the new
+    signature; re-ingesting UNCHANGED bytes must remain a pure no-op
+    (review r7: without retraction, stale pairs survive forever and
+    the index diverges from the batch screen)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.media import simhash_screen
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    corpus = _simdup_corpus(spark).localCheckpoint(eager=True)
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 1)
+    pairs0 = {tuple(r) for r in index.pairs_df().collect()}
+    assert pairs0
+    # pick a planted variant participating in a pair, replace its bytes
+    # with unrelated content
+    victim = max(b for _, b, _ in pairs0)
+    changed = spark.createDataFrame(
+        [(victim, "completely different bytes " * 8)], "media_id long, t string"
+    ).select("media_id", F.encode("t", "utf-8").alias("payload"))
+    index.ingest_batch(changed, 2)
+    after = {tuple(r) for r in index.pairs_df().collect()}
+    assert all(victim not in (a, b) for a, b, _ in after)
+    # the index now equals the batch screen over the UPDATED corpus
+    updated = corpus.filter(F.col("media_id") != victim).unionByName(changed)
+    want = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in simhash_screen(updated, hamming_max=4).collect()
+    }
+    assert after == want
+    # unchanged re-ingest: still a no-op
+    index.ingest_batch(changed, 3)
+    assert {tuple(r) for r in index.pairs_df().collect()} == after
+
+
+def test_neardup_changed_content_retracts_stale_pairs(spark, tmp_path):
+    """The text index mirror of the simdup changed-content case: a doc
+    re-ingested with unrelated text loses its old pairs; unchanged
+    re-ingest stays a no-op."""
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9).localCheckpoint(eager=True)
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 1)
+    pairs0 = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert pairs0
+    victim = max(b for _, b in pairs0)
+    changed = spark.createDataFrame(
+        [(victim, "totally unrelated replacement text " * 12)],
+        "doc_id long, text string",
+    )
+    index.ingest_batch(changed, 2)
+    after = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert all(victim not in p for p in after)
+    assert after == {p for p in pairs0 if victim not in p}
+    # unchanged re-ingest: no-op
+    index.ingest_batch(changed, 3)
+    assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == after
+
+
+def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
+    """The semantic index mirror: re-ingesting a vec_id with a changed
+    embedding retracts its old pairs and re-detects under the new one;
+    an unchanged re-ingest is a no-op."""
+    from kube_etl_spark.queries.llm import _dot, _kmeans_centroids
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    vecs = (
+        load_table(spark, SMOKE_SF, "embeddings")
+        .filter(F.col("vec_id") < 80)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    # plant one near-identical copy so a pair certainly exists
+    copy = vecs.filter(F.col("vec_id") == 3).select(
+        F.lit(9001).cast("long").alias("vec_id"), "v"
+    )
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    cent = _kmeans_centroids(
+        spark, vn.select("vec_id", F.col("vn").alias("v")), k=4
+    )
+    index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
+    index.ingest_batch(vecs.unionByName(copy), 1)
+    pairs0 = {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()}
+    assert (3, 9001) in pairs0
+    # replace the copy's embedding with an unrelated direction
+    dim = len(vecs.first()["v"])
+    changed = spark.createDataFrame(
+        [(9001, [1.0] + [0.0] * (dim - 1))], "vec_id long, v array<float>"
+    )
+    index.ingest_batch(changed, 2)
+    after = {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()}
+    assert (3, 9001) not in after
+    # unchanged re-ingest: no-op
+    index.ingest_batch(changed, 3)
+    assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == after

@@ -1743,3 +1743,9 @@ def test_snapshot_diff_source_rejects_schema_drift(spark, tmp_path):
     narrowed = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match=r"dropped=\['v'\]"):
         src.apply(narrowed, seq=2)
+    # a RETYPED column under the same name is drift too (the guard
+    # compares dtypes, not names — review r7): bigint v would coerce
+    # or crash deep in the merge otherwise
+    retyped = spark.createDataFrame([(1, 9)], "k long, v long")
+    with pytest.raises(ValueError, match=r"retyped=.*'v', 'string', 'bigint'"):
+        src.apply(retyped, seq=2)
