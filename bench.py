@@ -81,10 +81,15 @@ _QUERY_BASELINE: dict[str, float] = {
     "q_attribution_linear": 1.1,
     "q_gapfill_interpolate": 3.55,
     "q_knn_quantized": 1.02,
-    # r7 first measurement (idle r7 VM, vm_factor 0.772 — note the
-    # factor when reading future vmadj rows): the 32-bit/4-band binary
-    # SimHash screen, standalone post-warmup noop-write median of 5
-    "q_media_neardup": 1.10,
+    # r7 first measurement (idle r7 VM, vm_factor 0.666): the
+    # 32-bit/4-band binary SimHash screen. Baselined from the IN-BENCH
+    # median — unlike the other headliners this query is
+    # context-sensitive (its eager signature checkpoint lands in
+    # storage already holding earlier queries' blocks): standalone
+    # post-warmup median 1.10 s, in-bench 1.62 s on the same VM. The
+    # ratio gate compares in-bench numbers, so the baseline must use
+    # the same protocol.
+    "q_media_neardup": 1.62,
 }
 
 
