@@ -632,8 +632,12 @@ def main() -> None:
     except Exception:
         pass
     try:
-        with open(_FULL_OUT, "w") as f:
+        # tmp + atomic rename: a disk filling MID-write must leave the
+        # previous bench_full.json intact, never a torn JSON file
+        tmp = _FULL_OUT + ".tmp"
+        with open(tmp, "w") as f:
             f.write(full + "\n")
+        os.replace(tmp, _FULL_OUT)
     except OSError:
         # a full/read-only disk must not discard the fully-computed
         # payload — it is duplicated on the non-final stdout line, and

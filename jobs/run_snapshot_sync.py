@@ -127,6 +127,21 @@ def main(argv: list[str]) -> None:
         )
         while True:
             to_apply, stale = _pending(args.watch, applied)
+            # a LONG run of below-horizon snapshots with nothing
+            # applicable is not stragglers — it is the exporter's
+            # numbering having RESET (redeploy / counter reset / new
+            # naming scheme). Silently consuming them would freeze the
+            # sync forever while polling healthily (review r7 second
+            # pass); fail loudly so an operator re-points --state or
+            # renames the stream.
+            if len(stale) > 3 and not to_apply:
+                raise SystemExit(
+                    f"snapshot numbering regression: {len(stale)} pending "
+                    f"snapshots all order below the newest applied "
+                    f"({max(applied, key=_snap_order)}) — exporter "
+                    "numbering reset? Start a fresh --state (or clear "
+                    "the .applied.json marker) to resync"
+                )
             for name in stale:
                 # superseded by an already-applied newer snapshot:
                 # consume WITHOUT applying (its diff would roll state

@@ -554,6 +554,40 @@ class BucketedStateTable:
             atomic_overwrite(raw.filter(~dead_old), self._bucket_path(b))
 
 
+def changed_ids(
+    new_state: DataFrame,
+    stored: DataFrame | None,
+    id_col: str,
+    value_col: str,
+) -> DataFrame | None:
+    """Ids present in BOTH `new_state` and `stored` whose `value_col`
+    differs (null-safe, structural for arrays) — the shared
+    changed-content detector of the incremental pair indexes
+    (neardup/simdup/semdedup), one implementation so a semantics fix
+    lands everywhere (review r7). Both sides are deduplicated on
+    (id, value) first, so multi-row-per-id states (e.g. one row per
+    IVF cell) compare correctly. Returns an eagerly-checkpointed
+    1-column frame (consumed by retraction AND cleanup merges that
+    mutate the state it derives from), or None when `stored` is None
+    or nothing changed."""
+    if stored is None:
+        return None
+    ch = (
+        new_state.select(id_col, F.col(value_col).alias("__new"))
+        .dropDuplicates([id_col])
+        .join(
+            stored.select(id_col, F.col(value_col).alias("__old")).dropDuplicates(
+                [id_col]
+            ),
+            id_col,
+        )
+        .filter(~F.col("__new").eqNullSafe(F.col("__old")))
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    return ch if ch.head(1) else None
+
+
 def retract_pairs(
     pairs: StateTable,
     ids: DataFrame,

@@ -44,7 +44,7 @@ from ..queries.llm import (
     lsh_estimate_verify,
     minhash_signatures,
 )
-from .cdc import StateTable, retract_pairs
+from .cdc import StateTable, changed_ids, retract_pairs
 
 
 class NearDupIndex:
@@ -98,14 +98,17 @@ class NearDupIndex:
         same state rows and upserts the same pairs.
 
         Re-ingesting a doc_id with CHANGED text first RETRACTS every
-        pair the old content produced, then re-probes under the new
-        signature — without this, stale pairs survive a re-crawl
-        forever (review r7). Seqs are phase-split (2·batch_id for
-        retractions, 2·batch_id+1 for upserts) because StateTable
-        breaks same-seq ties toward delete: a changed doc whose NEW
-        text still pairs with the same partner must win over its own
-        retraction."""
-        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
+        pair the old content produced and DELETES its old band rows
+        (else a doc shrunk below shingling keeps GHOST bands forever),
+        then re-indexes under the new signature (review r7).
+
+        Seq phases (seq = 4·batch_id + phase): 0 = retractions/cleanup,
+        1 = upserts, 2 = compliance deletion (delete_docs) — within a
+        batch a re-detected pair beats its own retraction, and a
+        same-batch-id compliance delete beats the ingest's upserts
+        (the delete-wins contract the state layer documents)."""
+        seq_rm = F.lit(4 * int(batch_id)).cast("bigint")
+        seq = F.lit(4 * int(batch_id) + 1).cast("bigint")
         sig = minhash_signatures(batch.select("doc_id", "text")).localCheckpoint(
             eager=True
         )
@@ -114,23 +117,24 @@ class NearDupIndex:
             # nothing to index, and on a FRESH index the probe below
             # would read a state table that does not exist yet.
             return
-        stored = self.sigs.read()
-        if stored is not None:
-            changed = (
-                sig.select("doc_id", F.col("sig").alias("__new"))
-                .join(
-                    stored.select("doc_id", F.col("sig").alias("__old")),
-                    "doc_id",
-                )
-                .filter(F.col("__new") != F.col("__old"))
-                .select("doc_id")
-                .localCheckpoint(eager=True)
+        changed = changed_ids(sig, self.sigs.read(), "doc_id", "sig")
+        if changed is not None:
+            retract_pairs(
+                self.pairs, changed, "doc_a", "doc_b", "jaccard",
+                4 * int(batch_id),
             )
-            if changed.head(1):
-                retract_pairs(
-                    self.pairs, changed, "doc_a", "doc_b", "jaccard",
-                    2 * int(batch_id),
+            # clear ALL of the changed docs' band rows: the new bands
+            # upsert below only covers buckets the NEW text hashes to,
+            # and a doc shrunk below shingling emits no bands at all
+            self.bands.merge_batch(
+                changed.crossJoin(
+                    self.spark.range(_LSH_BANDS).select(
+                        F.col("id").cast("int").alias("band")
+                    )
                 )
+                .withColumn("seq", seq_rm)
+                .withColumn("op", F.lit("delete"))
+            )
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
         # and a replayed batch probes an index it is already in — the
@@ -180,7 +184,7 @@ class NearDupIndex:
         that references a deleted doc. Idempotent (seq-keyed delete
         winners); a later re-ingest of the same doc_id re-detects its
         pairs. doc_ids: a 1-column (doc_id) frame."""
-        seq = F.lit(2 * int(batch_id)).cast("bigint")
+        seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
         dels = ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
         self.sigs.merge_batch(dels)
@@ -192,7 +196,7 @@ class NearDupIndex:
             .withColumn("op", F.lit("delete"))
         )
         retract_pairs(
-            self.pairs, ids, "doc_a", "doc_b", "jaccard", 2 * int(batch_id)
+            self.pairs, ids, "doc_a", "doc_b", "jaccard", 4 * int(batch_id) + 2
         )
 
     def pairs_df(self) -> DataFrame:

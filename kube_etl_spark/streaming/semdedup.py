@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.llm import _dot, assign_cells
-from .cdc import StateTable, retract_pairs
+from .cdc import StateTable, changed_ids, retract_pairs
 
 COS_THRESHOLD = 0.8  # q_dedup_embedding's anchor threshold
 
@@ -78,35 +78,35 @@ class SemanticDedupIndex:
         same pairs re-upserted).
 
         Re-ingesting a vec_id with a CHANGED vector first RETRACTS the
-        pairs its old embedding produced, then re-detects under the new
-        one (review r7 — the same stale-pair gap as the text/binary
-        indexes). Seqs are phase-split (2·batch_id retractions,
-        2·batch_id+1 upserts): StateTable breaks same-seq ties toward
-        delete, and a changed vector that still pairs with the same
-        partner must win over its own retraction."""
-        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
+        pairs its old embedding produced AND deletes ALL its old member
+        cells — members is keyed (vec_id, centroid_id), so upserting
+        only the new top-2 cells would leave the OLD embedding live in
+        its old cells, where later vectors could mint pairs against a
+        retracted embedding at winning seqs (review r7, second pass).
+
+        Seq phases (seq = 4·batch_id + phase): 0 = retractions/cleanup,
+        1 = upserts, 2 = compliance deletion (delete_vecs) — a changed
+        vector that still pairs with the same partner beats its own
+        retraction, and a same-batch-id compliance delete beats the
+        ingest's upserts (the delete-wins contract)."""
+        seq_rm = F.lit(4 * int(batch_id)).cast("bigint")
+        seq = F.lit(4 * int(batch_id) + 1).cast("bigint")
         assigned = self._assign(batch.select("vec_id", "v")).localCheckpoint(
             eager=True
         )
         if not assigned.head(1):
             return
-        stored = self.members.read()
-        if stored is not None:
-            changed = (
-                assigned.select("vec_id", F.col("v").alias("__new"))
-                .join(
-                    stored.select("vec_id", F.col("v").alias("__old")),
-                    "vec_id",
-                )
-                .filter(F.col("__new") != F.col("__old"))
-                .select("vec_id")
-                .localCheckpoint(eager=True)
+        changed = changed_ids(assigned, self.members.read(), "vec_id", "v")
+        if changed is not None:
+            retract_pairs(
+                self.pairs, changed, "vec_a", "vec_b", "cos",
+                4 * int(batch_id),
             )
-            if changed.head(1):
-                retract_pairs(
-                    self.pairs, changed, "vec_a", "vec_b", "cos",
-                    2 * int(batch_id),
-                )
+            self.members.merge_batch(
+                changed.crossJoin(self.centroids.select("centroid_id"))
+                .withColumn("seq", seq_rm)
+                .withColumn("op", F.lit("delete"))
+            )
         self.members.merge_batch(
             assigned.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
@@ -142,7 +142,7 @@ class SemanticDedupIndex:
         vectors leave the member state (both their cells) and every
         pair referencing them retracts; idempotent, and a later
         re-ingest re-detects. vec_ids: a 1-column (vec_id) frame."""
-        seq = F.lit(2 * int(batch_id)).cast("bigint")
+        seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
         self.members.merge_batch(
             ids.crossJoin(self.centroids.select("centroid_id"))
@@ -150,7 +150,7 @@ class SemanticDedupIndex:
             .withColumn("op", F.lit("delete"))
         )
         retract_pairs(
-            self.pairs, ids, "vec_a", "vec_b", "cos", 2 * int(batch_id)
+            self.pairs, ids, "vec_a", "vec_b", "cos", 4 * int(batch_id) + 2
         )
 
     def pairs_df(self) -> DataFrame:

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..media import SIMHASH_BAND_SQL, simhash_signatures
-from .cdc import StateTable, retract_pairs
+from .cdc import StateTable, changed_ids, retract_pairs
 
 
 class SimDupIndex:
@@ -107,51 +107,72 @@ class SimDupIndex:
         the same state rows and upserts the same pairs.
 
         Re-ingesting an id with CHANGED bytes (the re-crawl/re-encode
-        case) first RETRACTS every pair the old content produced, then
-        re-probes under the new signature — without this, stale pairs
-        survive forever and the index diverges from the batch screen
-        (review r7). Seqs are phase-split (2·batch_id for retractions,
-        2·batch_id+1 for upserts) because StateTable breaks same-seq
-        ties toward delete: a changed doc whose NEW content still pairs
-        with the same partner must win over its own retraction."""
-        seq = F.lit(2 * int(batch_id) + 1).cast("bigint")
+        case) first RETRACTS the pairs its old content produced and
+        DELETES all its old index rows, then re-indexes under the new
+        signature — without this, stale pairs and ghost band rows
+        survive a re-crawl forever (review r7). A payload re-crawled to
+        under one shingle (no signature at all) is treated as leaving
+        the index: its signature, band rows, and pairs go too.
+
+        Seq phases (seq = 4·batch_id + phase): 0 = retractions/cleanup,
+        1 = upserts, 2 = compliance deletion (delete_docs). Within a
+        batch, re-detected pairs must beat their own retraction (state
+        merges break same-seq ties toward delete); ACROSS the same
+        batch id, a compliance delete must beat the ingest's upserts —
+        the delete-wins contract the state layer documents."""
+        seq_rm = F.lit(4 * int(batch_id)).cast("bigint")
+        seq_up = F.lit(4 * int(batch_id) + 1).cast("bigint")
         sig = simhash_signatures(batch.select("media_id", "payload")).localCheckpoint(
             eager=True
         )
-        if not sig.head(1):
-            # empty micro-batch, or every payload under one shingle —
-            # nothing to index, and on a fresh index the probe below
-            # would read state that does not exist yet
-            return
         stored = self.sigs.read()
+        if stored is None and not sig.head(1):
+            # fresh index and nothing signable: nothing to do (the
+            # probe below would read state that does not exist yet)
+            return
         if stored is not None:
-            changed = (
-                sig.alias("n")
-                .join(
-                    stored.select(
-                        "media_id", F.col("sig").alias("__old")
-                    ),
-                    "media_id",
-                )
-                .filter(F.col("n.sig") != F.col("__old"))
-                .select("media_id")
-                .localCheckpoint(eager=True)
+            # ids whose signature changed, plus ids in the batch with
+            # NO signature anymore (payload shrank under one shingle —
+            # absent from `sig`, so a plain join would miss them)
+            shrunk = (
+                batch.select("media_id")
+                .distinct()
+                .join(sig.select("media_id"), "media_id", "left_anti")
+                .join(stored.select("media_id"), "media_id", "left_semi")
             )
-            if changed.head(1):
+            ch = changed_ids(sig, stored, "media_id", "sig")
+            dead = (
+                shrunk if ch is None else ch.unionByName(shrunk)
+            ).distinct().localCheckpoint(eager=True)
+            if dead.head(1):
                 retract_pairs(
-                    self.pairs, changed, "media_a", "media_b", "hamming",
-                    2 * int(batch_id),
+                    self.pairs, dead, "media_a", "media_b", "hamming",
+                    4 * int(batch_id),
                 )
+                self.sigs.merge_batch(
+                    dead.withColumn("seq", seq_rm).withColumn("op", F.lit("delete"))
+                )
+                self.bands.merge_batch(
+                    dead.crossJoin(
+                        self.spark.range(len(SIMHASH_BAND_SQL)).select(
+                            F.col("id").cast("int").alias("band")
+                        )
+                    )
+                    .withColumn("seq", seq_rm)
+                    .withColumn("op", F.lit("delete"))
+                )
+        if not sig.head(1):
+            return
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
         # and a replayed batch probes an index it is already in — the
         # a < b canonicalization keeps each pair single
         self.sigs.merge_batch(
-            sig.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
+            sig.withColumn("seq", seq_up).withColumn("op", F.lit("upsert"))
         )
         new_bands = self._band_rows(sig)
         self.bands.merge_batch(
-            new_bands.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
+            new_bands.withColumn("seq", seq_up).withColumn("op", F.lit("upsert"))
         )
         index = self.bands.read().select("media_id", "band", "bucket")
         cand = (
@@ -185,7 +206,7 @@ class SimDupIndex:
             .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
             .filter(F.col("hamming") <= self.hamming_max)
             .select("media_a", "media_b", "hamming")
-            .withColumn("seq", seq)
+            .withColumn("seq", seq_up)
             .withColumn("op", F.lit("upsert"))
         )
         self.pairs.merge_batch(detected)
@@ -194,10 +215,13 @@ class SimDupIndex:
         """Compliance deletion: remove the payloads' signatures and band
         rows — the index must not retain content-derived state for
         deleted media — and RETRACT every detected pair referencing a
-        deleted id. Idempotent (seq-keyed delete winners); a later
-        re-ingest of the same media_id re-detects its pairs.
-        media_ids: a 1-column (media_id) frame."""
-        seq = F.lit(2 * int(batch_id)).cast("bigint")
+        deleted id. Idempotent (seq-keyed delete winners), and stamped
+        at phase 2 of the same batch id so a delete in the SAME
+        micro-batch as an ingest of the id wins (the delete-wins
+        contract); a later re-ingest of the same media_id (higher batch
+        id) re-detects its pairs. media_ids: a 1-column (media_id)
+        frame."""
+        seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = media_ids.select("media_id").distinct().localCheckpoint(eager=True)
         self.sigs.merge_batch(
             ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
@@ -212,7 +236,8 @@ class SimDupIndex:
             .withColumn("op", F.lit("delete"))
         )
         retract_pairs(
-            self.pairs, ids, "media_a", "media_b", "hamming", 2 * int(batch_id)
+            self.pairs, ids, "media_a", "media_b", "hamming",
+            4 * int(batch_id) + 2,
         )
 
     def pairs_df(self) -> DataFrame:
@@ -223,7 +248,12 @@ class SimDupIndex:
             return self.spark.createDataFrame(
                 [], "media_a bigint, media_b bigint, hamming bigint"
             )
-        return cur.select("media_a", "media_b", "hamming")
+        # cast normalizes LEGACY state dirs whose hamming was written
+        # as double by earlier builds (merge unions widen new bigint
+        # rows back to double there); fresh state is bigint end-to-end
+        return cur.select(
+            "media_a", "media_b", F.col("hamming").cast("bigint").alias("hamming")
+        )
 
 
 def run_simdup_stream(

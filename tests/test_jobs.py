@@ -1434,3 +1434,42 @@ def test_run_neardup_media_cli(spark, tmp_path, capsys):
         for r in all_specs()["q_media_neardup"].fn(spark, SMOKE_SF).collect()
     }
     assert want and got == want
+
+
+def test_snapshot_sync_numbering_reset_fails_loudly(spark, tmp_path):
+    """An exporter whose numbering RESET (redeploy, counter reset)
+    produces an unbounded run of below-horizon snapshots; silently
+    consuming them would freeze the sync forever while polling
+    healthily. More than 3 pending with nothing applicable must raise,
+    naming the newest applied snapshot (review r7 second pass). A
+    single late straggler still skips quietly."""
+    import pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_snapshot_sync
+    from pyspark.sql import functions as F  # noqa: F401
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    state = tmp_path / "state"
+
+    def drop(name, ks):
+        d = watch / name
+        spark.createDataFrame([(k, k * 10) for k in ks], "k long, x long") \
+            .coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    drop("snap-100", [1, 2, 3])
+    argv = ["--watch", str(watch), "--state", str(state), "--keys", "k", "--once"]
+    run_snapshot_sync.main(argv)
+
+    # one straggler: consumed quietly as superseded
+    drop("snap-99", [1, 2])
+    run_snapshot_sync.main(argv)
+    applied = json.loads((tmp_path / "state.applied.json").read_text())["applied"]
+    assert "snap-99" in applied
+
+    # numbering reset: 4 fresh below-horizon snapshots, nothing applicable
+    for i in (1, 2, 3, 4):
+        drop(f"snap-{i}", [i])
+    with pytest.raises(SystemExit, match="numbering regression"):
+        run_snapshot_sync.main(argv)

@@ -767,3 +767,105 @@ def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
     # unchanged re-ingest: no-op
     index.ingest_batch(changed, 3)
     assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == after
+
+
+def test_simdup_shrunk_payload_leaves_index(spark, tmp_path):
+    """A payload re-crawled to under one shingle (an error page) has no
+    signature — it must LEAVE the index entirely: signature and band
+    rows deleted, pairs retracted (review r7 second pass: a plain
+    changed-join misses ids absent from the new signature frame)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    corpus = _simdup_corpus(spark).localCheckpoint(eager=True)
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 1)
+    pairs0 = {tuple(r) for r in index.pairs_df().collect()}
+    victim = max(b for _, b, _ in pairs0)
+    tiny = spark.createDataFrame([(victim, "err")], "media_id long, t string").select(
+        "media_id", F.encode("t", "utf-8").alias("payload")
+    )
+    index.ingest_batch(tiny, 2)
+    assert index.sigs.read().filter(F.col("media_id") == victim).count() == 0
+    assert index.bands.read().filter(F.col("media_id") == victim).count() == 0
+    after = {tuple(r) for r in index.pairs_df().collect()}
+    assert all(victim not in (a, b) for a, b, _ in after)
+
+
+def test_same_batch_id_delete_beats_ingest(spark, tmp_path):
+    """The delete-wins contract across the phase-split seqs: a
+    compliance delete stamped with the SAME batch id as an ingest of
+    the id must win regardless of call order (review r7 second pass —
+    the first phase-split put upserts ABOVE deletes and silently
+    reversed it)."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    corpus = _simdup_corpus(spark).localCheckpoint(eager=True)
+    index = SimDupIndex(spark, str(tmp_path / "state"))
+    pairs_at_1 = None
+    victim = None
+    # batch 1 establishes pairs; batch 2 both re-ingests and deletes
+    index.ingest_batch(corpus, 1)
+    pairs_at_1 = {tuple(r) for r in index.pairs_df().collect()}
+    victim = max(b for _, b, _ in pairs_at_1)
+    ids = spark.createDataFrame([(victim,)], "media_id long")
+    # ingest FIRST, delete SECOND — and the delete must still win
+    index.ingest_batch(corpus.filter(F.col("media_id") == victim), 2)
+    index.delete_docs(ids, 2)
+    assert index.sigs.read().filter(F.col("media_id") == victim).count() == 0
+    assert all(
+        victim not in (a, b) for a, b, _ in
+        {tuple(r) for r in index.pairs_df().collect()}
+    )
+    # a LATER re-ingest (higher batch id) revives the id and its pairs
+    index.ingest_batch(corpus.filter(F.col("media_id") == victim), 3)
+    assert {tuple(r) for r in index.pairs_df().collect()} == pairs_at_1
+
+
+def test_semdedup_changed_vector_clears_ghost_cells(spark, tmp_path):
+    """Members is keyed (vec_id, centroid_id): a changed vector must
+    not leave its OLD embedding live in its OLD cells, where later
+    vectors could mint pairs against a retracted embedding (review r7
+    second pass). After the re-ingest, the id's member rows hold ONLY
+    the new embedding, and a new vector near the OLD embedding pairs
+    with the original doc but never with the changed id."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot, _kmeans_centroids
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    vecs = (
+        load_table(spark, SMOKE_SF, "embeddings")
+        .filter(F.col("vec_id") < 80)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    copy = vecs.filter(F.col("vec_id") == 3).select(
+        F.lit(9001).cast("long").alias("vec_id"), "v"
+    )
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=4)
+    index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
+    index.ingest_batch(vecs.unionByName(copy), 1)
+    assert (3, 9001) in {
+        (r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()
+    }
+    dim = len(vecs.first()["v"])
+    changed = spark.createDataFrame(
+        [(9001, [1.0] + [0.0] * (dim - 1))], "vec_id long, v array<float>"
+    )
+    index.ingest_batch(changed, 2)
+    # no ghost cells: every surviving member row of 9001 carries the NEW v
+    rows = index.members.read().filter(F.col("vec_id") == 9001).collect()
+    assert rows and all(abs(r["v"][0] - 1.0) < 1e-6 for r in rows)
+    # a later vector identical to vec 3's embedding pairs with 3 but
+    # NOT with the changed 9001
+    probe = vecs.filter(F.col("vec_id") == 3).select(
+        F.lit(9002).cast("long").alias("vec_id"), "v"
+    )
+    index.ingest_batch(probe, 3)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()}
+    assert (3, 9002) in pairs and (9001, 9002) not in pairs
