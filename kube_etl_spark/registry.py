@@ -64,16 +64,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-7 window (VERDICT r6 #2: the queue already in ROTATE_NEXT):
-# 8 anchors + all 35 r6 ROTATE_NEXT (the 6 round-6 widening queries
-# with no driver evidence yet + the 29 r02-evidence re-pins) + 7
-# oldest-evidence fills: the 4 r8-deferred window-family names (the
-# only r02-or-older evidence left) and 3 of the r03 cohort chosen for
-# quotas and VERDICT-named families (q_tpch_q5 for the T quota,
-# q_join_skew_salted for the scale story, q_media_frames for the
-# multimodal mandate). After this round every oracle-backed query's
-# newest driver evidence is r03+ and the unproven backlog is zero
-# again (8+35+7 = 50).
+# Round-8 window (VERDICT r7 #1 + #4): 8 anchors + the 4 round-7
+# widening queries (the only oracle-backed names with zero driver
+# evidence) + 2 rows-only driver-execution slots (NEW — VERDICT r7 #4:
+# the driver logs spark_rows even without an oracle, which is the only
+# external execution evidence a rows-only query can ever get; the two
+# most load-bearing scale paths go first) + 35 of the 39 r03-evidence
+# re-pins + q_join_inner (r05, promoted for the J-family quota — the
+# entire r03 cohort is join-free). The 4 deferred r03 names (all
+# TPC-H; T stays covered by q6/q8/q10/q13) head the r9 re-pin queue.
+# 8+4+2+35+1 = 50.
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -84,54 +84,69 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 6 round-6 widening queries (r6 ROTATE_NEXT
+    # 2. newest-unproven: the 4 round-7 widening queries (r7 ROTATE_NEXT
     # step-2 cohort — zero driver evidence until this window runs)
-    "q_snapshot_diff",
-    "q_profile_incremental",
-    "q_dedup_keep_best",
-    "q_mixture_rebalance",
-    "q_dedup_prefix_cluster",
-    "q_dedup_events_window",
-    # 3a. oldest-evidence re-pins: the 29 names whose newest driver
-    # evidence is r02 (queued in the r6 ROTATE_NEXT)
-    "q_catalog_scan",
-    "q_scan_project",
-    "q_sink_partitioned",
-    "q_split_spec_status",
-    "q_rules_fanout",
-    "q_join_asof",
-    "q_stream_dedup",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stream_join",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_fingerprint",
-    "q_multimodal_join",
-    "q_text_tf",
-    "q_token_count",
-    "q_udaf_grouped_map",
-    "q_udf_scalar",
-    "q_udtf_explode",
-    "q_union_all",
-    "q_intersect",
-    "q_except",
-    "q_topk",
-    "q_pivot",
-    "q_json_funcs",
-    "q_from_json_explode",
-    "q_to_json",
-    "q_window_last_state",
-    # 3b. oldest-evidence fills: the four r02 window-family names the
-    # r6 cap deferred, then the r03 quota/mandate picks
-    "q_window_running_sum",         # W4
-    "q_window_rank",                # W1
-    "q_window_range_frame",         # W5
-    "q_window_lag_lead",            # W3
-    "q_tpch_q5_local_volume",       # TPCH — T-family quota
-    "q_join_skew_salted",           # J1/skew — the scale story's join
-    "q_media_frames",               # L6 — multimodal mandate
+    "q_schema_drift_report",
+    "q_media_neardup",
+    "q_media_dedup_exact",
+    "q_snapshot_survivorship",
+    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
+    "q_knn_ivf",
+    "q_dedup_semantic",
+    # 3a. oldest-evidence re-pins: 35 of the 39 names whose newest
+    # driver evidence is r03
+    "q_dedup_clusters",
+    "q_string_similarity",
+    "q_dedup_embedding",
+    "q_lang_id",
+    "q_quality_score",
+    "q_domain_mixture",
+    "q_text_chunk",
+    "q_pii_scrub",
+    "q_repetition_ratio",
+    "q_contamination",
+    "q_split_train_test",
+    "q_quality_filter_pipeline",
+    "q_pack_sequences",
+    "q_shuffle_order",
+    "q_sample_stratified",
+    "q_embedding_quantize",
+    "q_unigram_rarity",
+    "q_bigram_pmi",
+    "q_boilerplate_ngrams",
+    "q_media_features",
+    "q_agg_two_phase",
+    "q_union_distinct",
+    "q_exists_subquery",
+    "q_not_in_subquery",
+    "q_correlated_scalar",
+    "q_lateral",
+    "q_unpivot",
+    "q_gapfill_locf",
+    "q_funnel_stages",
+    "q_rollup_multires",
+    "q_window_distribution",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q8_market_share",
+    "q_tpch_q10_returned_items",
+    "q_tpch_q13_custdist",
+    # 3b. family-quota promotion: the r03 cohort has no join, so the
+    # oldest-evidence join (r05) takes the last slot for the J quota
+    "q_join_inner",
+)
+
+# Rows-only queries legally occupying window slots THIS round (cap 2,
+# enforced in tests/test_entry.py). The driver records err=no_oracle
+# with spark_rows>0 — weaker than a hash row but the only external
+# execution evidence the rows-only contract allows (VERDICT r7 #4).
+# Queue for r9+ (2 per round until drained): q_knn_lsh +
+# q_dedup_incremental_capped (r9), q_quantile_bucket_join_approx +
+# q_profile_columns_approx (r10), q_sample + the r01-only trio
+# (q_agg_approx_distinct, q_agg_percentile_approx, q_dedup_fuzzy)
+# after that.
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "q_knn_ivf",
+    "q_dedup_semantic",
 )
 
 # Two roles, in order (see ROTATION POLICY above):
@@ -144,48 +159,49 @@ PRIORITY: tuple[str, ...] = (
 #      hash row is the oldest, pre-curated for the next round's step-3
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
-    # round-7 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r8 window; the cap trims re-pins, never unproven
-    # queries)
-    "q_schema_drift_report",
-    "q_media_neardup",
-    "q_media_dedup_exact",
-    "q_snapshot_survivorship",
-    # r8 re-pin queue: the r03-evidence cohort (newest driver hash row
-    # is round 3), minus the three promoted into the r7 window, trimmed
-    # to the 35-name cap. The eight remaining TPC-H r03 names
-    # (q_tpch_q6/q8/q10/q13/q14/q15/q18/q19) plus the four re-pins the
-    # widening batch displaced (q_union_distinct, q_unpivot,
-    # q_window_distribution, q_unigram_rarity) are deferred to the r9
-    # queue — the T family carries r06 greens via q3 and r07 via q5/q7,
-    # and every deferred query stays locally parity-proven every run.
-    "q_agg_two_phase",
-    "q_bigram_pmi",
-    "q_boilerplate_ngrams",
-    "q_contamination",
-    "q_correlated_scalar",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_domain_mixture",
-    "q_embedding_quantize",
-    "q_exists_subquery",
-    "q_funnel_stages",
-    "q_gapfill_locf",
-    "q_lang_id",
-    "q_lateral",
-    "q_media_features",
-    "q_not_in_subquery",
-    "q_pack_sequences",
-    "q_pii_scrub",
-    "q_quality_filter_pipeline",
-    "q_quality_score",
-    "q_repetition_ratio",
-    "q_rollup_multires",
-    "q_sample_stratified",
-    "q_shuffle_order",
-    "q_split_train_test",
-    "q_string_similarity",
-    "q_text_chunk",
+    # r9 re-pin queue head: the 4 r03-evidence TPC-H names the r8
+    # family-quota fills deferred (oldest evidence in the registry
+    # after this window runs)
+    "q_tpch_q14_promo_share",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q18_large_orders",
+    "q_tpch_q19_bracket_predicates",
+    # r9 re-pin queue body: 29 of the 42 r04-evidence names, in their
+    # r04 window order. The remaining 13 r04 names (q_drift_psi,
+    # q_ewma_smoothing, q_rolling_median, q_anomaly_mad, q_winsorize,
+    # q_time_weighted_avg, q_attribution_last_touch, q_tpch_q17/q22/q4,
+    # q_scd2_intervals, q_concurrency_profile, q_histogram_value) are
+    # the r10 queue — every deferred query stays locally parity-proven
+    # every run.
+    "q_rfm_segments",
+    "q_copurchase_pairs",
+    "q_revenue_gini",
+    "q_order_gap_stats",
+    "q_pagerank_copurchase",
+    "q_market_basket",
+    "q_decile_lift",
+    "q_join_anti",
+    "q_null_safe_join",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_dedup_containment",
+    "q_skipgram_cooccur",
+    "q_embedding_cohesion",
+    "q_oov_rate",
+    "q_dup_rate_by_source",
+    "q_bigram_lm_score",
+    "q_dedup_substring",
+    "q_dedup_simhash_pairs",
+    "q_benford_digits",
+    "q_fk_orphans",
+    "q_profile_columns",
+    "q_event_transitions",
+    "q_user_entropy",
+    "q_collapse_runs",
+    "q_cusum_changepoint",
+    "q_session_stats",
+    "q_retention_cohort",
+    "q_zscore_outliers",
 )
 
 

@@ -32,12 +32,22 @@ def test_correctness_window_is_curated():
     import json
     import os
 
-    from kube_etl_spark.registry import PRIORITY, all_specs
+    from kube_etl_spark.registry import PRIORITY, ROWS_ONLY_WINDOW, all_specs
 
     specs = all_specs()
     first50 = list(specs)[:50]
     assert first50 == list(PRIORITY[:50])
-    assert all(specs[n].oracle is not None for n in first50)
+    # VERDICT r7 #4: up to TWO declared rows-only slots per round so the
+    # driver logs spark_rows (err=no_oracle) for queries that can never
+    # earn a hash row; everything else in the window must be hash-checked.
+    assert len(ROWS_ONLY_WINDOW) <= 2
+    assert set(ROWS_ONLY_WINDOW) <= set(first50)
+    assert all(specs[n].oracle is None for n in ROWS_ONLY_WINDOW)
+    assert all(
+        specs[n].oracle is not None
+        for n in first50
+        if n not in set(ROWS_ONLY_WINDOW)
+    )
     families = {t[0] for n in first50 for t in specs[n].tags if t and t[0].isupper()}
     assert {"A", "P", "F", "J", "W", "O", "S", "U", "L", "T"} <= families
     st = [
