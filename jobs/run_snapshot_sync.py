@@ -43,12 +43,16 @@ def _applied_path(state: str) -> str:
     return state.rstrip("/") + ".applied.json"
 
 
-def _load_applied(state: str) -> list[str]:
+def _load_marker(state: str) -> tuple[list[str], int]:
+    """(applied names, skips since the last successful apply). The skip
+    counter is persisted so a cron-driven --once cadence (one poll per
+    process) still accumulates evidence of a numbering reset."""
     try:
         with open(_applied_path(state)) as f:
-            return json.load(f)["applied"]
-    except (OSError, json.JSONDecodeError, KeyError):
-        return []
+            m = json.load(f)
+            return m["applied"], int(m.get("skips_since_apply", 0))
+    except (OSError, json.JSONDecodeError, KeyError, ValueError):
+        return [], 0
 
 
 def _snap_order(name: str) -> list:
@@ -118,7 +122,7 @@ def main(argv: list[str]) -> None:
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
     try:
-        applied = _load_applied(args.state)
+        applied, skips_since_apply = _load_marker(args.state)
         src = SnapshotDiffSource(
             StateTable(
                 spark, args.state, args.keys.split(","), "seq", lease=lease
@@ -127,27 +131,34 @@ def main(argv: list[str]) -> None:
         )
         while True:
             to_apply, stale = _pending(args.watch, applied)
-            # a LONG run of below-horizon snapshots with nothing
-            # applicable is not stragglers — it is the exporter's
-            # numbering having RESET (redeploy / counter reset / new
-            # naming scheme). Silently consuming them would freeze the
-            # sync forever while polling healthily (review r7 second
-            # pass); fail loudly so an operator re-points --state or
-            # renames the stream.
-            if len(stale) > 3 and not to_apply:
+            # a RUN of below-horizon snapshots with nothing applicable
+            # is not stragglers — it is the exporter's numbering having
+            # RESET (redeploy / counter reset / new naming scheme).
+            # Silently consuming them would freeze the sync forever
+            # while polling healthily. The counter is CUMULATIVE skips
+            # since the last successful apply (ADVICE r7): a reset
+            # exporter emitting at poll cadence yields only one stale
+            # snapshot per poll, so a per-poll count would never fire —
+            # each poll's skips accumulate until an apply resets it.
+            if not to_apply and skips_since_apply + len(stale) > 3:
                 raise SystemExit(
-                    f"snapshot numbering regression: {len(stale)} pending "
-                    f"snapshots all order below the newest applied "
-                    f"({max(applied, key=_snap_order)}) — exporter "
-                    "numbering reset? Start a fresh --state (or clear "
-                    "the .applied.json marker) to resync"
+                    f"snapshot numbering regression: "
+                    f"{skips_since_apply + len(stale)} consecutive pending "
+                    f"snapshots order below the newest applied "
+                    f"({max(applied, key=_snap_order)}) with nothing "
+                    "applicable — exporter numbering reset? Start a fresh "
+                    "--state (or clear the .applied.json marker) to resync"
                 )
             for name in stale:
                 # superseded by an already-applied newer snapshot:
                 # consume WITHOUT applying (its diff would roll state
                 # back at a winning seq) and say so
                 applied.append(name)
-                atomic_write_json(_applied_path(args.state), {"applied": applied})
+                skips_since_apply += 1
+                atomic_write_json(
+                    _applied_path(args.state),
+                    {"applied": applied, "skips_since_apply": skips_since_apply},
+                )
                 print(
                     json.dumps(
                         {"snapshot": name, "skipped": "superseded"}
@@ -161,8 +172,10 @@ def main(argv: list[str]) -> None:
                 # replays the snapshot, whose re-diff is empty — the
                 # idempotence the module tests pin
                 applied.append(name)
+                skips_since_apply = 0
                 atomic_write_json(
-                    _applied_path(args.state), {"applied": applied}
+                    _applied_path(args.state),
+                    {"applied": applied, "skips_since_apply": 0},
                 )
                 print(
                     json.dumps(

@@ -564,23 +564,27 @@ def changed_ids(
     differs (null-safe, structural for arrays) — the shared
     changed-content detector of the incremental pair indexes
     (neardup/simdup/semdedup), one implementation so a semantics fix
-    lands everywhere (review r7). Both sides are deduplicated on
-    (id, value) first, so multi-row-per-id states (e.g. one row per
-    IVF cell) compare correctly. Returns an eagerly-checkpointed
+    lands everywhere (review r7). Each side is reduced to the id's
+    full sorted VALUE SET (ADVICE r7: an arbitrary-row-per-id pick
+    would compare arbitrary rows under multi-row-per-id states — e.g.
+    one row per IVF cell — and silently miss changes; the set compare
+    costs the same single id-keyed exchange per side). NULL values
+    drop out of the set, so null-vs-value still differs and
+    null-vs-null still matches. Returns an eagerly-checkpointed
     1-column frame (consumed by retraction AND cleanup merges that
     mutate the state it derives from), or None when `stored` is None
     or nothing changed."""
     if stored is None:
         return None
-    ch = (
-        new_state.select(id_col, F.col(value_col).alias("__new"))
-        .dropDuplicates([id_col])
-        .join(
-            stored.select(id_col, F.col(value_col).alias("__old")).dropDuplicates(
-                [id_col]
-            ),
-            id_col,
+
+    def _value_set(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(id_col).agg(
+            F.sort_array(F.collect_set(value_col)).alias(out)
         )
+
+    ch = (
+        _value_set(new_state, "__new")
+        .join(_value_set(stored, "__old"), id_col)
         .filter(~F.col("__new").eqNullSafe(F.col("__old")))
         .select(id_col)
         .localCheckpoint(eager=True)

@@ -1473,3 +1473,52 @@ def test_snapshot_sync_numbering_reset_fails_loudly(spark, tmp_path):
         drop(f"snap-{i}", [i])
     with pytest.raises(SystemExit, match="numbering regression"):
         run_snapshot_sync.main(argv)
+
+
+def test_snapshot_sync_slow_drip_reset_fails_loudly(spark, tmp_path):
+    """ADVICE r7 (medium): a reset exporter emitting at (or slower
+    than) the poll cadence yields at most ONE below-horizon snapshot
+    per poll, so the original per-poll `len(stale) > 3` guard never
+    fired and the sync froze silently forever. The skip counter is now
+    CUMULATIVE since the last successful apply — and persisted in the
+    marker, so a cron-driven --once cadence accumulates across
+    processes. A successful apply in between resets the counter."""
+    import pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_snapshot_sync
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    state = tmp_path / "state"
+
+    def drop(name, ks):
+        d = watch / name
+        spark.createDataFrame([(k, k * 10) for k in ks], "k long, x long") \
+            .coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    drop("snap-100", [1, 2, 3])
+    argv = ["--watch", str(watch), "--state", str(state), "--keys", "k", "--once"]
+    run_snapshot_sync.main(argv)
+
+    # drip one below-horizon snapshot per poll: three skip quietly...
+    for i in (1, 2, 3):
+        drop(f"snap-{i}", [i])
+        run_snapshot_sync.main(argv)
+    marker = json.loads((tmp_path / "state.applied.json").read_text())
+    assert marker["skips_since_apply"] == 3
+
+    # ...a successful apply resets the counter...
+    drop("snap-101", [9])
+    run_snapshot_sync.main(argv)
+    marker = json.loads((tmp_path / "state.applied.json").read_text())
+    assert marker["skips_since_apply"] == 0
+    assert "snap-101" in marker["applied"]
+
+    # ...then four more dripped skips accumulate to the loud failure
+    for i in (4, 5, 6):
+        drop(f"snap-{i}", [i])
+        run_snapshot_sync.main(argv)
+    drop("snap-7", [7])
+    with pytest.raises(SystemExit, match="numbering regression"):
+        run_snapshot_sync.main(argv)
