@@ -90,6 +90,94 @@ def test_run_syncer_cli_once(spark, tmp_path):
     assert lgot[0]["status"]["bar"] == "b1"
 
 
+def test_run_syncer_hot_rule_reload(spark, tmp_path, capsys):
+    """VERDICT r7 #2 — the streaming analog of the reference's
+    per-event rule re-list (r.LocalClient.List inside Reconcile,
+    krmsyncer_controller.go:426-429) and of its `suspend` integration
+    case: a rule SUSPENDED and another ADDED between micro-batches must
+    take effect on the next batch without a job restart. Also pins
+    VERDICT r7 #6: the per-syncer status table is re-published every
+    micro-batch (condition reflects the new rule generation; an idle or
+    newly-suspended syncer keeps its last_sync_seq high-water mark)."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+
+    def rule(name, mode, suspend=False, secret=None):
+        return {
+            "syncer_name": name,
+            "syncer_namespace": "default",
+            "suspend": suspend,
+            "mode": mode,
+            "rule_group": "e2e.gkelabs.io",
+            "rule_version": "v1alpha1",
+            "rule_kind": "TestCRD",
+            "namespaces": [],
+            "sync_fields": ["spec", "status"],
+            "remote_secret": secret,
+        }
+
+    def event(seq, name):
+        return {
+            "seq": seq, "op": "upsert", "group": "e2e.gkelabs.io",
+            "version": "v1alpha1", "kind": "TestCRD", "namespace": "default",
+            "name": name, "labels": {}, "annotations": {},
+            "spec": {"foo": f"f{seq}", "resourceID": f"r{seq}"},
+            "status": {"bar": f"b{seq}"},
+        }
+
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(
+        json.dumps([rule("s_pull", "pull"), rule("s_push", "push", secret="kc-1")])
+    )
+    oplog = tmp_path / "oplog"
+    oplog.mkdir()
+    (oplog / "b0.json").write_text(json.dumps(event(1, "obj1")))
+    argv = [
+        "--rules", str(rules_path),
+        "--oplog", str(oplog),
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--once",
+    ]
+    run_syncer.main(argv)
+
+    def status():
+        return {
+            r["syncer_name"]: (r["condition"], r["last_sync_seq"])
+            for r in spark.read.parquet(str(tmp_path / "state" / "status")).collect()
+        }
+
+    st = status()
+    assert st == {"s_pull": ("Active", 1), "s_push": ("Active", 1)}
+
+    # BETWEEN micro-batches: suspend the push syncer, add a new one
+    rules_path.write_text(json.dumps([
+        rule("s_pull", "pull"),
+        rule("s_push", "push", suspend=True, secret="kc-1"),
+        rule("s_push2", "push", secret="kc-2"),
+    ]))
+    (oplog / "b1.json").write_text(json.dumps(event(2, "obj2")))
+    run_syncer.main(argv)
+
+    # the next batch routed on the NEW rule generation: the suspended
+    # push syncer received nothing, the new one received only batch 2
+    names = lambda p: {  # noqa: E731
+        r["name"] for r in spark.read.parquet(str(tmp_path / "state" / p)).collect()
+    }
+    assert names("local") == {"obj1", "obj2"}
+    assert names("remote/default~kc-1") == {"obj1"}
+    assert names("remote/default~kc-2") == {"obj2"}
+
+    # status re-published on the new generation: suspended syncer keeps
+    # its high-water mark from the generation that was active
+    st = status()
+    assert st == {
+        "s_pull": ("Active", 2),
+        "s_push": ("Suspended", 1),
+        "s_push2": ("Active", 2),
+    }
+
+
 def test_run_export_cli_yaml(spark, tmp_path, capsys):
     sys.path.insert(0, "/root/repo/jobs")
     import yaml
