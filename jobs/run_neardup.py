@@ -16,6 +16,11 @@ production mode.
 payload_b64 — base64 because json carries no bytes): the incremental
 byte-shingle SimHash screen (kube_etl_spark/streaming/simdup.py),
 detected pairs at Hamming ≤ 4 of the 32-bit signature.
+--buckets N (media mode) turns on the scale layout: the signature
+table in N media-id hash buckets (pruned changed-detection / verdict
+reads) and the band index in 4N value-derived buckets so the candidate
+probe reads only the batch's band-key dirs — probe IO ∝ batch, not
+corpus (the executed point-lookup swap; size N so 4N ≳ 8·batch).
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--once", action="store_true")
     ap.add_argument("--media", action="store_true")
+    ap.add_argument("--buckets", type=int, default=None)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -59,7 +65,16 @@ def main(argv: list[str]) -> None:
             .json(args.watch)
             .select("media_id", F.unbase64("payload_b64").alias("payload"))
         )
-        index = SimDupIndex(spark, args.state)
+        if args.buckets:
+            index = SimDupIndex(
+                spark,
+                args.state,
+                bucket_col=F.pmod(F.xxhash64("media_id"), F.lit(args.buckets)),
+                n_buckets=args.buckets,
+                band_buckets=4 * args.buckets,
+            )
+        else:
+            index = SimDupIndex(spark, args.state)
         runner = run_simdup_stream
     else:
         schema = StructType(

@@ -1069,6 +1069,131 @@ def mediasim_experiment(spark, sf_dir: str, replicas: int) -> dict:
     }
 
 
+def simprobe_experiment(
+    spark, sf_dir: str, replicas: int, band_buckets: int = 256
+) -> dict:
+    """Scale-truth for the EXECUTED point-lookup probe swap (VERDICT r7
+    #3, streaming/simdup.py): an established ~52k-payload binary index,
+    then small trickle batches — the steady-state regime — ingested
+    into (a) the flat layout, whose probe reads the WHOLE band index
+    every batch, and (b) the value-bucketed layout
+    (band_buckets=256 here; size ≳ 8·batch in production), whose probe
+    reads only the batch's band-key bucket dirs.
+
+    Measured per trickle batch: buckets touched, band-index rows the
+    pruned probe actually read (post-hoc re-read of the recorded bucket
+    list — IO, not wall, is the scale quantity; local per-dir overhead
+    dominates wall at this dir count), the flat probe's constant
+    corpus-sized row count, and pair-set equality between the two
+    layouts (the swap must be output-invisible).
+
+    Expectation: pruned probe rows ∝ min(4·batch, band_buckets)/
+    band_buckets of the index — i.e. ∝ batch for small batches — while
+    the flat probe stays ∝ corpus. The 125 held-out trickle ids are a
+    bounded driver-side pick (sorted head of the planted set)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+    from kube_etl_spark.streaming.simdup import SimDupIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).select(
+        (F.col("doc_id") * replicas + F.col("__r")).alias("media_id"),
+        F.concat(
+            F.lit("r"), F.col("__r").cast("string"), F.lit(" "), F.col("text")
+        ).alias("text"),
+    )
+    planted = base.filter(F.col("media_id") % 25 == 0).select(
+        (F.col("media_id") + 10_000_000).alias("media_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    payloads = (
+        base.unionByName(planted)
+        .select("media_id", F.encode("text", "utf-8").alias("payload"))
+        .localCheckpoint(eager=True)
+    )
+    held = [
+        r["media_id"]
+        for r in planted.select("media_id").orderBy("media_id").limit(125).collect()
+    ]
+    batches = [held[:5], held[5:25], held[25:125]]
+    seed = payloads.filter(~F.col("media_id").isin(held)).localCheckpoint(eager=True)
+
+    root = tempfile.mkdtemp(prefix="simprobe-")
+    flat = SimDupIndex(spark, f"{root}/flat")
+    pruned = SimDupIndex(
+        spark,
+        f"{root}/pruned",
+        bucket_col=F.pmod(F.xxhash64("media_id"), F.lit(32)),
+        n_buckets=32,
+        band_buckets=band_buckets,
+    )
+
+    t0 = time.time()
+    flat.ingest_batch(seed, 1)
+    seed_flat_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    pruned.ingest_batch(seed, 1)
+    seed_pruned_s = round(time.time() - t0, 2)
+    index_rows = flat.bands.read().count()
+
+    probe_log: list = []
+    orig_read = BucketedStateTable.read
+
+    def spy(self, buckets=None):
+        if self.path.endswith("pruned/bands") and buckets is not None:
+            probe_log.append(list(buckets))
+        return orig_read(self, buckets)
+
+    rows = []
+    try:
+        BucketedStateTable.read = spy
+        for i, ids in enumerate(batches):
+            b = payloads.filter(F.col("media_id").isin(ids))
+            t0 = time.time()
+            flat.ingest_batch(b, 2 + i)
+            w_flat = round(time.time() - t0, 2)
+            probe_log.clear()
+            t0 = time.time()
+            pruned.ingest_batch(b, 2 + i)
+            w_pruned = round(time.time() - t0, 2)
+            probe_buckets = probe_log[0] if probe_log else []
+            probe_rows = (
+                orig_read(pruned.bands, probe_buckets).count() if probe_buckets else 0
+            )
+            rows.append(
+                {
+                    "batch_payloads": len(ids),
+                    "buckets_touched": len(probe_buckets),
+                    "probe_rows_pruned": probe_rows,
+                    "probe_rows_flat": index_rows,
+                    "probe_share": round(probe_rows / index_rows, 4),
+                    "wall_flat_s": w_flat,
+                    "wall_pruned_s": w_pruned,
+                }
+            )
+    finally:
+        BucketedStateTable.read = orig_read
+
+    pairs_equal = {tuple(r) for r in flat.pairs_df().collect()} == {
+        tuple(r) for r in pruned.pairs_df().collect()
+    }
+    return {
+        "corpus_payloads": payloads.count() - len(held),
+        "band_index_rows": index_rows,
+        "band_buckets": band_buckets,
+        "seed_ingest_flat_s": seed_flat_s,
+        "seed_ingest_pruned_s": seed_pruned_s,
+        "trickle": rows,
+        "pairs_equal": pairs_equal,
+    }
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1078,6 +1203,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--snapdiff", action="store_true")
     ap.add_argument("--snapdiff-skew", action="store_true")
     ap.add_argument("--mediasim", action="store_true")
+    ap.add_argument("--simprobe", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1100,6 +1226,8 @@ def main(argv: list[str]) -> None:
         )
     if args.mediasim:
         out["mediasim"] = mediasim_experiment(spark, args.sf_dir, args.replicas)
+    if args.simprobe:
+        out["simprobe"] = simprobe_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

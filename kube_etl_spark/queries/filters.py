@@ -460,3 +460,178 @@ def q_syncer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group string, version string, kind string, namespace string, seq bigint",
     )
     return syncer_status(rules, catalog, oplog).orderBy("syncer_name")
+
+
+# Rule-change audit (VERDICT r7 #7b): the second rule generation — the
+# edit an operator is about to apply. vs _SYNCER_RULE_ROWS: s_active is
+# SUSPENDED, s_invalid's bad glob is FIXED (v1 instead of *), s_new is
+# ADDED, s_suspended is REMOVED; s_globfleet unchanged.
+_SYNCER_RULE_ROWS_GEN2 = [
+    ("s_active", True, "pull", "e2e.gkelabs.io", "v1", "TestCRD", None, None),
+    ("s_active", True, "pull", "kcc.cnrm.cloud.google.com", "*", "*", None, None),
+    ("s_globfleet", False, "push", "*.cnrm.cloud.google.com", "*", "*", ["prod"], None),
+    ("s_invalid", False, "pull", "e2e.gkelabs.io", "v1", "TestCRD", None, None),
+    ("s_invalid", False, "pull", "batch", "v1", "Job", None, None),
+    ("s_new", False, "pull", "apps", "v1", "Deployment", None, None),
+]
+
+_RULESET_SQL = """
+  SELECT *,
+    (rule_group LIKE '%*%' OR rule_version LIKE '%*%' OR rule_kind LIKE '%*%')
+      AND NOT ((rule_group = '*.cnrm.cloud.google.com'
+                OR rule_group LIKE '%.cnrm.cloud.google.com'
+                OR rule_group = 'cnrm.cloud.google.com')
+               AND rule_version = '*' AND rule_kind = '*') AS invalid,
+    ((rule_group = '*.cnrm.cloud.google.com'
+      OR rule_group LIKE '%.cnrm.cloud.google.com'
+      OR rule_group = 'cnrm.cloud.google.com')
+     AND rule_version = '*' AND rule_kind = '*') AS is_kcc_glob
+  FROM {src}
+"""
+
+
+@query(
+    "q_rule_change_audit",
+    tags=("P8", "P9", "S1"),
+    oracle=f"""
+WITH rules_old(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+               namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_SYNCER_RULE_ROWS)}
+),
+rules_new(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+          namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_SYNCER_RULE_ROWS_GEN2)}
+),
+val_old AS ({_RULESET_SQL.format(src='rules_old')}),
+val_new AS ({_RULESET_SQL.format(src='rules_new')}),
+act_old AS (
+  SELECT v.* FROM val_old v
+  WHERE NOT EXISTS (SELECT 1 FROM val_old x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+act_new AS (
+  SELECT v.* FROM val_new v
+  WHERE NOT EXISTS (SELECT 1 FROM val_new x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+catalog(grp, version, kind) AS (VALUES {_sql_rows(_SYNCER_CATALOG_ROWS)}),
+gens AS (
+  SELECT DISTINCT c.grp, c.version, c.kind, r.syncer_name, 'old' AS gen
+  FROM catalog c JOIN act_old r ON {_GVK_MATCH_SQL.format(o='c')}
+  UNION ALL
+  SELECT DISTINCT c.grp, c.version, c.kind, r.syncer_name, 'new' AS gen
+  FROM catalog c JOIN act_new r ON {_GVK_MATCH_SQL.format(o='c')}
+),
+per AS (
+  SELECT grp, version, kind,
+    COALESCE(list_sort(list(DISTINCT syncer_name) FILTER (WHERE gen = 'old')),
+             []) AS old_set,
+    COALESCE(list_sort(list(DISTINCT syncer_name) FILTER (WHERE gen = 'new')),
+             []) AS new_set
+  FROM gens GROUP BY grp, version, kind
+)
+SELECT grp AS "group", version, kind,
+  CAST(len(old_set) AS BIGINT) AS n_old,
+  CAST(len(new_set) AS BIGINT) AS n_new,
+  COALESCE(array_to_string(
+      list_sort(list_filter(new_set, x -> NOT list_contains(old_set, x))), ','
+  ), '') AS gained,
+  COALESCE(array_to_string(
+      list_sort(list_filter(old_set, x -> NOT list_contains(new_set, x))), ','
+  ), '') AS lost
+FROM per
+WHERE len(list_filter(new_set, x -> NOT list_contains(old_set, x))) > 0
+   OR len(list_filter(old_set, x -> NOT list_contains(new_set, x))) > 0
+ORDER BY "group", version, kind
+""",
+)
+def q_rule_change_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9 extension (VERDICT r7 #7b): diff two rule-table
+    generations and report the ROUTING impact — per discovery GVK, the
+    syncers that would gain or lose it, with before/after counts. The
+    'what will this rule edit actually change' answer an operator wants
+    before applying a KRMSyncer edit; a syncer with ANY invalid rule
+    (or suspend) syncs nothing, exactly as the reference aborts the
+    whole reconcile on rule-expansion failure
+    (krmsyncer_controller.go:238-246), so validity flips show up as
+    routing changes. Match semantics are streaming/sync.py's
+    rule_match_condition — the same engine path q_syncer_status and
+    q_rules_fanout exercise. Scale: rule tables are config-sized and
+    broadcast; the catalog join is discovery-sized; no data-sized input
+    at all."""
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    catalog = spark.createDataFrame(
+        _SYNCER_CATALOG_ROWS, "group string, version string, kind string"
+    )
+
+    # Both generations travel through ONE validate + ONE catalog join,
+    # distinguished by a gen prefix on the syncer name (normalize_rules
+    # projects its fixed column set, so a side column would not
+    # survive). The single-path plan is deliberate: the first cut ran
+    # the same catalog join twice (once per generation) and unioned —
+    # same-schema twin broadcast subplans — and the FIRST execution of
+    # that plan non-deterministically dropped a generation-only row
+    # (reproduced twice, first collect() only; re-executions were
+    # correct). One join path, no twin broadcasts, no reuse hazard.
+    rows = [
+        (f"{gen}:{r[0]}", *r[1:])
+        for gen, rs in (("old", _SYNCER_RULE_ROWS), ("new", _SYNCER_RULE_ROWS_GEN2))
+        for r in rs
+    ]
+    rules = spark.createDataFrame(rows, schema)
+    val = validate_rules(normalize_rules(rules))
+    # a syncer with any invalid or suspended rule is wholly inactive
+    # (per generation — names are gen-prefixed here)
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti")
+    both = (
+        catalog.join(
+            F.broadcast(active),
+            rule_match_condition(catalog, active, check_namespace=False),
+        )
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.substring_index("syncer_name", ":", 1).alias("gen"),
+            F.substring_index("syncer_name", ":", -1).alias("syncer_name"),
+        )
+        .distinct()
+    )
+    per = both.groupBy("group", "version", "kind").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("gen") == "old", F.col("syncer_name")))
+        ).alias("old_set"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("gen") == "new", F.col("syncer_name")))
+        ).alias("new_set"),
+    )
+    gained = F.array_sort(F.array_except("new_set", "old_set"))
+    lost = F.array_sort(F.array_except("old_set", "new_set"))
+    return (
+        per.select(
+            "group",
+            "version",
+            "kind",
+            F.size("old_set").cast("bigint").alias("n_old"),
+            F.size("new_set").cast("bigint").alias("n_new"),
+            F.array_join(gained, ",").alias("gained"),
+            F.array_join(lost, ",").alias("lost"),
+        )
+        .filter((F.col("gained") != "") | (F.col("lost") != ""))
+        .orderBy("group", "version", "kind")
+    )

@@ -154,6 +154,66 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_export_manifest",
+    tags=("S5", "S6", "A1"),
+    oracle="""
+SELECT o_orderstatus AS partition_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(octet_length(encode(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || o_orderpriority || '|' || CAST(o_orderdate AS VARCHAR)
+       ))) AS BIGINT) AS content_bytes
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY partition_value
+""",
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 companion — the export MANIFEST: after the partitioned
+    sink writes (same layout as q_sink_partitioned — the reference's
+    <ns>/<group>/<kind> zip layout, export.go:150-158), emit one
+    manifest row per partition with row count, distinct/min/max key,
+    and canonical content bytes, computed from the RE-READ sink output.
+    The oracle computes the same manifest from the source table, so a
+    green hash proves the sink wrote every row of every partition —
+    the operational 'what did the export contain' answer a user asks
+    for first (VERDICT r7 #7a). content_bytes is octet_length of a
+    canonical int/string/date projection (no floats: float formatting
+    is not cross-engine-stable); physical file counts/sizes are
+    engine-specific and live in the export job's stats line, not in a
+    hash-checked manifest."""
+    orders = load_table(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"kube_etl_spark_manifest_{os.getpid()}_"
+        f"{os.path.basename(sf_dir.rstrip(chr(47)))}",
+    )
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    line = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").cast("string"),
+    )
+    return (
+        back.groupBy(F.col("o_orderstatus").cast("string").alias("partition_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.sum(F.octet_length(line)).cast("bigint").alias("content_bytes"),
+        )
+        .orderBy("partition_value")
+    )
+
+
+@query(
     "q_split_spec_status",
     tags=("S10",),
     oracle="""

@@ -159,6 +159,10 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 #      hash row is the oldest, pre-curated for the next round's step-3
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
+    # round-8 widening batch FIRST (no driver evidence yet — step-2
+    # names for the r9 window)
+    "q_export_manifest",
+    "q_rule_change_audit",
     # r9 re-pin queue head: the 4 r03-evidence TPC-H names the r8
     # family-quota fills deferred (oldest evidence in the registry
     # after this window runs)

@@ -471,14 +471,27 @@ class BucketedStateTable:
             return None
         return self.spark.read.parquet(p)
 
-    def read(self) -> DataFrame | None:
-        """Live rows only across all buckets — tombstones (see
-        StateTable.read) are filtered out."""
+    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Live rows only — tombstones (see StateTable.read) are
+        filtered out.
+
+        ``buckets`` (VERDICT r7 #3: the executed point-lookup swap)
+        prunes the read to the named bucket directories: a probe that
+        knows which buckets its keys map to (``buckets_for``) reads
+        O(touched buckets · bucket size) instead of O(state) — the
+        file-layout analog of a point-lookup store's keyed GET. Bucket
+        ids outside the live set are skipped silently (an empty bucket
+        simply has no matches)."""
+        if buckets is None:
+            names = (
+                d for d in sorted(os.listdir(self.path)) if d.startswith("bucket-")
+            )
+        else:
+            names = (f"bucket-{int(b):06d}" for b in sorted(set(buckets)))
         live = [
             os.path.join(self.path, d)
-            for d in sorted(os.listdir(self.path))
-            if d.startswith("bucket-")
-            and os.path.islink(os.path.join(self.path, d))
+            for d in names
+            if os.path.islink(os.path.join(self.path, d))
             and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
         ]
         if not live:
@@ -487,6 +500,19 @@ class BucketedStateTable:
         if "__op" not in raw.columns:
             return raw
         return raw.filter(F.col("__op") != "delete").drop("__op")
+
+    def buckets_for(self, df: DataFrame) -> list[int]:
+        """Distinct storage buckets the frame's rows map to under this
+        table's bucket expression — the probe side of the point-lookup
+        swap. Driver-side collect is bounded by n_buckets (the same
+        bound merge_batch's bucket-discovery collect relies on)."""
+        return sorted(
+            r["__b"]
+            for r in df.withColumn("__b", self._bucket_col())
+            .select("__b")
+            .distinct()
+            .collect()
+        )
 
     def merge_batch(
         self, batch: DataFrame, op_col: str = "op", delete_value: str = "delete"

@@ -16,11 +16,19 @@ Scale shape per micro-batch (corpus N, batch n, N >> n):
   * sign the batch: O(n) map work over the payload bytes — the corpus
     is never rescanned and the payloads never shuffle;
   * candidate probe: batch band rows (4n narrow rows) hash-join the
-    band index (4N rows, 16-byte keys) — the only corpus-sized pass,
-    and a point-lookup store swap at 10⁹ payloads leaves the batch
-    logic unchanged (the NearDupIndex note applies verbatim);
+    band index. With ``band_buckets`` set (VERDICT r7 #3 — the
+    point-lookup swap, now EXECUTED code), the band index is stored in
+    value-derived buckets (hash of the (band, bucket) probe key) and
+    the probe reads ONLY the ≤ min(4n, band_buckets) bucket dirs the
+    batch's band keys map to — probe IO ∝ batch, not corpus (measured:
+    docs/architecture.md §round-8). Unset, the probe reads the whole
+    index (fine for test-scale corpora; the flat read is the only
+    corpus-sized pass);
   * verdict: candidate-pair-sized join back to the signature state
-    (8 B/payload), Hamming via one bit_count(xor) per pair.
+    (8 B/payload, bucket-pruned to the candidates' ids when
+    ``bucket_col`` is set), Hamming via one bit_count(xor) per pair;
+  * changed-content detection: bucket-pruned to the BATCH's media_ids
+    when ``bucket_col`` is set (only the batch's ids can have changed).
 All state is written via idempotent MERGE keyed on media_id (winner by
 seq), so at-least-once redelivery converges — replaying a batch probes
 an index it is already in, and a < b canonicalization keeps each pair
@@ -63,31 +71,71 @@ class SimDupIndex:
         hamming_max: int = 4,
         bucket_col: F.Column | None = None,
         n_buckets: int = 16,
+        band_buckets: int | None = None,
     ):
         """bucket_col (a bigint expression over media_id) switches the
-        two corpus-sized tables (sigs, bands) to BucketedStateTable so
-        a merge rewrites only the batch's buckets instead of O(corpus)
-        parquet per batch — with monotone media ids a RANGE bucket
-        (floor(media_id/width)) makes each ingest a one-bucket rewrite
-        (the measured BucketedStateTable regime notes apply). The pairs
-        table stays flat: near-dup-count-sized, not corpus-sized."""
+        signature table to BucketedStateTable so a merge rewrites only
+        the batch's buckets instead of O(corpus) parquet per batch —
+        with monotone media ids a RANGE bucket (floor(media_id/width))
+        makes each ingest a one-bucket rewrite (the measured
+        BucketedStateTable regime notes apply) — and lets the
+        changed-detection and verdict reads prune to the ids they
+        touch.
+
+        band_buckets switches the BAND index to value-derived buckets:
+        storage bucket = hash of the (band, bucket) PROBE key, so the
+        candidate probe reads only the batch's band-key buckets
+        (BucketedStateTable.read(buckets=...)) — probe IO ∝ batch, not
+        corpus. The write-side trade: a batch's band rows scatter
+        across ≤ min(4n, band_buckets) dirs instead of the media-id
+        bucketing's locality, so per-batch merge+probe IO is
+        ~2·(4n/band_buckets)·corpus — a net win over the flat layout's
+        O(corpus) probe whenever band_buckets ≳ 8·batch (size it from
+        the trickle rate; docs/architecture.md §round-8 has the
+        measured curve). Cleanup/delete rows are derived from the
+        STORED signatures so they carry the exact old (band, bucket)
+        value and route to the dirs holding the old rows; band cleanup
+        merges BEFORE signature tombstones, so a crash between them
+        replays into a still-detectable changed state (no ghost-row
+        window). The pairs table stays flat: near-dup-count-sized, not
+        corpus-sized."""
         from .cdc import BucketedStateTable
 
         self.spark = spark
         self.hamming_max = hamming_max
-
-        def corpus_table(name: str, key_cols: list[str]) -> StateTable:
-            path = f"{base_dir.rstrip('/')}/{name}"
-            if bucket_col is not None:
-                return BucketedStateTable(
-                    spark, path, key_cols, "seq", n_buckets, bucket_col
-                )
-            return StateTable(spark, path, key_cols, "seq")
-
-        self.sigs = corpus_table("sigs", ["media_id"])
-        self.bands = corpus_table("bands", ["media_id", "band"])
+        base = base_dir.rstrip("/")
+        if bucket_col is not None:
+            self.sigs = BucketedStateTable(
+                spark, f"{base}/sigs", ["media_id"], "seq", n_buckets, bucket_col
+            )
+        else:
+            self.sigs = StateTable(spark, f"{base}/sigs", ["media_id"], "seq")
+        if band_buckets is not None:
+            self.bands = BucketedStateTable(
+                spark,
+                f"{base}/bands",
+                ["media_id", "band"],
+                "seq",
+                band_buckets,
+                F.pmod(F.xxhash64("band", "bucket"), F.lit(band_buckets)),
+            )
+        elif bucket_col is not None:
+            self.bands = BucketedStateTable(
+                spark,
+                f"{base}/bands",
+                ["media_id", "band"],
+                "seq",
+                n_buckets,
+                bucket_col,
+            )
+        else:
+            self.bands = StateTable(
+                spark, f"{base}/bands", ["media_id", "band"], "seq"
+            )
+        self._band_pruned = band_buckets is not None
+        self._sig_pruned = bucket_col is not None
         self.pairs = StateTable(
-            spark, f"{base_dir.rstrip('/')}/pairs", ["media_a", "media_b"], "seq"
+            spark, f"{base}/pairs", ["media_a", "media_b"], "seq"
         )
 
     def _band_rows(self, sig: DataFrame) -> DataFrame:
@@ -112,7 +160,14 @@ class SimDupIndex:
         signature — without this, stale pairs and ghost band rows
         survive a re-crawl forever (review r7). A payload re-crawled to
         under one shingle (no signature at all) is treated as leaving
-        the index: its signature, band rows, and pairs go too.
+        the index: its signature, band rows, and pairs go too. The old
+        band rows are RE-DERIVED from the stored signatures (not
+        enumerated by band id), so each delete carries the exact old
+        (band, bucket) value — under value-bucketed band storage the
+        tombstone must land in the dir holding the old row — and band
+        cleanup merges BEFORE the signature tombstone: a crash between
+        the two replays into a state where the change is still
+        detectable, so the cleanup re-runs instead of ghosting.
 
         Seq phases (seq = 4·batch_id + phase): 0 = retractions/cleanup,
         1 = upserts, 2 = compliance deletion (delete_docs). Within a
@@ -125,10 +180,16 @@ class SimDupIndex:
         sig = simhash_signatures(batch.select("media_id", "payload")).localCheckpoint(
             eager=True
         )
-        stored = self.sigs.read()
+        # changed-detection only ever compares the BATCH's ids — with a
+        # bucketed signature table, read just the buckets they map to
+        stored = (
+            self.sigs.read(buckets=self.sigs.buckets_for(batch.select("media_id")))
+            if self._sig_pruned
+            else self.sigs.read()
+        )
         if stored is None and not sig.head(1):
-            # fresh index and nothing signable: nothing to do (the
-            # probe below would read state that does not exist yet)
+            # fresh index (or no stored rows for these ids) and nothing
+            # signable: nothing to do
             return
         if stored is not None:
             # ids whose signature changed, plus ids in the batch with
@@ -149,17 +210,21 @@ class SimDupIndex:
                     self.pairs, dead, "media_a", "media_b", "hamming",
                     4 * int(batch_id),
                 )
-                self.sigs.merge_batch(
-                    dead.withColumn("seq", seq_rm).withColumn("op", F.lit("delete"))
+                # old band rows re-derived from the stored signatures:
+                # exact (band, bucket) routing; bands BEFORE sigs (see
+                # docstring's crash-window argument)
+                old_bands = self._band_rows(
+                    stored.join(dead, "media_id", "left_semi").select(
+                        "media_id", "sig"
+                    )
                 )
                 self.bands.merge_batch(
-                    dead.crossJoin(
-                        self.spark.range(len(SIMHASH_BAND_SQL)).select(
-                            F.col("id").cast("int").alias("band")
-                        )
+                    old_bands.withColumn("seq", seq_rm).withColumn(
+                        "op", F.lit("delete")
                     )
-                    .withColumn("seq", seq_rm)
-                    .withColumn("op", F.lit("delete"))
+                )
+                self.sigs.merge_batch(
+                    dead.withColumn("seq", seq_rm).withColumn("op", F.lit("delete"))
                 )
         if not sig.head(1):
             return
@@ -170,11 +235,17 @@ class SimDupIndex:
         self.sigs.merge_batch(
             sig.withColumn("seq", seq_up).withColumn("op", F.lit("upsert"))
         )
-        new_bands = self._band_rows(sig)
+        new_bands = self._band_rows(sig).localCheckpoint(eager=True)
         self.bands.merge_batch(
             new_bands.withColumn("seq", seq_up).withColumn("op", F.lit("upsert"))
         )
-        index = self.bands.read().select("media_id", "band", "bucket")
+        # the probe: with value-bucketed band storage, read ONLY the
+        # bucket dirs the batch's band keys map to — IO ∝ batch
+        index = (
+            self.bands.read(buckets=self.bands.buckets_for(new_bands))
+            if self._band_pruned
+            else self.bands.read()
+        ).select("media_id", "band", "bucket")
         cand = (
             new_bands.alias("n")
             .join(
@@ -189,7 +260,21 @@ class SimDupIndex:
             )
             .dropDuplicates(["media_a", "media_b"])
         )
-        sigs = self.sigs.read().select("media_id", "sig")
+        if self._sig_pruned:
+            # the verdict join touches only the candidates' ids: prune
+            # the signature read to their buckets (candidates are
+            # checkpointed first — buckets_for and both verdict joins
+            # would otherwise each re-run the probe join)
+            cand = cand.localCheckpoint(eager=True)
+            cand_ids = cand.select(
+                F.col("media_a").alias("media_id")
+            ).unionByName(cand.select(F.col("media_b").alias("media_id")))
+            sigs = self.sigs.read(buckets=self.sigs.buckets_for(cand_ids))
+            if sigs is None:
+                return
+            sigs = sigs.select("media_id", "sig")
+        else:
+            sigs = self.sigs.read().select("media_id", "sig")
         detected = (
             cand.join(
                 sigs.select(
@@ -220,20 +305,32 @@ class SimDupIndex:
         micro-batch as an ingest of the id wins (the delete-wins
         contract); a later re-ingest of the same media_id (higher batch
         id) re-detects its pairs. media_ids: a 1-column (media_id)
-        frame."""
+        frame.
+
+        The band tombstones are derived from the ids' STORED signatures
+        (bucket-pruned when the signature table is bucketed), so they
+        carry the exact (band, bucket) value and route correctly under
+        value-bucketed band storage. Order: bands first, then sigs,
+        then pairs — a crash after the band merge replays with the
+        signatures still present, re-deriving the same (idempotent)
+        tombstones; a crash after the sig merge replays with the band
+        rows already gone (consistent) and still retracts the pairs."""
         seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = media_ids.select("media_id").distinct().localCheckpoint(eager=True)
+        stored = (
+            self.sigs.read(buckets=self.sigs.buckets_for(ids))
+            if self._sig_pruned
+            else self.sigs.read()
+        )
+        if stored is not None:
+            old_bands = self._band_rows(
+                stored.join(ids, "media_id", "left_semi").select("media_id", "sig")
+            )
+            self.bands.merge_batch(
+                old_bands.withColumn("seq", seq).withColumn("op", F.lit("delete"))
+            )
         self.sigs.merge_batch(
             ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
-        )
-        self.bands.merge_batch(
-            ids.crossJoin(
-                self.spark.range(len(SIMHASH_BAND_SQL)).select(
-                    F.col("id").cast("int").alias("band")
-                )
-            )
-            .withColumn("seq", seq)
-            .withColumn("op", F.lit("delete"))
         )
         retract_pairs(
             self.pairs, ids, "media_a", "media_b", "hamming",
