@@ -16,11 +16,12 @@ production mode.
 payload_b64 — base64 because json carries no bytes): the incremental
 byte-shingle SimHash screen (kube_etl_spark/streaming/simdup.py),
 detected pairs at Hamming ≤ 4 of the 32-bit signature.
---buckets N (media mode) turns on the scale layout: the signature
-table in N media-id hash buckets (pruned changed-detection / verdict
-reads) and the band index in 4N value-derived buckets so the candidate
-probe reads only the batch's band-key dirs — probe IO ∝ batch, not
-corpus (the executed point-lookup swap; size N so 4N ≳ 8·batch).
+--buckets N (either mode) turns on the scale layout: the signature
+table in N id-hash buckets (pruned changed-detection / verify reads)
+and the band index in 4N value-derived buckets so the candidate probe
+reads only the batch's band-key dirs — probe IO ∝ batch, not corpus
+(the executed point-lookup swap; size N so 4N well exceeds the band
+rows per batch; measured curve in docs/architecture.md §round-8).
 """
 
 from __future__ import annotations
@@ -83,7 +84,16 @@ def main(argv: list[str]) -> None:
         stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
             args.watch
         )
-        index = NearDupIndex(spark, args.state)
+        if args.buckets:
+            index = NearDupIndex(
+                spark,
+                args.state,
+                bucket_col=F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets)),
+                n_buckets=args.buckets,
+                band_buckets=4 * args.buckets,
+            )
+        else:
+            index = NearDupIndex(spark, args.state)
         runner = run_neardup_stream
     if args.once:
         # the library wiring (foreachBatch + checkpoint + availableNow)

@@ -14,15 +14,19 @@ shingle sets, and the surviving pairs land in a keyed StateTable.
 Scale shape per micro-batch (corpus N, batch n, N >> n):
   * sign+band the batch: O(n) map work, no shuffle of the corpus;
   * candidate probe: batch bands (8n narrow rows) hash-join the band
-    index. HERE the index is a parquet state table, so the probe SCANS
-    it (one narrow 3-column pass over N·8 rows, shuffled on the
-    16-byte (band, bucket) key) — fine while the index fits a scan
-    budget; the production swap at 10⁹ docs is the same probe against
-    a point-lookup store (the band index is exactly a key→ids table)
-    or a bucket-pruned lakehouse layout, with this module's batch
-    logic unchanged;
+    index. With ``band_buckets`` set (the EXECUTED point-lookup swap —
+    VERDICT r7 #3, measured on the binary twin in docs/architecture.md
+    §round-8) the band index is stored in value-derived buckets
+    (hash of the (band, bucket) probe key) and the probe reads ONLY
+    the ≤ min(8n, band_buckets) bucket dirs the batch's band keys map
+    to — probe IO ∝ batch, not corpus. Unset, the probe scans the
+    whole index (one narrow 3-column pass — fine while the index fits
+    a scan budget);
   * estimate + verify: candidate-pair-sized joins back to the signature
-    state (256 B/doc) and, for est-survivors only, the shingle sets.
+    state (256 B/doc; bucket-pruned to the candidates' ids when
+    ``bucket_col`` is set) and, for est-survivors only, the shingle
+    sets. Changed-content detection likewise prunes to the BATCH's
+    doc_ids when ``bucket_col`` is set.
 The corpus-sized tables (signatures+shingles, band index) are written
 incrementally via idempotent MERGE keyed on doc_id — replaying a batch
 after a crash converges (same winners, same pairs upserted).
@@ -39,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.llm import (
-    _LSH_BANDS,
     lsh_bands,
     lsh_estimate_verify,
     minhash_signatures,
@@ -65,29 +68,69 @@ class NearDupIndex:
         base_dir: str,
         bucket_col: F.Column | None = None,
         n_buckets: int = 16,
+        band_buckets: int | None = None,
     ):
-        """bucket_col (a bigint expression over doc_id) switches the two
-        corpus-sized tables (sigs, bands) to BucketedStateTable so a
-        merge rewrites only the batch's buckets instead of O(corpus)
-        parquet per batch — at a real corpus size this is mandatory,
-        and with monotone doc ids a RANGE bucket (floor(doc_id/width))
-        makes each ingest a one-bucket rewrite (the BucketedStateTable
-        regime notes apply). The pairs table stays flat: it is
-        near-dup-count-sized, not corpus-sized."""
+        """bucket_col (a bigint expression over doc_id) switches the
+        signature table to BucketedStateTable so a merge rewrites only
+        the batch's buckets instead of O(corpus) parquet per batch — at
+        a real corpus size this is mandatory, and with monotone doc ids
+        a RANGE bucket (floor(doc_id/width)) makes each ingest a
+        one-bucket rewrite (the BucketedStateTable regime notes apply)
+        — and lets the changed-detection and estimate/verify reads
+        prune to the ids they touch.
+
+        band_buckets switches the BAND index to value-derived buckets
+        (storage bucket = hash of the (band, bucket) probe key): the
+        candidate probe then reads only the batch's band-key buckets —
+        probe IO ∝ batch, not corpus. Trade-offs, sizing rule
+        (band_buckets ≳ 2·bands·batch) and the measured curve are in
+        docs/architecture.md §round-8 (shared with the binary twin,
+        streaming/simdup.py). Cleanup/delete band rows are re-derived
+        from the stored signatures so each tombstone carries the exact
+        old (band, bucket) value and routes to the dir holding the old
+        row. The pairs table stays flat: it is near-dup-count-sized,
+        not corpus-sized."""
         from .cdc import BucketedStateTable
 
         self.spark = spark
 
-        def corpus_table(name: str, key_cols: list[str]):
-            path = os.path.join(base_dir, name)
-            if bucket_col is None:
-                return StateTable(spark, path, key_cols, "seq")
-            return BucketedStateTable(
-                spark, path, key_cols, "seq", n_buckets=n_buckets, bucket_col=bucket_col
+        if bucket_col is None:
+            self.sigs = StateTable(
+                spark, os.path.join(base_dir, "sigs"), ["doc_id"], "seq"
             )
-
-        self.sigs = corpus_table("sigs", ["doc_id"])
-        self.bands = corpus_table("bands", ["doc_id", "band"])
+        else:
+            self.sigs = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "sigs"),
+                ["doc_id"],
+                "seq",
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+        if band_buckets is not None:
+            self.bands = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "bands"),
+                ["doc_id", "band"],
+                "seq",
+                n_buckets=band_buckets,
+                bucket_col=F.pmod(F.xxhash64("band", "bucket"), F.lit(band_buckets)),
+            )
+        elif bucket_col is not None:
+            self.bands = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "bands"),
+                ["doc_id", "band"],
+                "seq",
+                n_buckets=n_buckets,
+                bucket_col=bucket_col,
+            )
+        else:
+            self.bands = StateTable(
+                spark, os.path.join(base_dir, "bands"), ["doc_id", "band"], "seq"
+            )
+        self._sig_pruned = bucket_col is not None
+        self._band_pruned = band_buckets is not None
         self.pairs = StateTable(
             spark, os.path.join(base_dir, "pairs"), ["doc_a", "doc_b"], "seq"
         )
@@ -117,23 +160,32 @@ class NearDupIndex:
             # nothing to index, and on a FRESH index the probe below
             # would read a state table that does not exist yet.
             return
-        changed = changed_ids(sig, self.sigs.read(), "doc_id", "sig")
+        # changed-detection only ever compares the BATCH's ids — with a
+        # bucketed signature table, read just the buckets they map to
+        stored = (
+            self.sigs.read(buckets=self.sigs.buckets_for(sig.select("doc_id")))
+            if self._sig_pruned
+            else self.sigs.read()
+        )
+        changed = changed_ids(sig, stored, "doc_id", "sig")
         if changed is not None:
             retract_pairs(
                 self.pairs, changed, "doc_a", "doc_b", "jaccard",
                 4 * int(batch_id),
             )
-            # clear ALL of the changed docs' band rows: the new bands
-            # upsert below only covers buckets the NEW text hashes to,
-            # and a doc shrunk below shingling emits no bands at all
+            # clear ALL of the changed docs' OLD band rows, re-derived
+            # from the stored signatures: the new bands upsert below
+            # only covers buckets the NEW text hashes to, a doc shrunk
+            # below shingling emits no bands at all (its stored sig is
+            # null — lsh_bands emits nothing, and it HAD no band rows),
+            # and under value-bucketed band storage the tombstone must
+            # carry the exact old (band, bucket) value to land in the
+            # dir holding the old row
+            old_bands = lsh_bands(
+                stored.join(changed, "doc_id", "left_semi").select("doc_id", "sig")
+            )
             self.bands.merge_batch(
-                changed.crossJoin(
-                    self.spark.range(_LSH_BANDS).select(
-                        F.col("id").cast("int").alias("band")
-                    )
-                )
-                .withColumn("seq", seq_rm)
-                .withColumn("op", F.lit("delete"))
+                old_bands.withColumn("seq", seq_rm).withColumn("op", F.lit("delete"))
             )
         # merge FIRST, then probe the post-merge index: batch-internal
         # pairs fall out of the same probe join (no separate self-join),
@@ -142,11 +194,17 @@ class NearDupIndex:
         self.sigs.merge_batch(
             sig.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
-        new_bands = lsh_bands(sig)
+        new_bands = lsh_bands(sig).localCheckpoint(eager=True)
         self.bands.merge_batch(
             new_bands.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
-        band_state = self.bands.read()
+        # the probe: with value-bucketed band storage, read ONLY the
+        # bucket dirs the batch's band keys map to — IO ∝ batch
+        band_state = (
+            self.bands.read(buckets=self.bands.buckets_for(new_bands))
+            if self._band_pruned
+            else self.bands.read()
+        )
         if band_state is None:
             # every doc in the first batch was too short to shingle
             # (lsh_bands drops null signatures), so no band state exists
@@ -167,10 +225,24 @@ class NearDupIndex:
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
+        if self._sig_pruned:
+            # estimate/verify touches only the candidates' ids: prune
+            # the signature read to their buckets (candidates
+            # checkpointed first so buckets_for and the verify joins
+            # don't each re-run the probe join)
+            cand = cand.localCheckpoint(eager=True)
+            cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+                cand.select(F.col("doc_b").alias("doc_id"))
+            )
+            sig_state = self.sigs.read(buckets=self.sigs.buckets_for(cand_ids))
+            if sig_state is None:
+                return
+        else:
+            sig_state = self.sigs.read()
         # estimate + exact verify: the SAME two-stage helper the batch
         # query uses (one implementation — stream≡batch by construction)
         detected = (
-            lsh_estimate_verify(cand, self.sigs.read())
+            lsh_estimate_verify(cand, sig_state)
             .withColumn("seq", seq)
             .withColumn("op", F.lit("upsert"))
         )
@@ -183,17 +255,30 @@ class NearDupIndex:
         derived from deleted text — and RETRACT every detected pair
         that references a deleted doc. Idempotent (seq-keyed delete
         winners); a later re-ingest of the same doc_id re-detects its
-        pairs. doc_ids: a 1-column (doc_id) frame."""
+        pairs. doc_ids: a 1-column (doc_id) frame.
+
+        Band tombstones are re-derived from the ids' STORED signatures
+        (bucket-pruned when the signature table is bucketed) so they
+        route correctly under value-bucketed band storage; bands merge
+        BEFORE sigs, so a crash between them replays with the
+        signatures still present and re-derives the same (idempotent)
+        tombstones."""
         seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
-        dels = ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
-        self.sigs.merge_batch(dels)
-        self.bands.merge_batch(
-            ids.crossJoin(
-                self.spark.range(_LSH_BANDS).select(F.col("id").cast("int").alias("band"))
+        stored = (
+            self.sigs.read(buckets=self.sigs.buckets_for(ids))
+            if self._sig_pruned
+            else self.sigs.read()
+        )
+        if stored is not None:
+            old_bands = lsh_bands(
+                stored.join(ids, "doc_id", "left_semi").select("doc_id", "sig")
             )
-            .withColumn("seq", seq)
-            .withColumn("op", F.lit("delete"))
+            self.bands.merge_batch(
+                old_bands.withColumn("seq", seq).withColumn("op", F.lit("delete"))
+            )
+        self.sigs.merge_batch(
+            ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
         )
         retract_pairs(
             self.pairs, ids, "doc_a", "doc_b", "jaccard", 4 * int(batch_id) + 2

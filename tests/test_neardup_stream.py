@@ -98,6 +98,81 @@ def test_bucketed_index_equals_flat(spark, tmp_path):
     assert fp == bp and fp, "bucketed index diverged from flat"
 
 
+def test_neardup_band_pruned_mode_matches_flat(spark, tmp_path):
+    """The text-index mirror of the simdup point-lookup swap: with a
+    bucketed signature table AND a value-bucketed band index, the full
+    lifecycle — cross-batch detection, changed-content re-ingest,
+    shrunk-below-shingling re-ingest, replay, compliance delete,
+    revival — produces exactly the flat index's pair set at every
+    step, and every probe read during the lifecycle is bucket-pruned."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9).localCheckpoint(eager=True)
+    b1 = corpus.filter(F.col("doc_id") < 200000)
+    b2 = corpus.filter(F.col("doc_id") >= 200000)
+
+    flat = NearDupIndex(spark, str(tmp_path / "flat"))
+    pruned = NearDupIndex(
+        spark,
+        str(tmp_path / "pruned"),
+        bucket_col=F.pmod(F.xxhash64("doc_id"), F.lit(8)),
+        n_buckets=8,
+        band_buckets=32,
+    )
+
+    band_reads: list = []
+    orig_read = BucketedStateTable.read
+
+    def spy_read(self, buckets=None):
+        if self.path.endswith("bands"):
+            band_reads.append(buckets)
+        return orig_read(self, buckets)
+
+    BucketedStateTable.read = spy_read
+    try:
+        victim = None
+        for step, act in enumerate(
+            [
+                lambda ix: ix.ingest_batch(b1, 1),
+                lambda ix: ix.ingest_batch(b2, 2),
+                lambda ix: ix.ingest_batch(
+                    spark.createDataFrame(
+                        [(victim, "entirely different replacement text " * 10)],
+                        "doc_id long, text string",
+                    ),
+                    3,
+                ),
+                # shrunk below one shingle: leaves the band index
+                lambda ix: ix.ingest_batch(
+                    spark.createDataFrame([(7, "x")], "doc_id long, text string"), 4
+                ),
+                lambda ix: ix.ingest_batch(b2, 2),  # replay
+                lambda ix: ix.delete_docs(
+                    spark.createDataFrame([(victim,)], "doc_id long"), 5
+                ),
+                lambda ix: ix.ingest_batch(
+                    corpus.filter(F.col("doc_id") == victim), 6
+                ),
+            ]
+        ):
+            act(flat)
+            act(pruned)
+            fp = {tuple(r) for r in flat.pairs_df().collect()}
+            pp = {tuple(r) for r in pruned.pairs_df().collect()}
+            assert fp == pp, f"step {step}: flat != pruned"
+            if step == 1:
+                assert fp, "no pairs after both batches"
+                victim = max(b for _, b, _ in fp)
+    finally:
+        BucketedStateTable.read = orig_read
+
+    cols = ["doc_id", "band", "bucket"]
+    assert {tuple(r) for r in flat.bands.read().select(*cols).collect()} == {
+        tuple(r) for r in pruned.bands.read().select(*cols).collect()
+    }
+    assert band_reads and all(b is not None for b in band_reads)
+
+
 def test_empty_batch_is_harmless(spark, tmp_path):
     """An empty micro-batch (heartbeat trigger with no files) must be a
     no-op on a fresh index AND between real batches — not a crash on
