@@ -456,6 +456,18 @@ class BucketedStateTable:
             if bucket_col is not None
             else F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets))
         )
+        # a FLAT StateTable publishes `path` itself as a symlink to the
+        # current version dir; opening that as a bucketed table would
+        # create bucket-* dirs INSIDE the old version and silently
+        # shadow the existing state (reads find no bucket symlinks →
+        # None → an established index looks empty). Refuse loudly —
+        # layout migration is an explicit rebuild, not an open flag.
+        if os.path.islink(path):
+            raise ValueError(
+                f"{path} holds a flat StateTable layout (symlink publish); "
+                "opening it as BucketedStateTable would shadow the existing "
+                "state — rebuild into a new directory instead"
+            )
         os.makedirs(path, exist_ok=True)
         self.lease = lease  # see StateTable — per-bucket fencing below
 

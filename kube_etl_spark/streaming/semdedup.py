@@ -16,6 +16,19 @@ scan; probe = equi-join on centroid_id against only the touched cells'
 members; verify = candidate-pair-sized dot products. The member state
 grows with the corpus (the index IS the memory); per-batch work is
 batch-sized plus the touched cells.
+
+At corpus sizes where the flat member scan is the batch cost, the
+bucket-pruned layout EXECUTED in the band-index siblings
+(streaming/neardup.py / simdup.py, measured in docs/architecture.md
+§round-8) applies with one structural difference: the probe key here
+is centroid_id, so members bucket by cell
+(BucketedStateTable.read(buckets=touched cells)) — the file-state
+analog of plans/retrieval_index.py's partitionBy(centroid_id) disk
+pruning — while changed-detection needs a second, vec_id-bucketed
+(vec_id → v) table, because the cell-bucketed layout cannot be point-
+read by id (and the derived cleanup rows then come from that table,
+exactly like the siblings derive old band rows from stored
+signatures).
 """
 
 from __future__ import annotations

@@ -32,9 +32,13 @@ the batch's fingerprint set (not the "fresh" subset) for the same
 reason.
 
 Scale notes: positions and counts are corpus-gram-sized (the index IS
-the memory); the probes by fingerprint / by doc are state scans here —
-the same parquet-state honesty note as streaming/neardup.py, with the
-same production swap (point-lookup store or bucket-pruned layout).
+the memory); the probes by fingerprint / by doc are state scans here.
+The bucket-pruned swap is EXECUTED code in the band-index siblings
+(streaming/neardup.py / simdup.py: BucketedStateTable.read(buckets=…)
+keyed on the probe value, measured in docs/architecture.md §round-8);
+this index's fingerprint probe is the same shape (value-keyed GET) and
+takes the identical layout — bucket positions/counts by
+pmod(xxhash64(fp), B) — when a corpus outgrows the scan budget.
 """
 
 from __future__ import annotations

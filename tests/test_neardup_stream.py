@@ -809,6 +809,23 @@ def test_bucketed_state_pruned_read(spark, tmp_path):
     assert t.read().count() == 11
 
 
+def test_bucketed_open_of_flat_state_refuses(spark, tmp_path):
+    """Opening an existing FLAT StateTable path as a BucketedStateTable
+    must refuse loudly: the bucketed layout would write bucket dirs
+    inside the flat table's current version dir and the established
+    state would silently read as empty (review r8)."""
+    import pytest
+
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+    t = StateTable(spark, str(tmp_path / "t"), ["k"], "seq")
+    t.merge_batch(
+        spark.createDataFrame([(1, 1, "upsert")], "k long, seq long, op string")
+    )
+    with pytest.raises(ValueError, match="flat StateTable layout"):
+        BucketedStateTable(spark, str(tmp_path / "t"), ["k"], "seq", 4)
+
+
 def test_simdup_bucket_pruned_mode_matches_flat(spark, tmp_path):
     """The executed point-lookup swap (VERDICT r7 #3): with a bucketed
     signature table AND a value-bucketed band index, the full lifecycle
