@@ -20,15 +20,20 @@ batch-sized plus the touched cells.
 At corpus sizes where the flat member scan is the batch cost, the
 bucket-pruned layout EXECUTED in the band-index siblings
 (streaming/neardup.py / simdup.py, measured in docs/architecture.md
-§round-8) applies with one structural difference: the probe key here
-is centroid_id, so members bucket by cell
-(BucketedStateTable.read(buckets=touched cells)) — the file-state
-analog of plans/retrieval_index.py's partitionBy(centroid_id) disk
-pruning — while changed-detection needs a second, vec_id-bucketed
-(vec_id → v) table, because the cell-bucketed layout cannot be point-
-read by id (and the derived cleanup rows then come from that table,
-exactly like the siblings derive old band rows from stored
-signatures).
+§round-8) applies here too — ``cell_buckets=True`` — with one
+structural difference: the probe key is centroid_id, so members
+bucket BY CELL (BucketedStateTable.read(buckets=touched cells)) — the
+file-state analog of plans/retrieval_index.py's
+partitionBy(centroid_id) disk pruning — while changed-detection runs
+against a second, vec_id-keyed ``vectors`` table (optionally
+vec_id-bucketed via ``bucket_col``), because the cell-bucketed layout
+cannot be point-read by id. Cleanup/delete member rows are re-derived
+by re-assigning the STORED vector against the frozen centroids (the
+frozen-centroid invariant makes the re-derivation exact), so each
+tombstone carries the old centroid_id and routes to the dir holding
+the old row; members cleanup merges BEFORE the vectors upsert, so a
+crash between them replays into a still-detectable changed state —
+the same discipline as the siblings.
 """
 
 from __future__ import annotations
@@ -59,14 +64,60 @@ class SemanticDedupIndex:
     warrants a rebuild (append ≡ rebuild only under fixed centroids).
     """
 
-    def __init__(self, spark: SparkSession, base_dir: str, centroids: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        centroids: DataFrame,
+        cell_buckets: bool = False,
+        bucket_col: F.Column | None = None,
+        n_buckets: int = 16,
+    ):
+        """cell_buckets=True switches to the scale layout (see module
+        docstring): members bucketed BY centroid_id (probe reads only
+        the batch's touched cells) plus a vec_id-keyed ``vectors``
+        table for changed-detection and cleanup derivation, itself
+        bucketed when ``bucket_col`` (a bigint expression over vec_id)
+        is given. The flat layout keeps the original two-table state —
+        existing state dirs stay readable."""
+        from .cdc import BucketedStateTable
+
         self.spark = spark
         self.centroids = centroids.select("centroid_id", "cv").localCheckpoint(
             eager=True
         )
-        self.members = StateTable(
-            spark, os.path.join(base_dir, "members"), ["vec_id", "centroid_id"], "seq"
-        )
+        self.cell_buckets = cell_buckets
+        self._vec_pruned = bucket_col is not None
+        if cell_buckets:
+            self.members = BucketedStateTable(
+                spark,
+                os.path.join(base_dir, "members"),
+                ["vec_id", "centroid_id"],
+                "seq",
+                n_buckets=self.centroids.count(),
+                bucket_col=F.col("centroid_id").cast("bigint"),
+            )
+            if bucket_col is not None:
+                self.vectors = BucketedStateTable(
+                    spark,
+                    os.path.join(base_dir, "vectors"),
+                    ["vec_id"],
+                    "seq",
+                    n_buckets=n_buckets,
+                    bucket_col=bucket_col,
+                )
+            else:
+                self.vectors = StateTable(
+                    spark, os.path.join(base_dir, "vectors"), ["vec_id"], "seq"
+                )
+        else:
+            self.members = StateTable(
+                spark,
+                os.path.join(base_dir, "members"),
+                ["vec_id", "centroid_id"],
+                "seq",
+            )
+            self.vectors = None
         self.pairs = StateTable(
             spark, os.path.join(base_dir, "pairs"), ["vec_a", "vec_b"], "seq"
         )
@@ -104,26 +155,63 @@ class SemanticDedupIndex:
         ingest's upserts (the delete-wins contract)."""
         seq_rm = F.lit(4 * int(batch_id)).cast("bigint")
         seq = F.lit(4 * int(batch_id) + 1).cast("bigint")
-        assigned = self._assign(batch.select("vec_id", "v")).localCheckpoint(
-            eager=True
-        )
+        vecs = batch.select("vec_id", "v").localCheckpoint(eager=True)
+        assigned = self._assign(vecs).localCheckpoint(eager=True)
         if not assigned.head(1):
             return
-        changed = changed_ids(assigned, self.members.read(), "vec_id", "v")
+        if self.cell_buckets:
+            # changed-detection against the vec_id-keyed vectors table,
+            # pruned to the batch's ids when it is bucketed
+            stored = (
+                self.vectors.read(
+                    buckets=self.vectors.buckets_for(vecs.select("vec_id"))
+                )
+                if self._vec_pruned
+                else self.vectors.read()
+            )
+            changed = changed_ids(vecs, stored, "vec_id", "v")
+        else:
+            stored = None
+            changed = changed_ids(assigned, self.members.read(), "vec_id", "v")
         if changed is not None:
             retract_pairs(
                 self.pairs, changed, "vec_a", "vec_b", "cos",
                 4 * int(batch_id),
             )
-            self.members.merge_batch(
-                changed.crossJoin(self.centroids.select("centroid_id"))
-                .withColumn("seq", seq_rm)
-                .withColumn("op", F.lit("delete"))
+            if self.cell_buckets:
+                # old member rows re-derived by re-assigning the STORED
+                # vector against the frozen centroids — exact old cells,
+                # routed to the dirs holding the old rows; members
+                # cleanup BEFORE the vectors upsert (crash replays into
+                # a still-detectable changed state)
+                old_members = self._assign(
+                    stored.join(changed, "vec_id", "left_semi").select("vec_id", "v")
+                )
+                self.members.merge_batch(
+                    old_members.withColumn("seq", seq_rm).withColumn(
+                        "op", F.lit("delete")
+                    )
+                )
+            else:
+                self.members.merge_batch(
+                    changed.crossJoin(self.centroids.select("centroid_id"))
+                    .withColumn("seq", seq_rm)
+                    .withColumn("op", F.lit("delete"))
+                )
+        if self.cell_buckets:
+            self.vectors.merge_batch(
+                vecs.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
             )
         self.members.merge_batch(
             assigned.withColumn("seq", seq).withColumn("op", F.lit("upsert"))
         )
-        state = self.members.read()
+        # the probe: with cell-bucketed members, read ONLY the cells the
+        # batch's vectors were assigned to — IO ∝ touched cells
+        state = (
+            self.members.read(buckets=self.members.buckets_for(assigned))
+            if self.cell_buckets
+            else self.members.read()
+        )
         a = assigned.select(
             F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
         )
@@ -154,14 +242,39 @@ class SemanticDedupIndex:
         """Compliance deletion — mirrors NearDupIndex.delete_docs: the
         vectors leave the member state (both their cells) and every
         pair referencing them retracts; idempotent, and a later
-        re-ingest re-detects. vec_ids: a 1-column (vec_id) frame."""
+        re-ingest re-detects. vec_ids: a 1-column (vec_id) frame.
+
+        Under cell_buckets the member tombstones are re-derived by
+        re-assigning the ids' STORED vectors (exact old cells, routed
+        correctly); members merge before vectors, so a crash between
+        them replays with the vectors still present and re-derives the
+        same tombstones."""
         seq = F.lit(4 * int(batch_id) + 2).cast("bigint")
         ids = vec_ids.select("vec_id").distinct().localCheckpoint(eager=True)
-        self.members.merge_batch(
-            ids.crossJoin(self.centroids.select("centroid_id"))
-            .withColumn("seq", seq)
-            .withColumn("op", F.lit("delete"))
-        )
+        if self.cell_buckets:
+            stored = (
+                self.vectors.read(buckets=self.vectors.buckets_for(ids))
+                if self._vec_pruned
+                else self.vectors.read()
+            )
+            if stored is not None:
+                old_members = self._assign(
+                    stored.join(ids, "vec_id", "left_semi").select("vec_id", "v")
+                )
+                self.members.merge_batch(
+                    old_members.withColumn("seq", seq).withColumn(
+                        "op", F.lit("delete")
+                    )
+                )
+            self.vectors.merge_batch(
+                ids.withColumn("seq", seq).withColumn("op", F.lit("delete"))
+            )
+        else:
+            self.members.merge_batch(
+                ids.crossJoin(self.centroids.select("centroid_id"))
+                .withColumn("seq", seq)
+                .withColumn("op", F.lit("delete"))
+            )
         retract_pairs(
             self.pairs, ids, "vec_a", "vec_b", "cos", 4 * int(batch_id) + 2
         )

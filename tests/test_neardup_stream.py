@@ -984,6 +984,89 @@ def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
     assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == after
 
 
+def test_semdedup_cell_bucketed_mode_matches_flat(spark, tmp_path):
+    """The semantic-index mirror of the point-lookup swap
+    (cell_buckets=True): members bucketed by centroid_id with
+    cell-pruned probes, a vec_id-bucketed vectors table for
+    changed-detection, and re-assignment-derived cleanup — the full
+    lifecycle (cross-batch detection, changed re-ingest, replay,
+    compliance delete, revival) produces exactly the flat index's pair
+    set at every step, and every member-state probe names its cells."""
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot, _kmeans_centroids
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    vecs = (
+        load_table(spark, SMOKE_SF, "embeddings")
+        .filter(F.col("vec_id") < 80)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    copy = vecs.filter(F.col("vec_id") == 3).select(
+        F.lit(9001).cast("long").alias("vec_id"), "v"
+    )
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=4)
+    dim = len(vecs.first()["v"])
+
+    flat = SemanticDedupIndex(spark, str(tmp_path / "flat"), cent)
+    pruned = SemanticDedupIndex(
+        spark,
+        str(tmp_path / "pruned"),
+        cent,
+        cell_buckets=True,
+        bucket_col=F.pmod(F.xxhash64("vec_id"), F.lit(8)),
+        n_buckets=8,
+    )
+
+    member_reads: list = []
+    orig_read = BucketedStateTable.read
+
+    def spy_read(self, buckets=None):
+        if self.path.endswith("members"):
+            member_reads.append(buckets)
+        return orig_read(self, buckets)
+
+    changed = spark.createDataFrame(
+        [(9001, [1.0] + [0.0] * (dim - 1))], "vec_id long, v array<float>"
+    )
+    BucketedStateTable.read = spy_read
+    try:
+        for step, act in enumerate(
+            [
+                lambda ix: ix.ingest_batch(vecs, 1),
+                lambda ix: ix.ingest_batch(copy, 2),
+                lambda ix: ix.ingest_batch(changed, 3),  # re-crawl: new vector
+                lambda ix: ix.ingest_batch(copy, 2),      # replay of batch 2
+                lambda ix: ix.delete_vecs(
+                    spark.createDataFrame([(9001,)], "vec_id long"), 4
+                ),
+                lambda ix: ix.ingest_batch(copy, 5),      # revival
+            ]
+        ):
+            act(flat)
+            act(pruned)
+            fp = {tuple(r) for r in flat.pairs_df().collect()}
+            pp = {tuple(r) for r in pruned.pairs_df().collect()}
+            assert fp == pp, f"step {step}: flat != pruned"
+            if step == 1:
+                assert any(a == 3 and b == 9001 for a, b, _ in fp)
+    finally:
+        BucketedStateTable.read = orig_read
+
+    # member state converged (v compared via the pair outputs above;
+    # here the cell routing itself)
+    cols = ["vec_id", "centroid_id"]
+    assert {tuple(r) for r in flat.members.read().select(*cols).collect()} == {
+        tuple(r) for r in pruned.members.read().select(*cols).collect()
+    }
+    assert member_reads and all(b is not None for b in member_reads)
+    # probes touched at most the batch's 2·n cells, not all 4
+    assert any(len(b) < 4 for b in member_reads)
+
+
 def test_simdup_shrunk_payload_leaves_index(spark, tmp_path):
     """A payload re-crawled to under one shingle (an error page) has no
     signature — it must LEAVE the index entirely: signature and band
