@@ -125,6 +125,32 @@ def test_case_pull_mode_and_default(spark, tmp_path):
     assert state == {"sp": {("default", "obj1"): (None, ("bar-v2",))}}
 
 
+def test_case_pull_glob(spark, tmp_path):
+    """cases/pull-glob: the reference's seventh integration case —
+    pull mode + the *.cnrm.cloud.google.com glob + namespaces
+    ["default"] + syncFields ["spec"] in ONE rule
+    (syncer/integration/cases/pull-glob/syncer.yaml). The fixture's
+    KCC objects live in prod/dev, so the default-namespace restriction
+    must drop BOTH despite the glob matching their GVKs — the
+    composition (glob matches, in-list filters) is what the case pins,
+    not either predicate alone."""
+    rule = (
+        "spg", False, "pull", "*.cnrm.cloud.google.com", "*", "*",
+        ["default"], ["spec"],
+    )
+    assert _final_state(spark, tmp_path, [rule]) == {}
+    # widening the in-list to prod admits exactly the prod KCC object,
+    # spec document only (pull-glob's expected.yaml shape)
+    rule = (
+        "spg", False, "pull", "*.cnrm.cloud.google.com", "*", "*",
+        ["prod"], ["spec"],
+    )
+    state = _final_state(spark, tmp_path, [rule])
+    assert set(state["spg"]) == {("prod", "obj2")}
+    spec, status = state["spg"][("prod", "obj2")]
+    assert spec is not None and status is None
+
+
 def test_case_suspend(spark, tmp_path):
     """cases/suspend: suspended syncer produces nothing (expected.yaml
     is empty; krmsyncer_controller.go:83-93)."""
