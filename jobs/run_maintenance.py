@@ -4,10 +4,19 @@ kube_etl_spark/plans/layout.py):
 
     run_maintenance.py compact --input <dir> --output <dir> [--target-rows N]
     run_maintenance.py zorder  --input <dir> --output <dir> --by colA,colB [--files N]
+    run_maintenance.py gc      --state <dir> --before-seq N [--seq-col seq] [--keys k1,k2]
 
 compact bin-packs a small-file-exploded directory; zorder rewrites a
 table clustered by the Morton value of two key columns so parquet
-min/max stats prune 2-d predicates.
+min/max stats prune 2-d predicates; gc purges a StateTable's delete
+tombstones below a seq horizon (the compaction valve for the dedup
+indexes' sigs/bands/pairs tables, whose tombstones otherwise grow with
+every re-crawl and compliance delete). The layout is auto-detected —
+a symlink is the flat StateTable publish, a directory of bucket-*
+symlinks is BucketedStateTable (only tombstone-bearing buckets are
+rewritten). Choose the horizon from the stream checkpoint's committed
+batch id (seq = 4·batch_id + phase): purging below a seq that a replay
+could still carry re-opens the resurrection window merge_batch closes.
 """
 
 from __future__ import annotations
@@ -29,7 +38,19 @@ def main(argv: list[str]) -> None:
     z.add_argument("--output", required=True)
     z.add_argument("--by", required=True, help="two comma-separated columns")
     z.add_argument("--files", type=int, default=8)
+    g = sub.add_parser("gc")
+    g.add_argument("--state", required=True)
+    g.add_argument("--before-seq", type=int, required=True)
+    g.add_argument("--seq-col", default="seq")
+    g.add_argument(
+        "--keys",
+        default="k",
+        help="comma-separated key columns (constructor metadata only — "
+        "the purge itself is key-agnostic)",
+    )
     args = ap.parse_args(argv)
+
+    import os
 
     from pyspark.sql import SparkSession
 
@@ -40,7 +61,29 @@ def main(argv: list[str]) -> None:
     spark = configure(
         SparkSession.builder.appName("kube-etl-maintenance").getOrCreate()
     )
-    if args.cmd == "compact":
+    if args.cmd == "gc":
+        from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+        keys = args.keys.split(",")
+        if os.path.islink(args.state):
+            table = StateTable(spark, args.state, keys, args.seq_col)
+        elif os.path.isdir(args.state) and any(
+            d.startswith("bucket-") for d in os.listdir(args.state)
+        ):
+            table = BucketedStateTable(spark, args.state, keys, args.seq_col)
+        else:
+            raise SystemExit(
+                f"{args.state} is neither a flat StateTable symlink nor a "
+                "bucketed state directory"
+            )
+        table.purge_tombstones(args.before_seq)
+        live = table.read()
+        out = {
+            "state": args.state,
+            "before_seq": args.before_seq,
+            "live_rows": live.count() if live is not None else 0,
+        }
+    elif args.cmd == "compact":
         out = compact(spark, args.input, args.output, target_rows=args.target_rows)
     else:
         col_a, col_b = args.by.split(",")

@@ -520,6 +520,65 @@ def test_run_maintenance_cli(spark, tmp_path, capsys):
     assert printed["zordered"] == spark.read.parquet(zout).count()
 
 
+def test_run_maintenance_gc_cli(spark, tmp_path, capsys):
+    """The gc subcommand purges delete tombstones below the seq horizon
+    in BOTH state layouts (auto-detected: flat symlink vs bucket-*
+    dirs), leaves live rows and above-horizon tombstones intact, and
+    refuses a path that is neither."""
+    import pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_maintenance
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
+
+    def seed(table):
+        table.merge_batch(
+            spark.createDataFrame(
+                [(k, k * 10, 1, "upsert") for k in range(8)],
+                "k long, v long, seq long, op string",
+            )
+        )
+        table.merge_batch(
+            spark.createDataFrame(
+                [(1, 2, "delete"), (2, 9, "delete")], "k long, seq long, op string"
+            )
+        )
+
+    def tombs(path):
+        raw = spark.read.parquet(path)
+        return {
+            (r["k"], r["seq"])
+            for r in raw.filter(F.col("__op") == "delete").collect()
+        }
+
+    flat = StateTable(spark, str(tmp_path / "flat"), ["k"], "seq")
+    seed(flat)
+    run_maintenance.main(
+        ["gc", "--state", str(tmp_path / "flat"), "--before-seq", "5", "--keys", "k"]
+    )
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["live_rows"] == 6
+    # k=1 (seq 2 < 5) purged; k=2 (seq 9 >= 5) kept as a tombstone
+    assert tombs(str(tmp_path / "flat")) == {(2, 9)}
+
+    buck = BucketedStateTable(spark, str(tmp_path / "buck"), ["k"], "seq", 4)
+    seed(buck)
+    run_maintenance.main(
+        ["gc", "--state", str(tmp_path / "buck"), "--before-seq", "5", "--keys", "k"]
+    )
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["live_rows"] == 6
+    assert buck.read().count() == 6
+
+    with pytest.raises(SystemExit, match="neither"):
+        run_maintenance.main(
+            ["gc", "--state", str(tmp_path), "--before-seq", "1"]
+        )
+
+
 def test_run_index_stream_cli(spark, tmp_path, capsys):
     """The continuous-maintenance CLI: drop a json batch of new docs in
     the watch dir, run --once, and the index must contain them. A
