@@ -25,17 +25,36 @@ def main(argv: list[str]) -> None:
         default="json",
         help="payload format; yaml matches the reference's sigs.Marshal output",
     )
+    ap.add_argument(
+        "--zip",
+        action="store_true",
+        help="also materialize the one-file-per-object tree and zip it "
+        "into <output>.zip — the reference CLI's exact deliverable "
+        "(`kube-etl export --output output.zip`, pkg/sink/zip.go). The "
+        "interop path for control-plane-sized exports; the partitioned "
+        "dataset remains the data-scale artifact",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from kube_etl_spark.plans.export_job import run_export
+    from kube_etl_spark.plans.export_job import materialize_tree, run_export
     from kube_etl_spark.session import configure
 
     owned = SparkSession.getActiveSession() is None
     spark = configure(SparkSession.builder.appName("kube-etl-export").getOrCreate())
     counts = run_export(spark, args.input, args.output, serialization=args.serialization)
-    print(json.dumps({"exported": counts, "output": args.output}))
+    stats = {"exported": counts, "output": args.output}
+    if args.zip:
+        tree = args.output.rstrip("/") + ".tree"
+        n = materialize_tree(
+            spark.read.json(args.output).select("path", "payload"),
+            tree,
+            archive=True,
+        )
+        stats["zip"] = tree + ".zip"
+        stats["zip_entries"] = n
+    print(json.dumps(stats))
     if owned:  # don't tear down a session we joined (tests)
         spark.stop()
 

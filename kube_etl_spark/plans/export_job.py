@@ -29,19 +29,32 @@ from pyspark.sql import functions as F
 from ..catalog import TABLES, load_table
 
 # Per-table (namespace-ish, name-ish) column mapping — the analog of the
-# object's metadata fields used for path derivation.
-_KEYS: dict[str, tuple[str, str]] = {
-    "region": ("r_name", "r_regionkey"),
-    "nation": ("n_name", "n_nationkey"),
-    "customer": ("c_mktsegment", "c_custkey"),
-    "supplier": ("s_name", "s_suppkey"),
-    "part": ("p_brand", "p_partkey"),
-    "orders": ("o_orderpriority", "o_orderkey"),
-    "lineitem": ("l_returnflag", "l_orderkey"),
-    "events": ("event_type", "event_id"),
-    "documents": ("lang", "doc_id"),
-    "embeddings": ("label", "vec_id"),
+# object's metadata fields used for path derivation. The name columns
+# (second element, 1..n) must be the table's UNIQUE key: a k8s object
+# name is unique within (namespace, kind), and a colliding derived path
+# would make any one-file-per-object materialization silently overwrite
+# objects (found r8 — lineitem's old single-column name dropped 2,713
+# of 9,890 zip entries at sf0.001; its key is composite).
+_KEYS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "region": ("r_name", ("r_regionkey",)),
+    "nation": ("n_name", ("n_nationkey",)),
+    "customer": ("c_mktsegment", ("c_custkey",)),
+    "supplier": ("s_name", ("s_suppkey",)),
+    "part": ("p_brand", ("p_partkey",)),
+    "orders": ("o_orderpriority", ("o_orderkey",)),
+    "lineitem": ("l_returnflag", ("l_orderkey", "l_linenumber")),
+    "events": ("event_type", ("event_id",)),
+    "documents": ("lang", ("doc_id",)),
+    "embeddings": ("label", ("vec_id",)),
 }
+
+# Tables whose declared key is NOT unique in the fixtures (the synthetic
+# lineitem violates TPC-H's (orderkey, linenumber) PK — even the 4-column
+# superset collides once at sf0.001, though full rows are unique): their
+# object names get an 8-hex content-digest suffix, so full-row uniqueness
+# guarantees path uniqueness. A real k8s source can't hit this (server
+# names are unique per namespace/kind by construction).
+_CONTENT_SUFFIX: frozenset[str] = frozenset({"lineitem"})
 
 
 def export_table(
@@ -58,23 +71,29 @@ def export_table(
     touches only the already-serialized strings, never row structs."""
     if serialization not in ("json", "yaml"):
         raise ValueError(f"serialization must be json|yaml, got {serialization!r}")
-    ns_col, name_col = _KEYS[name]
+    ns_col, name_cols = _KEYS[name]
     df = load_table(spark, sf_dir, name)
     ns = F.when(
         F.col(ns_col).cast("string").isNull() | (F.col(ns_col).cast("string") == ""),
         "_cluster",
     ).otherwise(F.col(ns_col).cast("string"))
+    # composite keys join with '-' (k8s-name-safe), e.g. lineitem
+    # 42-3.json — one path per OBJECT, the reference's invariant
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    obj_name = F.concat_ws("-", *[F.col(c).cast("string") for c in name_cols])
+    if name in _CONTENT_SUFFIX:
+        obj_name = F.concat_ws("-", obj_name, F.substring(F.md5(payload), 1, 8))
     path = F.concat_ws(
         "/",
         ns,
         F.lit("core"),
         F.lit(name),
-        F.concat(F.col(name_col).cast("string"), F.lit(f".{serialization}")),
+        F.concat(obj_name, F.lit(f".{serialization}")),
     )
     out = df.select(
         F.lit(name).alias("table_name"),
         path.alias("path"),
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
+        payload.alias("payload"),
     )
     if serialization == "yaml":
         out = out.mapInPandas(_json_payloads_to_yaml, schema=out.schema)
@@ -130,8 +149,18 @@ def materialize_tree(df: DataFrame, root: str, archive: bool = False) -> int:
 
     slim = df.select("path", "payload").persist()
     try:
-        slim.foreachPartition(_write)
         n = slim.count()
+        # one file per OBJECT is the layout's contract: colliding paths
+        # would silently overwrite objects in the tree (and drop entries
+        # from the zip). Refuse loudly instead (found r8 via the zip
+        # entry-count mismatch).
+        distinct = slim.select("path").distinct().count()
+        if distinct != n:
+            raise ValueError(
+                f"{n - distinct} duplicate export paths of {n} rows — the "
+                "_KEYS name columns are not a unique key for some table"
+            )
+        slim.foreachPartition(_write)
     finally:
         slim.unpersist()
     if archive:

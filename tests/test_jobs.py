@@ -195,6 +195,29 @@ def test_run_export_cli_yaml(spark, tmp_path, capsys):
     assert "r_name" in obj and "r_regionkey" in obj
 
 
+def test_run_export_cli_zip(spark, tmp_path, capsys):
+    """--zip produces the reference CLI's exact deliverable: a zip whose
+    entries are the tree-relative object paths with the serialized
+    payloads as contents (kube-etl export --output output.zip)."""
+    import zipfile
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_export
+
+    out = str(tmp_path / "exp")
+    run_export.main(["--input", SMOKE_SF, "--output", out, "--zip"])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["zip"].endswith(".zip")
+    with zipfile.ZipFile(printed["zip"]) as zf:
+        names = zf.namelist()
+        assert len(names) == printed["zip_entries"] > 0
+        # region rows exported as one file per object under the derived path
+        region = [n for n in names if "/Region/" in n or "region" in n.lower()]
+        assert region, names[:5]
+        payload = zf.read(names[0]).decode()
+        assert payload.strip(), "empty payload in zip entry"
+
+
 def test_run_pretraining_cli(spark, tmp_path, capsys):
     sys.path.insert(0, "/root/repo/jobs")
     import run_pretraining
