@@ -543,6 +543,56 @@ def test_run_maintenance_cli(spark, tmp_path, capsys):
     assert printed["zordered"] == spark.read.parquet(zout).count()
 
 
+def test_k8s_manifests_match_job_argparse():
+    """Every deploy/k8s manifest that invokes a jobs/run_*.py must pass
+    all of that job's argparse-required flags and no flag the job does
+    not declare — the syncer manifest shipped for six rounds passing
+    only --rules (of four required flags) and would have crashed at pod
+    startup (review r8). Static check: regex the job source for
+    add_argument declarations, compare to the manifest's --flag args
+    after the script path."""
+    import glob
+    import os
+    import re
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = 0
+    for mf in sorted(glob.glob(os.path.join(repo, "deploy", "k8s", "*.yaml"))):
+        for doc in yaml.safe_load_all(open(mf)):
+            if not doc:
+                continue
+            tpl = (doc.get("spec", {}).get("template")
+                   or doc.get("spec", {}).get("jobTemplate", {})
+                      .get("spec", {}).get("template") or {})
+            for c in tpl.get("spec", {}).get("containers", []):
+                args = c.get("args", [])
+                scripts = [a for a in args if re.search(r"jobs/run_\w+\.py$", str(a))]
+                if not scripts:
+                    continue
+                job = os.path.basename(scripts[0])
+                src = open(os.path.join(repo, "jobs", job)).read()
+                declared = set(re.findall(r'add_argument\(\s*"--([\w-]+)"', src))
+                required = set(
+                    re.findall(
+                        r'add_argument\(\s*"--([\w-]+)",[^)]*required=True', src
+                    )
+                )
+                tail = args[args.index(scripts[0]) + 1:]
+                passed = {
+                    str(a).split("=", 1)[0][2:]
+                    for a in tail
+                    if str(a).startswith("--")
+                }
+                missing = required - passed
+                unknown = passed - declared
+                assert not missing, f"{mf}: {job} missing required {missing}"
+                assert not unknown, f"{mf}: {job} passes undeclared {unknown}"
+                checked += 1
+    assert checked >= 8, f"only {checked} job invocations found — glob broken?"
+
+
 def test_run_maintenance_gc_cli(spark, tmp_path, capsys):
     """The gc subcommand purges delete tombstones below the seq horizon
     in BOTH state layouts (auto-detected: flat symlink vs bucket-*
