@@ -64,16 +64,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-8 window (VERDICT r7 #1 + #4): 8 anchors + the 4 round-7
-# widening queries (the only oracle-backed names with zero driver
-# evidence) + 2 rows-only driver-execution slots (NEW — VERDICT r7 #4:
-# the driver logs spark_rows even without an oracle, which is the only
-# external execution evidence a rows-only query can ever get; the two
-# most load-bearing scale paths go first) + 35 of the 39 r03-evidence
-# re-pins + q_join_inner (r05, promoted for the J-family quota — the
-# entire r03 cohort is join-free). The 4 deferred r03 names (all
-# TPC-H; T stays covered by q6/q8/q10/q13) head the r9 re-pin queue.
-# 8+4+2+35+1 = 50.
+# Round-9 window (VERDICT r8 #1): 8 anchors + the 2 round-8 widening
+# queries (the ONLY oracle-backed names with zero driver evidence) +
+# 2 rows-only execution slots (queue: q_knn_lsh +
+# q_dedup_incremental_capped this round) + the 4 r03-evidence TPC-H
+# names the r8 family-quota fills deferred + 34 of the 42 r04-evidence
+# re-pins (the 29 queued in r8's ROTATE_NEXT plus 5 pulled forward from
+# the r10 queue: q_scd2_intervals for the streaming quota, then
+# q_drift_psi/q_ewma_smoothing/q_rolling_median/q_anomaly_mad in r04
+# window order to fill the count). 8+2+2+4+34 = 50.
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -84,99 +83,21 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 4 round-7 widening queries (r7 ROTATE_NEXT
-    # step-2 cohort — zero driver evidence until this window runs)
-    "q_schema_drift_report",
-    "q_media_neardup",
-    "q_media_dedup_exact",
-    "q_snapshot_survivorship",
-    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
-    "q_knn_ivf",
-    "q_dedup_semantic",
-    # 3a. oldest-evidence re-pins: 35 of the 39 names whose newest
-    # driver evidence is r03
-    "q_dedup_clusters",
-    "q_string_similarity",
-    "q_dedup_embedding",
-    "q_lang_id",
-    "q_quality_score",
-    "q_domain_mixture",
-    "q_text_chunk",
-    "q_pii_scrub",
-    "q_repetition_ratio",
-    "q_contamination",
-    "q_split_train_test",
-    "q_quality_filter_pipeline",
-    "q_pack_sequences",
-    "q_shuffle_order",
-    "q_sample_stratified",
-    "q_embedding_quantize",
-    "q_unigram_rarity",
-    "q_bigram_pmi",
-    "q_boilerplate_ngrams",
-    "q_media_features",
-    "q_agg_two_phase",
-    "q_union_distinct",
-    "q_exists_subquery",
-    "q_not_in_subquery",
-    "q_correlated_scalar",
-    "q_lateral",
-    "q_unpivot",
-    "q_gapfill_locf",
-    "q_funnel_stages",
-    "q_rollup_multires",
-    "q_window_distribution",
-    "q_tpch_q6_forecast_revenue",
-    "q_tpch_q8_market_share",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q13_custdist",
-    # 3b. family-quota promotion: the r03 cohort has no join, so the
-    # oldest-evidence join (r05) takes the last slot for the J quota
-    "q_join_inner",
-)
-
-# Rows-only queries legally occupying window slots THIS round (cap 2,
-# enforced in tests/test_entry.py). The driver records err=no_oracle
-# with spark_rows>0 — weaker than a hash row but the only external
-# execution evidence the rows-only contract allows (VERDICT r7 #4).
-# Queue for r9+ (2 per round until drained): q_knn_lsh +
-# q_dedup_incremental_capped (r9), q_quantile_bucket_join_approx +
-# q_profile_columns_approx (r10), q_sample + the r01-only trio
-# (q_agg_approx_distinct, q_agg_percentile_approx, q_dedup_fuzzy)
-# after that.
-ROWS_ONLY_WINDOW: tuple[str, ...] = (
-    "q_knn_ivf",
-    "q_dedup_semantic",
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # round-8 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r9 window)
+    # 2. newest-unproven: the 2 round-8 widening queries (r8 ROTATE_NEXT
+    # head — zero driver evidence until this window runs)
     "q_export_manifest",
     "q_rule_change_audit",
-    # r9 re-pin queue head: the 4 r03-evidence TPC-H names the r8
-    # family-quota fills deferred (oldest evidence in the registry
-    # after this window runs)
+    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
+    "q_knn_lsh",
+    "q_dedup_incremental_capped",
+    # 3a. oldest-evidence re-pins: the 4 r03-evidence TPC-H names
     "q_tpch_q14_promo_share",
     "q_tpch_q15_top_supplier",
     "q_tpch_q18_large_orders",
     "q_tpch_q19_bracket_predicates",
-    # r9 re-pin queue body: 29 of the 42 r04-evidence names, in their
-    # r04 window order. The remaining 13 r04 names (q_drift_psi,
-    # q_ewma_smoothing, q_rolling_median, q_anomaly_mad, q_winsorize,
-    # q_time_weighted_avg, q_attribution_last_touch, q_tpch_q17/q22/q4,
-    # q_scd2_intervals, q_concurrency_profile, q_histogram_value) are
-    # the r10 queue — every deferred query stays locally parity-proven
-    # every run.
+    # 3b. oldest-evidence re-pins: 34 of the 42 r04-evidence names in
+    # their r04 window order (q_scd2_intervals promoted for the
+    # streaming quota; drift/ewma/rolling/mad fill the count)
     "q_rfm_segments",
     "q_copurchase_pairs",
     "q_revenue_gini",
@@ -206,6 +127,83 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_session_stats",
     "q_retention_cohort",
     "q_zscore_outliers",
+    "q_scd2_intervals",
+    "q_drift_psi",
+    "q_ewma_smoothing",
+    "q_rolling_median",
+    "q_anomaly_mad",
+)
+
+# Rows-only queries legally occupying window slots THIS round (cap 2,
+# enforced in tests/test_entry.py). The driver records err=no_oracle
+# with spark_rows>0 — weaker than a hash row but the only external
+# execution evidence the rows-only contract allows (VERDICT r7 #4).
+# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows).
+# Queue for r10+ (2 per round until drained):
+# q_quantile_bucket_join_approx + q_profile_columns_approx (r10),
+# q_sample + the r01-only trio (q_agg_approx_distinct,
+# q_agg_percentile_approx, q_dedup_fuzzy) after that.
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "q_knn_lsh",
+    "q_dedup_incremental_capped",
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # r10 re-pin queue head: the 8 r04-evidence names the r9 window
+    # could not fit (oldest evidence in the registry after this
+    # window runs)
+    "q_winsorize",
+    "q_time_weighted_avg",
+    "q_attribution_last_touch",
+    "q_tpch_q17_small_quantity",
+    "q_tpch_q22_idle_balance",
+    "q_tpch_q4_order_priority",
+    "q_concurrency_profile",
+    "q_histogram_value",
+    # r10 re-pin queue body: 25 of the 41 r05-evidence names (sorted;
+    # the remaining 16 — q_key_skew_audit, q_knn_classify,
+    # q_mode_per_group, q_ngram_novelty, q_pareto_concentration,
+    # q_percent_of_parent, q_recursive_cte, q_rolling_active_users,
+    # q_sample_weighted, q_seasonality_index, q_stream_tumbling,
+    # q_time_to_convert, q_tpch_q3_shipping_priority, q_triangle_count,
+    # q_weighted_median, q_window_running_distinct — are the r11 queue;
+    # every deferred query stays locally parity-proven every run).
+    # Two slots are held back for this round's widening queries, which
+    # get PREPENDED here when registered.
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_stats",
+    "q_audit_constraints",
+    "q_bfs_hops",
+    "q_bitmap_distinct_rollup",
+    "q_bucketed_point_lookup",
+    "q_cms_heavy_hitters",
+    "q_dedup_normalized",
+    "q_filter_array_contains",
+    "q_filter_conjunction",
+    "q_filter_isin",
+    "q_filter_like_suffix",
+    "q_filter_not_contains",
+    "q_hapax_ratio",
+    "q_join_broadcast",
+    "q_join_bucketed",
+    "q_join_cross",
+    "q_join_full",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
 )
 
 
