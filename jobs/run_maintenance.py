@@ -42,12 +42,6 @@ def main(argv: list[str]) -> None:
     g.add_argument("--state", required=True)
     g.add_argument("--before-seq", type=int, required=True)
     g.add_argument("--seq-col", default="seq")
-    g.add_argument(
-        "--keys",
-        default="k",
-        help="comma-separated key columns (constructor metadata only — "
-        "the purge itself is key-agnostic)",
-    )
     args = ap.parse_args(argv)
 
     import os
@@ -64,13 +58,20 @@ def main(argv: list[str]) -> None:
     if args.cmd == "gc":
         from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
 
-        keys = args.keys.split(",")
+        # the purge is key-agnostic (dir-driven, filters only __op/seq),
+        # so gc opens spec-blind handles: flat gets placeholder keys
+        # (it has no value-derived routing to misroute), bucketed gets
+        # the purge-only constructor whose routing surface raises
+        # (ADVICE r8 — a live merge/probe surface under a placeholder
+        # bucket expression was one call from silent misrouting)
         if os.path.islink(args.state):
-            table = StateTable(spark, args.state, keys, args.seq_col)
+            table = StateTable(spark, args.state, ["__purge_only__"], args.seq_col)
         elif os.path.isdir(args.state) and any(
             d.startswith("bucket-") for d in os.listdir(args.state)
         ):
-            table = BucketedStateTable(spark, args.state, keys, args.seq_col)
+            table = BucketedStateTable.open_for_purge(
+                spark, args.state, seq_col=args.seq_col
+            )
         else:
             raise SystemExit(
                 f"{args.state} is neither a flat StateTable symlink nor a "

@@ -428,6 +428,8 @@ class BucketedStateTable:
 
     Same single-writer model as StateTable."""
 
+    _SIDECAR = "_layout.json"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -437,6 +439,7 @@ class BucketedStateTable:
         n_buckets: int = 16,
         bucket_col: F.Column | None = None,
         lease=None,
+        _purge_only: bool = False,
     ):
         """bucket_col overrides the default hash bucketing with any
         bigint expression over the key columns. Hash buckets balance
@@ -470,6 +473,80 @@ class BucketedStateTable:
             )
         os.makedirs(path, exist_ok=True)
         self.lease = lease  # see StateTable — per-bucket fencing below
+        self._purge_only = _purge_only
+        if not _purge_only:
+            self._check_layout_sidecar()
+
+    def _check_layout_sidecar(self) -> None:
+        """Persist the bucket spec on first open and refuse a mismatched
+        reopen (ADVICE r8): value-derived routing (`buckets_for`,
+        `read(buckets=…)`, per-bucket merges) is only correct if every
+        opener uses the SPEC THE DIRECTORIES WERE LAID OUT UNDER — e.g.
+        editing --buckets in a k8s manifest against an existing PVC
+        state would silently probe/merge the wrong bucket dirs (missed
+        changed-detection, ghost pairs). The flat-layout symlink guard
+        above covers layout *kind* drift; this covers *spec* drift.
+
+        The spec fingerprint is the bucket expression's canonical
+        string (it embeds the key columns and the modulus) plus
+        n_buckets and key_cols. A pre-sidecar state directory (bucket-*
+        dirs, no sidecar) is stamped with the opener's spec — a
+        one-time grandfather that cannot validate the very first
+        reopen, but every open after it can."""
+        import json
+
+        spec = {
+            "version": 1,
+            "n_buckets": int(self.n_buckets),
+            "key_cols": list(self.key_cols),
+            "bucket_expr": str(self._bucket_expr),
+        }
+        side = os.path.join(self.path, self._SIDECAR)
+        if os.path.exists(side):
+            with open(side) as f:
+                stored = json.load(f)
+            drift = {
+                k: (stored.get(k), spec[k])
+                for k in ("n_buckets", "key_cols", "bucket_expr")
+                if stored.get(k) != spec[k]
+            }
+            if drift:
+                raise ValueError(
+                    f"{self.path} was laid out under a different bucket spec "
+                    f"— refusing to open (pruned reads and merges would "
+                    f"route to the wrong bucket dirs). Drift "
+                    f"(stored, requested): {drift}. Rebuild into a new "
+                    f"directory to change the spec."
+                )
+        else:
+            atomic_write_json(side, spec)
+
+    @classmethod
+    def open_for_purge(
+        cls, spark: SparkSession, path: str, seq_col: str | list[str] = "seq"
+    ):
+        """Spec-blind handle for key-agnostic maintenance (ADVICE r8:
+        run_maintenance gc used placeholder keys/n_buckets, leaving a
+        live merge/probe surface with a WRONG bucket expression one
+        call away from silent misrouting). The returned table only
+        permits `purge_tombstones` and full `read()` — both are
+        dir-driven and never evaluate the bucket expression; the
+        routing surfaces raise."""
+        return cls(
+            spark,
+            path,
+            key_cols=["__purge_only__"],
+            seq_col=seq_col,
+            _purge_only=True,
+        )
+
+    def _assert_routable(self, op: str) -> None:
+        if self._purge_only:
+            raise RuntimeError(
+                f"{op} is unavailable on a purge-only BucketedStateTable "
+                "(open_for_purge): the real bucket spec is unknown, so "
+                "value-derived routing would silently hit wrong buckets"
+            )
 
     def _bucket_col(self) -> F.Column:
         return self._bucket_expr.cast("bigint")
@@ -494,6 +571,8 @@ class BucketedStateTable:
         file-layout analog of a point-lookup store's keyed GET. Bucket
         ids outside the live set are skipped silently (an empty bucket
         simply has no matches)."""
+        if buckets is not None:
+            self._assert_routable("read(buckets=…)")
         if buckets is None:
             names = (
                 d for d in sorted(os.listdir(self.path)) if d.startswith("bucket-")
@@ -518,6 +597,7 @@ class BucketedStateTable:
         table's bucket expression — the probe side of the point-lookup
         swap. Driver-side collect is bounded by n_buckets (the same
         bound merge_batch's bucket-discovery collect relies on)."""
+        self._assert_routable("buckets_for")
         return sorted(
             r["__b"]
             for r in df.withColumn("__b", self._bucket_col())
@@ -532,6 +612,7 @@ class BucketedStateTable:
         """Idempotent MERGE touching only the batch's buckets. The batch
         is localCheckpointed once (it is re-filtered per bucket, and its
         lineage may reference state dirs this loop replaces)."""
+        self._assert_routable("merge_batch")
         tagged = batch.withColumn("__b", self._bucket_col()).localCheckpoint(eager=True)
         buckets = [r["__b"] for r in tagged.select("__b").distinct().collect()]
         for b in sorted(buckets):

@@ -90,6 +90,67 @@ def test_run_syncer_cli_once(spark, tmp_path):
     assert lgot[0]["status"]["bar"] == "b1"
 
 
+def test_run_syncer_status_publish_skipped_on_unreadable_prev(spark, tmp_path, capsys):
+    """ADVICE r8: a transient failure reading the PREVIOUS status must
+    not publish a status with the carry-forward silently dropped (that
+    durably regresses every syncer's last_sync_seq high-water mark).
+    The batch's status publish is skipped (logged), the published
+    status stays on its old version, and the next healthy batch
+    publishes with the carry intact."""
+    import os
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+
+    rules = [{
+        "syncer_name": "s1", "syncer_namespace": "default", "suspend": False,
+        "mode": "pull", "rule_group": "e2e.gkelabs.io",
+        "rule_version": "v1alpha1", "rule_kind": "TestCRD",
+        "namespaces": [], "sync_fields": ["spec"],
+    }]
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+    oplog_dir = tmp_path / "oplog"
+    oplog_dir.mkdir()
+
+    def row(seq, name):
+        return {"seq": seq, "op": "upsert", "group": "e2e.gkelabs.io",
+                "version": "v1alpha1", "kind": "TestCRD",
+                "namespace": "default", "name": name, "labels": {},
+                "annotations": {}, "spec": {"foo": name}, "status": None}
+
+    def run_once():
+        run_syncer.main([
+            "--rules", str(rules_path), "--oplog", str(oplog_dir),
+            "--state", str(tmp_path / "state"),
+            "--checkpoint", str(tmp_path / "ckpt"), "--once",
+        ])
+
+    status = tmp_path / "state" / "status"
+    (oplog_dir / "b0.json").write_text(json.dumps(row(1, "obj1")))
+    run_once()
+    assert spark.read.parquet(str(status)).collect()[0]["last_sync_seq"] == 1
+    target_before = os.readlink(str(status))
+
+    # corrupt the live status version so the prev read fails
+    junk = status.resolve() / "zzz-junk.parquet"
+    junk.write_bytes(b"not parquet at all")
+    (oplog_dir / "b1.json").write_text(json.dumps(row(5, "obj2")))
+    run_once()
+    err = capsys.readouterr().err
+    assert "status publish skipped" in err
+    # no new version published — the pointer did not move
+    assert os.readlink(str(status)) == target_before
+
+    # recovery: heal the read, next batch publishes with the carry
+    junk.unlink()
+    (oplog_dir / "b2.json").write_text(json.dumps(row(9, "obj3")))
+    run_once()
+    assert os.readlink(str(status)) != target_before
+    got = spark.read.parquet(str(status)).collect()
+    assert got[0]["last_sync_seq"] == 9
+
+
 def test_run_syncer_hot_rule_reload(spark, tmp_path, capsys):
     """VERDICT r7 #2 — the streaming analog of the reference's
     per-event rule re-list (r.LocalClient.List inside Reconcile,
@@ -630,7 +691,7 @@ def test_run_maintenance_gc_cli(spark, tmp_path, capsys):
     flat = StateTable(spark, str(tmp_path / "flat"), ["k"], "seq")
     seed(flat)
     run_maintenance.main(
-        ["gc", "--state", str(tmp_path / "flat"), "--before-seq", "5", "--keys", "k"]
+        ["gc", "--state", str(tmp_path / "flat"), "--before-seq", "5"]
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["live_rows"] == 6
@@ -640,7 +701,7 @@ def test_run_maintenance_gc_cli(spark, tmp_path, capsys):
     buck = BucketedStateTable(spark, str(tmp_path / "buck"), ["k"], "seq", 4)
     seed(buck)
     run_maintenance.main(
-        ["gc", "--state", str(tmp_path / "buck"), "--before-seq", "5", "--keys", "k"]
+        ["gc", "--state", str(tmp_path / "buck"), "--before-seq", "5"]
     )
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["live_rows"] == 6

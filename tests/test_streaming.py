@@ -1448,6 +1448,103 @@ def test_bucketed_state_equals_flat_state(spark, tmp_path):
     assert snap(buck) == snap(flat)
 
 
+def test_bucketed_state_refuses_spec_drift(spark, tmp_path):
+    """ADVICE r8: the bucket spec is persisted in a _layout.json
+    sidecar on first create, and reopening existing state with a
+    different n_buckets / bucket expression / key set must REFUSE —
+    value-derived routing (read(buckets=…), buckets_for, per-bucket
+    merges) against a drifted spec silently hits the wrong bucket dirs
+    (missed changed-detection, un-retracted ghost pairs)."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    path = str(tmp_path / "state")
+    t = BucketedStateTable(spark, path, ["key"], "seq", n_buckets=8)
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, k, "upsert", float(k)) for k in range(10)],
+            "seq long, key long, op string, value double",
+        )
+    )
+    # same spec reopens fine and sees the state
+    again = BucketedStateTable(spark, path, ["key"], "seq", n_buckets=8)
+    assert again.read().count() == 10
+
+    with pytest.raises(ValueError, match="different bucket spec"):
+        BucketedStateTable(spark, path, ["key"], "seq", n_buckets=16)
+    with pytest.raises(ValueError, match="different bucket spec"):
+        BucketedStateTable(
+            spark, path, ["key"], "seq", n_buckets=8,
+            bucket_col=F.pmod(F.col("key"), F.lit(8)),
+        )
+    with pytest.raises(ValueError, match="different bucket spec"):
+        BucketedStateTable(spark, path, ["key", "extra"], "seq", n_buckets=8)
+
+    # pre-sidecar grandfather: a state dir created before the sidecar
+    # existed is stamped with the opener's spec on first open (cannot
+    # validate that one open), and validates every open after it
+    _os.remove(_os.path.join(path, BucketedStateTable._SIDECAR))
+    BucketedStateTable(spark, path, ["key"], "seq", n_buckets=8)
+    assert _os.path.exists(_os.path.join(path, BucketedStateTable._SIDECAR))
+    with pytest.raises(ValueError, match="different bucket spec"):
+        BucketedStateTable(spark, path, ["key"], "seq", n_buckets=4)
+
+
+def test_bucketed_state_purge_only_handle(spark, tmp_path):
+    """open_for_purge (ADVICE r8) yields a spec-blind handle: the
+    dir-driven surfaces (purge_tombstones, full read) work without
+    knowing the real spec, and every value-derived routing surface
+    raises instead of silently misrouting under the placeholder."""
+    import pytest
+
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    path = str(tmp_path / "state")
+    real = BucketedStateTable(spark, path, ["key"], "seq", n_buckets=4)
+    real.merge_batch(
+        spark.createDataFrame(
+            [(1, k, "upsert", float(k)) for k in range(6)]
+            + [(2, 0, "delete", None), (9, 1, "delete", None)],
+            "seq long, key long, op string, value double",
+        )
+    )
+
+    blind = BucketedStateTable.open_for_purge(spark, path, seq_col="seq")
+    assert blind.read().count() == 4  # live rows, key-agnostic
+    blind.purge_tombstones(before_seq=5)  # drops (key=0, seq=2) only
+    # live buckets are the symlinks; non-link bucket-* entries are
+    # superseded version dirs that still hold the pre-purge rows
+    raw = spark.read.parquet(
+        *[str(p) for p in (tmp_path / "state").glob("bucket-*") if p.is_symlink()]
+    )
+    from pyspark.sql import functions as F
+
+    assert {
+        (r["key"], r["seq"])
+        for r in raw.filter(F.col("__op") == "delete").collect()
+    } == {(1, 9)}
+
+    probe = spark.createDataFrame([(0,)], "key long")
+    with pytest.raises(RuntimeError, match="purge-only"):
+        blind.buckets_for(probe)
+    with pytest.raises(RuntimeError, match="purge-only"):
+        blind.read(buckets=[0])
+    with pytest.raises(RuntimeError, match="purge-only"):
+        blind.merge_batch(
+            spark.createDataFrame([(3, 0, "upsert", 1.0)],
+                                  "seq long, key long, op string, value double")
+        )
+    # the purge-only open did not corrupt the sidecar: the real spec
+    # still reopens and a drifted one still refuses
+    BucketedStateTable(spark, path, ["key"], "seq", n_buckets=4)
+    with pytest.raises(ValueError, match="different bucket spec"):
+        BucketedStateTable(spark, path, ["key"], "seq", n_buckets=8)
+
+
 def test_atomic_overwrite_migrates_plain_directory(spark, tmp_path):
     """A table first written as a PLAIN parquet directory (a pre-
     versioning build, e.g. the retrieval index's initial write) must
