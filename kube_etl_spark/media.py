@@ -277,31 +277,43 @@ def simhash_screen(payloads: DataFrame, hamming_max: int = 4) -> DataFrame:
     md5-derived 32-bit shingle hashes -> 32-bit SimHash by bit vote ->
     FOUR 16-bit band keys (lo/hi/even/odd — any match makes a
     candidate, so a miss must scatter flips across BOTH splits) ->
-    band-keyed candidate self-joins (never all-pairs) -> map-side
-    Hamming via bit_count(xor). The signature table is 8
-    bytes/payload (100 TB of media becomes ~GBs of signatures) and is
-    eagerly checkpointed once: it feeds eight join inputs across four
-    differently-keyed joins, which ReuseExchange cannot dedupe."""
+    ONE (band_id, band_key)-keyed candidate self-join over the exploded
+    band views (never all-pairs) -> map-side Hamming via
+    bit_count(xor). The signature table is 8 bytes/payload (100 TB of
+    media becomes ~GBs of signatures) and is eagerly checkpointed once
+    (it feeds both join inputs, launched concurrently).
+
+    Single-join-path by design (r9): the first form unioned FOUR
+    same-shape broadcast self-joins (one per band view) — exactly the
+    twin-broadcast-union shape that non-deterministically dropped a
+    row on first execution under load in q_rule_change_audit (r8
+    pitfall ledger; now fenced by tests/test_planlint.py). Exploding
+    sig -> 4 (band_id, band_key) rows and joining ONCE on the compound
+    key removes the hazard and is the better 100 TB plan anyway: one
+    exchange partitioned by (band_id, band_key) instead of four
+    band-keyed joins over the same table."""
     band = simhash_signatures(payloads).select(
         "media_id",
         "sig",
-        *[F.expr(b).alias(f"b{i}") for i, b in enumerate(SIMHASH_BAND_SQL)],
+        F.posexplode(
+            F.array(*[F.expr(b) for b in SIMHASH_BAND_SQL])
+        ).alias("band_id", "band_key"),
     ).localCheckpoint(eager=True)
-    a0, b0 = band.alias("a"), band.alias("b")
-
-    def _half(key: str) -> DataFrame:
-        return a0.join(
-            b0,
-            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+    cand = (
+        band.alias("a")
+        .join(
+            band.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.media_id") < F.col("b.media_id")),
-        ).select(
+        )
+        .select(
             F.col("a.media_id").alias("x"),
             F.col("a.sig").alias("sa"),
             F.col("b.media_id").alias("y"),
             F.col("b.sig").alias("sb"),
         )
-
-    cand = _half("b0").union(_half("b1")).union(_half("b2")).union(_half("b3"))
+    )
     return (
         cand.distinct()
         .withColumn("hamming", F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))

@@ -46,6 +46,69 @@ MAX_EXCHANGES = 24
 MAX_PLAN_CHARS = 120_000
 
 
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """The simple-mode physical plan as (depth, node-text) lines. Depth
+    comes from the tree-drawing prefix (groups of three chars: ':- ',
+    '+- ', ':  ', '   '); header/footer lines are dropped."""
+    out = []
+    for ln in plan.splitlines():
+        m = re.match(r"^((?::- |\+- |:  |   )*)(\S.*)$", ln)
+        if not m or m.group(2).startswith("=="):
+            continue
+        out.append((len(m.group(1)) // 3, m.group(2)))
+    return out
+
+
+_BROADCAST = re.compile(r"Broadcast(Exchange|HashJoin|NestedLoopJoin)")
+
+
+def _twin_broadcast_unions(plan: str) -> bool:
+    """Flag a Union with two structurally-identical child branches that
+    each carry a broadcast join (VERDICT r8 #3). That exact shape — the
+    same builder invoked twice, both branches broadcast-joining the
+    same frame, unioned then aggregated — non-deterministically dropped
+    a row on FIRST execution under machine load (q_rule_change_audit,
+    r8; 13 reconstruction runs could not isolate the trigger, so tests
+    cannot catch it — only the shape can be fenced). Rewrite pattern:
+    route both generations through ONE join path (tag rows before the
+    join, split after) instead of unioning twin broadcast branches.
+    Union children always share a schema, so structural twinhood (the
+    operator-sequence signature, expr-ids stripped) is the whole test."""
+    lines = _parse_tree(plan)
+    for i, (d, text) in enumerate(lines):
+        if not text.startswith("Union"):
+            continue
+        # children: maximal subtrees at depth d+1 under this node
+        branches: list[list[tuple[int, str]]] = []
+        j = i + 1
+        while j < len(lines) and lines[j][0] > d:
+            if lines[j][0] == d + 1:
+                branches.append([])
+            if branches:  # tolerate depth jumps from subquery sections
+                branches[-1].append((lines[j][0] - d, lines[j][1]))
+            j += 1
+        def _line_sig(bd: int, bt: str) -> tuple:
+            # operator name plus the SCAN IDENTITY: branches over
+            # different source tables are not twins even when their
+            # operator sequences coincide (q_fk_orphans: three FK
+            # checks over different dims union legally)
+            op = re.sub(r"#\d+L?", "#", bt).split("(")[0].split("[")[0].strip()
+            # e.g. "Location: InMemoryFileIndex(1 paths)[file:/...]"
+            loc = re.search(r"Location: [^\[]*\[([^\]]*)\]", bt)
+            return (bd, op, loc.group(1) if loc else "")
+
+        sigs = [tuple(_line_sig(bd, bt) for bd, bt in br) for br in branches]
+        seen: set = set()
+        for sig, br in zip(sigs, branches):
+            has_bc = any(_BROADCAST.search(bt) for _, bt in br)
+            if not has_bc:
+                continue
+            if sig in seen:
+                return True
+            seen.add(sig)
+    return False
+
+
 def _fails(name, plan: str) -> list[str]:
     out = []
     if "CartesianProduct" in plan:
@@ -63,12 +126,74 @@ def _fails(name, plan: str) -> list[str]:
             "starting at UNBOUNDED PRECEDING — mirror it as a backward "
             "carry over the reversed order"
         )
+    if _twin_broadcast_unions(plan):
+        out.append(
+            "Union of twin same-shape broadcast subtrees — the "
+            "load-dependent first-execution row-drop hazard "
+            "(q_rule_change_audit r8); route both branches through one "
+            "join path instead"
+        )
     n_exch = plan.count("Exchange")
     if n_exch > MAX_EXCHANGES:
         out.append(f"{n_exch} exchanges (lineage blowup?)")
     if len(plan) > MAX_PLAN_CHARS:
         out.append(f"plan text {len(plan)} chars (lineage blowup?)")
     return out
+
+
+def test_twin_broadcast_union_rule_fires_on_the_hazard_shape(spark):
+    """The rule must reject a deliberately-built replica of the
+    q_rule_change_audit pre-fix shape (two invocations of the same
+    builder, each broadcast-joining the same frame, unioned and
+    aggregated) and must PASS the single-join-path rewrite that fixed
+    it (one union of the small sides BEFORE the single broadcast
+    join)."""
+    from pyspark.sql import functions as F
+
+    dim = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "attr", F.col("k") * 2
+    )
+
+    def branch(tag):
+        rows = spark.createDataFrame([(i, tag) for i in range(5)], "k long, gen string")
+        return rows.join(F.broadcast(dim), "k").select("k", "gen", "attr")
+
+    hazardous = (
+        branch("old")
+        .unionByName(branch("new"))
+        .groupBy("k")
+        .agg(F.count_distinct("gen").alias("gens"))
+    )
+    plan = hazardous._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert _twin_broadcast_unions(plan), plan
+
+    # the fix pattern: tag rows, union the SMALL sides, join once
+    rows = spark.createDataFrame(
+        [(i, g) for i in range(5) for g in ("old", "new")], "k long, gen string"
+    )
+    fixed = rows.join(F.broadcast(dim), "k").groupBy("k").agg(
+        F.count_distinct("gen").alias("gens")
+    )
+    fixed_plan = fixed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert not _twin_broadcast_unions(fixed_plan), fixed_plan
+
+    # non-twin unions of broadcast branches stay legal: different
+    # operator shapes under the union are not the hazard
+    other = (
+        branch("old")
+        .filter(F.col("attr") > 2)
+        .unionByName(branch("new"))
+        .groupBy("k")
+        .agg(F.count_distinct("gen").alias("gens"))
+    )
+    other_plan = other._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert not _twin_broadcast_unions(other_plan), other_plan
 
 
 def test_all_plans_pass_lint(spark):
