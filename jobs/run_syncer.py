@@ -191,11 +191,31 @@ def main(argv: list[str]) -> None:
         # the guard keeps batch 0 from logging a FileNotFound WARN
         if os.path.lexists(status_path):
             try:
-                prev = spark.read.parquet(status_path).select(
-                    "syncer_name", F.col("last_sync_seq").alias("__prev")
+                # COLLECT inside the guard: a lazy frame defers the
+                # actual file scan into the publish write, where a
+                # corrupt file would escape this except. The status
+                # table is one row per syncer — driver-bounded.
+                prev_rows = spark.read.parquet(status_path).select(
+                    "syncer_name", "last_sync_seq"
+                ).collect()
+            except Exception as exc:
+                # ADVICE r8: publishing with the carry-forward silently
+                # dropped would durably REGRESS every syncer's
+                # last_sync_seq high-water mark on a transient read
+                # failure. Skip this batch's status publish instead —
+                # the next batch re-derives it (greatest() is monotone,
+                # so one skipped publish only delays the mark).
+                print(
+                    f"status publish skipped for this batch: previous "
+                    f"status at {status_path} unreadable ({exc})",
+                    file=sys.stderr,
                 )
-            except Exception:
-                prev = None
+                return
+            if prev_rows:
+                prev = spark.createDataFrame(
+                    [(r["syncer_name"], r["last_sync_seq"]) for r in prev_rows],
+                    "syncer_name string, __prev long",
+                )
         if prev is not None:
             st = (
                 st.join(prev, "syncer_name", "left")
