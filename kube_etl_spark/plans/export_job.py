@@ -23,7 +23,7 @@ without the filesystem blowup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import TABLES, load_table
@@ -51,10 +51,17 @@ _KEYS: dict[str, tuple[str, tuple[str, ...]]] = {
 # Tables whose declared key is NOT unique in the fixtures (the synthetic
 # lineitem violates TPC-H's (orderkey, linenumber) PK — even the 4-column
 # superset collides once at sf0.001, though full rows are unique): their
-# object names get an 8-hex content-digest suffix, so full-row uniqueness
-# guarantees path uniqueness. A real k8s source can't hit this (server
-# names are unique per namespace/kind by construction).
-_CONTENT_SUFFIX: frozenset[str] = frozenset({"lineitem"})
+# object names get a per-key ordinal suffix (row_number over the key
+# group, content-ordered), so full-row uniqueness guarantees path
+# uniqueness. The ordinal replaced r8's 8-hex content-digest suffix
+# (ADVICE r8): a content digest made the SAME logical object's path
+# change whenever any field changed, so re-exports were never
+# path-stable and the name diverged from the reference's
+# metadata-derived path contract (k8s names never encode content);
+# with the ordinal, re-exporting an unchanged key group reproduces its
+# paths exactly. A real k8s source can't collide at all (server names
+# are unique per namespace/kind by construction).
+_ORDINAL_SUFFIX: frozenset[str] = frozenset({"lineitem"})
 
 
 def export_table(
@@ -81,8 +88,15 @@ def export_table(
     # 42-3.json — one path per OBJECT, the reference's invariant
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     obj_name = F.concat_ws("-", *[F.col(c).cast("string") for c in name_cols])
-    if name in _CONTENT_SUFFIX:
-        obj_name = F.concat_ws("-", obj_name, F.substring(F.md5(payload), 1, 8))
+    if name in _ORDINAL_SUFFIX:
+        # one shuffle on the composite key, group sizes ~1-2 rows; ties
+        # inside a key group are ordered by the serialized row (full
+        # rows are unique — FIXTURES.md), so the numbering is
+        # deterministic and stable across re-exports of unchanged rows
+        w = Window.partitionBy(*[F.col(c) for c in name_cols]).orderBy(payload)
+        obj_name = F.concat_ws(
+            "-", obj_name, F.row_number().over(w).cast("string")
+        )
     path = F.concat_ws(
         "/",
         ns,

@@ -36,6 +36,60 @@ def test_export_roundtrip(spark, tmp_path):
     )
 
 
+def test_export_paths_stable_across_reexports(spark, tmp_path):
+    """ADVICE r8: the PK-violating lineitem fixture's disambiguator is
+    a per-key ORDINAL, not a content digest — re-exporting must
+    reproduce every path exactly (a digest changed a row's path on any
+    field change, diverging from the reference's metadata-derived
+    path contract), and editing ONE row's content must leave every
+    OTHER key group's paths untouched."""
+    from kube_etl_spark.plans.export_job import export_table
+
+    # crafted lineitem with a colliding composite key (10, 1)
+    rows = [
+        (10, 1, "N", 100.0),
+        (10, 1, "N", 200.0),  # same (orderkey, linenumber), distinct row
+        (11, 1, "A", 300.0),
+        (12, 2, "R", 400.0),
+    ]
+    schema = "l_orderkey long, l_linenumber int, l_returnflag string, l_extendedprice double"
+    src = str(tmp_path / "sf")
+    spark.createDataFrame(rows, schema).write.parquet(src + "/lineitem.parquet")
+
+    def paths():
+        return {
+            r["path"]
+            for r in export_table(spark, src, "lineitem").select("path").collect()
+        }
+
+    first = paths()
+    assert len(first) == 4  # colliding key disambiguated, no overwrite
+    assert {"A/core/lineitem/11-1-1.json", "R/core/lineitem/12-2-1.json"} <= first
+    assert {p for p in first if "/10-1-" in p} == {
+        "N/core/lineitem/10-1-1.json",
+        "N/core/lineitem/10-1-2.json",
+    }
+    assert paths() == first  # re-export is path-stable
+
+    # edit one row of the COLLIDING group: other key groups' paths hold
+    rows2 = [(10, 1, "N", 150.0) if r == (10, 1, "N", 100.0) else r for r in rows]
+    src2 = str(tmp_path / "sf2")
+    spark.createDataFrame(rows2, schema).write.parquet(src2 + "/lineitem.parquet")
+    second = {
+        r["path"]
+        for r in export_table(spark, src2, "lineitem").select("path").collect()
+    }
+    assert {p for p in second if "/10-1-" not in p} == {
+        p for p in first if "/10-1-" not in p
+    }
+    # and the edited group keeps its ordinal path FAMILY (names don't
+    # encode content)
+    assert {p for p in second if "/10-1-" in p} == {
+        "N/core/lineitem/10-1-1.json",
+        "N/core/lineitem/10-1-2.json",
+    }
+
+
 def test_export_yaml_tree_layout(spark, tmp_path):
     """YAML serialization option (reference parity: export.go:152
     marshals objects to YAML; the zip stores <ns>/<group>/<kind>/
