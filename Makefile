@@ -1,22 +1,29 @@
 .PHONY: test parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight
 
+# Gate runs tee RAW pytest output to .preflight-logs/ (VERDICT r8 #6:
+# an r8 flake's name was lost to a grep pipe on a background run — the
+# log file survives output filters, so a flake can be root-caused).
+SHELL := /bin/bash
+LOGDIR := .preflight-logs
+TEE = mkdir -p $(LOGDIR) && set -o pipefail &&
+
 test:            ## full suite (oracle parity + streaming + golden + plan-shape)
-	python -m pytest tests/ -q
+	$(TEE) python -m pytest tests/ -q 2>&1 | tee $(LOGDIR)/test.log
 
 parity:          ## oracle parity at smoke scale (fast)
-	python -m pytest tests/test_parity.py -q
+	$(TEE) python -m pytest tests/test_parity.py -q 2>&1 | tee $(LOGDIR)/parity.log
 
 parity-driver-scale:  ## oracle parity at the driver's sf0.01 gate scale
-	SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_parity.py -q
+	$(TEE) SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_parity.py -q 2>&1 | tee $(LOGDIR)/parity-driver-scale.log
 
 parity-full-scale:    ## oracle parity at bench scale (sf0.1) — catches SF-dependent vacuity
-	SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 python -m pytest tests/test_parity.py -q
+	$(TEE) SPARK_GRAFT_TEST_SF=/root/testdata/sf0.1 python -m pytest tests/test_parity.py -q 2>&1 | tee $(LOGDIR)/parity-full-scale.log
 
 parity-adversarial:   ## parity at hostile parallelism (3 cpus / 5 partitions) — partition-independence sweep
-	SPARK_GRAFT_TEST_CPUS=3 SPARK_GRAFT_TEST_PARTITIONS=5 python -m pytest tests/test_parity.py -q
+	$(TEE) SPARK_GRAFT_TEST_CPUS=3 SPARK_GRAFT_TEST_PARTITIONS=5 python -m pytest tests/test_parity.py -q 2>&1 | tee $(LOGDIR)/parity-adversarial.log
 
 vacuity:         ## DuckDB-only: every oracle non-empty at every SF (seconds, no Spark)
-	python -m pytest tests/test_vacuity.py -q
+	$(TEE) python -m pytest tests/test_vacuity.py -q 2>&1 | tee $(LOGDIR)/vacuity.log
 
 preflight: test parity-driver-scale parity-adversarial vacuity  ## the end-of-round gate battery
 
