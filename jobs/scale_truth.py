@@ -1194,6 +1194,162 @@ def simprobe_experiment(
     }
 
 
+def semprobe_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for semdedup's CELL-BUCKETED probe (VERDICT r8 #2:
+    the two-table swap landed in r8 with differential tests; this is
+    its measured execution, matching what simdup/neardup got in r8's
+    --simprobe): an established ~8k-vector index over frozen IVF
+    cells, then small trickle batches — the steady-state regime —
+    ingested into (a) the flat layout, whose probe reads the WHOLE
+    member table every batch, and (b) the cell-bucketed layout
+    (members bucketed BY centroid_id; vectors in 32 id-hash buckets
+    for changed-detection), whose probe reads only the batch's
+    touched cells.
+
+    Measured per trickle batch: cells/vec-buckets touched, member rows
+    the pruned probe actually read (post-hoc re-read of the recorded
+    bucket lists — IO, not wall, is the scale quantity; local per-dir
+    overhead dominates wall at this dir count, same caveat as
+    --simprobe), the flat probe's constant corpus-sized member count,
+    and pair-set equality between the layouts (the swap must be
+    output-invisible).
+
+    Expectation: pruned probe rows ∝ the batch's touched cells (top-2
+    fan-out ⇒ ≤ 2·batch cells of ~2n/k members each), while the flat
+    probe stays ∝ corpus."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.llm import _dot, _kmeans_centroids
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+    from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # same corpus construction as --ivf: replicas with deterministic
+    # per-dimension perturbation keep the fixture's cluster structure
+    # while making every vector distinct
+    reps = []
+    for i in range(replicas):
+        pert = F.zip_with(
+            F.col("v"),
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda x, d: x
+            + ((F.abs(F.xxhash64(F.col("vec_id"), F.lit(i), d)) % 1000) / 1000.0 - 0.5)
+            * 0.07,
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + i * _REP_OFF).alias("vec_id"),
+                (pert if i else F.col("v")).alias("v"),
+            )
+        )
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint(eager=True)
+    n = corpus.count()
+    k = int(round(math.sqrt(n)))
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    vn = corpus.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    cents = _kmeans_centroids(
+        spark, vn.select("vec_id", F.col("vn").alias("v")), k=k
+    )
+
+    held = [
+        r["vec_id"]
+        for r in corpus.select("vec_id").orderBy("vec_id").limit(125).collect()
+    ]
+    batches = [held[:5], held[5:25], held[25:125]]
+    seed = corpus.filter(~F.col("vec_id").isin(held)).localCheckpoint(eager=True)
+
+    root = tempfile.mkdtemp(prefix="semprobe-")
+    flat = SemanticDedupIndex(spark, f"{root}/flat", cents)
+    pruned = SemanticDedupIndex(
+        spark,
+        f"{root}/pruned",
+        cents,
+        cell_buckets=True,
+        bucket_col=F.pmod(F.xxhash64("vec_id"), F.lit(32)),
+        n_buckets=32,
+    )
+
+    t0 = time.time()
+    flat.ingest_batch(seed, 1)
+    seed_flat_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    pruned.ingest_batch(seed, 1)
+    seed_pruned_s = round(time.time() - t0, 2)
+    member_rows = flat.members.read().count()
+
+    member_log: list = []
+    vec_log: list = []
+    orig_read = BucketedStateTable.read
+
+    def spy(self, buckets=None):
+        if buckets is not None and self.path.startswith(f"{root}/pruned"):
+            (member_log if self.path.endswith("members") else vec_log).append(
+                list(buckets)
+            )
+        return orig_read(self, buckets)
+
+    rows = []
+    try:
+        BucketedStateTable.read = spy
+        for i, ids in enumerate(batches):
+            b = corpus.filter(F.col("vec_id").isin(ids))
+            t0 = time.time()
+            flat.ingest_batch(b, 2 + i)
+            w_flat = round(time.time() - t0, 2)
+            member_log.clear()
+            vec_log.clear()
+            t0 = time.time()
+            pruned.ingest_batch(b, 2 + i)
+            w_pruned = round(time.time() - t0, 2)
+            cells = member_log[0] if member_log else []
+            probe_rows = (
+                orig_read(pruned.members, cells).count() if cells else 0
+            )
+            vbuckets = vec_log[0] if vec_log else []
+            vec_rows = (
+                orig_read(pruned.vectors, vbuckets).count() if vbuckets else 0
+            )
+            rows.append(
+                {
+                    "batch_vecs": len(ids),
+                    "cells_touched": len(cells),
+                    "probe_rows_pruned": probe_rows,
+                    "probe_rows_flat": member_rows,
+                    "probe_share": round(probe_rows / member_rows, 4),
+                    "vec_buckets_touched": len(vbuckets),
+                    "vec_rows_pruned": vec_rows,
+                    "wall_flat_s": w_flat,
+                    "wall_pruned_s": w_pruned,
+                }
+            )
+    finally:
+        BucketedStateTable.read = orig_read
+
+    pairs_equal = {tuple(r) for r in flat.pairs_df().collect()} == {
+        tuple(r) for r in pruned.pairs_df().collect()
+    }
+    return {
+        "corpus_vecs": n,
+        "cells_k": k,
+        "member_rows": member_rows,
+        "seed_ingest_flat_s": seed_flat_s,
+        "seed_ingest_pruned_s": seed_pruned_s,
+        "trickle": rows,
+        "pairs": flat.pairs_df().count(),
+        "pairs_equal": pairs_equal,
+    }
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1204,6 +1360,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--snapdiff-skew", action="store_true")
     ap.add_argument("--mediasim", action="store_true")
     ap.add_argument("--simprobe", action="store_true")
+    ap.add_argument("--semprobe", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1228,6 +1385,10 @@ def main(argv: list[str]) -> None:
         out["mediasim"] = mediasim_experiment(spark, args.sf_dir, args.replicas)
     if args.simprobe:
         out["simprobe"] = simprobe_experiment(spark, args.sf_dir, args.replicas)
+    if args.semprobe:
+        out["semprobe"] = semprobe_experiment(
+            spark, args.sf_dir, min(args.replicas, 4)
+        )
     line = json.dumps(out)
     print(line)
     if args.json:

@@ -635,3 +635,138 @@ def q_rule_change_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("gained") != "") | (F.col("lost") != ""))
         .orderBy("group", "version", "kind")
     )
+
+
+@query(
+    "q_syncer_replay",
+    tags=("P8", "P9", "S3", "ST"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_SYNCER_RULE_ROWS)}
+),
+val AS ({_RULESET_SQL.format(src='rules')}),
+act AS (
+  SELECT v.* FROM val v
+  WHERE NOT EXISTS (SELECT 1 FROM val x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+matched AS (
+  SELECT DISTINCT r.syncer_name, o.grp, o.version, o.kind, o.seq
+  FROM ops o JOIN act r
+    ON ({_GVK_MATCH_SQL.format(o='o')})
+   AND (r.namespaces IS NULL OR len(r.namespaces) = 0
+        OR list_contains(r.namespaces, o.namespace))
+),
+hw AS (SELECT syncer_name, MAX(seq) AS high_water FROM matched GROUP BY syncer_name)
+SELECT m.syncer_name,
+       CAST(h.high_water AS BIGINT) AS high_water,
+       CAST(h.high_water // 2 AS BIGINT) AS reset_mark,
+       CAST(COUNT(*) AS BIGINT) AS n_replay,
+       CAST(MIN(m.seq) AS BIGINT) AS first_replay_seq,
+       CAST(COUNT(DISTINCT m.grp || '|' || m.version || '|' || m.kind)
+            AS BIGINT) AS n_gvks
+FROM matched m JOIN hw h USING (syncer_name)
+WHERE m.seq > h.high_water // 2
+GROUP BY m.syncer_name, h.high_water
+ORDER BY m.syncer_name
+""",
+)
+def q_syncer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/S3 extension (VERDICT r8 #7a): the syncer REPLAY/backfill
+    audit — given each active syncer's status high-water mark, which
+    matching op-log events re-apply after a marker RESET (the lost/
+    regressed-status restart: controller-runtime re-lists and requeues
+    everything newer than what status survives,
+    krmsyncer_controller.go:77-100; application is an idempotent MERGE,
+    so replay converges — this query prices the re-work). The reset is
+    simulated at half the high-water (integer DIV, cross-engine exact);
+    per syncer: the mark, the replay row count, its first seq, and the
+    distinct GVKs it spans.
+
+    Fixture: the shared rule/catalog fixtures routed over a DATA-SIZED
+    op-log derived from the events table (event_id → catalog row by
+    mod-7, namespace by mod-3, seq = event_id) — unlike
+    q_syncer_status's 6-row op-log, the replay set here is thousands of
+    rows, so the query exercises the broadcast-rules ⋈ data-sized-oplog
+    shape the real syncer runs.
+
+    Scale: rules/catalog are config-sized broadcasts; the op-log join
+    is one broadcast join over the event scan; matched reduces
+    map-side to per-syncer aggregates. No shuffle carries event rows
+    except the distinct."""
+    from ..catalog import load_table
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    rules = spark.createDataFrame(_SYNCER_RULE_ROWS, schema)
+    val = validate_rules(normalize_rules(rules))
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti")
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev"))
+            .alias("namespace"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    matched = (
+        ops.join(F.broadcast(active), rule_match_condition(ops, active))
+        .select("syncer_name", "group", "version", "kind", "seq")
+        .distinct()
+    )
+    hw = matched.groupBy("syncer_name").agg(F.max("seq").alias("high_water"))
+    return (
+        matched.join(F.broadcast(hw), "syncer_name")
+        .withColumn("reset_mark", F.expr("high_water DIV 2"))
+        .filter(F.col("seq") > F.col("reset_mark"))
+        .groupBy("syncer_name", "high_water", "reset_mark")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_replay"),
+            F.min("seq").cast("bigint").alias("first_replay_seq"),
+            F.count_distinct("group", "version", "kind")
+            .cast("bigint")
+            .alias("n_gvks"),
+        )
+        .select(
+            "syncer_name",
+            F.col("high_water").cast("bigint").alias("high_water"),
+            F.col("reset_mark").cast("bigint").alias("reset_mark"),
+            "n_replay",
+            "first_replay_seq",
+            "n_gvks",
+        )
+        .orderBy("syncer_name")
+    )

@@ -214,6 +214,111 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_export_diff",
+    tags=("S5", "S6", "A1", "A10"),
+    oracle="""
+WITH runs AS (
+  SELECT 'old' AS run, o_orderstatus,
+         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || o_orderpriority || '|' || CAST(o_orderdate AS VARCHAR)
+           AS line
+  FROM orders
+  UNION ALL
+  SELECT 'new', o_orderstatus,
+         CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || CASE WHEN o_orderkey % 101 = 0 THEN 'RESYNC'
+                          ELSE o_orderpriority END
+           || '|' || CAST(o_orderdate AS VARCHAR)
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT o_orderstatus AS partition_value,
+       CAST(COUNT(*) FILTER (WHERE run = 'old') AS BIGINT) AS n_old,
+       CAST(COUNT(*) FILTER (WHERE run = 'new') AS BIGINT) AS n_new,
+       CAST(SUM(octet_length(encode(line))) FILTER (WHERE run = 'old')
+            AS BIGINT) AS bytes_old,
+       CAST(SUM(octet_length(encode(line))) FILTER (WHERE run = 'new')
+            AS BIGINT) AS bytes_new,
+       CASE WHEN COUNT(*) FILTER (WHERE run = 'old')
+               = COUNT(*) FILTER (WHERE run = 'new')
+             AND SUM(octet_length(encode(line))) FILTER (WHERE run = 'old')
+               = SUM(octet_length(encode(line))) FILTER (WHERE run = 'new')
+            THEN 'unchanged' ELSE 'changed' END AS status
+FROM runs
+GROUP BY o_orderstatus
+ORDER BY partition_value
+""",
+)
+def q_export_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 extension (VERDICT r8 #7b): the export DIFF — the manifest
+    delta between two export runs (q_export_manifest × snapshot_delta):
+    per partition, row counts and canonical content bytes of both runs
+    plus a changed/unchanged verdict — the 'what changed since the last
+    export' answer an operator checks before re-publishing an artifact
+    (reference analog: re-running export.go:98-163 against a drifted
+    server and comparing zips by entry). The second run simulates drift
+    deterministically: every 97th key deleted, every 101st key's
+    priority rewritten.
+
+    Scale/plan shape: both runs travel through ONE aggregation — rows
+    are tagged with their run and unioned BEFORE the groupBy
+    (conditional aggregates per run), never two aggregation subplans
+    joined or unioned after the fact (the twin-broadcast hazard class
+    planlint fences). One scan per run side, one shuffle on the
+    partition key, map-side-combined counts/sums — at 100 TB the diff
+    costs two scans and |partitions| rows of state. content_bytes uses
+    the same no-floats canonical line as q_export_manifest."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def line(priority: F.Column) -> F.Column:
+        return F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            priority,
+            F.col("o_orderdate").cast("string"),
+        )
+
+    old = orders.select(
+        F.lit("old").alias("run"),
+        F.col("o_orderstatus").cast("string").alias("partition_value"),
+        line(F.col("o_orderpriority")).alias("line"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.lit("new").alias("run"),
+        F.col("o_orderstatus").cast("string").alias("partition_value"),
+        line(
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("RESYNC")).otherwise(
+                F.col("o_orderpriority")
+            )
+        ).alias("line"),
+    )
+    is_old = F.col("run") == "old"
+    agg = (
+        old.unionByName(new)
+        .groupBy("partition_value")
+        .agg(
+            F.count(F.when(is_old, 1)).cast("bigint").alias("n_old"),
+            F.count(F.when(~is_old, 1)).cast("bigint").alias("n_new"),
+            F.sum(F.when(is_old, F.octet_length("line")))
+            .cast("bigint")
+            .alias("bytes_old"),
+            F.sum(F.when(~is_old, F.octet_length("line")))
+            .cast("bigint")
+            .alias("bytes_new"),
+        )
+    )
+    status = F.when(
+        (F.col("n_old") == F.col("n_new"))
+        & (F.col("bytes_old") == F.col("bytes_new")),
+        F.lit("unchanged"),
+    ).otherwise(F.lit("changed"))
+    return agg.select(
+        "partition_value", "n_old", "n_new", "bytes_old", "bytes_new",
+        status.alias("status"),
+    ).orderBy("partition_value")
+
+
+@query(
     "q_split_spec_status",
     tags=("S10",),
     oracle="""

@@ -158,6 +158,11 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 #      hash row is the oldest, pre-curated for the next round's step-3
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
+    # round-9 widening batch FIRST (no driver evidence yet — step-2
+    # names for the r10 window): the syncer replay/backfill audit and
+    # the export manifest diff (VERDICT r8 #7)
+    "q_syncer_replay",
+    "q_export_diff",
     # r10 re-pin queue head: the 8 r04-evidence names the r9 window
     # could not fit (oldest evidence in the registry after this
     # window runs)

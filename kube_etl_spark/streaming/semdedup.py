@@ -286,3 +286,21 @@ class SemanticDedupIndex:
                 [], "vec_a bigint, vec_b bigint, cos double"
             )
         return cur.select("vec_a", "vec_b", "cos")
+
+
+def run_semdedup_stream(
+    stream: DataFrame, index: SemanticDedupIndex, checkpoint_dir: str
+) -> None:
+    """Wire a (vec_id, v) embedding stream into the index via
+    foreachBatch; blocks until available data is processed. At-least-
+    once redelivery converges because ingest_batch is idempotent —
+    the same contract as run_neardup_stream/run_simdup_stream."""
+    (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: index.ingest_batch(batch, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
