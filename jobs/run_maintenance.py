@@ -4,7 +4,7 @@ kube_etl_spark/plans/layout.py):
 
     run_maintenance.py compact --input <dir> --output <dir> [--target-rows N]
     run_maintenance.py zorder  --input <dir> --output <dir> --by colA,colB [--files N]
-    run_maintenance.py gc      --state <dir> --before-seq N [--seq-col seq] [--keys k1,k2]
+    run_maintenance.py gc      --state <dir> --before-seq N [--seq-col seq]
 
 compact bin-packs a small-file-exploded directory; zorder rewrites a
 table clustered by the Morton value of two key columns so parquet

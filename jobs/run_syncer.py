@@ -132,7 +132,15 @@ def main(argv: list[str]) -> None:
             )
         return rules_state["rules"]
 
-    stream = spark.readStream.schema(OBJ_SCHEMA).json(args.oplog)
+    # one file per micro-batch (same as run_neardup): keeps per-batch
+    # work bounded by what an ingester drops, and lets the status
+    # fail-streak escalation below observe consecutive batches even
+    # under --once
+    stream = (
+        spark.readStream.schema(OBJ_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(args.oplog)
+    )
 
     key_cols = ["group", "version", "kind", "namespace", "name"]
 
@@ -174,7 +182,10 @@ def main(argv: list[str]) -> None:
         with open(args.catalog) as f:
             catalog_rows = json.load(f)
 
+    status_fail_streak = 0
+
     def _publish_status(rules, batch):
+        nonlocal status_fail_streak
         cat = (
             spark.createDataFrame(
                 [(c["group"], c["version"], c["kind"]) for c in catalog_rows],
@@ -198,16 +209,31 @@ def main(argv: list[str]) -> None:
                 prev_rows = spark.read.parquet(status_path).select(
                     "syncer_name", "last_sync_seq"
                 ).collect()
+                status_fail_streak = 0
             except Exception as exc:
                 # ADVICE r8: publishing with the carry-forward silently
                 # dropped would durably REGRESS every syncer's
                 # last_sync_seq high-water mark on a transient read
                 # failure. Skip this batch's status publish instead —
                 # the next batch re-derives it (greatest() is monotone,
-                # so one skipped publish only delays the mark).
+                # so one skipped publish only delays the mark). But a
+                # PERMANENTLY corrupt status (lost part-file) would
+                # wedge the mark forever under skip-only, so after 3
+                # consecutive failures the batch FAILS loudly — the
+                # stream crashes, the liveness probe surfaces it, and
+                # an operator repairs or removes the status table
+                # (never silently regress it).
+                status_fail_streak += 1
+                if status_fail_streak >= 3:
+                    raise RuntimeError(
+                        f"previous status at {status_path} unreadable for "
+                        f"{status_fail_streak} consecutive batches — not "
+                        f"transient; repair or remove the status table"
+                    ) from exc
                 print(
                     f"status publish skipped for this batch: previous "
-                    f"status at {status_path} unreadable ({exc})",
+                    f"status at {status_path} unreadable "
+                    f"(streak {status_fail_streak}/3; {exc})",
                     file=sys.stderr,
                 )
                 return

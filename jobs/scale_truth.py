@@ -1255,8 +1255,11 @@ def semprobe_experiment(spark, sf_dir: str, replicas: int) -> dict:
     ).localCheckpoint(eager=True)
     n = corpus.count()
     k = int(round(math.sqrt(n)))
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = corpus.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    # norm hoisted into a column — an inline norm in the transform
+    # lambda re-evaluates the O(d) dot product per element (O(d²))
+    vn = corpus.withColumn(
+        "n", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
     cents = _kmeans_centroids(
         spark, vn.select("vec_id", F.col("vn").alias("v")), k=k
     )

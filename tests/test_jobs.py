@@ -150,6 +150,20 @@ def test_run_syncer_status_publish_skipped_on_unreadable_prev(spark, tmp_path, c
     got = spark.read.parquet(str(status)).collect()
     assert got[0]["last_sync_seq"] == 9
 
+    # a PERMANENTLY unreadable status must not wedge silently: three
+    # consecutive failing batches (maxFilesPerTrigger=1 → one batch per
+    # file within a single run) escalate to a loud stream failure
+    import pytest
+
+    junk2 = status.resolve() / "zzz-junk.parquet"
+    junk2.write_bytes(b"still not parquet")
+    for seq, name in ((11, "obj4"), (12, "obj5"), (13, "obj6")):
+        (oplog_dir / f"b{seq}.json").write_text(json.dumps(row(seq, name)))
+    with pytest.raises(Exception, match="3 consecutive batches"):
+        run_once()
+    err = capsys.readouterr().err
+    assert "streak 1/3" in err and "streak 2/3" in err
+
 
 def test_run_syncer_hot_rule_reload(spark, tmp_path, capsys):
     """VERDICT r7 #2 — the streaming analog of the reference's
@@ -1738,8 +1752,10 @@ def test_run_neardup_semantic_cli(spark, tmp_path, capsys):
     from kube_etl_spark.registry import all_specs
 
     emb = _neardup_embeddings(spark, SMOKE_SF, limit=10**9).select("vec_id", "v")
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    # norm hoisted into a column (the O(d²) inline-lambda trap)
+    vn = emb.withColumn(
+        "n", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("n")))
     k = max(4, min(16, emb.count() // 64))
     cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=k)
     cent_path = str(tmp_path / "centroids.parquet")

@@ -91,8 +91,12 @@ def _twin_broadcast_unions(plan: str) -> bool:
             # operator name plus the SCAN IDENTITY: branches over
             # different source tables are not twins even when their
             # operator sequences coincide (q_fk_orphans: three FK
-            # checks over different dims union legally)
-            op = re.sub(r"#\d+L?", "#", bt).split("(")[0].split("[")[0].strip()
+            # checks over different dims union legally). The codegen
+            # prefix '*(N) ' is stripped FIRST — split('(') on it
+            # would collapse every codegen'd operator name to '*',
+            # degrading the signature to line-count + scan identity
+            op = re.sub(r"^\*\(\d+\) ", "", bt)
+            op = re.sub(r"#\d+L?", "#", op).split("(")[0].split("[")[0].strip()
             # e.g. "Location: InMemoryFileIndex(1 paths)[file:/...]"
             loc = re.search(r"Location: [^\[]*\[([^\]]*)\]", bt)
             return (bd, op, loc.group(1) if loc else "")
