@@ -742,10 +742,17 @@ def q_syncer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("seq"),
         )
     )
+    # matched feeds TWO consumers (the high-water aggregate and the
+    # replay join) launched in one job — without truncation the event
+    # scan + match join + distinct execute twice (column pruning gives
+    # the two subtrees different canonical forms, so ReuseExchange
+    # can't dedupe them); eager localCheckpoint materializes once
+    # (the measured rule for concurrent same-job consumers)
     matched = (
         ops.join(F.broadcast(active), rule_match_condition(ops, active))
         .select("syncer_name", "group", "version", "kind", "seq")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hw = matched.groupBy("syncer_name").agg(F.max("seq").alias("high_water"))
     return (
