@@ -1613,8 +1613,17 @@ def test_health_listener_and_probe(spark, tmp_path):
         q.awaitTermination()
         q.stop()
         # listener callbacks are async — wait until the progress
-        # totals (not just the started snapshot) have landed
-        deadline = _time.time() + 30
+        # totals (not just the started snapshot) have landed. The
+        # deadline is generous because Spark's listener bus is ONE
+        # async dispatch thread shared by the whole session: late in a
+        # long suite it can carry a backlog of earlier tests' events
+        # (this listener even receives terminated events for queries
+        # that finished BEFORE it attached), and this query's progress
+        # rows land only after that backlog drains — the r8 "one-off
+        # flake" reproduced at 30 s under a 29-minute suite run (r9,
+        # .preflight-logs/test.log caught the name and the foreign
+        # UUID-keyed entry that proved the backlog).
+        deadline = _time.time() + 180
         qstate = None
         while _time.time() < deadline:
             try:
