@@ -91,7 +91,11 @@ def main(argv: list[str]) -> None:
     from pyspark.sql import functions as F
 
     from kube_etl_spark.session import configure
-    from kube_etl_spark.streaming.cdc import StateTable, atomic_overwrite
+    from kube_etl_spark.streaming.cdc import (
+        StateTable,
+        atomic_overwrite,
+        atomic_write_json,
+    )
     from kube_etl_spark.streaming.sync import (
         DestinationRegistry,
         compile_sync,
@@ -132,15 +136,15 @@ def main(argv: list[str]) -> None:
             )
         return rules_state["rules"]
 
-    # one file per micro-batch (same as run_neardup): keeps per-batch
-    # work bounded by what an ingester drops, and lets the status
-    # fail-streak escalation below observe consecutive batches even
-    # under --once
-    stream = (
-        spark.readStream.schema(OBJ_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .json(args.oplog)
-    )
+    # NO maxFilesPerTrigger: syncer state merges are full StateTable
+    # rewrites (O(state) per batch regardless of batch size), so
+    # backlog catch-up must coalesce accumulated files into one merge —
+    # per-file batching would multiply the rewrite cost by the file
+    # count with nothing to offset it (unlike run_neardup, whose
+    # per-batch bounding feeds bucketed probe pruning). The status
+    # fail-streak below persists on DISK, so its escalation does not
+    # depend on batch granularity.
+    stream = spark.readStream.schema(OBJ_SCHEMA).json(args.oplog)
 
     key_cols = ["group", "version", "kind", "namespace", "name"]
 
@@ -182,10 +186,23 @@ def main(argv: list[str]) -> None:
         with open(args.catalog) as f:
             catalog_rows = json.load(f)
 
-    status_fail_streak = 0
+    # The status read fail-streak persists on DISK beside the status
+    # table: a cron-style deployment runs --once with one or two
+    # batches per process, so an in-memory counter would reset every
+    # invocation and a permanently corrupt status would wedge the
+    # high-water mark silently forever (review r9). Single-writer job
+    # (same ownership model as the state tables), so the
+    # read-modify-write below needs no lock.
+    streak_path = f"{status_path}.failstreak.json"
+
+    def _read_streak() -> int:
+        try:
+            with open(streak_path) as f:
+                return int(json.load(f)["consecutive_failures"])
+        except Exception:
+            return 0
 
     def _publish_status(rules, batch):
-        nonlocal status_fail_streak
         cat = (
             spark.createDataFrame(
                 [(c["group"], c["version"], c["kind"]) for c in catalog_rows],
@@ -209,7 +226,8 @@ def main(argv: list[str]) -> None:
                 prev_rows = spark.read.parquet(status_path).select(
                     "syncer_name", "last_sync_seq"
                 ).collect()
-                status_fail_streak = 0
+                if os.path.exists(streak_path):
+                    os.remove(streak_path)
             except Exception as exc:
                 # ADVICE r8: publishing with the carry-forward silently
                 # dropped would durably REGRESS every syncer's
@@ -219,21 +237,27 @@ def main(argv: list[str]) -> None:
                 # so one skipped publish only delays the mark). But a
                 # PERMANENTLY corrupt status (lost part-file) would
                 # wedge the mark forever under skip-only, so after 3
-                # consecutive failures the batch FAILS loudly — the
-                # stream crashes, the liveness probe surfaces it, and
-                # an operator repairs or removes the status table
-                # (never silently regress it).
-                status_fail_streak += 1
-                if status_fail_streak >= 3:
+                # consecutive failing batches — counted ON DISK, so
+                # --once invocations accumulate too — the batch FAILS
+                # loudly: the stream/process crashes, the liveness
+                # probe or cron exit code surfaces it, and an operator
+                # repairs or removes the status table (never silently
+                # regress it).
+                streak = _read_streak() + 1
+                atomic_write_json(
+                    streak_path, {"consecutive_failures": streak}
+                )
+                if streak >= 3:
                     raise RuntimeError(
                         f"previous status at {status_path} unreadable for "
-                        f"{status_fail_streak} consecutive batches — not "
-                        f"transient; repair or remove the status table"
+                        f"{streak} consecutive batches — not transient; "
+                        f"repair or remove the status table (and delete "
+                        f"{streak_path} after)"
                     ) from exc
                 print(
                     f"status publish skipped for this batch: previous "
                     f"status at {status_path} unreadable "
-                    f"(streak {status_fail_streak}/3; {exc})",
+                    f"(streak {streak}/3; {exc})",
                     file=sys.stderr,
                 )
                 return

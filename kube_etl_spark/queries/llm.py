@@ -2846,8 +2846,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the pair space (dropDuplicates collapses double-detections
     before the exact verify)."""
     emb = _neardup_embeddings(spark, sf_dir, limit=10**9).select("vec_id", "v")
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    emb = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    # norm hoisted into a column — an inline norm in the transform
+    # lambda re-evaluates the O(d) dot product per element (O(d²) per
+    # vector); same per-row doubles, so values are bit-identical
+    emb = emb.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     n = emb.count()
     k = max(4, min(16, n // 64))
     cent = _kmeans_centroids(spark, emb.select("vec_id", F.col("vn").alias("v")), k=k)

@@ -150,19 +150,37 @@ def test_run_syncer_status_publish_skipped_on_unreadable_prev(spark, tmp_path, c
     got = spark.read.parquet(str(status)).collect()
     assert got[0]["last_sync_seq"] == 9
 
-    # a PERMANENTLY unreadable status must not wedge silently: three
-    # consecutive failing batches (maxFilesPerTrigger=1 → one batch per
-    # file within a single run) escalate to a loud stream failure
+    # the one-failure streak file was cleaned up by the healthy read
+    streak_path = tmp_path / "state" / "status.failstreak.json"
+    assert not streak_path.exists()
+
+    # a PERMANENTLY unreadable status must not wedge silently: the
+    # fail streak persists ON DISK, so three consecutive failing
+    # batches escalate even when each runs in its own --once process
+    # (the cron deployment shape — an in-memory counter would reset
+    # every invocation and never fire)
     import pytest
 
     junk2 = status.resolve() / "zzz-junk.parquet"
     junk2.write_bytes(b"still not parquet")
-    for seq, name in ((11, "obj4"), (12, "obj5"), (13, "obj6")):
+    for i, (seq, name) in enumerate(((11, "obj4"), (12, "obj5"), (13, "obj6"))):
         (oplog_dir / f"b{seq}.json").write_text(json.dumps(row(seq, name)))
-    with pytest.raises(Exception, match="3 consecutive batches"):
-        run_once()
-    err = capsys.readouterr().err
-    assert "streak 1/3" in err and "streak 2/3" in err
+        if i < 2:
+            run_once()
+            assert f"streak {i + 1}/3" in capsys.readouterr().err
+            assert json.loads(streak_path.read_text())[
+                "consecutive_failures"
+            ] == i + 1
+        else:
+            with pytest.raises(Exception, match="3 consecutive batches"):
+                run_once()
+
+    # heal: the next successful publish clears the streak file
+    junk2.unlink()
+    (oplog_dir / "b20.json").write_text(json.dumps(row(20, "obj7")))
+    run_once()
+    assert not streak_path.exists()
+    assert spark.read.parquet(str(status)).collect()[0]["last_sync_seq"] == 20
 
 
 def test_run_syncer_hot_rule_reload(spark, tmp_path, capsys):

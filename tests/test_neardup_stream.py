@@ -232,8 +232,9 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
 
     emb = _neardup_embeddings(spark, SMOKE_SF, limit=10**9).select("vec_id", "v")
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    vn = emb.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     n = emb.count()
     k = max(4, min(16, n // 64))
     cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=k)
@@ -271,8 +272,9 @@ def test_semantic_deletion_retracts_pairs(spark, tmp_path):
     from kube_etl_spark.streaming.semdedup import SemanticDedupIndex
 
     emb = _neardup_embeddings(spark, SMOKE_SF, limit=10**9).select("vec_id", "v")
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = emb.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    vn = emb.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     k = max(4, min(16, emb.count() // 64))
     cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=k)
     index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
@@ -962,8 +964,9 @@ def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
     copy = vecs.filter(F.col("vec_id") == 3).select(
         F.lit(9001).cast("long").alias("vec_id"), "v"
     )
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    vn = vecs.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cent = _kmeans_centroids(
         spark, vn.select("vec_id", F.col("vn").alias("v")), k=4
     )
@@ -1006,8 +1009,9 @@ def test_semdedup_cell_bucketed_mode_matches_flat(spark, tmp_path):
     copy = vecs.filter(F.col("vec_id") == 3).select(
         F.lit(9001).cast("long").alias("vec_id"), "v"
     )
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    vn = vecs.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=4)
     dim = len(vecs.first()["v"])
 
@@ -1143,8 +1147,9 @@ def test_semdedup_changed_vector_clears_ghost_cells(spark, tmp_path):
     copy = vecs.filter(F.col("vec_id") == 3).select(
         F.lit(9001).cast("long").alias("vec_id"), "v"
     )
-    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    vn = vecs.withColumn("vn", F.transform(F.col("v"), lambda x: x / nrm))
+    vn = vecs.withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    ).withColumn("vn", F.transform(F.col("v"), lambda x: x / F.col("nrm")))
     cent = _kmeans_centroids(spark, vn.select("vec_id", F.col("vn").alias("v")), k=4)
     index = SemanticDedupIndex(spark, str(tmp_path / "state"), cent)
     index.ingest_batch(vecs.unionByName(copy), 1)
