@@ -124,11 +124,32 @@ class HealthListener(StreamingQueryListener):
         _atomic_write_json(path, cur)
 
 
+# One live HealthListener per Spark application (keyed by appId): every
+# Python streaming listener costs a py4j round-trip PER EVENT on the
+# context's single streams dispatch queue, so listeners that are
+# attached and never removed accumulate into minutes of event-delivery
+# lag (observed r9: a shared test session with dozens of leaked --once
+# job listeners drip-fed terminated events 10-15 s apart, starving a
+# freshly-attached listener for >3 min). Production runs one job per
+# process, so the replacement is a no-op there; in a shared session the
+# newest job's listener wins — exactly the monitoring that pod is for.
+_ATTACHED: dict[str, HealthListener] = {}
+
+
 def attach_health(spark: SparkSession, out_dir: str) -> HealthListener:
-    """Register a HealthListener on the session; returns it (keep the
-    reference to remove it via spark.streams.removeListener)."""
+    """Register a HealthListener on the session, replacing any listener
+    this function previously attached in the same application; returns
+    it (remove early via spark.streams.removeListener if needed)."""
     listener = HealthListener(out_dir)
+    key = spark.sparkContext.applicationId
+    prev = _ATTACHED.pop(key, None)
+    if prev is not None:
+        try:
+            spark.streams.removeListener(prev)
+        except Exception:
+            pass  # already removed by the caller — harmless
     spark.streams.addListener(listener)
+    _ATTACHED[key] = listener
     return listener
 
 

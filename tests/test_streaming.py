@@ -1656,6 +1656,58 @@ def test_health_listener_and_probe(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_attach_health_replaces_previous_listener(spark, tmp_path):
+    """attach_health keeps ONE live listener per application: every
+    Python streaming listener costs a py4j round-trip per event on the
+    context's single streams dispatch queue, so listeners leaked by
+    successive --once job invocations accumulated into minutes of
+    event-delivery lag (the r8/r9 flake's root cause). A second attach
+    must detach the first — only the newest out dir receives events."""
+    import json as _json
+    import time as _time
+
+    from kube_etl_spark.streaming.health import attach_health
+
+    first = attach_health(spark, str(tmp_path / "obs1"))
+    second = attach_health(spark, str(tmp_path / "obs2"))
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "b0.json").write_text('{"k": 1}\n{"k": 2}')
+        q = (
+            spark.readStream.schema("k long")
+            .json(str(src))
+            .writeStream.format("noop")
+            .queryName("health-replace-test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        deadline = _time.time() + 180
+        got = None
+        while _time.time() < deadline and got is None:
+            try:
+                h = _json.load(open(str(tmp_path / "obs2" / "health.json")))
+                if any(
+                    "health-replace-test" in k and "input_rows" in v
+                    for k, v in h["queries"].items()
+                ):
+                    got = h
+            except (FileNotFoundError, ValueError):
+                pass
+            _time.sleep(0.5)
+        assert got is not None, "replacement listener saw no events"
+        # the replaced listener received nothing (it was detached
+        # BEFORE the query ran)
+        import os as _os
+
+        assert not _os.path.exists(str(tmp_path / "obs1" / "health.json"))
+    finally:
+        spark.streams.removeListener(second)
+
+
 def test_atomic_overwrite_grace_gc_survives_one_publish(spark, tmp_path):
     """The reader-side half of the publish contract (VERDICT r4): the
     WriterLease serializes writers, but a separate reader process that
