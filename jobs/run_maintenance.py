@@ -59,13 +59,12 @@ def main(argv: list[str]) -> None:
         from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
 
         # the purge is key-agnostic (dir-driven, filters only __op/seq),
-        # so gc opens spec-blind handles: flat gets placeholder keys
-        # (it has no value-derived routing to misroute), bucketed gets
-        # the purge-only constructor whose routing surface raises
+        # so gc opens purge-only handles whose key/bucket-dependent
+        # surfaces raise instead of operating under placeholders
         # (ADVICE r8 — a live merge/probe surface under a placeholder
         # bucket expression was one call from silent misrouting)
         if os.path.islink(args.state):
-            table = StateTable(spark, args.state, ["__purge_only__"], args.seq_col)
+            table = StateTable.open_for_purge(spark, args.state, seq_col=args.seq_col)
         elif os.path.isdir(args.state) and any(
             d.startswith("bucket-") for d in os.listdir(args.state)
         ):

@@ -73,6 +73,7 @@ class StateTable:
         key_cols: list[str],
         seq_col: str | list[str],
         lease=None,
+        _purge_only: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -86,6 +87,19 @@ class StateTable:
         # ownership immediately before publishing, so a fenced-off
         # stale writer raises LeaseLost instead of clobbering state
         self.lease = lease
+        self._purge_only = _purge_only
+
+    @classmethod
+    def open_for_purge(
+        cls, spark: SparkSession, path: str, seq_col: str | list[str] = "seq"
+    ):
+        """Key-blind handle for maintenance (the flat twin of
+        BucketedStateTable.open_for_purge): purge_tombstones and read()
+        never evaluate the key columns, but a merge under placeholder
+        keys would compact state to WRONG winners — so merge_batch
+        raises on this handle."""
+        return cls(spark, path, key_cols=["__purge_only__"], seq_col=seq_col,
+                   _purge_only=True)
 
     def _read_raw(self) -> DataFrame | None:
         """Persisted state INCLUDING delete tombstones (internal)."""
@@ -113,6 +127,12 @@ class StateTable:
         e.g. GDPR-deleted content. Replaying the same batch is a no-op
         (same winners). A NULL op (schema-permissive sources omitting
         the field) is treated as an upsert — never silently dropped."""
+        if self._purge_only:
+            raise RuntimeError(
+                "merge_batch is unavailable on a purge-only StateTable "
+                "(open_for_purge): merging under placeholder keys would "
+                "compact state to wrong winners"
+            )
         old = self._read_raw()
         incoming = batch.withColumn(op_col, F.coalesce(F.col(op_col), F.lit("upsert")))
         if old is not None:

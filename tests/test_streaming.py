@@ -1528,6 +1528,26 @@ def test_bucketed_state_purge_only_handle(spark, tmp_path):
         for r in raw.filter(F.col("__op") == "delete").collect()
     } == {(1, 9)}
 
+    # the flat twin: purge works key-blind, merge refuses
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    fpath = str(tmp_path / "flat")
+    freal = StateTable(spark, fpath, ["key"], "seq")
+    freal.merge_batch(
+        spark.createDataFrame(
+            [(1, 0, "upsert", 1.0), (2, 0, "delete", None)],
+            "seq long, key long, op string, value double",
+        )
+    )
+    fblind = StateTable.open_for_purge(spark, fpath, seq_col="seq")
+    fblind.purge_tombstones(before_seq=5)
+    assert fblind.read().count() == 0  # the only key was deleted
+    with pytest.raises(RuntimeError, match="purge-only"):
+        fblind.merge_batch(
+            spark.createDataFrame([(3, 0, "upsert", 1.0)],
+                                  "seq long, key long, op string, value double")
+        )
+
     probe = spark.createDataFrame([(0,)], "key long")
     with pytest.raises(RuntimeError, match="purge-only"):
         blind.buckets_for(probe)
