@@ -4,7 +4,7 @@ kube_etl_spark/plans/layout.py):
 
     run_maintenance.py compact --input <dir> --output <dir> [--target-rows N]
     run_maintenance.py zorder  --input <dir> --output <dir> --by colA,colB [--files N]
-    run_maintenance.py gc      --state <dir> --before-seq N [--seq-col seq]
+    run_maintenance.py gc      --state <dir> --before-seq N [--seq-col seq] [--lease]
 
 compact bin-packs a small-file-exploded directory; zorder rewrites a
 table clustered by the Morton value of two key columns so parquet
@@ -42,6 +42,16 @@ def main(argv: list[str]) -> None:
     g.add_argument("--state", required=True)
     g.add_argument("--before-seq", type=int, required=True)
     g.add_argument("--seq-col", default="seq")
+    g.add_argument(
+        "--lease",
+        action="store_true",
+        help="acquire the state's writer lease (<state>.lease) for the "
+        "purge — REQUIRED when the owning job may be live: an unfenced "
+        "purge rewrite races the owner's merges (both publish via the "
+        "same pointer swap and each side's GC can delete the other's "
+        "fresh version). Without it, only run gc while the owner is "
+        "stopped.",
+    )
     args = ap.parse_args(argv)
 
     import os
@@ -63,26 +73,43 @@ def main(argv: list[str]) -> None:
         # surfaces raise instead of operating under placeholders
         # (ADVICE r8 — a live merge/probe surface under a placeholder
         # bucket expression was one call from silent misrouting)
-        if os.path.islink(args.state):
-            table = StateTable.open_for_purge(spark, args.state, seq_col=args.seq_col)
-        elif os.path.isdir(args.state) and any(
-            d.startswith("bucket-") for d in os.listdir(args.state)
-        ):
-            table = BucketedStateTable.open_for_purge(
-                spark, args.state, seq_col=args.seq_col
-            )
-        else:
-            raise SystemExit(
-                f"{args.state} is neither a flat StateTable symlink nor a "
-                "bucketed state directory"
-            )
-        table.purge_tombstones(args.before_seq)
-        live = table.read()
-        out = {
-            "state": args.state,
-            "before_seq": args.before_seq,
-            "live_rows": live.count() if live is not None else 0,
-        }
+        lease = None
+        if args.lease:
+            from kube_etl_spark.streaming.lease import WriterLease
+
+            lease = WriterLease(args.state.rstrip("/") + ".lease", owner="gc")
+            if not lease.acquire():
+                raise SystemExit(
+                    f"state {args.state} is leased by a live writer — stop "
+                    "the owning job before running gc (a concurrent purge "
+                    "rewrite would race its merges)"
+                )
+        try:
+            if os.path.islink(args.state):
+                table = StateTable.open_for_purge(
+                    spark, args.state, seq_col=args.seq_col, lease=lease
+                )
+            elif os.path.isdir(args.state) and any(
+                d.startswith("bucket-") for d in os.listdir(args.state)
+            ):
+                table = BucketedStateTable.open_for_purge(
+                    spark, args.state, seq_col=args.seq_col, lease=lease
+                )
+            else:
+                raise SystemExit(
+                    f"{args.state} is neither a flat StateTable symlink nor a "
+                    "bucketed state directory"
+                )
+            table.purge_tombstones(args.before_seq)
+            live = table.read()
+            out = {
+                "state": args.state,
+                "before_seq": args.before_seq,
+                "live_rows": live.count() if live is not None else 0,
+            }
+        finally:
+            if lease is not None:
+                lease.release()
     elif args.cmd == "compact":
         out = compact(spark, args.input, args.output, target_rows=args.target_rows)
     else:

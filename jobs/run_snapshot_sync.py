@@ -115,12 +115,31 @@ def main(argv: list[str]) -> None:
         SparkSession.builder.appName("kube-etl-snapshot-sync").getOrCreate()
     )
     lease = None
+    renew_stop = None
     if args.lease:
-        from kube_etl_spark.streaming.lease import WriterLease
+        import threading
+
+        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
 
         lease = WriterLease(args.state.rstrip("/") + ".lease")
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
+        # background renewal at ttl/3 (review r9 — the run_freq /
+        # run_attribution pattern): without it the lease expires after
+        # ttl and every later merge self-fences with LeaseLost — even
+        # --once, if one snapshot's diff outlives the ttl. On LeaseLost
+        # the renewer just stops; the state table's own assert_held
+        # makes the next merge raise rather than clobber the new owner.
+        renew_stop = threading.Event()
+
+        def _renew_loop() -> None:  # pragma: no cover - timing loop
+            while not renew_stop.wait(lease.ttl_s / 3.0):
+                try:
+                    lease.renew()
+                except LeaseLost:
+                    return
+
+        threading.Thread(target=_renew_loop, daemon=True).start()
     try:
         applied, skips_since_apply = _load_marker(args.state)
         src = SnapshotDiffSource(
@@ -191,6 +210,8 @@ def main(argv: list[str]) -> None:
                 break
             time.sleep(args.poll_s)  # pragma: no cover - service loop
     finally:
+        if renew_stop is not None:
+            renew_stop.set()
         if lease is not None:
             lease.release()
         if owned:

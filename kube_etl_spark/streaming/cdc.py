@@ -91,15 +91,22 @@ class StateTable:
 
     @classmethod
     def open_for_purge(
-        cls, spark: SparkSession, path: str, seq_col: str | list[str] = "seq"
+        cls,
+        spark: SparkSession,
+        path: str,
+        seq_col: str | list[str] = "seq",
+        lease=None,
     ):
         """Key-blind handle for maintenance (the flat twin of
         BucketedStateTable.open_for_purge): purge_tombstones and read()
         never evaluate the key columns, but a merge under placeholder
         keys would compact state to WRONG winners — so merge_batch
-        raises on this handle."""
+        raises on this handle. Pass the state's WriterLease when the
+        owning job may be live: the purge rewrite is a publish like any
+        other, and an unfenced one races the owner's merges (review
+        r9)."""
         return cls(spark, path, key_cols=["__purge_only__"], seq_col=seq_col,
-                   _purge_only=True)
+                   lease=lease, _purge_only=True)
 
     def _read_raw(self) -> DataFrame | None:
         """Persisted state INCLUDING delete tombstones (internal)."""
@@ -133,6 +140,12 @@ class StateTable:
                 "(open_for_purge): merging under placeholder keys would "
                 "compact state to wrong winners"
             )
+        if not batch.head(1):
+            # empty delta: the union + window + full rewrite below would
+            # re-publish identical state at O(state) IO for a no-op
+            # (review r9 — replayed/unchanged snapshots and quiet
+            # monitor batches hit this every cycle)
+            return
         old = self._read_raw()
         incoming = batch.withColumn(op_col, F.coalesce(F.col(op_col), F.lit("upsert")))
         if old is not None:
@@ -160,11 +173,10 @@ class StateTable:
                 F.lit("upsert")
             ),
         ).drop(op_col)
-        if self.lease is not None:
-            # fencing: the write below computes lazily inside the
-            # publish, so validate as late as possible — a writer that
-            # lost its lease mid-merge must raise, not publish
-            self.lease.assert_held()
+        # fencing runs INSIDE the publish, after the version write and
+        # immediately before the pointer rename (review r9): a check
+        # that only precedes the write leaves the whole write duration
+        # as a window where a fenced-off stale writer still publishes
         self._atomic_overwrite(new_state)
 
     def purge_tombstones(self, before_seq: int) -> None:
@@ -182,17 +194,31 @@ class StateTable:
         self._atomic_overwrite(raw.filter(~dead_old))
 
     def _atomic_overwrite(self, df: DataFrame) -> None:
-        atomic_overwrite(df, self.path)
+        atomic_overwrite(
+            df,
+            self.path,
+            validate=None if self.lease is None else self.lease.assert_held,
+        )
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(df: DataFrame, path: str, validate=None) -> None:
     """Version-dir + symlink pointer swap. `path` is a symlink to the
     current version directory; publishing = os.rename of a new symlink
     over it, which POSIX guarantees atomic — a crash at any point
     leaves the pointer on a complete old or complete new version, never
     nothing (the two-rename directory dance has a lost-state window
     between the renames). On object stores this role is played by a
-    transactional table format's commit log."""
+    transactional table format's commit log.
+
+    ``validate`` (review r9): a zero-arg callable invoked AFTER the
+    version write completes and immediately BEFORE the pointer rename
+    — the fencing hook. A lease check that runs only before the write
+    leaves an O(write-duration) window in which a fenced-off stale
+    writer still publishes (its parquet write can outlive the lease
+    ttl); worse, its grace GC then deletes the new owner's version
+    dirs. Raising from ``validate`` abandons the publish with the
+    pointer untouched; the orphaned version dir is garbage the next
+    rightful publish sweeps."""
     # Migration: a table first written as a PLAIN directory (pre-
     # versioning build) becomes a version dir on its first atomic
     # publish — the rename is metadata-only and the data files never
@@ -231,6 +257,8 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
             os.symlink(os.path.basename(orphans[-1]), path)
     version = f"{path}.v-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(version)
+    if validate is not None:
+        validate()  # last-moment fencing: raise here = publish abandoned
     old_target = os.readlink(path) if os.path.islink(path) else None
     tmp_link = f"{path}.ln-{uuid.uuid4().hex[:8]}"
     # link target must be relative to the LINK's directory — an
@@ -543,7 +571,11 @@ class BucketedStateTable:
 
     @classmethod
     def open_for_purge(
-        cls, spark: SparkSession, path: str, seq_col: str | list[str] = "seq"
+        cls,
+        spark: SparkSession,
+        path: str,
+        seq_col: str | list[str] = "seq",
+        lease=None,
     ):
         """Spec-blind handle for key-agnostic maintenance (ADVICE r8:
         run_maintenance gc used placeholder keys/n_buckets, leaving a
@@ -551,12 +583,14 @@ class BucketedStateTable:
         call away from silent misrouting). The returned table only
         permits `purge_tombstones` and full `read()` — both are
         dir-driven and never evaluate the bucket expression; the
-        routing surfaces raise."""
+        routing surfaces raise. Pass the state's WriterLease when the
+        owning job may be live (see StateTable.open_for_purge)."""
         return cls(
             spark,
             path,
             key_cols=["__purge_only__"],
             seq_col=seq_col,
+            lease=lease,
             _purge_only=True,
         )
 
@@ -663,13 +697,17 @@ class BucketedStateTable:
                     F.lit("upsert")
                 ),
             ).drop(op_col)
-            if self.lease is not None:
-                # per-bucket fencing: a writer fenced off mid-loop stops
-                # before the NEXT bucket publish; already-published
-                # buckets are individually consistent and the new owner
-                # converges them by replaying the batch (crash contract)
-                self.lease.assert_held()
-            atomic_overwrite(new_state, self._bucket_path(b))
+            # per-bucket fencing, validated INSIDE each publish (after
+            # the bucket's version write, before its pointer rename —
+            # review r9): a writer fenced off mid-loop stops at the
+            # next bucket publish; already-published buckets are
+            # individually consistent and the new owner converges them
+            # by replaying the batch (crash contract)
+            atomic_overwrite(
+                new_state,
+                self._bucket_path(b),
+                validate=None if self.lease is None else self.lease.assert_held,
+            )
 
     def purge_tombstones(self, before_seq: int) -> None:
         """Per-bucket tombstone compaction — same horizon contract as
@@ -690,7 +728,11 @@ class BucketedStateTable:
             )
             if not raw.filter(dead_old).head(1):
                 continue
-            atomic_overwrite(raw.filter(~dead_old), self._bucket_path(b))
+            atomic_overwrite(
+                raw.filter(~dead_old),
+                self._bucket_path(b),
+                validate=None if self.lease is None else self.lease.assert_held,
+            )
 
 
 def changed_ids(

@@ -59,7 +59,29 @@ class HealthListener(StreamingQueryListener):
 
     # -- listener protocol --------------------------------------------------
     def onQueryStarted(self, event) -> None:
-        self._snapshot(self._key(event.id, event.name), {"status": "started"})
+        # A new query start SUPERSEDES prior failed entries under other
+        # keys (review r9): production jobs don't set queryName, so a
+        # failure is keyed by the run's UUID — a healthy restart runs
+        # under a NEW UUID and could never clear the old entry, wedging
+        # is_healthy red forever (the same wedge the _names map fixed
+        # for named queries). One query per job process, so the restart
+        # IS the supersession; the exception is kept for forensics.
+        key = self._key(event.id, event.name)
+        path = os.path.join(self.out_dir, "health.json")
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            cur = None
+        if cur is not None:
+            demoted = False
+            for k, q in cur.get("queries", {}).items():
+                if k != key and q.get("status") == "failed":
+                    q["status"] = "failed_superseded"
+                    demoted = True
+            if demoted:
+                _atomic_write_json(path, cur)
+        self._snapshot(key, {"status": "started"})
 
     def onQueryProgress(self, event) -> None:
         p = event.progress

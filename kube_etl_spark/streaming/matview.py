@@ -69,6 +69,10 @@ class MaterializedJoin:
     def apply_fact_batch(self, batch: DataFrame, batch_seq: int) -> None:
         """batch: fact rows + an 'op' column (upsert/delete). Updates
         fact state, then refreshes exactly the batch's view keys."""
+        # NULL op = upsert (the StateTable.merge_batch contract) — the
+        # view filters below compare op, and NULL would fall out of
+        # BOTH the upsert and delete branches, leaving a stale view row
+        batch = batch.withColumn("op", F.coalesce(F.col("op"), F.lit("upsert")))
         self.fact.merge_batch(
             batch.withColumn("seq", F.lit(batch_seq).cast("bigint"))
         )
@@ -96,6 +100,7 @@ class MaterializedJoin:
     def apply_dim_batch(self, batch: DataFrame, batch_seq: int) -> None:
         """batch: dim rows + 'op'. Updates dim state, then recomputes
         the view rows of every fact row referencing a changed key."""
+        batch = batch.withColumn("op", F.coalesce(F.col("op"), F.lit("upsert")))
         self.dim.merge_batch(
             batch.withColumn("seq", F.lit(batch_seq).cast("bigint"))
         )
@@ -130,18 +135,33 @@ class MaterializedAgg:
     """Incrementally-maintained aggregate view: group_col → (n_rows,
     total) over a CDC fact feed, without re-aggregating the fact table.
 
-    Delta maintenance: for each batch, the OLD contribution of the
-    batch's keys (from fact state before the merge) and their NEW
-    contribution (after) are aggregated per group; the view adds the
-    difference. A key moving BETWEEN groups debits its old group and
-    credits the new one automatically (its old and new rows aggregate
-    under different group values). Totals are exact decimals, so
-    credit/debit is associative and replay-safe: re-applying a batch
-    finds old ≡ new and produces a zero delta.
+    Maintenance is an ABSOLUTE per-group recompute over the touched
+    groups, not a credit/debit delta (review r9): the first design
+    derived the delta from PRE-merge fact state, so a crash between
+    fact.merge_batch and view.merge_batch made at-least-once
+    redelivery see old ≡ new — a zero delta — and the view permanently
+    under-counted (the same crash-window class fixed in substrdup r4
+    and CountMinIndex: derive downstream tables from POST-merge
+    upstream state). Per batch: touched groups = the batch rows'
+    groups ∪ the batch keys' current groups in fact state (a moved
+    key's OLD group must recompute too); that set is persisted to an
+    intent sidecar BEFORE the fact merge — it is the only pre-merge
+    fact the recompute needs, and a replay after a mid-crash unions
+    the stored set back in (post-merge state no longer knows a moved
+    key's old group). The view rows for touched groups are then pure
+    functions of post-merge fact state, so replay converges by
+    construction; groups recomputed to zero membership leave the view.
 
-    Scale shape: per batch the work is two key-pruned slices of fact
-    state + a |groups-touched| merge into the view — the fact table is
-    never re-scanned in full."""
+    Scale shape: per batch the work is |fact rows in the touched
+    groups| (group-pruned, partition-prunable when fact state is laid
+    out by group) + a |touched groups| merge into the view. The
+    touched-group list is a bounded driver-side collect (groups per
+    batch, the same bound the bucket-discovery collects rely on); a
+    heavy-hitter group touched by every batch re-aggregates fully each
+    time — if that regime dominates, the batch-id-keyed delta-table
+    fold (the CountMinIndex pattern) is the alternative. group_col
+    must round-trip through JSON (string/int/bool — the intent
+    sidecar stores the values)."""
 
     def __init__(
         self,
@@ -165,60 +185,70 @@ class MaterializedAgg:
             F.sum(F.col(self.value_col).cast("decimal(20,2)")).alias("s"),
         )
 
+    @property
+    def _intent_path(self) -> str:
+        return f"{self.view.path}.intent.json"
+
     def apply_fact_batch(self, batch: DataFrame, batch_seq: int) -> None:
+        import json as _json
+
+        from .cdc import atomic_write_json
+
         keys = batch.select(self.fact_key).distinct()
         before = self.fact.read()
-        old = (
-            before.join(keys, self.fact_key, "left_semi") if before is not None else None
+        # touched groups: batch rows' groups (deletes may carry a NULL
+        # group — their real group comes from state) ∪ the batch keys'
+        # current groups (a moved key's old group recomputes too)
+        groups = batch.select(self.group_col).filter(
+            F.col(self.group_col).isNotNull()
         )
-        # materialize the old contribution BEFORE the merge: read() goes
-        # through the state symlink and merge_batch deletes the prior
-        # version dir, so a lazy plan evaluated later would see post-
-        # merge data (or dead files). The checkpointed frame is tiny —
-        # |groups touched by this batch| rows.
-        oc = self._contrib(old)
-        if oc is not None:
-            oc = oc.localCheckpoint(eager=True)
+        if before is not None:
+            groups = groups.unionByName(
+                before.join(keys, self.fact_key, "left_semi").select(self.group_col)
+            )
+        group_schema = groups.schema
+        fresh = {r[self.group_col] for r in groups.distinct().collect()}
+        # replay of THIS batch_seq unions the intent written by the
+        # crashed attempt (its pre-merge group set); then re-persist
+        # BEFORE the fact merge, atomically
+        stored: set = set()
+        try:
+            with open(self._intent_path) as f:
+                rec = _json.load(f)
+            if int(rec.get("batch_seq", -1)) == int(batch_seq):
+                stored = set(rec.get("groups", []))
+        except (FileNotFoundError, ValueError):
+            pass
+        touched = sorted(fresh | stored, key=str)
+        atomic_write_json(
+            self._intent_path,
+            {"batch_seq": int(batch_seq), "groups": touched},
+        )
+
         self.fact.merge_batch(
             batch.withColumn("seq", F.lit(batch_seq).cast("bigint"))
         )
+
+        if not touched:
+            return
+        spark = batch.sparkSession
+        tg = spark.createDataFrame([(g,) for g in touched], group_schema)
         after = self.fact.read()
-        new = after.join(keys, self.fact_key, "left_semi")
-
-        nc = self._contrib(new)
-        if oc is not None:
-            oc = oc.withColumnRenamed("n", "n_old").withColumnRenamed("s", "s_old")
-            delta = nc.join(oc, self.group_col, "full")
-        else:
-            delta = nc.withColumn("n_old", F.lit(None)).withColumn("s_old", F.lit(None))
-        delta = delta.select(
+        present = (
+            self._contrib(after.join(tg, self.group_col, "left_semi"))
+            if after is not None
+            else None
+        )
+        base = tg if present is None else tg.join(present, self.group_col, "left")
+        if present is None:
+            base = base.withColumn("n", F.lit(None)).withColumn("s", F.lit(None))
+        updated = base.select(
             self.group_col,
-            (F.coalesce("n", F.lit(0)) - F.coalesce("n_old", F.lit(0))).alias("dn"),
-            (
-                F.coalesce(F.col("s"), F.lit(0).cast("decimal(20,2)"))
-                - F.coalesce(F.col("s_old"), F.lit(0).cast("decimal(20,2)"))
-            ).alias("ds"),
-        ).filter((F.col("dn") != 0) | (F.col("ds") != 0))
-
-        cur = self.view.read()
-        if cur is not None:
-            cur = cur.select(
-                self.group_col,
-                F.col("n_rows").alias("cur_n"),
-                F.col("total").cast("decimal(20,2)").alias("cur_s"),
-            )
-            merged = delta.join(cur, self.group_col, "left")
-        else:
-            merged = delta.withColumn("cur_n", F.lit(None)).withColumn("cur_s", F.lit(None))
-        updated = merged.select(
-            self.group_col,
-            (F.coalesce("cur_n", F.lit(0)) + F.col("dn")).alias("n_rows"),
-            (
-                F.coalesce(F.col("cur_s"), F.lit(0).cast("decimal(20,2)")) + F.col("ds")
-            ).alias("total"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(20,2)")).alias("total"),
             F.lit(batch_seq).cast("bigint").alias("seq"),
-            # groups whose membership dropped to zero leave the view
-            F.when(F.coalesce("cur_n", F.lit(0)) + F.col("dn") <= 0, "delete")
+            # groups recomputed to zero membership leave the view
+            F.when(F.coalesce("n", F.lit(0)) <= 0, "delete")
             .otherwise("upsert")
             .alias("op"),
         )

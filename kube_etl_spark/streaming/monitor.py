@@ -26,6 +26,37 @@ from .cdc import StateTable
 N_BUCKETS = 10
 
 
+def _bucket_expr() -> F.Column:
+    """Bucket of `value` under the profile's [mn, mx] edges — ONE
+    implementation for the reference build and every batch compare.
+
+    Degenerate range (mx == mn — a constant reference window, e.g. a
+    stuck sensor or a flat fee column) is handled explicitly (review
+    r9): the linear form divides by zero → NULL, and greatest() skips
+    NULLs, silently coercing EVERY value (reference and batch alike)
+    to bucket 0 — PSI stays ~0 under arbitrarily large drift. Instead
+    the constant maps to the middle bucket and any departure maps to
+    an edge bucket by direction, so mass leaving the constant IS
+    drift."""
+    span = F.col("mx") - F.col("mn")
+    linear = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("value") - F.col("mn")) * F.lit(float(N_BUCKETS)) / span
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(N_BUCKETS - 1).cast("bigint"),
+    )
+    degenerate = (
+        F.when(F.col("value") < F.col("mn"), F.lit(0))
+        .when(F.col("value") > F.col("mn"), F.lit(N_BUCKETS - 1))
+        .otherwise(F.lit(N_BUCKETS // 2))
+        .cast("bigint")
+    )
+    return F.when(span == 0, degenerate).otherwise(linear)
+
+
 def reference_profile(ref_events: DataFrame) -> DataFrame:
     """Freeze a drift reference from a trusted event window: DENSE
     (event_type × bucket) counts — zero-count buckets included, so
@@ -37,17 +68,7 @@ def reference_profile(ref_events: DataFrame) -> DataFrame:
     bounds = ref_events.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
     )
-    bucket = F.least(
-        F.greatest(
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                * F.lit(float(N_BUCKETS))
-                / (F.col("mx") - F.col("mn"))
-            ).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ),
-        F.lit(N_BUCKETS - 1).cast("bigint"),
-    )
+    bucket = _bucket_expr()
     counts = (
         ref_events.join(F.broadcast(bounds))
         .select("event_type", bucket.alias("bucket"))
@@ -88,17 +109,7 @@ def batch_psi(batch: DataFrame, profile: DataFrame) -> DataFrame:
     (c+0.5)/(n+buckets/2) so empty buckets stay finite. Output:
     (event_type, n_ref, n_batch, psi)."""
     edges = profile.select("mn", "mx").limit(1)
-    bucket = F.least(
-        F.greatest(
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                * F.lit(float(N_BUCKETS))
-                / (F.col("mx") - F.col("mn"))
-            ).cast("bigint"),
-            F.lit(0).cast("bigint"),
-        ),
-        F.lit(N_BUCKETS - 1).cast("bigint"),
-    )
+    bucket = _bucket_expr()
     counts = (
         batch.join(F.broadcast(edges))
         .select("event_type", bucket.alias("bucket"))

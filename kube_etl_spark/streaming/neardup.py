@@ -167,7 +167,25 @@ class NearDupIndex:
             if self._sig_pruned
             else self.sigs.read()
         )
-        changed = changed_ids(sig, stored, "doc_id", "sig")
+        # changed content is detected on the SHINGLE SET, not the
+        # minhash signature (review r9): this index's pairs carry exact
+        # Jaccard over the stored sets, and an edit whose added/removed
+        # shingles win none of the k seeded minima leaves the signature
+        # identical — a sig-only compare would skip retraction while
+        # the upsert below overwrites 's', leaving pairs whose stored
+        # jaccard no longer matches the stored sets (contrast simdup,
+        # whose pair truth IS a pure function of its signature).
+        # Compared via a 64-bit fingerprint of the sorted set so the
+        # exchange moves 8 bytes per doc instead of whole shingle sets.
+        def _fp(df: DataFrame) -> DataFrame:
+            return df.withColumn("__s_fp", F.xxhash64(F.sort_array(F.col("s"))))
+
+        changed = changed_ids(
+            _fp(sig),
+            _fp(stored) if stored is not None else None,
+            "doc_id",
+            "__s_fp",
+        )
         if changed is not None:
             retract_pairs(
                 self.pairs, changed, "doc_a", "doc_b", "jaccard",

@@ -66,14 +66,17 @@ def normalize_rules(rules: DataFrame) -> DataFrame:
     )
 
 
-def _is_kcc_group() -> F.Column:
+def _is_kcc_group(g: F.Column | None = None) -> F.Column:
     """The reference's isKCC test (krmsyncer_controller.go:108-110):
-    the literal glob `*.cnrm.cloud.google.com`, any group with the
-    dotted suffix, or the bare apex group."""
-    g = F.col("rule_group")
-    return (
-        (g == "*" + KCC_SUFFIX) | g.endswith(KCC_SUFFIX) | (g == KCC_SUFFIX[1:])
-    )
+    any group with the dotted suffix (which subsumes the literal glob
+    `*.cnrm.cloud.google.com` — it ends with the suffix too), or the
+    bare apex group. ONE implementation (review r9): validation and
+    event matching previously carried separate copies of this
+    predicate, so a future tightening applied to one would silently
+    diverge the two. `g` defaults to the rule_group column; pass a
+    dataframe-qualified column when building a join condition."""
+    g = F.col("rule_group") if g is None else g
+    return g.endswith(KCC_SUFFIX) | (g == KCC_SUFFIX[1:])
 
 
 def validate_rules(rules: DataFrame) -> DataFrame:
@@ -119,11 +122,7 @@ def rule_match_condition(
       * non-glob rule → exact (group, version, kind) equality.
     Then the namespace in-list (:462-474)."""
     is_kcc_glob = (
-        (
-            (rules["rule_group"] == "*" + KCC_SUFFIX)
-            | rules["rule_group"].endswith(KCC_SUFFIX)
-            | (rules["rule_group"] == KCC_SUFFIX[1:])
-        )
+        _is_kcc_group(rules["rule_group"])
         & (rules["rule_version"] == "*")
         & (rules["rule_kind"] == "*")
     )

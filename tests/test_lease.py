@@ -112,6 +112,52 @@ def test_fenced_writer_cannot_publish_state(spark, tmp_path):
     assert rows == {(1, "v1"), (2, "v2")}  # stale write never landed
 
 
+def test_takeover_during_write_abandons_publish(spark, tmp_path):
+    """Review r9: fencing must be validated INSIDE atomic_overwrite —
+    after the version write, immediately before the pointer rename. A
+    check that only precedes the write leaves the whole write duration
+    as a window where a paused-then-fenced writer still publishes (and
+    its grace GC deletes the new owner's versions). Simulated by
+    expiring the lease FROM the validate hook's viewpoint: the publish
+    must abandon with the pointer untouched and old state readable."""
+    import os
+
+    from kube_etl_spark.streaming.cdc import StateTable, atomic_overwrite
+
+    lease_path = str(tmp_path / "state.lease")
+    old = WriterLease(lease_path, owner="old", ttl_s=60)
+    assert old.acquire()
+    st_path = str(tmp_path / "st")
+    t = StateTable(spark, st_path, ["k"], "seq", lease=old)
+    t.merge_batch(
+        spark.createDataFrame(
+            [(1, 1, "v1", "upsert")], "k long, seq long, v string, op string"
+        )
+    )
+    target_before = os.readlink(st_path)
+
+    # the takeover lands WHILE the stale writer's version write runs:
+    # model it with a validate hook that performs the takeover first,
+    # then delegates to the real lease check (which must now raise)
+    def takeover_then_check():
+        rec = json.load(open(lease_path))
+        rec["deadline"] = time.time() - 1
+        with open(lease_path, "w") as f:
+            json.dump(rec, f)
+        assert WriterLease(lease_path, owner="new", ttl_s=60).acquire()
+        old.assert_held()  # must raise LeaseLost
+
+    df = spark.createDataFrame(
+        [(1, 2, "stale", "upsert")], "k long, seq long, v string, op string"
+    )
+    with pytest.raises(LeaseLost):
+        atomic_overwrite(df, st_path, validate=takeover_then_check)
+    # pointer untouched, pre-takeover state fully readable
+    assert os.readlink(st_path) == target_before
+    rows = {(r["k"], r["v"]) for r in spark.read.parquet(st_path).collect()}
+    assert rows == {(1, "v1")}
+
+
 def test_release_keeps_fencing_token_monotone(tmp_path):
     """release() must not reset the token universe: a release/re-acquire
     cycle bumps the token past every previously-issued one (consumers

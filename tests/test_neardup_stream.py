@@ -946,6 +946,52 @@ def test_neardup_changed_content_retracts_stale_pairs(spark, tmp_path):
     assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == after
 
 
+def test_neardup_detects_change_behind_identical_signature(
+    spark, tmp_path, monkeypatch
+):
+    """Review r9: changed-content detection compares the SHINGLE SET
+    (via a 64-bit fingerprint), not the minhash signature — an edit
+    whose added/removed shingles win none of the k seeded minima
+    leaves the signature identical, and a sig-only compare skipped
+    retraction while overwriting the stored sets (pairs whose stored
+    jaccard no longer matched the stored shingles). Forced here by
+    pinning every doc's signature to a constant: with sigs useless,
+    only the set fingerprint can see the change — and it must."""
+    from kube_etl_spark.streaming import neardup as nd
+
+    real = nd.minhash_signatures
+
+    def constant_sig(docs):
+        from kube_etl_spark.queries.llm import _MINHASH_K
+
+        out = real(docs)
+        return out.withColumn(
+            "sig", F.array_repeat(F.lit(7).cast("long"), _MINHASH_K)
+        )
+
+    monkeypatch.setattr(nd, "minhash_signatures", constant_sig)
+    corpus = _neardup_corpus(spark, SMOKE_SF, limit=10**9).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    index = NearDupIndex(spark, str(tmp_path / "state"))
+    index.ingest_batch(corpus, 1)
+    pairs0 = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    assert pairs0  # constant sigs band everything; exact verify filters
+    victim = max(b for _, b in pairs0)
+    changed = spark.createDataFrame(
+        [(victim, "entirely different replacement content " * 12)],
+        "doc_id long, text string",
+    )
+    index.ingest_batch(changed, 2)
+    after = {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()}
+    # the victim's stale pairs retracted despite the identical signature
+    assert all(victim not in p for p in after)
+    assert after == {p for p in pairs0 if victim not in p}
+    # unchanged re-ingest stays a no-op (fingerprint equal)
+    index.ingest_batch(changed, 3)
+    assert {(r["doc_a"], r["doc_b"]) for r in index.pairs_df().collect()} == after
+
+
 def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
     """The semantic index mirror: re-ingesting a vec_id with a changed
     embedding retracts its old pairs and re-detects under the new one;

@@ -1057,6 +1057,29 @@ def test_drift_monitor_stationary_and_shifted(spark, tmp_path):
     assert "deploy" in nrow and nrow["deploy"][0] == 0, nrow
     assert nrow["deploy"][1] > 0.1, nrow
 
+    # a CONSTANT reference window (stuck sensor) must not blind the
+    # monitor (review r9): the linear bucket divides by zero → NULL,
+    # and greatest() skips NULLs, coercing ALL mass — reference and
+    # every future batch — into bucket 0 (PSI ~0 under any drift). The
+    # degenerate rule maps the constant to the middle bucket and
+    # departures to edge buckets, so a shifted batch still alarms.
+    const_ref = ref.withColumn("value", F.lit(42.0))
+    const_profile = reference_profile(const_ref)
+    same = {
+        r["event_type"]: r["psi"]
+        for r in batch_psi(
+            live.withColumn("value", F.lit(42.0)), const_profile
+        ).collect()
+    }
+    assert same and all(v < 0.1 for v in same.values()), same
+    drifted = {
+        r["event_type"]: r["psi"]
+        for r in batch_psi(
+            live.withColumn("value", F.lit(43.5)), const_profile
+        ).collect()
+    }
+    assert drifted and all(v > 2.0 for v in drifted.values()), drifted
+
     # (a) streaming e2e: stationary replay stays under the alarm
     stream = chunked_file_stream(
         spark, live, str(tmp_path / "chunks"), n_chunks=2, order_col="ts"
@@ -1674,6 +1697,99 @@ def test_health_listener_and_probe(spark, tmp_path):
         assert not ok2 and "stale" in reason2
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_failed_unnamed_query_superseded_by_restart(tmp_path):
+    """Review r9: production jobs don't set queryName, so a failure is
+    keyed by the run's UUID — a healthy restart runs under a NEW UUID
+    and could never clear the old 'failed' entry, wedging is_healthy
+    red forever. A new query start must demote other keys' failed
+    entries to failed_superseded (exception kept for forensics)."""
+    from types import SimpleNamespace
+
+    import json as _json
+
+    from kube_etl_spark.streaming.health import HealthListener, is_healthy
+
+    out = str(tmp_path / "obs")
+    crashed = HealthListener(out)
+    crashed.onQueryStarted(SimpleNamespace(id="uuid-run-1", name=None))
+    crashed.onQueryTerminated(
+        SimpleNamespace(id="uuid-run-1", exception="boom: executor lost")
+    )
+    ok, reason = is_healthy(out, max_staleness_s=300)
+    assert not ok and "failed" in reason  # the pod IS unhealthy now
+
+    # k8s restarts the pod: fresh process, fresh listener, NEW run UUID
+    restarted = HealthListener(out)
+    restarted.onQueryStarted(SimpleNamespace(id="uuid-run-2", name=None))
+    ok2, reason2 = is_healthy(out, max_staleness_s=300)
+    assert ok2, reason2  # the restart supersedes the old failure
+    h = _json.load(open(f"{out}/health.json"))
+    assert h["queries"]["uuid-run-1"]["status"] == "failed_superseded"
+    assert "boom" in h["queries"]["uuid-run-1"]["exception"]
+    assert h["queries"]["uuid-run-2"]["status"] == "started"
+
+
+def test_materialized_agg_survives_crash_between_merges(spark, tmp_path):
+    """Review r9: the delta design derived the view update from
+    PRE-merge fact state, so a crash between fact.merge_batch and
+    view.merge_batch made redelivery compute a zero delta and the view
+    under-counted forever. The absolute-recompute design must converge
+    through that exact crash — including a key MOVING groups in the
+    crashed batch, whose OLD group is only recoverable from the intent
+    sidecar (post-merge state no longer knows it)."""
+    import pytest
+
+    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.matview import MaterializedAgg
+
+    ma = MaterializedAgg(
+        StateTable(spark, str(tmp_path / "fact"), ["k"], "seq"),
+        StateTable(spark, str(tmp_path / "view"), ["grp"], "seq"),
+        fact_key="k",
+        group_col="grp",
+        value_col="amt",
+    )
+    schema = "k long, grp string, amt double, op string"
+
+    def apply(rows, seq):
+        ma.apply_fact_batch(spark.createDataFrame(rows, schema), seq)
+
+    def view():
+        got = ma.read()
+        return (
+            {}
+            if got is None
+            else {r["grp"]: (r["n_rows"], float(r["total"])) for r in got.collect()}
+        )
+
+    apply([(1, "a", 10.0, "upsert"), (2, "b", 20.0, "upsert")], 1)
+    assert view() == {"a": (1, 10.0), "b": (1, 20.0)}
+
+    # batch 2 moves key 2 from b to a AND updates key 1 — then crashes
+    # AFTER the fact merge, BEFORE the view merge
+    real_merge = ma.view.merge_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash between merges")
+
+    ma.view.merge_batch = boom
+    batch2 = [(1, "a", 11.0, "upsert"), (2, "a", 21.0, "upsert")]
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply(batch2, 2)
+    # fact state HAS batch 2; the view does not — the poisoned window
+    assert view() == {"a": (1, 10.0), "b": (1, 20.0)}
+
+    # at-least-once redelivery of the SAME batch converges the view,
+    # including emptying the moved key's old group b
+    ma.view.merge_batch = real_merge
+    apply(batch2, 2)
+    assert view() == {"a": (2, 32.0)}
+
+    # replay once more: absolute recompute is idempotent
+    apply(batch2, 2)
+    assert view() == {"a": (2, 32.0)}
 
 
 def test_attach_health_replaces_previous_listener(spark, tmp_path):
