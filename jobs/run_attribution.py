@@ -74,27 +74,20 @@ def main(argv: list[str]) -> None:
         ]
     )
     lease = None
-    renew_stop = None
+    renew_cm = None
     if args.lease:
-        import threading
-
-        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
+        from kube_etl_spark.streaming.lease import WriterLease, renewal
 
         lease = WriterLease(args.state.rstrip("/") + ".lease")
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
-        renew_stop = threading.Event()
-
-        def _renew_loop() -> None:  # pragma: no cover - timing loop
-            while not renew_stop.wait(lease.ttl_s / 3.0):
-                try:
-                    lease.renew()
-                except LeaseLost:
-                    for q in spark.streams.active:
-                        q.stop()
-                    return
-
-        threading.Thread(target=_renew_loop, daemon=True).start()
+        # shared renew-at-ttl/3 helper (review r9); a fenced writer's
+        # streams are stopped — it must halt, not retry
+        renew_cm = renewal(
+            lease,
+            on_lost=lambda: [q.stop() for q in spark.streams.active],
+        )
+        renew_cm.__enter__()
     try:
         # everything after lease acquisition sits inside the try: an
         # AttributionTable ctor error or a readStream setup error must
@@ -141,8 +134,8 @@ def main(argv: list[str]) -> None:
             spark.streams.removeListener(health)
         except Exception:
             pass
-        if renew_stop is not None:
-            renew_stop.set()
+        if renew_cm is not None:
+            renew_cm.__exit__(None, None, None)
         if lease is not None:
             lease.release()
         if owned:

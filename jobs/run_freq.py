@@ -60,99 +60,103 @@ def main(argv: list[str]) -> None:
         [StructField("event_id", LongType()), StructField("user_id", LongType())]
     )
     lease = None
-    renew_stop = None
+    renew_cm = None
+    lease_lost = None
     if args.lease:
         import threading
 
-        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
+        from kube_etl_spark.streaming.lease import WriterLease, renewal
 
         lease = WriterLease(args.state.rstrip("/") + ".lease")
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
-        # background renewal at ttl/3: without it a long-running stream
-        # outlives its own lease and every merge after the first minute
-        # is fenced off (assert_held fails on the expired deadline). On
-        # LeaseLost the renewer stops the streams — a fenced writer must
-        # halt, not retry.
-        renew_stop = threading.Event()
+        # shared renew-at-ttl/3 helper (review r9 — three hand-rolled
+        # copies of this block had diverged; run_freq's leaked the
+        # renewer + lease on a failed drain). On LeaseLost the hook
+        # stops the streams AND flags the main thread so it skips
+        # compaction — a stale writer folding history would overwrite
+        # the new owner's state (freq.compact also asserts the lease;
+        # the flag makes the skip graceful instead of a late raise).
         lease_lost = threading.Event()
 
-        def _renew_loop() -> None:  # pragma: no cover - timing loop
-            while not renew_stop.wait(lease.ttl_s / 3.0):
-                try:
-                    lease.renew()
-                except LeaseLost:
-                    # fenced: stop the streams AND flag the main thread
-                    # so it skips compaction — a stale writer folding
-                    # history would overwrite the new owner's state
-                    # (freq.compact also asserts the lease; this flag
-                    # makes the skip graceful instead of a late raise)
-                    lease_lost.set()
-                    for q in spark.streams.active:
-                        q.stop()
-                    return
+        def _on_lost() -> None:  # pragma: no cover - timing path
+            lease_lost.set()
+            for q in spark.streams.active:
+                q.stop()
 
-        threading.Thread(target=_renew_loop, daemon=True).start()
-    else:
-        lease_lost = None
-    index = CountMinIndex(spark, args.state, key_col="user_id", lease=lease)
+        renew_cm = renewal(lease, on_lost=_on_lost)
+        renew_cm.__enter__()
+    try:
+        index = CountMinIndex(spark, args.state, key_col="user_id", lease=lease)
 
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
-        args.watch
-    )
-    writer = stream.writeStream.foreachBatch(
-        lambda batch, bid: index.ingest_batch(batch, bid)
-    ).option("checkpointLocation", args.checkpoint)
-
-    # deletes ride their own stream + checkpoint; batch ids are offset
-    # into a disjoint namespace so ingest and delete deltas never
-    # collide on the (batch_id, i, bucket) state key
-    del_writer = None
-    if args.deletes:
-        del_stream = spark.readStream.schema(schema).option(
+        stream = spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", 1
-        ).json(args.deletes)
-        del_writer = del_stream.writeStream.foreachBatch(
-            lambda batch, bid: index.delete_keys(batch, -(bid + 2))
-        ).option("checkpointLocation", args.checkpoint + ".deletes")
+        ).json(args.watch)
+        writer = stream.writeStream.foreachBatch(
+            lambda batch, bid: index.ingest_batch(batch, bid)
+        ).option("checkpointLocation", args.checkpoint)
 
-    if args.once:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        q.stop()
-        if del_writer is not None:
-            dq = del_writer.trigger(availableNow=True).start()
-            dq.awaitTermination()
-            dq.stop()
-        if args.compact:
-            if lease_lost is not None and lease_lost.is_set():
-                print(
-                    "lease lost during drain; skipping compaction",
-                    file=sys.stderr,
-                )
-            else:
-                index.compact()
-        print(
-            json.dumps(
-                {
-                    "state": args.state,
-                    "cells": index.matrix().filter("n != 0").count(),
-                }
-            )
-        )
-    else:  # pragma: no cover - production mode runs until killed
-        qs = [writer.start()]
-        if del_writer is not None:
-            qs.append(del_writer.start())
-        for q in qs:
+        # deletes ride their own stream + checkpoint; batch ids are
+        # offset into a disjoint namespace so ingest and delete deltas
+        # never collide on the (batch_id, i, bucket) state key
+        del_writer = None
+        if args.deletes:
+            del_stream = spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).json(args.deletes)
+            del_writer = del_stream.writeStream.foreachBatch(
+                lambda batch, bid: index.delete_keys(batch, -(bid + 2))
+            ).option("checkpointLocation", args.checkpoint + ".deletes")
+
+        if args.once:
+            q = writer.trigger(availableNow=True).start()
             q.awaitTermination()
-    spark.streams.removeListener(health)
-    if renew_stop is not None:
-        renew_stop.set()
-    if lease is not None:
-        lease.release()
-    if owned:
-        spark.stop()
+            q.stop()
+            if del_writer is not None:
+                dq = del_writer.trigger(availableNow=True).start()
+                dq.awaitTermination()
+                dq.stop()
+            if args.compact:
+                if lease_lost is not None and lease_lost.is_set():
+                    print(
+                        "lease lost during drain; skipping compaction",
+                        file=sys.stderr,
+                    )
+                else:
+                    index.compact()
+            print(
+                json.dumps(
+                    {
+                        "state": args.state,
+                        "cells": index.matrix().filter("n != 0").count(),
+                    }
+                )
+            )
+        else:  # pragma: no cover - production mode runs until killed
+            qs = [writer.start()]
+            if del_writer is not None:
+                qs.append(del_writer.start())
+            for q in qs:
+                q.awaitTermination()
+    finally:
+        # a failed drain must still detach the listener, stop the
+        # renewal thread, and release the lease — otherwise the daemon
+        # renewer keeps the lease alive FOREVER (not just until ttl)
+        # and a replacement replica can never acquire (review r9; the
+        # run_attribution discipline)
+        try:
+            spark.streams.removeListener(health)
+        except Exception:
+            pass
+        if renew_cm is not None:
+            renew_cm.__exit__(None, None, None)
+        if lease is not None:
+            lease.release()
+        if owned:
+            try:
+                spark.stop()
+            except Exception:
+                pass
 
 
 if __name__ == "__main__":

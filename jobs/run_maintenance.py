@@ -68,6 +68,11 @@ def main(argv: list[str]) -> None:
     if args.cmd == "gc":
         from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
 
+        # normalize: islink('dir/') is False for a symlink (the slash
+        # forces traversal), so a trailing slash would bounce a valid
+        # flat state with 'neither ...' (review r9)
+        args.state = args.state.rstrip("/") or args.state
+
         # the purge is key-agnostic (dir-driven, filters only __op/seq),
         # so gc opens purge-only handles whose key/bucket-dependent
         # surfaces raise instead of operating under placeholders

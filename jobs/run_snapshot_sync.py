@@ -115,31 +115,21 @@ def main(argv: list[str]) -> None:
         SparkSession.builder.appName("kube-etl-snapshot-sync").getOrCreate()
     )
     lease = None
-    renew_stop = None
+    renew_cm = None
     if args.lease:
-        import threading
-
-        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
+        from kube_etl_spark.streaming.lease import WriterLease, renewal
 
         lease = WriterLease(args.state.rstrip("/") + ".lease")
         if not lease.acquire():
             raise SystemExit(f"state {args.state} is leased by another writer")
-        # background renewal at ttl/3 (review r9 — the run_freq /
-        # run_attribution pattern): without it the lease expires after
-        # ttl and every later merge self-fences with LeaseLost — even
-        # --once, if one snapshot's diff outlives the ttl. On LeaseLost
-        # the renewer just stops; the state table's own assert_held
-        # makes the next merge raise rather than clobber the new owner.
-        renew_stop = threading.Event()
-
-        def _renew_loop() -> None:  # pragma: no cover - timing loop
-            while not renew_stop.wait(lease.ttl_s / 3.0):
-                try:
-                    lease.renew()
-                except LeaseLost:
-                    return
-
-        threading.Thread(target=_renew_loop, daemon=True).start()
+        # shared renew-at-ttl/3 helper (review r9): without renewal the
+        # lease expires after ttl and every later merge self-fences
+        # with LeaseLost — even --once, if one snapshot's diff outlives
+        # the ttl. No on_lost hook: this job has no streams to stop;
+        # the state table's own assert_held makes the next merge raise
+        # rather than clobber the new owner.
+        renew_cm = renewal(lease)
+        renew_cm.__enter__()
     try:
         applied, skips_since_apply = _load_marker(args.state)
         src = SnapshotDiffSource(
@@ -210,8 +200,8 @@ def main(argv: list[str]) -> None:
                 break
             time.sleep(args.poll_s)  # pragma: no cover - service loop
     finally:
-        if renew_stop is not None:
-            renew_stop.set()
+        if renew_cm is not None:
+            renew_cm.__exit__(None, None, None)
         if lease is not None:
             lease.release()
         if owned:

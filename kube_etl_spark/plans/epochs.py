@@ -47,9 +47,14 @@ def mixture_rates(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     weight = F.pow(share, alpha) / F.sum(F.pow(share, alpha)).over(w)
     rel = (weight / share).alias("rel")
     rates = per.select("source", share.alias("share"), rel)
-    max_rel = rates.agg(F.max("rel").alias("m"))
-    return rates.crossJoin(F.broadcast(max_rel)).select(
-        "source", "share", (F.col("rel") / F.col("m")).alias("rate")
+    # max over a whole-frame window on the ALREADY-AGGREGATED
+    # |sources|-row frame — a crossJoin with rates.agg(max) re-ran the
+    # corpus-sized groupBy scan twice (review r9; the mixture_rebalance
+    # r6 pitfall, same fix)
+    return rates.select(
+        "source",
+        "share",
+        (F.col("rel") / F.max("rel").over(w)).alias("rate"),
     )
 
 
@@ -63,6 +68,11 @@ def build_manifests(
 ) -> dict:
     """Write partitionBy(epoch) manifests: (doc_id, source, shard, pos)
     per accepted document per epoch. Returns per-epoch counts."""
+    if n_epochs < 1:
+        # sequence(0, n_epochs-1) DESCENDS for n_epochs=0 (the repo's
+        # documented sequence pitfall), silently manufacturing epochs
+        # 0 and -1 — guard at the API (review r9)
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     rates = mixture_rates(docs, alpha)
     epochs = docs.select("doc_id", "source").join(F.broadcast(rates), "source")
     epochs = epochs.select(

@@ -74,6 +74,14 @@ def zorder_write(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty input (or an all-NULL key column): min/max come back as
+        # Python None and norm()'s `hi - lo` would raise an opaque
+        # TypeError deep in the job (review r9) — name the problem
+        raise ValueError(
+            f"zorder_write: input is empty or {col_a!r}/{col_b!r} is "
+            "entirely NULL — nothing to cluster"
+        )
     top = (1 << bits) - 1
 
     def norm(c: Column, lo: int, hi: int) -> Column:

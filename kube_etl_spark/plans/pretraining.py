@@ -117,7 +117,11 @@ def run_pretraining(
     """Run the full pipeline; write partitionBy(split) parquet; return
     a stats dict (the job's one-line JSON report)."""
     docs = load_table(spark, input_dir, "documents")
-    scored = quality_gate(docs)
+    # the gate's 5-gram + double-digest map pass is the job's most
+    # expensive projection and feeds FIVE consumers (n_total, n_kept,
+    # dedup's winners aggregate AND its semi-join probe side, the final
+    # write) — materialize once (review r9; the consumed-N-times rule)
+    scored = quality_gate(docs).localCheckpoint(eager=True)
     n_total = scored.count()
     kept = scored.filter(F.col("keep"))
     n_kept = kept.count()

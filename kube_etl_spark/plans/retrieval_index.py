@@ -255,6 +255,76 @@ def query_index(
     )
 
 
+def _cells_backup_dir(cells_dir: str) -> str:
+    return cells_dir + ".backup"
+
+
+def _cells_intent_path(cells_dir: str) -> str:
+    return cells_dir + ".delete-intent.json"
+
+
+def _backup_cells(cells_dir: str, touched: list) -> None:
+    """Hard-link snapshot of the touched cell dirs + intent journal,
+    published BEFORE the in-place rewrite (see delete_from_index).
+    Links share data blocks, so the snapshot costs metadata only."""
+    from ..streaming.cdc import atomic_write_json
+
+    backup = _cells_backup_dir(cells_dir)
+    shutil_rmtree_quiet(backup)
+    for cid in touched:
+        src = os.path.join(cells_dir, f"centroid_id={cid}")
+        dst = os.path.join(backup, f"centroid_id={cid}")
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            os.link(os.path.join(src, fn), os.path.join(dst, fn))
+    # intent LAST: its existence asserts the backup is complete
+    atomic_write_json(
+        _cells_intent_path(cells_dir), {"touched": [int(c) for c in touched]}
+    )
+
+
+def _recover_cells_backup(cells_dir: str) -> None:
+    """Self-heal a crashed delete: a leftover intent journal means the
+    rewrite may have died mid-commit — restore every journaled cell
+    dir from its hard-link snapshot (re-runnable: each restore clears
+    the target first), then clear the journal. The caller re-runs the
+    delete against the restored pre-delete state, which converges."""
+    import json as _json
+
+    intent = _cells_intent_path(cells_dir)
+    if not os.path.exists(intent):
+        return
+    with open(intent) as f:
+        touched = _json.load(f)["touched"]
+    backup = _cells_backup_dir(cells_dir)
+    for cid in touched:
+        src = os.path.join(backup, f"centroid_id={cid}")
+        dst = os.path.join(cells_dir, f"centroid_id={cid}")
+        if not os.path.isdir(src):
+            continue  # crash before this cell was snapshotted → untouched
+        shutil_rmtree_quiet(dst)
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            os.link(os.path.join(src, fn), os.path.join(dst, fn))
+    _clear_cells_backup(cells_dir)
+
+
+def _clear_cells_backup(cells_dir: str) -> None:
+    # intent first (its absence means "nothing to recover"), then the
+    # now-unreferenced snapshot
+    try:
+        os.remove(_cells_intent_path(cells_dir))
+    except FileNotFoundError:
+        pass
+    shutil_rmtree_quiet(_cells_backup_dir(cells_dir))
+
+
+def shutil_rmtree_quiet(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def delete_from_index(
     spark: SparkSession, index_dir: str, doc_ids: list[int]
 ) -> dict:
@@ -274,10 +344,23 @@ def delete_from_index(
     import shutil
 
     ids_df = spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id long")
+    cells_dir = os.path.join(index_dir, "cells")
+    # Crash recovery FIRST (review r9): the dense rewrite below is a
+    # multi-step in-place mutation (dynamic partition overwrite =
+    # delete-then-move per touched dir, plus explicit emptied-dir
+    # drops) — a crash mid-commit would otherwise lose a cell's
+    # SURVIVING vectors from the compliance-critical index with no way
+    # back. Before mutating, the touched cell dirs are snapshotted via
+    # hard links (O(files) metadata, no data copy — version dirs can't
+    # be used here: a `centroid_id=X.v-...` sibling would parse as a
+    # partition value and corrupt the root read) and an intent journal
+    # is published; a leftover journal means a crashed delete, so the
+    # pre-delete state is restored and the delete re-run converges.
+    _recover_cells_backup(cells_dir)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+        cells = spark.read.parquet(cells_dir)
         touched = [
             r["centroid_id"]
             for r in cells.join(
@@ -300,16 +383,18 @@ def delete_from_index(
             survivors = {
                 r["centroid_id"] for r in kept.select("centroid_id").distinct().collect()
             }
+            _backup_cells(cells_dir, touched)
             # dynamic mode: only the centroid_id=... dirs in `kept` rewrite
             kept.select("vec_id", "v", "centroid_id").write.mode(
                 "overwrite"
-            ).partitionBy("centroid_id").parquet(os.path.join(index_dir, "cells"))
+            ).partitionBy("centroid_id").parquet(cells_dir)
             kept.unpersist()
             for cid in set(touched) - survivors:
                 shutil.rmtree(
-                    os.path.join(index_dir, "cells", f"centroid_id={cid}"),
+                    os.path.join(cells_dir, f"centroid_id={cid}"),
                     ignore_errors=True,
                 )
+            _clear_cells_backup(cells_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

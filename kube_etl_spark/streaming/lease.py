@@ -34,8 +34,10 @@ token).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import threading
 import time
 import uuid
 
@@ -207,3 +209,33 @@ class WriterLease:
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+@contextlib.contextmanager
+def renewal(lease: "WriterLease", on_lost=None):
+    """Background renewal at ttl/3 for an ALREADY-ACQUIRED lease — the
+    one shared copy of the renew-thread boilerplate (review r9: three
+    jobs carried near-identical ~20-line blocks whose cleanup
+    discipline silently diverged; run_freq's ended up leaking the
+    renewer + lease on a failed drain). The thread is stopped on exit
+    — success or exception — and ``on_lost`` (if given) runs once if a
+    renew raises LeaseLost (e.g. stop the job's streams: a fenced
+    writer must halt, not retry). Lease RELEASE stays the caller's
+    job (their finally), so acquire/release pairing remains visible at
+    the call site."""
+    stop = threading.Event()
+
+    def _loop() -> None:  # pragma: no cover - timing loop
+        while not stop.wait(lease.ttl_s / 3.0):
+            try:
+                lease.renew()
+            except LeaseLost:
+                if on_lost is not None:
+                    on_lost()
+                return
+
+    threading.Thread(target=_loop, daemon=True).start()
+    try:
+        yield lease
+    finally:
+        stop.set()

@@ -852,6 +852,62 @@ def test_retrieval_index_compliance_delete(spark, tmp_path):
     assert got == want
 
 
+def test_retrieval_index_delete_recovers_from_mid_commit_crash(spark, tmp_path):
+    """Review r9: the dense-side rewrite is an in-place dynamic
+    partition overwrite — a crash mid-commit could lose a touched
+    cell's SURVIVING vectors with no way back. delete_from_index now
+    snapshots the touched cell dirs via hard links + an intent journal
+    before mutating; a crash is simulated by corrupting a touched cell
+    dir while the journal still exists — the next delete call restores
+    the pre-delete state and re-runs to the correct result."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.plans.retrieval_index import (
+        _backup_cells,
+        build_index,
+        delete_from_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, SMOKE_SF, idx, k=8)
+    cells_dir = idx + "/cells"
+    victims = [3, 7, 11, 400]
+    touched = [
+        r["centroid_id"]
+        for r in spark.read.parquet(cells_dir)
+        .filter(F.col("vec_id").isin(victims))
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+
+    # simulate the crashed delete: backup + intent published (as the
+    # real path does pre-rewrite), then the rewrite 'dies mid-commit' —
+    # one touched cell dir wiped, another left intact
+    _backup_cells(cells_dir, touched)
+    wiped = os.path.join(cells_dir, f"centroid_id={touched[0]}")
+    shutil.rmtree(wiped)
+    assert os.path.exists(cells_dir + ".delete-intent.json")
+
+    # the next delete run recovers first, then deletes normally
+    res = delete_from_index(spark, idx, victims)
+    assert res["deleted"] == 4
+    assert not os.path.exists(cells_dir + ".delete-intent.json")
+    assert not os.path.exists(cells_dir + ".backup")
+    cells = spark.read.parquet(cells_dir)
+    # every surviving vector of the 'lost' cell came back, victims gone
+    assert cells.count() == 500 - len(victims)
+    assert cells.filter(F.col("vec_id").isin(victims)).count() == 0
+    # and the recovered cell still holds its non-victim members
+    survivors_in_wiped = cells.filter(
+        F.col("centroid_id") == touched[0]
+    ).count()
+    assert survivors_in_wiped > 0
+
+
 def test_epoch_manifests(spark, tmp_path):
     """Epoch manifests: deterministic across rebuilds, epochs sample
     independently (different subsets/orders), the mixture upsamples the
