@@ -2859,20 +2859,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this frame — without the checkpoint the assign pass (a corpus ×
     # k distance scan) recomputes twice (the q_dedup_fuzzy signature
     # lesson applied here)
+    # the hoisted norm rides the checkpoint (one extra double per row)
+    # so the pair verify pays ONE fold per pair (the cross dot product)
+    # instead of three — per-pair norm recomputation is the same trap
+    # q_knn_cosine's 3n·k note fences, and within-cell pair spaces make
+    # it the verify stage's dominant fold cost at scale. Same doubles,
+    # same fold order ⇒ cos is bit-identical to the inline form.
     assigned = (
         assign_cells(emb, cent, n=2, vec_col="vn")
-        .select("vec_id", "v", "centroid_id")
+        .select("vec_id", "v", "nrm", "centroid_id")
         .localCheckpoint(eager=True)
     )
     a = assigned.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "centroid_id",
     )
     b = assigned.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id"
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "centroid_id",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["centroid_id"])
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -212,16 +212,26 @@ class SemanticDedupIndex:
             if self.cell_buckets
             else self.members.read()
         )
-        a = assigned.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "centroid_id"
+        # norms hoisted to per-row columns BEFORE the pair join: the
+        # verify then pays one fold per pair (the cross dot product)
+        # instead of three — per-pair norm recomputation is the
+        # q_knn_cosine 3n·k trap, and the state side is read-sized, not
+        # pair-sized. Computed on the same doubles in the same fold
+        # order, so cos (and the stored rounded value) is bit-identical.
+        nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+        a = assigned.withColumn("na", nrm).select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            "na",
+            "centroid_id",
         )
-        b = state.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "centroid_id"
+        b = state.withColumn("nb", nrm).select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            "nb",
+            "centroid_id",
         )
-        cos = _dot(F.col("va"), F.col("vb")) / (
-            F.sqrt(_dot(F.col("va"), F.col("va")))
-            * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-        )
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
         detected = (
             a.join(b, ["centroid_id"])
             .filter(F.col("vec_a") != F.col("vec_b"))
