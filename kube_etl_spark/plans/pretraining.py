@@ -169,21 +169,22 @@ def build_vocab(corpus: DataFrame, min_count: int = 2) -> DataFrame:
     a tokenizer-training step consumes.
 
     Scale shape: one map-side-combined token count (vocabulary-sized
-    output), then the rank window over the POST-AGGREGATE relation —
-    a single-partition sort of |vocab| rows, not of the corpus. At a
-    10⁸-term web vocabulary the rank becomes a rangepartitioned sort;
-    the id contract (count desc, token asc) is a total order either
-    way."""
+    output), then the rank via global_row_number (queries/scale.py) —
+    a range-partitioned distributed exact rank, so a 10⁸-term web
+    vocabulary sorts in parallel instead of in the one task a global
+    window would use; the id contract (count desc, token asc) is a
+    total order either way."""
+    from ..queries.scale import global_row_number
+
     counts = (
         corpus.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    return counts.withColumn("id", F.row_number().over(w).cast("bigint")).select(
-        "token", "count", "id"
-    )
+    return global_row_number(
+        counts, [F.col("count").desc(), F.col("token").asc()], out_col="id"
+    ).select("token", "count", "id")
 
 
 def encode_corpus(corpus: DataFrame, vocab: DataFrame) -> DataFrame:

@@ -95,24 +95,45 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie hazard.
 
     Scale shape: one groupBy(custkey) over orders (map-side combine),
-    then three NTILEs over the |customers| aggregate frame. A global
-    NTILE is a single-partition sort — correct here because the frame
-    is customer-cardinality (10⁷ rows at 100 TB, one executor's work),
-    never the raw orders; if customers themselves outgrow one task,
-    the swap is percentile_approx bucket edges + a broadcast range
-    lookup, same downstream cube."""
+    then three exact quartile passes over the |customers| aggregate
+    frame via global_ntile (scale.py) — each a parallel range exchange
+    + per-partition local sort + broadcast offsets, never the
+    single-partition sort a global-window NTILE compiles to (until r9
+    this leaned on "customers fit one task"; now the rank step
+    parallelizes like everything else). The frame is eagerly
+    checkpointed first — its consumers are concurrent stages (the
+    q_dedup_fuzzy rule). The three quartile columns are ranked
+    INDEPENDENTLY off the checkpointed base and equi-joined back on
+    custkey, not chained — chaining global_ntile calls nests each
+    rank's two-consumer subtree inside the next and the plan grows
+    ~4× per metric (the lint's lineage-blowup cap caught exactly that
+    in this query's first r9 form)."""
+    from .scale import global_ntile
+
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(money("o_totalprice")).alias("monetary"),
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(money("o_totalprice")).alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
     )
-    scored = base.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))).cast("bigint").alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))).cast("bigint").alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))).cast("bigint").alias("m_q"),
-    )
+    scored = base.select("o_custkey")
+    for col, out in (
+        ("last_order", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary", "m_q"),
+    ):
+        ranked = global_ntile(
+            base.select("o_custkey", col),
+            [F.col(col).desc(), F.col("o_custkey")],
+            4,
+            out_col=out,
+        ).select("o_custkey", out)
+        scored = scored.join(ranked, "o_custkey")
+    scored = scored.select("o_custkey", "r_q", "f_q", "m_q")
     return (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"))
@@ -190,14 +211,16 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact, order-independent) until the final double division.
 
     Scale shape: groupBy(custkey) compresses orders to |customers|
-    rows; the global rank is one sort of that aggregate frame (same
-    single-task bound as q_rfm_segments, with the same
-    approx-quantile escape hatch); the final agg is a 1-row reduce."""
+    rows; the global rank is global_row_number (scale.py) — range
+    exchange + per-partition local sort + broadcast offsets, so the
+    rank step parallelizes even if customers outgrow one task (until
+    r9 this was a single-task global Window); the final agg is a
+    1-row reduce."""
+    from .scale import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("x"))
-    ranked = rev.select(
-        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
-    )
+    ranked = global_row_number(rev, ["x", "o_custkey"], out_col="i").select("x", "i")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_customers"),
@@ -487,20 +510,23 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     given the identical total order.
 
     Scale shape: ONE orders scan — groupBy(custkey) partial-agg, then
-    the NTILE global sort over |customers| rows (≪ |orders|; at 1000
-    executors that is the one range-partitioned stage). The cumulative
-    share and the total both come from windows over the 10-row decile
-    aggregate, so no second corpus pass and no total-join exists (the
-    first cut of this query recomputed rev for the total — two scans
-    for a number derivable from the frame already in hand)."""
+    the decile rank over |customers| rows via global_ntile (scale.py:
+    range exchange + per-partition sort + broadcast offsets — a
+    parallel stage, not the single-task sort a global-window NTILE
+    compiles to). The cumulative share and the total both come from
+    windows over the 10-row decile aggregate, so no second corpus
+    pass and no total-join exists (the first cut of this query
+    recomputed rev for the total — two scans for a number derivable
+    from the frame already in hand)."""
+    from .scale import global_ntile
+
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(money("o_totalprice")).alias("r"))
     )
-    d = rev.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("r").desc(), F.col("o_custkey"))),
+    d = global_ntile(
+        rev, [F.col("r").desc(), F.col("o_custkey")], 10, out_col="decile"
     )
     agg = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -517,6 +517,249 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Test-only seam: plan-shape tests flip this to False to see THROUGH
+# _range_parted's checkpoint (pruning/pushdown assertions need the scan
+# visible in the final plan). False is CORRECTNESS-UNSAFE in production
+# — see the docstring below for the reproduced wrong-answer failure —
+# and tests/test_properties.py's reuse-defeat regression pins the True
+# path's behavior.
+CHECKPOINT_RANGE_LAYOUT = True
+
+
+def _range_parted(df: DataFrame, order_cols: list, n_parts: int | None) -> DataFrame:
+    """Range-partition df on the order key, stamp the physical
+    partition id, and EAGERLY localCheckpoint the result — the one
+    safe way to hand a spark_partition_id-stamped range layout to two
+    consumers.
+
+    Why the checkpoint is a CORRECTNESS requirement, not a perf knob
+    (found by the sf0.01 parity gate, reproduced deterministically
+    with spark.sql.exchange.reuse=false): every physical instantiation
+    of a range exchange samples its partition boundaries with an
+    rdd-id-SEEDED RNG, so two un-reused instantiations of the same
+    logical repartitionByRange pick DIFFERENT boundaries. The offsets
+    branch and the rank branch of the global_* helpers each consume
+    this frame; if they execute separate exchange instances, row →
+    __pid assignment diverges between them and offset + local rank
+    combine across two different layouts — silently wrong ranks, load-
+    and plan-dependent (column pruning alone can defeat ReuseExchange,
+    the q_syncer_replay r9 lesson). The eager checkpoint materializes
+    ONE layout and freezes __pid into stored blocks; every consumer —
+    including separate jobs — reads the same bytes. The cost (one
+    extra write of the frame to executor-local storage) is the price
+    of determinism, and the exchange was materializing the same bytes
+    to shuffle files anyway."""
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = df.repartitionByRange(n_parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    if not CHECKPOINT_RANGE_LAYOUT:  # plan-inspection seam, tests only
+        return parted
+    return parted.localCheckpoint(eager=True)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    n_parts: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a total order WITHOUT the
+    single-task sort a global Window compiles to (Exchange
+    SinglePartition + one sorting task — the one plan shape that cannot
+    survive 100 TB no matter how many executors you add).
+
+    Three-step distributed re-expression of the same exact rank:
+      1. ``repartitionByRange`` on the order key — a parallel range
+         exchange (the same machinery as a distributed ORDER BY), each
+         output partition holding one contiguous key range;
+      2. per-partition row counts → cumulative OFFSETS. The cumulative
+         window runs over n_parts rows (one per range partition) — a
+         deliberately tiny single-task step, like every broadcast-edge
+         frame in this module;
+      3. a partition-LOCAL row_number (Window.partitionBy the range
+         partition id — every task sorts only its own range) plus the
+         broadcast offset = the exact global rank.
+
+    ``order_cols`` must form a TOTAL order (include a unique tiebreak
+    column): the range partitioner contracts that equal keys land in
+    the same partition, so offset + local rank is exact — but a
+    non-total order would leave peer rows' relative ranks
+    partitioning-dependent, exactly as it would under a global Window.
+
+    The count pass and the ranked output both consume the range
+    layout; _range_parted eagerly checkpoints it so they read ONE
+    frozen layout — relying on ReuseExchange instead is a silent
+    wrong-answer hazard, not a perf choice (see _range_parted's
+    docstring for the reproduced failure).
+
+    Determinism: the sampled range boundaries affect only WHERE a row
+    ranks locally, never its global rank — boundary placement cancels
+    out of offset + local rank, so the output is partitioning-
+    independent (proven suite-wide by the adversarial-parallelism
+    parity sweep, SPARK_GRAFT_TEST_CPUS/_PARTITIONS in conftest).
+
+    ``total_col``: when set, the output also carries the TOTAL row
+    count under that name — it rides the same n_parts-row offsets
+    broadcast for free (the counts frame already aggregates every
+    partition), so rank-plus-n consumers (NTILE, percent_rank,
+    cume_dist shapes) never pay a separate count pass or broadcast."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = _range_parted(df, order_cols, n_parts)
+    w_cum = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off = F.coalesce(F.sum("__cnt").over(w_cum), F.lit(0)).alias("__off")
+    if total_col is not None:
+        w_all = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = counts.select(
+            "__pid", off, F.sum("__cnt").over(w_all).alias(total_col)
+        )
+    else:
+        offsets = counts.select("__pid", off)
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + local).cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    sum_col: str,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact RUNNING SUM over a global order without the single-task
+    sort a global cumulative Window compiles to — the distributed
+    prefix-sum twin of global_row_number: range-partition on the order
+    key, cumulative per-partition TOTALS become broadcast offsets (an
+    n_parts-row frame), and each task adds its local running sum. The
+    sweep-line / watermark / balance-ledger shape at 100 TB.
+
+    Rows tied on the full ``order_cols`` key carry the SAME summand
+    order-independently (the range partitioner keeps equal keys in one
+    partition, and within a tie group every prefix permutation yields
+    the same value multiset), so the output is partitioning-independent
+    whenever the caller's order key makes the running sum well-defined
+    at all — the same contract a global Window needs."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = _range_parted(df, order_cols, n_parts)
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.sum(sum_col).alias("__tot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__tot").over(w_cum), F.lit(0)).alias("__off"),
+        )
+    )
+    local = F.sum(sum_col).over(
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + local)
+        .drop("__pid", "__off")
+    )
+
+
+def global_cummax(
+    df: DataFrame,
+    order_cols: list,
+    col: str,
+    out_col: str,
+    inclusive: bool = True,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact RUNNING MAX over a global order — global_cumsum's sibling
+    for the watermark / high-water-mark shape (max is commutative-
+    associative, so per-partition totals prefix-combine exactly like
+    sums). ``inclusive=False`` gives the strict-prefix form (max over
+    rows strictly BEFORE each row in the order — the per-row watermark
+    contract), which is NULL for the global first row, exactly as the
+    window form's empty frame is.
+
+    The strict-prefix form needs ``order_cols`` to be a TOTAL order
+    (unique tiebreak): peer rows' strict prefixes are otherwise
+    order-dependent — the same contract the single-task global Window
+    it replaces has."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    part = _range_parted(df, order_cols, n_parts)
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.max(col).alias("__tot"))
+        .select("__pid", F.max("__tot").over(w_prev).alias("__off"))
+    )
+    frame_end = 0 if inclusive else -1
+    local = F.max(col).over(
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
+    )
+    # greatest() ignores NULL operands (empty prefixes), matching the
+    # window form's empty-frame NULL only when BOTH sides are empty
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__off"), local))
+        .drop("__pid", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(k) over a total order without the single-task sort a
+    global-window ntile compiles to: global_row_number supplies the
+    distributed exact rank, one broadcast count row supplies n, and the
+    bucket is derived by NTILE's exact remainder rule — the first
+    (n mod k) buckets hold ceil(n/k) rows, the rest floor(n/k) — NOT
+    the naive floor((rn-1)·k/n) quantile formula, which distributes the
+    remainder across alternating buckets and disagrees with SQL NTILE
+    whenever k ∤ n (e.g. n=10, k=4: NTILE sizes 3,3,2,2; the naive
+    formula gives 2,3,2,3). Value-identity with F.ntile is pinned by
+    tests/test_planshape.py's randomized-size unit test.
+
+    ``order_cols`` must form a total order (unique tiebreak), exactly
+    as SQL NTILE needs for engine-stable buckets; q=0 (n < k) rows all
+    take the first-(q+1)-sized branch, so the DIV q term is never
+    evaluated where q is zero (CASE WHEN branches evaluate lazily per
+    row). n rides global_row_number's offsets broadcast (total_col) —
+    no count pass, no extra broadcast exchange per ntile, which is
+    what keeps a multi-metric consumer like q_rfm_segments inside the
+    plan-lint exchange cap."""
+    rn = global_row_number(
+        df, order_cols, out_col="__rn", n_parts=n_parts, total_col="__n"
+    )
+    # q = floor(n/k), r = n mod k, big = r·(q+1) — rows 1..big live in
+    # the first r (q+1)-sized buckets, the rest in q-sized buckets.
+    # Integer floor-divisions spelled DIV (exact in ANSI mode).
+    q = f"(__n DIV {k})"
+    r = f"(__n % {k})"
+    big = f"({r} * ({q} + 1))"
+    bucket = F.when(
+        F.expr(f"__rn <= {big}"),
+        F.expr(f"(__rn - 1) DIV ({q} + 1) + 1"),
+    ).otherwise(F.expr(f"{r} + (__rn - {big} - 1) DIV {q} + 1"))
+    return rn.withColumn(out_col, bucket.cast("long")).drop("__rn", "__n")
+
+
 @query(
     "q_quantile_bucket_join",
     tags=("W1", "A1", "scale"),
@@ -561,15 +804,17 @@ def q_quantile_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row rollup — plan-asserted: exactly one Window (the edge
     ranking), no sort-merge join, fact agg map-side combinable.
 
-    Honest scale note (ADVICE r5): the edge pass itself is a
-    row_number over a GLOBAL Window (no partitionBy) — a deliberate
-    single-task sort of the (p, okey) key pair, acceptable only as the
-    oracle-EXACT form at fixture scale. The 100 TB form is the
-    registered rows-only twin q_quantile_bucket_join_approx below: the
-    edge pass becomes ONE percentile_approx aggregate (map-side
-    partial-merged sketch, no Window, no global sort anywhere) and
-    nothing else changes — tests/test_planshape.py asserts the approx
-    plan is Window-free.
+    The edge pass is global_row_number — the distributed exact rank
+    (range exchange + per-partition local sort + broadcast offsets),
+    so even the EXACT form now has no single-task data-sized sort
+    anywhere (what ADVICE r5 flagged and rounds 5-8 carried as the
+    one honest scale boundary): the only single-task steps are the
+    n_parts-row offset window and the 9-row edge collect, both
+    partition-count-sized, not data-sized. The registered rows-only
+    twin q_quantile_bucket_join_approx below remains the cheaper 100 TB
+    form when sketch-grade edges suffice — ONE percentile_approx
+    aggregate, no Window at all, one exchange fewer
+    (tests/test_planshape.py asserts both shapes).
 
     Determinism: edges are exact ORDER STATISTICS at ranks k·n DIV 10
     over the total order (2dp decimal price, orderkey) — 2dp decimals
@@ -583,13 +828,10 @@ def q_quantile_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("okey"),
         dec.alias("p"),
     )
-    w_rank = Window.orderBy("p", "okey")
     n_row = r.agg(F.count(F.lit(1)).alias("n"))
-    ranked = r.select(
-        "okey",
-        "p",
-        F.row_number().over(w_rank).alias("rn"),
-    ).crossJoin(F.broadcast(n_row))
+    ranked = global_row_number(r, ["p", "okey"], out_col="rn").crossJoin(
+        F.broadcast(n_row)
+    )
     edges = ranked.filter(
         F.expr("array_contains(transform(sequence(1, 9), q -> (q * n) DIV 10), rn)")
     ).agg(

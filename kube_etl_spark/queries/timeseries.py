@@ -432,12 +432,13 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency. The classic capacity-planning / peak-load query.
 
     Scale shape: island detection is one hashpartition(user_id) window
-    (lag + cumulative flag sum); the sweep's running sum is a window
-    over time order — at 100 TB that global order is the operator's
-    inherent cost (concurrency is a corpus-global property), but the
-    input to the sweep is SESSION endpoints (two rows per session),
-    orders of magnitude smaller than events; a range-partitioned sort
-    handles it. Final rollup is hour-sized."""
+    (lag + cumulative flag sum); the sweep's running sum is
+    global_cumsum (scale.py) — a range-partitioned distributed prefix
+    sum over the SESSION endpoints (two rows per session, orders of
+    magnitude smaller than events), never a single-task global window:
+    concurrency is a corpus-global property, but its global order
+    costs one parallel range exchange, not one task. Final rollup is
+    hour-sized."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     w_u = Window.partitionBy("user_id").orderBy("ts")
     gap = F.unix_timestamp(F.col("ts")) - F.lag(F.unix_timestamp(F.col("ts"))).over(w_u)
@@ -454,11 +455,16 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t0").alias("t"), F.lit(1).alias("d")
     ).unionByName(sessions.select(F.col("t1").alias("t"), F.lit(-1).alias("d")))
     # order starts before ends at the same instant so a zero-length
-    # session still counts as concurrent with itself at its instant
-    w_sweep = Window.orderBy(F.col("t").asc(), F.col("d").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    # session still counts as concurrent with itself at its instant;
+    # the sweep is global_cumsum (scale.py) — a range-partitioned
+    # distributed prefix sum, not the single-task sort a global
+    # cumulative Window compiles to (the docstring's "a range-
+    # partitioned sort handles it", executed since r9)
+    from .scale import global_cumsum
+
+    swept = global_cumsum(
+        deltas, [F.col("t").asc(), F.col("d").desc()], "d", out_col="live"
     )
-    swept = deltas.withColumn("live", F.sum("d").over(w_sweep))
     # eoh = the cumulative net through the hour — a running sum of
     # hourly delta totals over the hour-sized aggregate frame. NOT
     # F.last("live") in the groupBy: an aggregate last() has no

@@ -17,7 +17,7 @@ it the state store grows forever (the reason ST4 exists).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..exact import dsum
@@ -65,14 +65,19 @@ def late_data_accounting(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
     streaming watermark would drop with per-row watermark advancement
     (Spark's real watermark advances per micro-batch, so this is the
     strictest/deterministic variant; the real behavior is asserted in
-    tests/test_streaming.py)."""
-    wm = F.max("ts").over(
-        Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = df.withColumn(
+    tests/test_streaming.py). The strict-prefix max is global_cummax
+    (queries/scale.py) — a range-partitioned distributed prefix max,
+    not the single-task sort the global Window form compiles to;
+    event_id is the unique arrival sequence, so the strict-prefix
+    total-order contract holds."""
+    from ..queries.scale import global_cummax
+
+    flagged = global_cummax(
+        df, ["event_id"], "ts", out_col="__wm", inclusive=False
+    ).withColumn(
         "is_late",
         F.when(
-            F.col("ts") < wm - F.expr(f"INTERVAL {delay}"), F.lit(1)
+            F.col("ts") < F.col("__wm") - F.expr(f"INTERVAL {delay}"), F.lit(1)
         ).otherwise(F.lit(0)),
     )
     return (

@@ -23,6 +23,22 @@ def _plan(spark, name: str, mode: str = "formatted") -> str:
     )
 
 
+def _plan_through_range_checkpoint(spark, name: str) -> str:
+    """Like _plan but with scale.CHECKPOINT_RANGE_LAYOUT off, so
+    pruning/pushdown assertions can see the scans that normally live
+    INSIDE _range_parted's eager checkpoint. Inspection only — the
+    un-checkpointed form is correctness-unsafe to execute (the
+    exchange-reuse-defeat regression in test_properties.py)."""
+    from kube_etl_spark.queries import scale
+
+    prev = scale.CHECKPOINT_RANGE_LAYOUT
+    scale.CHECKPOINT_RANGE_LAYOUT = False
+    try:
+        return _plan(spark, name)
+    finally:
+        scale.CHECKPOINT_RANGE_LAYOUT = prev
+
+
 def test_flagship_pushdown_and_pruning(spark):
     """Q1's filter must reach the parquet scan and only the 7 needed
     columns (of 11) may be read."""
@@ -586,7 +602,7 @@ def test_gini_prunes_orders_scan(spark):
     """The Gini aggregate must read only (o_custkey, o_totalprice) —
     a concentration KPI that drags the whole orders schema through
     the shuffle is wrong at any scale."""
-    plan = _plan(spark, "q_revenue_gini")
+    plan = _plan_through_range_checkpoint(spark, "q_revenue_gini")
     read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
     assert "o_custkey" in read and "o_totalprice" in read
     for col in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
@@ -694,14 +710,21 @@ def test_semantic_dedup_candidate_join_is_keyed(spark):
 
 
 def test_decile_lift_single_scan_no_total_join(spark):
-    """Decile lift must read orders ONCE: the cumulative share and the
-    grand total both come from windows over the 10-row decile
-    aggregate — no second corpus pass, no total-side join of any
-    kind."""
-    plan = _plan(spark, "q_decile_lift")
-    assert plan.count("FileScan parquet") <= 1 or plan.count("Scan parquet") <= 2
-    for node in ("BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"):
-        assert node not in plan
+    """Decile lift's corpus reads stay pruned and its NTILE stays the
+    distributed global_ntile shape: the rank window must be __pid-
+    PARTITIONED over a range exchange (never a single-task global
+    sort), the only joins may be the helper's broadcast of partition-
+    count-sized frames (offsets/count rows) — never a sort-merge join
+    — and the cumulative share / grand total still come from windows
+    over the 10-row decile aggregate, not a second corpus pass."""
+    plan = _plan_through_range_checkpoint(spark, "q_decile_lift")
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" in plan, "decile rank lost its range exchange"
+    rn_spec = next(
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number()" in line
+    )
+    assert "__pid" in rn_spec, f"decile rank regressed to a GLOBAL window: {rn_spec}"
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_custkey" in read and "o_totalprice" in read
     assert "o_orderdate" not in read and "o_orderpriority" not in read
@@ -890,16 +913,28 @@ def test_nearest_event_join_is_joinless(spark):
 
 def test_quantile_bucket_join_never_sorts_the_fact(spark):
     """q_quantile_bucket_join's whole point: deciles WITHOUT a global
-    sort/window over the fact. Exactly one Window may appear (the
-    nine-edge order-statistic ranking); the bucket assignment must be
-    the broadcast of the one-row edge frame (nested-loop over 9 array
-    elements per row), never a sort-merge join or a fact-side ntile."""
+    sort/window over the fact — and since r9, without a single-task
+    data-sized sort ANYWHERE: the edge rank is global_row_number
+    (range exchange + per-partition local sort + broadcast offsets).
+    Exactly two Window nodes may appear — the __pid-PARTITIONED local
+    rank and the n_parts-row offset cumulative — and the data-sized
+    one (the row_number over the price order) must carry a partition
+    spec, never compile to a global window's Exchange SinglePartition
+    sort. Bucket assignment stays the broadcast of the one-row edge
+    frame; never a sort-merge join or a fact-side ntile."""
     plan = _plan(spark, "q_quantile_bucket_join")
-    assert plan.count("(1) Window") + plan.count("Window (") <= 2  # one node, 2 mentions
     n_window_nodes = sum(
         1 for line in plan.splitlines() if line.strip().startswith("(") and ") Window" in line
     )
-    assert n_window_nodes == 1, f"expected exactly one Window node, got {n_window_nodes}"
+    assert n_window_nodes == 2, f"expected exactly two Window nodes, got {n_window_nodes}"
+    # the range exchange itself lives inside _range_parted's eager
+    # checkpoint (invisible downstream); the visible contract is that
+    # the data-sized row_number stays __pid-PARTITIONED
+    rn_spec = next(
+        line for line in plan.splitlines()
+        if "windowspecdefinition" in line and "row_number()" in line
+    )
+    assert "__pid" in rn_spec, f"edge row_number regressed to a GLOBAL window: {rn_spec}"
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 

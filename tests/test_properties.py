@@ -787,3 +787,179 @@ def test_snapshot_delta_sequence_converges_property(spark):
             assert snapshot_delta(state, snap, ["k"]).count() == 0
 
     run()
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.integers(min_value=-50, max_value=50),  # dense → guaranteed ties
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+    k=st.integers(min_value=1, max_value=7),
+    desc=st.booleans(),
+)
+def test_global_rank_and_ntile_match_window_forms(spark, rows, nparts, k, desc):
+    """global_row_number / global_ntile (the distributed exact-rank
+    re-expressions, scale.py) must be VALUE-IDENTICAL to the
+    single-task global-Window forms they replace, on arbitrary
+    tie-heavy inputs, at every partition count, in BOTH sort
+    directions (the rfm/decile consumers rank descending), including
+    n < k and n_parts > n — the NTILE remainder rule (first n mod k
+    buckets get the extra row) is exactly the part the naive
+    floor((rn-1)·k/n) formula gets wrong."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_ntile, global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v long"
+    )
+    v_ord = F.col("v").desc() if desc else F.col("v").asc()
+    w = Window.orderBy(v_ord, F.col("id"))
+    expect = {
+        r["id"]: (r["rn"], r["nt"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(k).over(w).cast("long").alias("nt"),
+        ).collect()
+    }
+    got_rn = global_row_number(df, [v_ord, F.col("id")], out_col="rn", n_parts=nparts)
+    got = {
+        r["id"]: (r["rn"], r["nt"])
+        for r in global_ntile(
+            got_rn.drop("rn"), [v_ord, F.col("id")], k, out_col="nt", n_parts=nparts
+        )
+        .join(got_rn.select("id", "rn"), "id")
+        .collect()
+    }
+    assert got == expect
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-8, max_value=8),   # t (dense → ties)
+            st.integers(min_value=-3, max_value=3),   # d (summand)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_cumsum_matches_window_form(spark, rows, nparts):
+    """global_cumsum (the distributed prefix sum, scale.py) must equal
+    the single-task global cumulative Window on arbitrary inputs at
+    every partition count. Ordered by (t, d, id) — a total order, the
+    same contract the Window form needs — including negative summands
+    and heavy t-ties."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, t, d) for i, (t, d) in enumerate(rows)], "id long, t long, d long"
+    )
+    w = Window.orderBy("t", "d", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["id"]: r["cs"] for r in df.select("id", F.sum("d").over(w).alias("cs")).collect()
+    }
+    got = {
+        r["id"]: r["cs"]
+        for r in global_cumsum(
+            df, ["t", "d", "id"], "d", out_col="cs", n_parts=nparts
+        ).collect()
+    }
+    assert got == expect
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.integers(min_value=-20, max_value=20),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+    inclusive=st.booleans(),
+)
+def test_global_cummax_matches_window_form(spark, rows, nparts, inclusive):
+    """global_cummax (distributed prefix max, scale.py) must equal the
+    single-task global-Window running max — inclusive AND strict-prefix
+    (the watermark form, NULL for the global first row) — at every
+    partition count, over a unique arrival order."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cummax
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v long"
+    )
+    end = 0 if inclusive else -1
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, end)
+    expect = {
+        r["id"]: r["m"] for r in df.select("id", F.max("v").over(w).alias("m")).collect()
+    }
+    got = {
+        r["id"]: r["m"]
+        for r in global_cummax(
+            df, ["id"], "v", out_col="m", inclusive=inclusive, n_parts=nparts
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_global_rank_survives_exchange_reuse_defeat(spark):
+    """Regression for the r9 range-boundary hazard (found by the sf0.01
+    parity gate): every physical instantiation of a range exchange
+    samples its partition boundaries with an rdd-id-seeded RNG, so if
+    the global_* helpers' two consumers (offsets pass, rank pass) ever
+    execute SEPARATE exchange instances, row→__pid assignment diverges
+    between them and offset + local rank silently combine across two
+    different layouts. _range_parted's eager checkpoint fixes it by
+    construction; this test re-creates the hostile regime — exchange
+    reuse disabled entirely — where the pre-fix form returned
+    different wrong answers on every run (3/3 at sf0.01)."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cummax, global_row_number
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000).alias("v")
+    )
+    w = Window.orderBy("v", "id")
+    expect_rn = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    wm = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    expect_mx = {
+        r["id"]: r["m"] for r in df.select("id", F.max("v").over(wm).alias("m")).collect()
+    }
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        for _ in range(3):
+            got_rn = {
+                r["id"]: r["rn"]
+                for r in global_row_number(df, ["v", "id"], out_col="rn", n_parts=7)
+                .select("id", "rn")
+                .collect()
+            }
+            assert got_rn == expect_rn
+            got_mx = {
+                r["id"]: r["m"]
+                for r in global_cummax(
+                    df, ["id"], "v", out_col="m", inclusive=False, n_parts=7
+                )
+                .select("id", F.col("m"))
+                .collect()
+            }
+            assert got_mx == expect_mx
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
