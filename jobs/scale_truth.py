@@ -1353,6 +1353,74 @@ def semprobe_experiment(spark, sf_dir: str, replicas: int) -> dict:
     }
 
 
+def grank_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure the distributed exact global rank (queries/scale.py
+    global_row_number: range exchange + partition-local sort +
+    broadcast offsets, behind an eager layout checkpoint) against the
+    single-task global Window it replaces, on replicated orders keys at
+    three sizes — the crossover evidence for the r9 rank-family swap.
+
+    Honest accounting: the distributed wall INCLUDES the eager
+    checkpoint's materialization (it runs at construction) plus the
+    ranked write; the single-task wall is the window write alone.
+    Equality is an order-independent checksum over every (okey, rn)
+    pair, both forms recomputed once for the check."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.scale import global_row_number
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+    )
+    tiers = []
+    for mult in (1, replicas, 4 * replicas):
+        df = (
+            base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                (
+                    F.col("okey") + F.col("rep").cast("long") * F.lit(10**9)
+                ).alias("okey"),
+                (F.col("p") + F.col("rep")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = df.count()
+
+        def _noop(frame):
+            frame.write.format("noop").mode("overwrite").save()
+
+        w = Window.orderBy("p", "okey")
+        single = df.select("okey", F.row_number().over(w).cast("long").alias("rn"))
+        t0 = time.perf_counter()
+        _noop(single)
+        t_single = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        dist = global_row_number(df, ["p", "okey"], out_col="rn").select("okey", "rn")
+        _noop(dist)
+        t_dist = round(time.perf_counter() - t0, 2)
+
+        def _chk(frame):
+            # bit_xor: order-independent, no ANSI long-overflow (a SUM
+            # of 64-bit hashes overflows at millions of rows)
+            return frame.agg(
+                F.expr("bit_xor(xxhash64(okey, rn))").alias("c")
+            ).collect()[0]["c"]
+
+        tiers.append(
+            {
+                "rows": n,
+                "wall_single_task_s": t_single,
+                "wall_distributed_s": t_dist,
+                "equal_checksum": bool(_chk(single) == _chk(dist)),
+            }
+        )
+        df.unpersist()
+    return {"tiers": tiers}
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1364,6 +1432,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--mediasim", action="store_true")
     ap.add_argument("--simprobe", action="store_true")
     ap.add_argument("--semprobe", action="store_true")
+    ap.add_argument("--grank", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1392,6 +1461,8 @@ def main(argv: list[str]) -> None:
         out["semprobe"] = semprobe_experiment(
             spark, args.sf_dir, min(args.replicas, 4)
         )
+    if args.grank:
+        out["grank"] = grank_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:
