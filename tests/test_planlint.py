@@ -211,3 +211,42 @@ def test_all_plans_pass_lint(spark):
         if bad:
             violations[name] = bad
     assert not violations, f"plan lint violations: {violations}"
+
+
+def test_partition_dependent_expressions_stay_fenced():
+    """Source-level fence for the r9 range-boundary hazard class:
+    spark_partition_id, monotonically_increasing_id and rand() produce
+    PARTITION-LAYOUT-DEPENDENT values, so any frame carrying them that
+    is consumed by more than one physical subtree can silently combine
+    two different layouts (each instantiation of an exchange samples
+    its own boundaries / ids / seeds — reproduced wrong answers under
+    spark.sql.exchange.reuse=false). The ONLY sanctioned source use is
+    scale._range_parted, which freezes the stamped layout with an
+    eager checkpoint before anyone consumes it. New uses must either
+    go through _range_parted or bring their own checkpoint + a hostile
+    repro test. (q_sample's seeded Bernoulli .sample is rows-only by
+    declared contract — sampling RNGs are per-partition — and is
+    allowlisted where it lives.)"""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    hits = []
+    for sub in ("kube_etl_spark", "jobs"):
+        for py in sorted((root / sub).rglob("*.py")):
+            rel = py.relative_to(root).as_posix()
+            for i, line in enumerate(py.read_text().splitlines(), 1):
+                code = line.split("#", 1)[0]
+                if re.search(
+                    r"spark_partition_id\s*\(|monotonically_increasing_id\s*\(|F\.rand\s*\(",
+                    code,
+                ):
+                    hits.append(f"{rel}:{i}: {line.strip()}")
+    allowed = ("kube_etl_spark/queries/scale.py",)
+    bad = [h for h in hits if not h.startswith(allowed)]
+    assert not bad, (
+        "partition-layout-dependent expression outside the fenced "
+        f"helper (route through scale._range_parted): {bad}"
+    )
+    # the fence itself must still exist where we think it does
+    assert any("queries/scale.py" in h for h in hits), hits
