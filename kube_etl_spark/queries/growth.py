@@ -374,10 +374,11 @@ def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one hashpartition(c_mktsegment) sort-window pass over
     the dimension, then a 10-band-per-segment rollup. NTILE needs the
-    whole partition ordered — at 100 TB per-segment you'd swap to
-    approx-quantile band edges + a broadcast range lookup (the
-    documented q_rfm_segments escape hatch); the exact form here IS
-    the oracle for that swap."""
+    whole partition ordered — if ONE segment outgrows a task, the swap
+    is scale.global_ntile run per segment (the exact distributed form
+    q_rfm_segments uses since r9) or approx-quantile band edges + a
+    broadcast range lookup when sketch-grade suffices; the exact form
+    here IS the oracle for either swap."""
     bal = F.col("c_acctbal").cast("decimal(12,2)")
     w = Window.partitionBy("c_mktsegment").orderBy(bal.desc(), F.col("c_custkey"))
     r = load_table(spark, sf_dir, "customer").select(
