@@ -552,6 +552,15 @@ def _range_parted(df: DataFrame, order_cols: list, n_parts: int | None) -> DataF
     spark = df.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
+    reserved = {"__pid", "__off", "__cnt", "__tot", "__rn", "__n"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        # withColumn would silently OVERWRITE a caller column of the
+        # same name and corrupt the output — fail loudly instead
+        raise ValueError(
+            f"global rank/prefix helpers reserve column names {sorted(reserved)}; "
+            f"input carries {sorted(clash)} — rename before calling"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parted = df.repartitionByRange(n_parts, *cols).withColumn(
         "__pid", F.spark_partition_id()

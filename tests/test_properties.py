@@ -963,3 +963,16 @@ def test_global_rank_survives_exchange_reuse_defeat(spark):
             assert got_mx == expect_mx
     finally:
         spark.conf.set("spark.sql.exchange.reuse", prev)
+
+
+def test_global_rank_reserved_column_guard(spark):
+    """The rank/prefix helpers stamp __pid/__off/__rn/__n working
+    columns; an input already carrying one would be silently
+    overwritten — the guard must refuse loudly instead."""
+    import pytest
+
+    from kube_etl_spark.queries.scale import global_row_number
+
+    df = spark.range(5).select("id", F.lit(0).alias("__pid"))
+    with pytest.raises(ValueError, match="reserve column names"):
+        global_row_number(df, ["id"], out_col="rn")
