@@ -976,3 +976,41 @@ def test_global_rank_reserved_column_guard(spark):
     df = spark.range(5).select("id", F.lit(0).alias("__pid"))
     with pytest.raises(ValueError, match="reserve column names"):
         global_row_number(df, ["id"], out_col="rn")
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-4, max_value=4),   # t — heavy ties
+            st.integers(min_value=-2, max_value=2),   # d
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_cumsum_tie_multiset_invariance(spark, rows, nparts):
+    """The q_concurrency_profile contract: ordered by (t, d) with NO
+    unique tiebreak, rows tied on the full key share a summand, so the
+    running-sum VALUE MULTISET per tie group is order-independent —
+    global_cumsum's multiset must equal the global Window's multiset
+    even though per-row assignment within a tie group is arbitrary in
+    both forms (duplicate (t, d) rows are deliberately frequent here)."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cumsum
+
+    df = spark.createDataFrame(rows, "t long, d long")
+    w = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    expect = sorted(
+        (r["t"], r["d"], r["cs"])
+        for r in df.select("t", "d", F.sum("d").over(w).alias("cs")).collect()
+    )
+    got = sorted(
+        (r["t"], r["d"], r["cs"])
+        for r in global_cumsum(df, ["t", "d"], "d", out_col="cs", n_parts=nparts)
+        .select("t", "d", "cs")
+        .collect()
+    )
+    assert got == expect
