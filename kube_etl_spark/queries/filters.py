@@ -20,7 +20,7 @@ pushdown, krmsyncer_controller.go:462-474).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -774,6 +774,143 @@ def q_syncer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replay",
             "first_replay_seq",
             "n_gvks",
+        )
+        .orderBy("syncer_name")
+    )
+
+
+@query(
+    "q_watch_gap_relist",
+    tags=("P8", "P9", "S3", "ST"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {{rule_rows}}
+),
+val AS ({{ruleset}}),
+act AS (
+  SELECT v.* FROM val v
+  WHERE NOT EXISTS (SELECT 1 FROM val x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+catalog(idx, grp, version, kind) AS (
+  VALUES {{catalog_rows}}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+  WHERE (e.event_id // 40) % 4 <> 0
+),
+matched AS (
+  SELECT DISTINCT r.syncer_name, o.seq
+  FROM ops o JOIN act r
+    ON ({{gvk_match}})
+   AND (r.namespaces IS NULL OR len(r.namespaces) = 0
+        OR list_contains(r.namespaces, o.namespace))
+),
+g AS (
+  SELECT syncer_name, seq,
+         seq - LAG(seq) OVER (PARTITION BY syncer_name ORDER BY seq) AS gap
+  FROM matched
+)
+SELECT syncer_name,
+       CAST(COUNT(*) AS BIGINT) AS n_ops,
+       CAST(COUNT(*) FILTER (WHERE gap > 25) AS BIGINT) AS n_relists,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       ROUND(COUNT(*) FILTER (WHERE gap > 25) * 1.0 / COUNT(*), 6) AS relist_rate
+FROM g GROUP BY syncer_name ORDER BY syncer_name
+""".format(
+        rule_rows=_sql_rows(_SYNCER_RULE_ROWS),
+        ruleset=_RULESET_SQL.format(src="rules"),
+        catalog_rows=_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)]),
+        gvk_match=_GVK_MATCH_SQL.format(o="o"),
+    ),
+)
+def q_watch_gap_relist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/S3 extension (round 9): the watch-stream CONTINUITY audit
+    — q_syncer_replay prices re-work after a status reset; this query
+    detects where each syncer was FORCED to relist in the first place.
+    A watch consumer tracks a per-stream sequence high-water; when the
+    next delivered op jumps the sequence by more than the retained
+    window, the intervening range was compacted away and the consumer
+    must fall back to a full re-list (the resourceVersion-too-old /
+    watch-bookmark-gap contract: controller-runtime re-lists on
+    ErrResourceExpired, reference watch loop
+    krmsyncer_controller.go:77-100). Per active syncer: ops seen, gap
+    events exceeding the threshold (25 sequence numbers), the worst
+    gap, and the relist rate.
+
+    Fixture: the shared rule/catalog fixtures over the same data-sized
+    op-log as q_syncer_replay (event_id → catalog row by mod-7,
+    namespace by mod-3, seq = event_id), with LOG COMPACTION simulated
+    deterministically: every fourth 40-sequence block is dropped
+    ((seq DIV 40) % 4 = 0), so each surviving stream crosses a ≥40-wide
+    hole once per 160-sequence cycle — natural inter-op steps stay ≤ 21
+    (the mod-7 × mod-3 residue lattice), cleanly below the threshold.
+
+    Scale: rules are a config-sized broadcast over one event scan; the
+    gap window partitions by syncer (each syncer's watch stream is the
+    natural unit of order — the same per-stream contract the real
+    consumer has); the rollup is syncer-sized."""
+    from ..catalog import load_table
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    rules = spark.createDataFrame(_SYNCER_RULE_ROWS, schema)
+    val = validate_rules(normalize_rules(rules))
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti")
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.expr("(event_id DIV 40) % 4 <> 0"))
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev"))
+            .alias("namespace"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    matched = (
+        ops.join(F.broadcast(active), rule_match_condition(ops, active))
+        .select("syncer_name", "seq")
+        .distinct()
+    )
+    w = Window.partitionBy("syncer_name").orderBy("seq")
+    g = matched.withColumn("gap", F.col("seq") - F.lag("seq").over(w))
+    n_ops = F.count(F.lit(1))
+    n_relists = F.sum(F.when(F.col("gap") > 25, 1).otherwise(0))
+    return (
+        g.groupBy("syncer_name")
+        .agg(
+            n_ops.cast("bigint").alias("n_ops"),
+            n_relists.cast("bigint").alias("n_relists"),
+            F.max("gap").cast("bigint").alias("max_gap"),
+            F.round(
+                n_relists.cast("double") / n_ops.cast("double"), 6
+            ).alias("relist_rate"),
         )
         .orderBy("syncer_name")
     )

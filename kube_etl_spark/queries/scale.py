@@ -661,26 +661,148 @@ def global_cumsum(
     the same value multiset), so the output is partitioning-independent
     whenever the caller's order key makes the running sum well-defined
     at all — the same contract a global Window needs."""
+    return global_cumsums(df, order_cols, {out_col: sum_col}, n_parts)
+
+
+def global_cumsums(
+    df: DataFrame,
+    order_cols: list,
+    sums: dict[str, str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """N exact running sums over ONE global order and ONE range layout
+    — the multi-measure form of global_cumsum for consumers that need
+    several prefix sums of the same sorted frame (a two-sample CDF
+    comparison needs both samples' cumulative counts; a ledger needs
+    debits and credits). Calling global_cumsum N times would pay N
+    range exchanges and N checkpoints of the same bytes; this pays one,
+    with every measure's per-partition totals riding one broadcast
+    offsets frame.
+
+    ``sums`` maps each OUTPUT column name to the summand column it
+    accumulates. Same tie/order contract as global_cumsum."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = _range_parted(df, order_cols, n_parts)
+    names = list(sums)
+    clash = {n for n in names if f"__off_{n}" in df.columns or f"__tot_{n}" in df.columns}
+    if clash:
+        raise ValueError(
+            f"global_cumsums reserves __off_<name>/__tot_<name> working columns; "
+            f"input clashes for {sorted(clash)} — rename before calling"
+        )
     w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         part.groupBy("__pid")
-        .agg(F.sum(sum_col).alias("__tot"))
+        .agg(*[F.sum(sums[n]).alias(f"__tot_{n}") for n in names])
         .select(
             "__pid",
-            F.coalesce(F.sum("__tot").over(w_cum), F.lit(0)).alias("__off"),
+            *[
+                F.coalesce(F.sum(f"__tot_{n}").over(w_cum), F.lit(0)).alias(
+                    f"__off_{n}"
+                )
+                for n in names
+            ],
         )
     )
-    local = F.sum(sum_col).over(
+    w_local = (
         Window.partitionBy("__pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    out = part.join(F.broadcast(offsets), "__pid")
+    for n in names:
+        out = out.withColumn(n, F.col(f"__off_{n}") + F.sum(sums[n]).over(w_local))
+    return out.drop("__pid", *[f"__off_{n}" for n in names])
+
+
+def global_interval_merge(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: list | None = None,
+    span_col: str = "span_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Coalesce overlapping-or-touching intervals over a GLOBAL start
+    order — the classic interval-merge (calendar busy-span / hotset
+    compaction) shape — without the single-task sort the textbook
+    Window form compiles to, and over ONE range exchange rather than
+    chaining global_cummax + global_cumsum (which would range-partition
+    and checkpoint the same bytes twice).
+
+    Each row gains ``span_col``: a dense 1-based ordinal over start
+    order, equal for every interval in one merged span. Two intervals
+    share a span iff they are connected through overlap-or-touch links
+    (start ≤ the running max end of all earlier intervals; equality —
+    touching — merges, matching closed-interval semantics).
+
+    Mechanics over one frozen range layout (_range_parted on
+    [start, end, *tiebreaks] — a TOTAL order so the strict prefix max
+    is well-defined; ties cannot change span membership, but the
+    helpers' layout contract wants the unique key anyway):
+      1. strict prefix max of ``end_col`` (global_cummax's shape):
+         per-partition max ends → broadcast strict-prefix offsets +
+         a strict local window;
+      2. span-open flag = first row, or start strictly above that
+         prefix max;
+      3. running sum of the flag over the SAME frozen layout — the
+         flag's per-partition totals are a second tiny aggregate of
+         the checkpointed frame, so no new exchange — is the span id.
+    Both offset frames are n_parts-row broadcasts; re-reading the
+    checkpointed layout for the second aggregate re-scans frozen local
+    blocks, not the upstream lineage."""
+    order_cols = [start_col, end_col, *(tiebreak_cols or [])]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    reserved = {"__emax", "__eoff", "__prev_end", "__open", "__soff", span_col}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_interval_merge reserves {sorted(reserved)}; "
+            f"input carries {sorted(clash)} — rename before calling"
+        )
+    part = _range_parted(df, order_cols, n_parts)
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    end_off = (
+        part.groupBy("__pid")
+        .agg(F.max(end_col).alias("__emax"))
+        .select("__pid", F.max("__emax").over(w_prev).alias("__eoff"))
+    )
+    local_strict = F.max(end_col).over(
+        Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    flagged = (
+        part.join(F.broadcast(end_off), "__pid")
+        .withColumn("__prev_end", F.greatest(F.col("__eoff"), local_strict))
+        .withColumn(
+            "__open",
+            F.when(
+                F.col("__prev_end").isNull()
+                | (F.col(start_col) > F.col("__prev_end")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    span_off = (
+        flagged.groupBy("__pid")
+        .agg(F.sum("__open").alias("__scnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__scnt").over(w_prev), F.lit(0)).alias("__soff"),
+        )
+    )
+    local_spans = F.sum("__open").over(
+        Window.partitionBy("__pid").orderBy(*cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
     return (
-        part.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__off") + local)
-        .drop("__pid", "__off")
+        flagged.join(F.broadcast(span_off), "__pid")
+        .withColumn(span_col, (F.col("__soff") + local_spans).cast("long"))
+        .drop("__pid", "__eoff", "__prev_end", "__open", "__soff")
     )
 
 
@@ -1085,3 +1207,261 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drift_bp"),
     ).orderBy("col_name")
+
+
+@query(
+    "q_interval_merge",
+    tags=("ST", "W4", "scale"),
+    oracle="""
+WITH iv AS (
+  SELECT event_id, user_id,
+         ts - INTERVAL '15 minutes' AS t0,
+         ts + INTERVAL '15 minutes' AS t1
+  FROM events WHERE event_type = 'error'
+),
+m AS (
+  SELECT *, MAX(t1) OVER (ORDER BY t0, t1, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+  FROM iv
+),
+sp AS (
+  SELECT *, SUM(CASE WHEN prev_end IS NULL OR t0 > prev_end THEN 1 ELSE 0 END)
+              OVER (ORDER BY t0, t1, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m
+)
+SELECT CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(t0) AS TIMESTAMP_NS) AS span_start,
+       CAST(MAX(t1) AS TIMESTAMP_NS) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(floor(epoch(MAX(t1))) - floor(epoch(MIN(t0))) AS BIGINT) AS span_secs
+FROM sp GROUP BY span_id ORDER BY span_id
+""",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 9): GLOBAL interval coalescing — the alert-storm /
+    incident-window compaction query. Every error event opens a
+    ±15-minute incident window; overlapping-or-touching windows merge
+    transitively into one incident span (equivalently: a new span
+    starts exactly where the global error stream has a >30-minute
+    silence). Per span: bounds, event count, distinct users swept in,
+    and the span's wall length. The same machinery compacts any global
+    hotset: compaction key ranges, maintenance windows, churn bursts.
+
+    Merging is a corpus-GLOBAL property (spans cross user and time-
+    partition boundaries), so the textbook form — two global-order
+    windows (strict prefix max of end, then a running flag sum) —
+    compiles to a single-task sort. This is global_interval_merge
+    (scale.py): ONE parallel range exchange on the frozen start order,
+    strict-prefix max offsets + span-flag prefix sums both riding
+    n_parts-row broadcasts over the one checkpointed layout. The final
+    per-span rollup shuffles span ids, orders of magnitude fewer than
+    events.
+
+    Determinism: window bounds are exact ±900 s timestamp arithmetic;
+    span membership is tie-independent (equal intervals always merge);
+    event_id is the layout tiebreak. span_secs floors each bound to
+    whole epoch seconds, mirroring unix_timestamp, BEFORE differencing."""
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts - INTERVAL 15 MINUTES").alias("t0"),
+            F.expr("ts + INTERVAL 15 MINUTES").alias("t1"),
+        )
+    )
+    spans = global_interval_merge(
+        iv, "t0", "t1", tiebreak_cols=["event_id"], span_col="span_id"
+    )
+    return (
+        spans.groupBy("span_id")
+        .agg(
+            F.min("t0").alias("span_start"),
+            F.max("t1").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            (
+                F.unix_timestamp(F.max("t1")) - F.unix_timestamp(F.min("t0"))
+            )
+            .cast("bigint")
+            .alias("span_secs"),
+        )
+        .orderBy("span_id")
+    )
+
+
+@query(
+    "q_skyline_orders",
+    tags=("O2", "W1", "scale"),
+    oracle="""
+WITH g AS (
+  SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS p,
+         MAX(o_orderdate) AS pmax_d
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT p, pmax_d,
+         MAX(pmax_d) OVER (ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_d
+  FROM g
+)
+SELECT o.o_orderkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price,
+       CAST(o.o_orderdate AS TIMESTAMP_NS) AS order_ts
+FROM orders o JOIN s ON CAST(o.o_totalprice AS DECIMAL(14,2)) = s.p
+WHERE o.o_orderdate = s.pmax_d
+  AND (s.prev_max_d IS NULL OR o.o_orderdate > s.prev_max_d)
+ORDER BY price, o.o_orderkey
+""",
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 9): the SKYLINE (Pareto-front) operator — orders no
+    other order beats on BOTH dimensions (cheaper-or-equal price AND
+    newer-or-equal date, strictly better on at least one). The
+    multi-objective shortlist shape: cheapest-yet-freshest offers,
+    best quality-vs-cost corpus documents, dominated-configuration
+    pruning.
+
+    Tie-exact dominance via aggregation, not self-join: an all-pairs
+    NOT EXISTS is O(n²); instead (1) collapse to one row per distinct
+    price carrying the group's max date — dominance within a price
+    group is date-only, so a row survives its own group iff it CARRIES
+    that max (equal dates tie, neither dominates); (2) across groups, a
+    row is dominated iff any strictly-cheaper group reaches a date ≥
+    its own — exactly the STRICT prefix max of group-max-date over
+    ascending price, i.e. global_cummax(inclusive=False) on the
+    aggregated frame, whose keys are unique so the total-order contract
+    is free; (3) join the per-price verdict frame back on price and
+    keep rows with date = own-group max AND date > strict prefix max.
+
+    Scale shape: the fact scans twice (group agg + verdict join), both
+    shuffle-keyed on price; the verdict frame is |distinct prices| —
+    usually broadcastable, but the shuffle join holds even when it is
+    not. The skyline itself is O(log n)-sized on independent dims.
+
+    Determinism: 2dp decimal prices and date timestamps compare
+    exactly in both engines; output keys are orderkeys (full ties both
+    survive, correctly)."""
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(dec.alias("p"), F.col("o_orderdate").alias("d"))
+        .groupBy("p")
+        .agg(F.max("d").alias("pmax_d"))
+    )
+    verdict = global_cummax(
+        g, ["p"], "pmax_d", out_col="prev_max_d", inclusive=False
+    )
+    return (
+        orders.select("o_orderkey", dec.alias("price"), F.col("o_orderdate"))
+        .join(verdict, F.col("price") == F.col("p"))
+        .filter(
+            (F.col("o_orderdate") == F.col("pmax_d"))
+            & (
+                F.col("prev_max_d").isNull()
+                | (F.col("o_orderdate") > F.col("prev_max_d"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.col("price").cast("double").alias("price"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .orderBy("price", "o_orderkey")
+    )
+
+
+@query(
+    "q_ks_drift",
+    tags=("A7", "W4", "scale"),
+    oracle="""
+WITH v AS (
+  SELECT value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+),
+c AS (
+  SELECT value, n_a, n_b,
+         SUM(n_a) OVER w AS cum_a, SUM(n_b) OVER w AS cum_b
+  FROM v
+  WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t AS (SELECT SUM(n_a) AS na, SUM(n_b) AS nb FROM v)
+SELECT 'click' AS sample_a, 'purchase' AS sample_b,
+       CAST(t.na AS BIGINT) AS n_a,
+       CAST(t.nb AS BIGINT) AS n_b,
+       CAST(ABS(c.cum_a * t.nb - c.cum_b * t.na) AS BIGINT) AS d_num,
+       ROUND(CAST(ABS(c.cum_a * t.nb - c.cum_b * t.na) AS DOUBLE)
+             / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6) AS ks_stat,
+       c.value AS at_value
+FROM c, t
+ORDER BY d_num DESC, at_value ASC LIMIT 1
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round 9): exact two-sample KOLMOGOROV-SMIRNOV statistic —
+    sup |F_a(x) − F_b(x)| between the value distributions of two event
+    populations. The distribution-drift test PSI (q_drift_psi) cannot
+    replace: KS is binning-free, sensitive anywhere on the CDF, and its
+    statistic locates WHERE the distributions diverge most (emitted as
+    at_value). The train-vs-serve / before-vs-after drift gate for
+    feature pipelines.
+
+    The CDF difference must be evaluated at every distinct value in
+    GLOBAL value order — the running-total shape again. Plan: one
+    groupBy(value) compresses events to distinct-value rows carrying
+    both samples' counts; global_cumsums (scale.py) computes BOTH
+    cumulative counts over ONE range exchange and ONE frozen layout
+    (two global_cumsum calls would range-partition the same bytes
+    twice); totals ride a 1-row broadcast; the argmax row is
+    TakeOrderedAndProject over the exact integer deviation
+    |cum_a·n_b − cum_b·n_a| — no doubles until the final display
+    division, so the winner and tiebreak (smallest value at the sup)
+    are engine-exact.
+
+    At 100 TB: the only data-sized exchanges are the value groupBy and
+    the helper's range exchange over DISTINCT values; everything after
+    is n_parts-row or 1-row broadcasts."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "value")
+    )
+    v = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    c = global_cumsums(v, ["value"], {"cum_a": "n_a", "cum_b": "n_b"})
+    # totals re-read the helper's frozen range layout (its eager
+    # checkpoint), not the event scan — the second consumer is safe
+    # and cheap by construction
+    t = c.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
+    d_num = F.abs(
+        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.lit("click").alias("sample_a"),
+            F.lit("purchase").alias("sample_b"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            d_num.alias("d_num"),
+            F.round(
+                d_num.cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("ks_stat"),
+            F.col("value").alias("at_value"),
+        )
+        .orderBy(F.col("d_num").desc(), F.col("at_value").asc())
+        .limit(1)
+    )

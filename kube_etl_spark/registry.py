@@ -160,9 +160,15 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 ROTATE_NEXT: tuple[str, ...] = (
     # round-9 widening batch FIRST (no driver evidence yet — step-2
     # names for the r10 window): the syncer replay/backfill audit and
-    # the export manifest diff (VERDICT r8 #7)
+    # the export manifest diff (VERDICT r8 #7), then the session-3
+    # widening four (global interval coalescing, the skyline operator,
+    # exact two-sample KS drift, the watch-gap/relist audit)
     "q_syncer_replay",
     "q_export_diff",
+    "q_interval_merge",
+    "q_skyline_orders",
+    "q_ks_drift",
+    "q_watch_gap_relist",
     # r10 re-pin queue head: the 8 r04-evidence names the r9 window
     # could not fit (oldest evidence in the registry after this
     # window runs)
@@ -174,16 +180,21 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_tpch_q4_order_priority",
     "q_concurrency_profile",
     "q_histogram_value",
-    # r10 re-pin queue body: 25 of the 41 r05-evidence names (sorted;
-    # the remaining 16 — q_key_skew_audit, q_knn_classify,
+    # r10 re-pin queue body: 21 of the 41 r05-evidence names (sorted;
+    # the remaining 20 — q_join_left, q_join_range, q_join_right,
+    # q_join_semi (displaced by the session-3 widening: the ≤35 cap
+    # keeps this list from becoming a parking lot, and re-pins, unlike
+    # the unproven head, already carry driver evidence), plus
+    # q_key_skew_audit, q_knn_classify,
     # q_mode_per_group, q_ngram_novelty, q_pareto_concentration,
     # q_percent_of_parent, q_recursive_cte, q_rolling_active_users,
     # q_sample_weighted, q_seasonality_index, q_stream_tumbling,
     # q_time_to_convert, q_tpch_q3_shipping_priority, q_triangle_count,
     # q_weighted_median, q_window_running_distinct — are the r11 queue;
     # every deferred query stays locally parity-proven every run).
-    # Two slots are held back for this round's widening queries, which
-    # get PREPENDED here when registered.
+    # r10 window math: 8 anchors + 2 rows-only (the r10 sketch queue)
+    # + these 35 = 45; the remaining 5 slots come from the r11 queue
+    # head in the comment above.
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_having",
@@ -205,10 +216,6 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_join_bucketed",
     "q_join_cross",
     "q_join_full",
-    "q_join_left",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
 )
 
 

@@ -1014,3 +1014,92 @@ def test_global_cumsum_tie_multiset_invariance(spark, rows, nparts):
         .collect()
     )
     assert got == expect
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-8, max_value=8),   # t (dense → ties)
+            st.integers(min_value=-3, max_value=3),   # a
+            st.integers(min_value=-3, max_value=3),   # b
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_cumsums_matches_window_form(spark, rows, nparts):
+    """global_cumsums (the multi-measure prefix sum, scale.py) must
+    equal TWO single-task global cumulative Windows on arbitrary inputs
+    at every partition count — both measures over the one shared range
+    layout, negative summands and heavy ties included."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cumsums
+
+    df = spark.createDataFrame(
+        [(i, t, a, b) for i, (t, a, b) in enumerate(rows)],
+        "id long, t long, a long, b long",
+    )
+    w = Window.orderBy("t", "id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["id"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "id", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["ca"], r["cb"])
+        for r in global_cumsums(
+            df, ["t", "id"], {"ca": "a", "cb": "b"}, n_parts=nparts
+        ).collect()
+    }
+    assert got == expect
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # start (dense → ties)
+            st.integers(min_value=0, max_value=10),  # length (0 → points)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_interval_merge_matches_window_form(spark, rows, nparts):
+    """global_interval_merge (scale.py) must assign the same span ids
+    as the textbook single-task Window form — strict prefix max of end
+    over start order, span-open flag, running flag sum — on arbitrary
+    interval sets (zero-length points, exact touch, full ties,
+    containment) at every partition count. Span ids must be dense
+    1..n_spans, and two intervals share a span iff connected through
+    overlap-or-touch links."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_interval_merge
+
+    df = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(rows)],
+        "id long, s long, e long",
+    )
+    order = [F.col("s"), F.col("e"), F.col("id")]
+    w_strict = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    prev_end = F.max("e").over(w_strict)
+    flag = F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+    expect = {
+        r["id"]: r["span"]
+        for r in df.select("id", F.sum(flag).over(w_run).alias("span")).collect()
+    }
+    got = {
+        r["id"]: r["span_id"]
+        for r in global_interval_merge(
+            df, "s", "e", tiebreak_cols=["id"], n_parts=nparts
+        ).collect()
+    }
+    assert got == expect
+    assert set(got.values()) == set(range(1, max(got.values()) + 1))
