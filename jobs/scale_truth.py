@@ -1421,6 +1421,91 @@ def grank_experiment(spark, sf_dir: str, replicas: int) -> dict:
     return {"tiers": tiers}
 
 
+def imerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure global_interval_merge (queries/scale.py: ONE frozen
+    range layout, strict-prefix-max + span-flag prefix sums as
+    broadcast offsets) against the textbook single-task Window form it
+    replaces, on replicated error-event incident windows at three
+    sizes — the same crossover protocol as grank_experiment.
+
+    Replicas shift in TIME by 35 days (past the fixture's 30-day span)
+    so every replica keeps the real span structure instead of
+    collapsing into one giant span; interval ids stay unique per
+    replica. Honest accounting: the distributed wall INCLUDES the
+    eager layout checkpoint; equality is an order-independent checksum
+    over every (id, span_id) pair."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.queries.scale import global_interval_merge
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            F.expr("ts - INTERVAL 15 MINUTES").alias("t0"),
+            F.expr("ts + INTERVAL 15 MINUTES").alias("t1"),
+        )
+    )
+    tiers = []
+    for mult in (1, replicas, 4 * replicas):
+        df = (
+            base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                (
+                    F.col("event_id") + F.col("rep").cast("long") * F.lit(10**9)
+                ).alias("id"),
+                (
+                    F.col("t0")
+                    + F.col("rep") * F.expr("INTERVAL 35 DAYS")
+                ).alias("t0"),
+                (
+                    F.col("t1")
+                    + F.col("rep") * F.expr("INTERVAL 35 DAYS")
+                ).alias("t1"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = df.count()
+
+        def _noop(frame):
+            frame.write.format("noop").mode("overwrite").save()
+
+        order = [F.col("t0"), F.col("t1"), F.col("id")]
+        w_strict = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        prev_end = F.max("t1").over(w_strict)
+        flag = F.when(prev_end.isNull() | (F.col("t0") > prev_end), 1).otherwise(0)
+        single = df.select("id", F.sum(flag).over(w_run).alias("span_id"))
+        t0c = time.perf_counter()
+        _noop(single)
+        t_single = round(time.perf_counter() - t0c, 2)
+        t0c = time.perf_counter()
+        dist = global_interval_merge(df, "t0", "t1", tiebreak_cols=["id"]).select(
+            "id", "span_id"
+        )
+        _noop(dist)
+        t_dist = round(time.perf_counter() - t0c, 2)
+
+        def _chk(frame):
+            return frame.agg(
+                F.expr("bit_xor(xxhash64(id, span_id))").alias("c")
+            ).collect()[0]["c"]
+
+        tiers.append(
+            {
+                "rows": n,
+                "wall_single_task_s": t_single,
+                "wall_distributed_s": t_dist,
+                "equal_checksum": bool(_chk(single) == _chk(dist)),
+            }
+        )
+        df.unpersist()
+    return {"tiers": tiers}
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1433,6 +1518,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--simprobe", action="store_true")
     ap.add_argument("--semprobe", action="store_true")
     ap.add_argument("--grank", action="store_true")
+    ap.add_argument("--imerge", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1463,6 +1549,8 @@ def main(argv: list[str]) -> None:
         )
     if args.grank:
         out["grank"] = grank_experiment(spark, args.sf_dir, args.replicas)
+    if args.imerge:
+        out["imerge"] = imerge_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

@@ -1013,3 +1013,71 @@ def test_dedup_incremental_capped_hot_shingle_anti_join(spark):
     assert "LeftAnti" in capped, "hot-shingle anti-join missing from capped plan"
     exact = _plan(spark, "q_dedup_incremental")
     assert "LeftAnti" not in exact
+
+
+def test_interval_merge_windows_stay_partitioned(spark):
+    """q_interval_merge's whole point: NO data-sized single-task sort.
+    Both data-sized window passes (the strict prefix max of t1 and the
+    span-flag running sum) must stay __pid-PARTITIONED over the one
+    frozen range layout; the only global-ordered windows are the
+    n_parts-row offset frames (ordered by __pid alone). Offset frames
+    join back by broadcast, never sort-merge."""
+    plan = _plan(spark, "q_interval_merge")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and ("t0" in line or "t1" in line):
+            assert "__pid" in line, f"data-sized window lost its partition spec: {line}"
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_merge_pushes_the_error_filter(spark):
+    """The event_type predicate must reach the parquet scan inside the
+    range checkpoint — the helper must not defeat pushdown."""
+    plan = _plan_through_range_checkpoint(spark, "q_interval_merge")
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "event_type" in l]
+    assert pushed, "event_type filter not pushed to the events scan"
+
+
+def test_skyline_strict_prefix_stays_partitioned(spark):
+    """q_skyline_orders' cross-group dominance pass (strict prefix max
+    of group-max date over ascending price) must run __pid-partitioned
+    on the aggregated per-price frame — never a global single-task
+    window over distinct prices."""
+    plan = _plan(spark, "q_skyline_orders")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "pmax_d" in line:
+            assert "__pid" in line, f"strict prefix max regressed to a global window: {line}"
+
+
+def test_ks_drift_one_fused_cumulative_window(spark):
+    """q_ks_drift's two cumulative counts must share ONE range layout
+    and ONE data-sized Window node (same spec → Spark fuses both sums);
+    a second __pid window would mean the layout was instantiated twice.
+    The argmax row must be TakeOrderedAndProject (top-1), not a global
+    sort, and totals ride a broadcast, not a sort-merge join."""
+    plan = _plan(spark, "q_ks_drift")
+    pid_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "__pid" in line and "value" in line
+    ]
+    # one fused Window node emits both cum_a and cum_b
+    assert pid_windows, "data-sized cumulative window missing"
+    assert all("cum_a" not in a or "cum_b" in a for a in pid_windows)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_watch_gap_window_partitions_by_syncer(spark):
+    """q_watch_gap_relist's lag window must partition by syncer_name
+    (each watch stream is the unit of order) — never a global window —
+    and the rules/catalog sides must broadcast."""
+    plan = _plan(spark, "q_watch_gap_relist")
+    lag_specs = [
+        line for line in plan.splitlines() if "windowspecdefinition" in line and "lag" in line
+    ]
+    assert lag_specs, "lag window missing"
+    assert all("syncer_name" in line for line in lag_specs)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
