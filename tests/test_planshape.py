@@ -1081,3 +1081,20 @@ def test_watch_gap_window_partitions_by_syncer(spark):
     assert all("syncer_name" in line for line in lag_specs)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_segment_explode_no_grid_join(spark):
+    """The round-9 gapfill rewrite's contract: gap rows are generated
+    from their bracketing observation pair, so the dense grid must
+    NEVER come back as a join input — no join node of any kind, an
+    explode (Generate) present, and only the pick window, the
+    observation-sized lead window, and the output sort may exchange
+    (≤ 4 including AQE reads). Both windows stay user-partitioned."""
+    for name in ("q_gapfill_locf", "q_gapfill_interpolate"):
+        plan = _plan(spark, name, mode="simple")
+        assert "Join" not in plan, f"{name}: the grid join came back"
+        assert "Generate" in plan, f"{name}: segment explode missing"
+        assert plan.count("Exchange") <= 4, f"{name}: exchange blowup"
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "user_id" in line, f"{name}: window lost its partition: {line}"
