@@ -1294,6 +1294,46 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """2-D SKYLINE (Pareto front): rows no other row dominates, where
+    domination means ≤ on ``min_col`` AND ≥ on ``max_col`` with at
+    least one strict. Tie-exact (full ties all survive — neither
+    strictly dominates) via aggregation, never an O(n²) all-pairs
+    self-join:
+
+      1. collapse to one row per distinct ``min_col`` value carrying
+         the group's max of ``max_col`` — within a group, a row
+         survives iff it CARRIES that max;
+      2. across groups, a row is dominated iff any strictly-smaller
+         group reaches a ``max_col`` ≥ its own — the STRICT prefix max
+         over ascending ``min_col``, i.e. global_cummax(inclusive=
+         False) on the aggregated frame (keys unique → total order
+         free);
+      3. join the per-value verdict frame back and keep rows with
+         max_col = own-group max AND max_col > strict prefix max.
+
+    The verdict frame is |distinct min_col values| — usually
+    broadcastable; the shuffle join holds when it is not. Returns the
+    surviving rows of ``df`` (original columns)."""
+    g = df.groupBy(F.col(min_col).alias("__sk_p")).agg(
+        F.max(max_col).alias("__sk_gmax")
+    )
+    verdict = global_cummax(
+        g, ["__sk_p"], "__sk_gmax", out_col="__sk_prev", inclusive=False
+    )
+    return (
+        df.join(verdict, df[min_col] == verdict["__sk_p"])
+        .filter(
+            (F.col(max_col) == F.col("__sk_gmax"))
+            & (
+                F.col("__sk_prev").isNull()
+                | (F.col(max_col) > F.col("__sk_prev"))
+            )
+        )
+        .drop("__sk_p", "__sk_gmax", "__sk_prev")
+    )
+
+
 @query(
     "q_skyline_orders",
     tags=("O2", "W1", "scale"),
@@ -1327,46 +1367,22 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     best quality-vs-cost corpus documents, dominated-configuration
     pruning.
 
-    Tie-exact dominance via aggregation, not self-join: an all-pairs
-    NOT EXISTS is O(n²); instead (1) collapse to one row per distinct
-    price carrying the group's max date — dominance within a price
-    group is date-only, so a row survives its own group iff it CARRIES
-    that max (equal dates tie, neither dominates); (2) across groups, a
-    row is dominated iff any strictly-cheaper group reaches a date ≥
-    its own — exactly the STRICT prefix max of group-max-date over
-    ascending price, i.e. global_cummax(inclusive=False) on the
-    aggregated frame, whose keys are unique so the total-order contract
-    is free; (3) join the per-price verdict frame back on price and
-    keep rows with date = own-group max AND date > strict prefix max.
-
-    Scale shape: the fact scans twice (group agg + verdict join), both
-    shuffle-keyed on price; the verdict frame is |distinct prices| —
-    usually broadcastable, but the shuffle join holds even when it is
-    not. The skyline itself is O(log n)-sized on independent dims.
+    Tie-exact dominance via the skyline_2d helper (aggregation + the
+    strict prefix max of group-max-date over ascending price — see its
+    docstring; never an O(n²) all-pairs NOT EXISTS). The helper's tie
+    logic is pinned against brute-force dominance by a hypothesis
+    property (tests/test_properties.py). The skyline itself is
+    O(log n)-sized on independent dims.
 
     Determinism: 2dp decimal prices and date timestamps compare
     exactly in both engines; output keys are orderkeys (full ties both
     survive, correctly)."""
     dec = F.col("o_totalprice").cast("decimal(14,2)")
-    orders = load_table(spark, sf_dir, "orders")
-    g = (
-        orders.select(dec.alias("p"), F.col("o_orderdate").alias("d"))
-        .groupBy("p")
-        .agg(F.max("d").alias("pmax_d"))
-    )
-    verdict = global_cummax(
-        g, ["p"], "pmax_d", out_col="prev_max_d", inclusive=False
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec.alias("price"), F.col("o_orderdate")
     )
     return (
-        orders.select("o_orderkey", dec.alias("price"), F.col("o_orderdate"))
-        .join(verdict, F.col("price") == F.col("p"))
-        .filter(
-            (F.col("o_orderdate") == F.col("pmax_d"))
-            & (
-                F.col("prev_max_d").isNull()
-                | (F.col("o_orderdate") > F.col("prev_max_d"))
-            )
-        )
+        skyline_2d(orders, "price", "o_orderdate")
         .select(
             "o_orderkey",
             F.col("price").cast("double").alias("price"),

@@ -1103,3 +1103,40 @@ def test_global_interval_merge_matches_window_form(spark, rows, nparts):
     }
     assert got == expect
     assert set(got.values()) == set(range(1, max(got.values()) + 1))
+
+
+@PROPS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # price (dense → ties)
+            st.integers(min_value=0, max_value=8),   # date  (dense → ties)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_skyline_2d_matches_bruteforce_dominance(spark, rows, nparts):
+    """skyline_2d (scale.py) must equal BRUTE-FORCE pairwise dominance
+    — an independent algorithm, not the window form it is built from —
+    on dense tie-heavy inputs: row i is dominated iff some row j has
+    p_j ≤ p_i and d_j ≥ d_i with at least one strict; full (p, d) ties
+    all survive."""
+    from kube_etl_spark.queries.scale import skyline_2d
+
+    expect = {
+        i
+        for i, (p, d) in enumerate(rows)
+        if not any(
+            (pj <= p and dj >= d and (pj < p or dj > d))
+            for j, (pj, dj) in enumerate(rows)
+            if j != i
+        )
+    }
+    df = spark.createDataFrame(
+        [(i, p, d) for i, (p, d) in enumerate(rows)],
+        "id long, p long, d long",
+    ).repartition(nparts)
+    got = {r["id"] for r in skyline_2d(df, "p", "d").collect()}
+    assert got == expect
