@@ -1392,6 +1392,58 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_2sample(
+    df: DataFrame, value_col: str, sample_col: str, a, b
+) -> DataFrame:
+    """Exact two-sample KOLMOGOROV-SMIRNOV statistic between the
+    ``value_col`` distributions of rows where ``sample_col`` equals
+    ``a`` vs ``b`` — sup |F_a(x) − F_b(x)|, evaluated at every distinct
+    value (the proper CDF step points; ties handled by grouping BEFORE
+    the cumulative pass, so F(x) includes all rows ≤ x). Returns ONE
+    row: n_a, n_b, the exact integer deviation d_num =
+    max |cum_a·n_b − cum_b·n_a|, ks_stat = d_num/(n_a·n_b) rounded to
+    6dp, and at_value — the smallest value attaining the sup
+    (deterministic tiebreak).
+
+    Plan: one groupBy(value) compresses the input to distinct-value
+    rows carrying both samples' counts; global_cumsums computes BOTH
+    cumulative counts over ONE range exchange and ONE frozen layout;
+    totals ride a 1-row broadcast; the argmax is
+    TakeOrderedAndProject. Integer-exact until the display division.
+    Pinned against brute-force Python KS by hypothesis property
+    (tests/test_properties.py)."""
+    v = df.filter(F.col(sample_col).isin(a, b)).groupBy(
+        F.col(value_col).alias("__ks_v")
+    ).agg(
+        F.sum(F.when(F.col(sample_col) == a, 1).otherwise(0)).alias("__ks_na"),
+        F.sum(F.when(F.col(sample_col) == b, 1).otherwise(0)).alias("__ks_nb"),
+    )
+    c = global_cumsums(v, ["__ks_v"], {"__ks_ca": "__ks_na", "__ks_cb": "__ks_nb"})
+    # totals re-read the helper's frozen range layout (its eager
+    # checkpoint), not the upstream scan — the second consumer is safe
+    # and cheap by construction
+    t = c.agg(F.sum("__ks_na").alias("__ks_ta"), F.sum("__ks_nb").alias("__ks_tb"))
+    d_num = F.abs(
+        F.col("__ks_ca") * F.col("__ks_tb") - F.col("__ks_cb") * F.col("__ks_ta")
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("__ks_ta").cast("bigint").alias("n_a"),
+            F.col("__ks_tb").cast("bigint").alias("n_b"),
+            d_num.alias("d_num"),
+            F.round(
+                d_num.cast("double")
+                / (F.col("__ks_ta").cast("double") * F.col("__ks_tb").cast("double")),
+                6,
+            ).alias("ks_stat"),
+            F.col("__ks_v").alias("at_value"),
+        )
+        .orderBy(F.col("d_num").desc(), F.col("at_value").asc())
+        .limit(1)
+    )
+
+
 @query(
     "q_ks_drift",
     tags=("A7", "W4", "scale"),
@@ -1430,54 +1482,25 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature pipelines.
 
     The CDF difference must be evaluated at every distinct value in
-    GLOBAL value order — the running-total shape again. Plan: one
-    groupBy(value) compresses events to distinct-value rows carrying
-    both samples' counts; global_cumsums (scale.py) computes BOTH
-    cumulative counts over ONE range exchange and ONE frozen layout
-    (two global_cumsum calls would range-partition the same bytes
-    twice); totals ride a 1-row broadcast; the argmax row is
-    TakeOrderedAndProject over the exact integer deviation
-    |cum_a·n_b − cum_b·n_a| — no doubles until the final display
-    division, so the winner and tiebreak (smallest value at the sup)
-    are engine-exact.
+    GLOBAL value order — the running-total shape again, computed by
+    the ks_2sample helper above (one value groupBy, BOTH cumulative
+    counts over ONE frozen range layout via global_cumsums, 1-row
+    totals broadcast, TakeOrderedAndProject argmax; integer-exact
+    deviation |cum_a·n_b − cum_b·n_a| until the display division, so
+    the winner and its smallest-value tiebreak are engine-exact; the
+    helper is additionally pinned against brute-force Python KS by
+    hypothesis property).
 
     At 100 TB: the only data-sized exchanges are the value groupBy and
     the helper's range exchange over DISTINCT values; everything after
     is n_parts-row or 1-row broadcasts."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .select("event_type", "value")
-    )
-    v = ev.groupBy("value").agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "n_b"
-        ),
-    )
-    c = global_cumsums(v, ["value"], {"cum_a": "n_a", "cum_b": "n_b"})
-    # totals re-read the helper's frozen range layout (its eager
-    # checkpoint), not the event scan — the second consumer is safe
-    # and cheap by construction
-    t = c.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
-    d_num = F.abs(
-        F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
-    ).cast("bigint")
-    return (
-        c.crossJoin(F.broadcast(t))
-        .select(
-            F.lit("click").alias("sample_a"),
-            F.lit("purchase").alias("sample_b"),
-            F.col("na").cast("bigint").alias("n_a"),
-            F.col("nb").cast("bigint").alias("n_b"),
-            d_num.alias("d_num"),
-            F.round(
-                d_num.cast("double")
-                / (F.col("na").cast("double") * F.col("nb").cast("double")),
-                6,
-            ).alias("ks_stat"),
-            F.col("value").alias("at_value"),
-        )
-        .orderBy(F.col("d_num").desc(), F.col("at_value").asc())
-        .limit(1)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ks_2sample(ev, "value", "event_type", "click", "purchase").select(
+        F.lit("click").alias("sample_a"),
+        F.lit("purchase").alias("sample_b"),
+        "n_a",
+        "n_b",
+        "d_num",
+        "ks_stat",
+        "at_value",
     )

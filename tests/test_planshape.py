@@ -1060,11 +1060,11 @@ def test_ks_drift_one_fused_cumulative_window(spark):
     pid_windows = [
         line
         for line in plan.splitlines()
-        if "windowspecdefinition" in line and "__pid" in line and "value" in line
+        if "windowspecdefinition" in line and "__pid" in line and "__ks_v" in line
     ]
-    # one fused Window node emits both cum_a and cum_b
+    # one fused Window node emits both cumulative counts
     assert pid_windows, "data-sized cumulative window missing"
-    assert all("cum_a" not in a or "cum_b" in a for a in pid_windows)
+    assert all("__ks_ca" not in a or "__ks_cb" in a for a in pid_windows)
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
 

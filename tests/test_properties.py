@@ -1140,3 +1140,38 @@ def test_skyline_2d_matches_bruteforce_dominance(spark, rows, nparts):
     ).repartition(nparts)
     got = {r["id"] for r in skyline_2d(df, "p", "d").collect()}
     assert got == expect
+
+
+@PROPS
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_ks_2sample_matches_bruteforce(spark, a, b, nparts):
+    """ks_2sample (scale.py) must equal brute-force Python KS — an
+    independent computation of sup |F_a − F_b| over the pooled distinct
+    values, with the proper tie semantics (CDF evaluated at step
+    points, all rows ≤ x included) and the smallest-value tiebreak at
+    the sup — on arbitrary overlapping/disjoint tie-heavy samples."""
+    from kube_etl_spark.queries.scale import ks_2sample
+
+    na, nb = len(a), len(b)
+    exp_d, exp_v = -1, None
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d = abs(ca * nb - cb * na)
+        if d > exp_d:
+            exp_d, exp_v = d, v
+    rows = [(x, "a") for x in a] + [(x, "b") for x in b]
+    df = spark.createDataFrame(rows, "v long, s string").repartition(nparts)
+    got = ks_2sample(df, "v", "s", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["d_num"] == exp_d
+    assert got["at_value"] == exp_v
+    # the stat is display-only (d_num is the exact contract): Spark
+    # rounds doubles HALF_UP (as DuckDB does — what oracle parity
+    # checks) while Python round() is half-even, and na·nb a power of
+    # two can put an exact 5 in the 7th digit — so bound, don't equate
+    assert abs(got["ks_stat"] - exp_d / (na * nb)) <= 5.0001e-7
