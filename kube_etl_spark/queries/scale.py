@@ -709,10 +709,19 @@ def global_cumsums(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = part.join(F.broadcast(offsets), "__pid")
-    for n in names:
-        out = out.withColumn(n, F.col(f"__off_{n}") + F.sum(sums[n]).over(w_local))
-    return out.drop("__pid", *[f"__off_{n}" for n in names])
+    joined = part.join(F.broadcast(offsets), "__pid")
+    # every cumulative expression is built against the PRE-output frame
+    # in one select — chained withColumn would let a later measure read
+    # an already-overwritten summand when an output name shadows an
+    # input column another measure still sums
+    drop = {"__pid", *(f"__off_{n}" for n in names), *names}
+    return joined.select(
+        *[c for c in joined.columns if c not in drop],
+        *[
+            (F.col(f"__off_{n}") + F.sum(sums[n]).over(w_local)).alias(n)
+            for n in names
+        ],
+    )
 
 
 def global_interval_merge(

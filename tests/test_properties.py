@@ -1175,3 +1175,26 @@ def test_ks_2sample_matches_bruteforce(spark, a, b, nparts):
     # checks) while Python round() is half-even, and na·nb a power of
     # two can put an exact 5 in the 7th digit — so bound, don't equate
     assert abs(got["ks_stat"] - exp_d / (na * nb)) <= 5.0001e-7
+
+
+def test_global_cumsums_output_name_shadowing_an_input(spark):
+    """An output name may legally SHADOW an input column — including
+    one another measure still sums. Every cumulative expression must
+    be evaluated against the pre-output frame: {"d": "d", "e": "d"}
+    must give e the cumsum of the ORIGINAL d, not of d's own cumsum
+    (the chained-withColumn bug shape)."""
+    from pyspark.sql import Window
+
+    from kube_etl_spark.queries.scale import global_cumsums
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([3, 1, 4, 1, 5])], "id long, d long"
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = {
+        r["id"]: r["cs"]
+        for r in df.select("id", F.sum("d").over(w).alias("cs")).collect()
+    }
+    got = global_cumsums(df, ["id"], {"d": "d", "e": "d"}, n_parts=3).collect()
+    assert {r["id"]: r["d"] for r in got} == expect
+    assert {r["id"]: r["e"] for r in got} == expect
