@@ -276,13 +276,16 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval arithmetic (strict < on the purchase side so a
     same-instant click never self-attributes).
 
-    Scale shape: purchases ⋈ clicks is a hashpartition(user_id) equi-
-    join with the time predicate as a residual filter — the fan-out is
-    per-user touches-within-7-days, bounded by user activity, never
-    |purchases|×|clicks|; the n_touch window rides the join's
-    partitioning (pid ⊂ user_id grain... pid partitions are computed
-    after a user_id-keyed exchange, AQE coalesces); final agg is
-    channel-sized (≤5 keys)."""
+    Scale shape: purchases ⋈ clicks is a user_id equi-join with the
+    time predicate as a residual filter (broadcast while clicks fit,
+    shuffle join past the threshold) — the fan-out is per-user
+    touches-within-7-days, bounded by user activity, never
+    |purchases|×|clicks|; the n_touch window partitions by
+    (user_id, pid) — semantically identical to pid alone since pid is
+    unique, but hashpartition(user_id) from the shuffle-join regime
+    SATISFIES it (partition exprs ⊆ window keys), so the fanned-out
+    frame is never re-exchanged for the window at the scale where that
+    matters; final agg is channel-sized (≤5 keys)."""
     ev = load_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
@@ -313,11 +316,18 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")),
         "left",
     )
+    # n_touch groups by purchase; pid is unique, so partitioning the
+    # window by (user_id, pid) is semantically identical — and lets the
+    # join's existing hashpartition(user_id) SATISFY the window's
+    # clustered distribution (partition exprs ⊆ window keys), removing
+    # a full exchange of the click-fanned-out frame (plan-pinned)
     k = touched.select(
         "pid",
         "cents",
         "channel",
-        F.count("channel").over(Window.partitionBy("pid")).alias("n_touch"),
+        F.count("channel")
+        .over(Window.partitionBy("user_id", "pid"))
+        .alias("n_touch"),
     )
     return (
         k.groupBy(F.coalesce("channel", F.lit("organic")).alias("channel"))

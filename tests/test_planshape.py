@@ -1098,3 +1098,24 @@ def test_gapfill_segment_explode_no_grid_join(spark):
         for line in plan.splitlines():
             if "windowspecdefinition" in line:
                 assert "user_id" in line, f"{name}: window lost its partition: {line}"
+
+
+def test_attribution_window_rides_shuffle_join(spark):
+    """q_attribution_linear's n_touch window partitions by
+    (user_id, pid) so that in the shuffle-join regime (clicks past the
+    broadcast threshold — the 100 TB case) the join's
+    hashpartitioning(user_id) SATISFIES the window's distribution: no
+    re-exchange of the click-fanned-out frame. A pid-only window spec
+    would force one (hashpartitioning(pid) must never appear)."""
+    import re as _re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_attribution_linear", mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "windowspecdefinition(user_id" in plan
+    assert not _re.search(r"hashpartitioning\(pid#\d+", plan), (
+        "the window re-exchanged the fanned-out frame on pid alone"
+    )
