@@ -64,15 +64,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-9 window (VERDICT r8 #1): 8 anchors + the 2 round-8 widening
-# queries (the ONLY oracle-backed names with zero driver evidence) +
-# 2 rows-only execution slots (queue: q_knn_lsh +
-# q_dedup_incremental_capped this round) + the 4 r03-evidence TPC-H
-# names the r8 family-quota fills deferred + 34 of the 42 r04-evidence
-# re-pins (the 29 queued in r8's ROTATE_NEXT plus 5 pulled forward from
-# the r10 queue: q_scd2_intervals for the streaming quota, then
-# q_drift_psi/q_ewma_smoothing/q_rolling_median/q_anomaly_mad in r04
-# window order to fill the count). 8+2+2+4+34 = 50.
+# Round-10 window (VERDICT r9 #1): 8 anchors + the 6 round-9 widening
+# queries (the ONLY oracle-backed names with zero driver evidence — the
+# r9 ROTATE_NEXT head) + 2 rows-only execution slots (the documented
+# r10 sketch queue: q_quantile_bucket_join_approx +
+# q_profile_columns_approx, the last two rows-only queries with zero
+# driver execution evidence — VERDICT r9 #5's done-by-r11 criterion is
+# met this round) + the 8 r04-evidence re-pins + 26 of the 41
+# r05-evidence re-pins (the 21 queued in r9's ROTATE_NEXT plus 5 pulled
+# forward from the r11 queue: q_stream_tumbling for the streaming quota
+# — also a bench headliner — then q_join_left/q_join_range/
+# q_join_right/q_join_semi in queue order). 8+6+2+8+26 = 50.
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -83,95 +85,19 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 2 round-8 widening queries (r8 ROTATE_NEXT
+    # 2. newest-unproven: the 6 round-9 widening queries (r9 ROTATE_NEXT
     # head — zero driver evidence until this window runs)
-    "q_export_manifest",
-    "q_rule_change_audit",
-    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
-    "q_knn_lsh",
-    "q_dedup_incremental_capped",
-    # 3a. oldest-evidence re-pins: the 4 r03-evidence TPC-H names
-    "q_tpch_q14_promo_share",
-    "q_tpch_q15_top_supplier",
-    "q_tpch_q18_large_orders",
-    "q_tpch_q19_bracket_predicates",
-    # 3b. oldest-evidence re-pins: 34 of the 42 r04-evidence names in
-    # their r04 window order (q_scd2_intervals promoted for the
-    # streaming quota; drift/ewma/rolling/mad fill the count)
-    "q_rfm_segments",
-    "q_copurchase_pairs",
-    "q_revenue_gini",
-    "q_order_gap_stats",
-    "q_pagerank_copurchase",
-    "q_market_basket",
-    "q_decile_lift",
-    "q_join_anti",
-    "q_null_safe_join",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_dedup_containment",
-    "q_skipgram_cooccur",
-    "q_embedding_cohesion",
-    "q_oov_rate",
-    "q_dup_rate_by_source",
-    "q_bigram_lm_score",
-    "q_dedup_substring",
-    "q_dedup_simhash_pairs",
-    "q_benford_digits",
-    "q_fk_orphans",
-    "q_profile_columns",
-    "q_event_transitions",
-    "q_user_entropy",
-    "q_collapse_runs",
-    "q_cusum_changepoint",
-    "q_session_stats",
-    "q_retention_cohort",
-    "q_zscore_outliers",
-    "q_scd2_intervals",
-    "q_drift_psi",
-    "q_ewma_smoothing",
-    "q_rolling_median",
-    "q_anomaly_mad",
-)
-
-# Rows-only queries legally occupying window slots THIS round (cap 2,
-# enforced in tests/test_entry.py). The driver records err=no_oracle
-# with spark_rows>0 — weaker than a hash row but the only external
-# execution evidence the rows-only contract allows (VERDICT r7 #4).
-# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows).
-# Queue for r10+ (2 per round until drained):
-# q_quantile_bucket_join_approx + q_profile_columns_approx (r10),
-# q_sample + the r01-only trio (q_agg_approx_distinct,
-# q_agg_percentile_approx, q_dedup_fuzzy) after that.
-ROWS_ONLY_WINDOW: tuple[str, ...] = (
-    "q_knn_lsh",
-    "q_dedup_incremental_capped",
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # round-9 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r10 window): the syncer replay/backfill audit and
-    # the export manifest diff (VERDICT r8 #7), then the session-3
-    # widening four (global interval coalescing, the skyline operator,
-    # exact two-sample KS drift, the watch-gap/relist audit)
     "q_syncer_replay",
     "q_export_diff",
     "q_interval_merge",
     "q_skyline_orders",
     "q_ks_drift",
     "q_watch_gap_relist",
-    # r10 re-pin queue head: the 8 r04-evidence names the r9 window
-    # could not fit (oldest evidence in the registry after this
-    # window runs)
+    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
+    "q_quantile_bucket_join_approx",
+    "q_profile_columns_approx",
+    # 3a. oldest-evidence re-pins: the 8 r04-evidence names (r9
+    # ROTATE_NEXT re-pin queue head)
     "q_winsorize",
     "q_time_weighted_avg",
     "q_attribution_last_touch",
@@ -180,21 +106,9 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_tpch_q4_order_priority",
     "q_concurrency_profile",
     "q_histogram_value",
-    # r10 re-pin queue body: 21 of the 41 r05-evidence names (sorted;
-    # the remaining 20 — q_join_left, q_join_range, q_join_right,
-    # q_join_semi (displaced by the session-3 widening: the ≤35 cap
-    # keeps this list from becoming a parking lot, and re-pins, unlike
-    # the unproven head, already carry driver evidence), plus
-    # q_key_skew_audit, q_knn_classify,
-    # q_mode_per_group, q_ngram_novelty, q_pareto_concentration,
-    # q_percent_of_parent, q_recursive_cte, q_rolling_active_users,
-    # q_sample_weighted, q_seasonality_index, q_stream_tumbling,
-    # q_time_to_convert, q_tpch_q3_shipping_priority, q_triangle_count,
-    # q_weighted_median, q_window_running_distinct — are the r11 queue;
-    # every deferred query stays locally parity-proven every run).
-    # r10 window math: 8 anchors + 2 rows-only (the r10 sketch queue)
-    # + these 35 = 45; the remaining 5 slots come from the r11 queue
-    # head in the comment above.
+    # 3b. oldest-evidence re-pins: 26 of the 41 r05-evidence names —
+    # the 21 from r9's ROTATE_NEXT body plus the 5 pulled forward
+    # (q_stream_tumbling promoted for the streaming quota)
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_having",
@@ -216,6 +130,84 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_join_bucketed",
     "q_join_cross",
     "q_join_full",
+    "q_join_left",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_stream_tumbling",
+)
+
+# Rows-only queries legally occupying window slots THIS round (cap 2,
+# enforced in tests/test_entry.py). The driver records err=no_oracle
+# with spark_rows>0 — weaker than a hash row but the only external
+# execution evidence the rows-only contract allows (VERDICT r7 #4).
+# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows);
+# q_knn_lsh + q_dedup_incremental_capped (r9, 30/56 rows). This round
+# drains the last two ZERO-execution rows-only names; with it, every
+# registered query carries at least one driver row of some kind
+# (VERDICT r9 #5, met a round early). Queue for r11+ (2 per round —
+# these are re-executions, every name below already has r01 evidence):
+# q_sample + q_agg_percentile_approx (r11), q_agg_approx_distinct +
+# q_dedup_fuzzy (r12).
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "q_quantile_bucket_join_approx",
+    "q_profile_columns_approx",
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # r11 re-pin queue head: the 15 remaining r05-evidence names (the
+    # r9 comment queue minus the 5 pulled forward into the r10 window;
+    # q_key_skew_audit was the one displaced by q_stream_tumbling's
+    # streaming-quota promotion). Round-10 widening queries, when
+    # registered, are PREPENDED above this block (step-2 names for the
+    # r11 window) — the ≤35 cap leaves 4 slots of headroom for them.
+    "q_key_skew_audit",
+    "q_knn_classify",
+    "q_mode_per_group",
+    "q_ngram_novelty",
+    "q_pareto_concentration",
+    "q_percent_of_parent",
+    "q_recursive_cte",
+    "q_rolling_active_users",
+    "q_sample_weighted",
+    "q_seasonality_index",
+    "q_time_to_convert",
+    "q_tpch_q3_shipping_priority",
+    "q_triangle_count",
+    "q_weighted_median",
+    "q_window_running_distinct",
+    # r11 re-pin queue body: the first 16 r06-evidence names in their
+    # r06 window order (the remaining 26 r06 names are the r12 queue;
+    # every deferred query stays locally parity-proven every run).
+    # r11 window math: 8 anchors + 2 rows-only (q_sample +
+    # q_agg_percentile_approx per the ROWS_ONLY_WINDOW queue) + up to
+    # 4 r10 widening queries + these 31 = 45..49; any remaining slots
+    # come from the r12 queue head.
+    "q_user_trend_slope",
+    "q_yoy_growth",
+    "q_reactivation",
+    "q_attribution_linear",
+    "q_window_ntile_cume",
+    "q_partition_pruned_scan",
+    "q_schema_evolution_read",
+    "q_dedup_incremental",
+    "q_sample_user_consistent",
+    "q_gapfill_interpolate",
+    "q_cohort_ltv",
+    "q_join_nearest_event",
+    "q_dedup_savings",
+    "q_knn_quantized",
+    "q_embedding_drift",
+    "q_quantile_bucket_join",
 )
 
 
