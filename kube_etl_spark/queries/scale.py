@@ -1323,7 +1323,23 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
 
     The verdict frame is |distinct min_col values| — usually
     broadcastable; the shuffle join holds when it is not. Returns the
-    surviving rows of ``df`` (original columns)."""
+    surviving rows of ``df`` (original columns).
+
+    NULL semantics (explicit, ADVICE r9): a row with NULL in either
+    dimension is non-comparable under the dominance order and is
+    EXCLUDED from the skyline (the filter below makes the previously
+    incidental inner-join elimination deliberate and total — a NULL
+    max_col row can neither dominate nor survive)."""
+    reserved = {"__sk_p", "__sk_gmax", "__sk_prev"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        # the join/drop below would silently misroute or drop a caller
+        # column of the same name — fail loudly like the sibling helpers
+        raise ValueError(
+            f"skyline_2d reserves {sorted(reserved)}; "
+            f"input carries {sorted(clash)} — rename before calling"
+        )
+    df = df.filter(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
     g = df.groupBy(F.col(min_col).alias("__sk_p")).agg(
         F.max(max_col).alias("__sk_gmax")
     )
@@ -1420,8 +1436,15 @@ def ks_2sample(
     totals ride a 1-row broadcast; the argmax is
     TakeOrderedAndProject. Integer-exact until the display division.
     Pinned against brute-force Python KS by hypothesis property
-    (tests/test_properties.py)."""
-    v = df.filter(F.col(sample_col).isin(a, b)).groupBy(
+    (tests/test_properties.py).
+
+    NULLs in ``value_col`` are dropped (ADVICE r9): NULL has no place
+    on a CDF, and the engines disagree on where it sorts (Spark ASC =
+    NULLS FIRST, DuckDB = NULLS LAST), so keeping them would silently
+    skew both the cumulative layout and the at_value tiebreak."""
+    v = df.filter(
+        F.col(sample_col).isin(a, b) & F.col(value_col).isNotNull()
+    ).groupBy(
         F.col(value_col).alias("__ks_v")
     ).agg(
         F.sum(F.when(F.col(sample_col) == a, 1).otherwise(0)).alias("__ks_na"),
@@ -1461,7 +1484,9 @@ WITH v AS (
   SELECT value,
          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
-  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY value
 ),
 c AS (
   SELECT value, n_a, n_b,

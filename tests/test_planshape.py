@@ -1043,11 +1043,23 @@ def test_skyline_strict_prefix_stays_partitioned(spark):
     """q_skyline_orders' cross-group dominance pass (strict prefix max
     of group-max date over ascending price) must run __pid-partitioned
     on the aggregated per-price frame — never a global single-task
-    window over distinct prices."""
+    window over distinct prices.
+
+    ADVICE r9 (medium): the first form filtered on 'pmax_d' — the
+    DuckDB oracle's alias, which never appears in the Spark physical
+    plan — so zero lines matched and the test was vacuous. Filter on
+    the engine's own working column ('__sk_gmax', the strict-prefix-max
+    argument) and assert the match set is NON-empty so a renamed
+    working column re-vacuizes loudly instead of silently."""
     plan = _plan(spark, "q_skyline_orders")
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line and "pmax_d" in line:
-            assert "__pid" in line, f"strict prefix max regressed to a global window: {line}"
+    gmax_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "__sk_gmax" in line
+    ]
+    assert gmax_windows, "strict-prefix-max window not found in plan (filter went vacuous)"
+    for line in gmax_windows:
+        assert "__pid" in line, f"strict prefix max regressed to a global window: {line}"
 
 
 def test_ks_drift_one_fused_cumulative_window(spark):
