@@ -621,14 +621,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ) and without truncation the expensive basket self-join
     re-executed ~5× — measured 4.7 s → 1.x s at sf0.01. Lazy
     checkpoints keep the materialization inside the caller's single
-    action (the pagerank lesson, plans/graph.py)."""
+    action (the pagerank lesson, plans/graph.py).
+
+    The degree rank rides global_row_number (VERDICT r9 #3): deg is
+    |nodes| rows — broadcastable at every tested SF on the support-
+    thresholded graph — but it is still a data-derived frame, and the
+    repo standard (SURVEY §13 item 11) keeps every such total order in
+    the fenced distributed helper rather than a single-task global
+    Window. (d, node) is a total order: node is unique by groupBy."""
+    from .scale import global_row_number
+
     _, pair = basket_pairs(spark, sf_dir)
     und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    rk = deg.select(
-        "node", F.row_number().over(Window.orderBy("d", "node")).alias("rk")
+    rk = global_row_number(deg, ["d", "node"], out_col="rk").select(
+        "node", F.col("rk").cast("int").alias("rk")
     )
     ori = (
         und.join(F.broadcast(rk.select(F.col("node").alias("u"), F.col("rk").alias("ru"))), "u")

@@ -51,10 +51,11 @@ def test_cluster_canonicals_are_originals(spark):
     cluster, not the source id."""
     rows = all_specs()["q_dedup_clusters"].fn(spark, SMOKE_SF).collect()
     cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
-    for r in rows:
-        if r["doc_id"] >= 200000:
-            assert not r["is_canonical"]
-            assert r["cluster_id"] == cluster_of[r["doc_id"] - 200000]
+    synth = [r for r in rows if r["doc_id"] >= 200000]
+    assert synth, "no synthesized near-dups in the cluster output (test went vacuous)"
+    for r in synth:
+        assert not r["is_canonical"]
+        assert r["cluster_id"] == cluster_of[r["doc_id"] - 200000]
 
 
 def test_lsh_ann_recall_vs_exact(spark):

@@ -113,6 +113,67 @@ def _twin_broadcast_unions(plan: str) -> bool:
     return False
 
 
+# Unary pass-through nodes that preserve the cardinality class of the
+# frame below them — walking a Window's input spine skips these.
+_SPINE_PASS_THROUGH = {
+    "Sort", "Exchange", "Project", "Filter", "Coalesce",
+    "AQEShuffleRead", "ReusedExchange", "Window", "InputAdapter",
+    "ColumnarToRow", "WholeStageCodegen",
+}
+# Nodes whose OUTPUT is bounded (not data-sized): aggregates collapse
+# to |groups| rows, top-k/group-limit to k rows. An unpartitioned
+# window is legal only over these.
+_SPINE_BOUNDED = {
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "TakeOrderedAndProject", "WindowGroupLimit", "LocalTableScan",
+}
+
+
+def _unpartitioned_data_windows(plan: str) -> list[str]:
+    """Flag a Window node whose spec has NO partition columns and whose
+    input spine is a data-sized frame (scan/join/generate/union) — the
+    Exchange SinglePartition + one-sorting-task shape that cannot
+    survive 100 TB (VERDICT r9 #3). Legal homes for a global window:
+    post-aggregate frames (|groups| rows — the scale.py __pid offsets
+    pattern) and top-k outputs. Data-sized total orders must go through
+    the fenced scale.py helpers (global_row_number & co.) instead.
+
+    Detection: in the plan text, windowspecdefinition's argument list
+    is partition columns (bare ``col#id``) then order columns
+    (``col#id ASC/DESC ...``) then the frame — so a spec whose FIRST
+    argument carries a sort direction (or that has no arguments at
+    all, the whole-frame form) is unpartitioned."""
+    lines = _parse_tree(plan)
+    bad = []
+    for i, (d, text) in enumerate(lines):
+        stripped = re.sub(r"^\*\(\d+\) ", "", text)
+        if not stripped.startswith("Window"):
+            continue
+        specs = re.findall(
+            r"windowspecdefinition\(([^()]*?)(?=specifiedwindowframe|\))", text
+        )
+        unpart = any(
+            (not (args := [a for a in s.rstrip(", ").split(", ") if a]))
+            or re.search(r" (ASC|DESC)\b", args[0])
+            for s in specs
+        )
+        if not unpart:
+            continue
+        spine = None
+        for dd, tt in lines[i + 1:]:
+            if dd <= d:
+                break
+            op = re.sub(r"^\*\(\d+\) ", "", tt)
+            op = op.split("(")[0].split("[")[0].split(" ")[0].strip().rstrip(",")
+            if op in _SPINE_PASS_THROUGH:
+                continue
+            spine = op
+            break
+        if spine is not None and spine not in _SPINE_BOUNDED:
+            bad.append(f"global window over data-sized input ({spine}): {text[:100]}")
+    return bad
+
+
 def _fails(name, plan: str) -> list[str]:
     out = []
     if "CartesianProduct" in plan:
@@ -137,6 +198,7 @@ def _fails(name, plan: str) -> list[str]:
             "(q_rule_change_audit r8); route both branches through one "
             "join path instead"
         )
+    out.extend(_unpartitioned_data_windows(plan))
     n_exch = plan.count("Exchange")
     if n_exch > MAX_EXCHANGES:
         out.append(f"{n_exch} exchanges (lineage blowup?)")
@@ -198,6 +260,44 @@ def test_twin_broadcast_union_rule_fires_on_the_hazard_shape(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert not _twin_broadcast_unions(other_plan), other_plan
+
+
+def test_unpartitioned_window_rule_fires_on_the_hazard_shape(spark):
+    """The rule must reject a row_number over an unpartitioned window
+    on a raw (data-sized) frame — the single-task global sort — and
+    must PASS (a) the same window over an aggregate output (the
+    scale.py __pid-offsets pattern: |groups|-row frames are legal
+    global-window homes), (b) a properly partitioned window on a raw
+    frame, and (c) a global window over a top-k output."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+
+    raw = spark.range(100).withColumn("k", F.col("id") % 7)
+
+    hazardous = raw.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    assert _unpartitioned_data_windows(plan_of(hazardous)), plan_of(hazardous)
+
+    over_agg = (
+        raw.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(W.orderBy("n", "k")))
+    )
+    assert not _unpartitioned_data_windows(plan_of(over_agg)), plan_of(over_agg)
+
+    partitioned = raw.withColumn(
+        "rn", F.row_number().over(W.partitionBy("k").orderBy("id"))
+    )
+    assert not _unpartitioned_data_windows(plan_of(partitioned)), plan_of(partitioned)
+
+    over_topk = raw.orderBy(F.col("id").desc()).limit(5).withColumn(
+        "rn", F.row_number().over(W.orderBy("id"))
+    )
+    assert not _unpartitioned_data_windows(plan_of(over_topk)), plan_of(over_topk)
 
 
 def test_all_plans_pass_lint(spark):

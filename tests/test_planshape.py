@@ -1023,9 +1023,16 @@ def test_interval_merge_windows_stay_partitioned(spark):
     n_parts-row offset frames (ordered by __pid alone). Offset frames
     join back by broadcast, never sort-merge."""
     plan = _plan(spark, "q_interval_merge")
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line and ("t0" in line or "t1" in line):
-            assert "__pid" in line, f"data-sized window lost its partition spec: {line}"
+    data_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and ("t0" in line or "t1" in line)
+    ]
+    # non-empty first (the skyline-test vacuity lesson, ADVICE r9): a
+    # renamed working column must fail loudly, not skip the assertion
+    assert data_windows, "data-sized t0/t1 windows not found in plan (filter went vacuous)"
+    for line in data_windows:
+        assert "__pid" in line, f"data-sized window lost its partition spec: {line}"
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 
@@ -1107,9 +1114,10 @@ def test_gapfill_segment_explode_no_grid_join(spark):
         assert "Join" not in plan, f"{name}: the grid join came back"
         assert "Generate" in plan, f"{name}: segment explode missing"
         assert plan.count("Exchange") <= 4, f"{name}: exchange blowup"
-        for line in plan.splitlines():
-            if "windowspecdefinition" in line:
-                assert "user_id" in line, f"{name}: window lost its partition: {line}"
+        specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert specs, f"{name}: no window specs found (filter went vacuous)"
+        for line in specs:
+            assert "user_id" in line, f"{name}: window lost its partition: {line}"
 
 
 def test_attribution_window_rides_shuffle_join(spark):
