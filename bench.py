@@ -81,6 +81,11 @@ _QUERY_BASELINE: dict[str, float] = {
     "q_attribution_linear": 1.1,
     "q_gapfill_interpolate": 3.55,
     "q_knn_quantized": 1.02,
+    # r10 first measurements (idle r10 VM, vm_factor 0.858): the r9
+    # global-order widening trio promoted to headliners (VERDICT r9 #4)
+    "q_interval_merge": 1.34,
+    "q_skyline_orders": 1.65,
+    "q_ks_drift": 0.98,
     # r7 first measurement (idle r7 VM, vm_factor 0.666): the
     # 32-bit/4-band binary SimHash screen. Baselined from the IN-BENCH
     # median — unlike the other headliners this query is

@@ -1221,6 +1221,7 @@ def q_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_interval_merge",
     tags=("ST", "W4", "scale"),
+    bench=True,
     oracle="""
 WITH iv AS (
   SELECT event_id, user_id,
@@ -1362,6 +1363,7 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
 @query(
     "q_skyline_orders",
     tags=("O2", "W1", "scale"),
+    bench=True,
     oracle="""
 WITH g AS (
   SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS p,
@@ -1479,6 +1481,7 @@ def ks_2sample(
 @query(
     "q_ks_drift",
     tags=("A7", "W4", "scale"),
+    bench=True,
     oracle="""
 WITH v AS (
   SELECT value,
