@@ -33,6 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
 
@@ -1506,6 +1507,325 @@ def imerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
     return {"tiers": tiers}
 
 
+def syncer_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the FULL run_syncer control+data path (VERDICT
+    r9 #6): a ~replicas×100k-row op-log landed as JSON chunks, driven
+    through run_syncer --once twice with a RULE HOT-RELOAD between the
+    invocations (one syncer suspended, one added — the cron-style
+    deployment's generation change), status write-back on throughout;
+    the accumulated local state is then checked against a one-shot
+    batch oracle (compile_sync per generation + independent
+    last-writer-wins in plain DataFrame ops), and the status table's
+    high-water carry-forward across the generation boundary is
+    asserted. This re-proves the r9 status-publish + intent-sidecar
+    changes at data size, not fixture size.
+
+    Part two: the WriterLease takeover mid-publish at the same state
+    size — the r9 fencing fix validated the lease AFTER the version
+    write and immediately before the pointer rename, closing the
+    O(write-duration) split-brain window; at ~1M rows that window is
+    SECONDS wide, so this is where the fix earns its keep. The takeover
+    is injected deterministically from the validate hook (the
+    test_lease.py shape, at scale): the stale writer's multi-second
+    version write completes, the hook observes the takeover, the
+    publish abandons with the pointer untouched, and the new owner's
+    full-size merge lands on intact state."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.sync import compile_sync
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import run_syncer
+
+    catalog_rows = [
+        ("e2e.gkelabs.io", "v1", "TestCRD"),
+        ("kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource"),
+        ("kcc.cnrm.cloud.google.com", "v1beta2", "KCCResource"),
+        ("sql.cnrm.cloud.google.com", "v1beta1", "SQLInstance"),
+        ("cnrm.cloud.google.com", "v1", "Apex"),
+        ("apps", "v1", "Deployment"),
+        ("batch", "v1", "Job"),
+    ]
+    # pull syncers deliberately partition the GVK space: the local
+    # destination is one shared table, so two pull syncers matching the
+    # same key with different sync_fields would race on content at
+    # equal seq — a fixture property, not an engine one
+    base_rules = [
+        {"syncer_name": "s_exact", "syncer_namespace": "default", "suspend": False,
+         "mode": "pull", "rule_group": "e2e.gkelabs.io", "rule_version": "v1",
+         "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec", "status"]},
+        {"syncer_name": "s_kcc_push", "syncer_namespace": "default", "suspend": False,
+         "mode": "push", "rule_group": "kcc.cnrm.cloud.google.com",
+         "rule_version": "*", "rule_kind": "*", "namespaces": [],
+         "sync_fields": ["spec", "status"], "remote_secret": "kc-1"},
+        {"syncer_name": "s_fleet", "syncer_namespace": "default", "suspend": False,
+         "mode": "pull", "rule_group": "*.cnrm.cloud.google.com",
+         "rule_version": "*", "rule_kind": "*", "namespaces": ["prod"],
+         "sync_fields": ["spec"]},
+        {"syncer_name": "s_apps", "syncer_namespace": "default", "suspend": False,
+         "mode": "pull", "rule_group": "apps", "rule_version": "v1",
+         "rule_kind": "Deployment", "namespaces": ["dev"],
+         "sync_fields": ["spec", "status"]},
+    ]
+    gen2_rules = [
+        {**r, "suspend": True} if r["syncer_name"] == "s_fleet" else dict(r)
+        for r in base_rules
+    ] + [
+        {"syncer_name": "s_batch", "syncer_namespace": "default", "suspend": False,
+         "mode": "pull", "rule_group": "batch", "rule_version": "v1",
+         "rule_kind": "Job", "namespaces": [], "sync_fields": ["status"]},
+    ]
+
+    def oplog_frame(rep_lo: int, rep_hi: int):
+        cat = spark.createDataFrame(
+            [(i, *r) for i, r in enumerate(catalog_rows)],
+            "idx long, group string, version string, kind string",
+        )
+        seq = (F.col("event_id") * replicas + F.col("rep")).cast("long")
+        return (
+            load_table(spark, sf_dir, "events")
+            .select("event_id")
+            .withColumn(
+                "rep", F.explode(F.sequence(F.lit(rep_lo), F.lit(rep_hi - 1)))
+            )
+            .select(seq.alias("seq"), "event_id", "rep")
+            .join(F.broadcast(cat), F.pmod(F.col("seq"), F.lit(7)) == F.col("idx"))
+            .select(
+                "seq",
+                F.when(F.col("seq") % 11 == 0, "delete").otherwise("upsert").alias("op"),
+                "group", "version", "kind",
+                F.when(F.col("seq") % 3 == 0, F.lit("prod"))
+                .otherwise(F.lit("dev")).alias("namespace"),
+                F.concat(F.lit("obj-"), F.pmod(F.col("seq"), F.lit(40000))).alias("name"),
+                F.create_map(
+                    F.lit("team"),
+                    F.concat(F.lit("t"), (F.col("seq") % 5).cast("string")),
+                ).alias("labels"),
+                F.create_map().cast("map<string,string>").alias("annotations"),
+                F.struct(
+                    F.concat(F.lit("foo-"), F.col("seq")).alias("foo"),
+                    F.concat(F.lit("rid-"), F.pmod(F.col("seq"), F.lit(40000))).alias("resourceID"),
+                ).alias("spec"),
+                F.struct(F.concat(F.lit("bar-"), F.col("seq")).alias("bar")).alias("status"),
+            )
+        )
+
+    def land_chunk(frame, oplog_dir: str, tag: str) -> None:
+        staging = tempfile.mkdtemp(prefix=f"syncer-chunk-{tag}-")
+        try:
+            frame.coalesce(8).write.mode("overwrite").json(staging)
+            n = 0
+            for f in sorted(os.listdir(staging)):
+                if f.startswith("part-") and f.endswith(".json"):
+                    shutil.move(
+                        os.path.join(staging, f),
+                        os.path.join(oplog_dir, f"{tag}-{n:03d}.json"),
+                    )
+                    n += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    split = max(1, (replicas * 3) // 5)
+    root = tempfile.mkdtemp(prefix="syncer-truth-")
+    out: dict = {}
+    try:
+        oplog_dir = os.path.join(root, "oplog")
+        os.makedirs(oplog_dir)
+        chunk1 = oplog_frame(0, split).localCheckpoint(eager=True)
+        chunk2 = oplog_frame(split, replicas).localCheckpoint(eager=True)
+        out["oplog_rows"] = chunk1.count() + chunk2.count()
+        land_chunk(chunk1, oplog_dir, "c1")
+
+        rules_path = os.path.join(root, "rules.json")
+        with open(rules_path, "w") as f:
+            _json.dump(base_rules, f)
+        secrets_path = os.path.join(root, "secrets.json")
+        with open(secrets_path, "w") as f:
+            _json.dump({"default/kc-1": "cred"}, f)
+        cat_path = os.path.join(root, "catalog.json")
+        with open(cat_path, "w") as f:
+            _json.dump(
+                [{"group": g, "version": v, "kind": k} for g, v, k in catalog_rows], f
+            )
+        args = [
+            "--rules", rules_path, "--oplog", oplog_dir,
+            "--state", os.path.join(root, "state"),
+            "--checkpoint", os.path.join(root, "ckpt"),
+            "--secrets", secrets_path, "--catalog", cat_path, "--once",
+        ]
+        t0 = time.time()
+        run_syncer.main(args)
+        out["run1_wall_s"] = round(time.time() - t0, 2)
+        status1 = {
+            r["syncer_name"]: (r["condition"], r["last_sync_seq"])
+            for r in spark.read.parquet(os.path.join(root, "state", "status")).collect()
+        }
+
+        # generation change between cron invocations: suspend s_fleet,
+        # add s_batch; land the second chunk; same checkpoint resumes
+        with open(rules_path, "w") as f:
+            _json.dump(gen2_rules, f)
+        land_chunk(chunk2, oplog_dir, "c2")
+        t0 = time.time()
+        run_syncer.main(args)
+        out["run2_wall_s"] = round(time.time() - t0, 2)
+        status2 = {
+            r["syncer_name"]: (r["condition"], r["last_sync_seq"])
+            for r in spark.read.parquet(os.path.join(root, "state", "status")).collect()
+        }
+        out["status_gen1"] = {k: list(v) for k, v in sorted(status1.items())}
+        out["status_gen2"] = {k: list(v) for k, v in sorted(status2.items())}
+        # carry-forward across the generation boundary: the suspended
+        # syncer keeps its gen1 high-water; nobody's mark regresses
+        out["suspended_keeps_high_water"] = bool(
+            status2["s_fleet"][0] == "Suspended"
+            and status2["s_fleet"][1] == status1["s_fleet"][1]
+        )
+        out["no_mark_regressed"] = all(
+            status2[s][1] >= status1[s][1] for s in status1 if s in status2
+        )
+
+        # batch oracle for the LOCAL destination: compile each chunk
+        # under its rule generation (the same engine path the golden
+        # tests pin), then an INDEPENDENT last-writer-wins in plain
+        # DataFrame ops replaces the streaming StateTable machinery —
+        # what this harness actually scale-truths
+        def rules_df(rows):
+            return spark.createDataFrame(
+                [tuple(r.get(c) for c in (
+                    "syncer_name syncer_namespace suspend mode rule_group "
+                    "rule_version rule_kind namespaces sync_fields remote_secret"
+                ).split()) for r in rows],
+                "syncer_name string, syncer_namespace string, suspend boolean,"
+                " mode string, rule_group string, rule_version string,"
+                " rule_kind string, namespaces array<string>,"
+                " sync_fields array<string>, remote_secret string",
+            )
+
+        pull1 = compile_sync(chunk1, rules_df(base_rules)).filter(
+            F.col("mode") == "pull"
+        )
+        pull2 = compile_sync(chunk2, rules_df(gen2_rules)).filter(
+            F.col("mode") == "pull"
+        )
+        all_changes = pull1.unionByName(pull2).select(
+            "group", "version", "kind", "namespace", "name", "seq", "op",
+            F.to_json("spec").alias("spec_j"), F.to_json("status").alias("status_j"),
+        )
+        from pyspark.sql import Window as W
+
+        key = ["group", "version", "kind", "namespace", "name"]
+        w = W.partitionBy(*key).orderBy(F.col("seq").desc())
+        lww = (
+            all_changes.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .drop("rn", "op")
+        )
+        # read through the state API — a raw parquet read would include
+        # the delete TOMBSTONE rows StateTable.read() hides (736 of
+        # them at the smoke tier; caught by this harness's first run)
+        from kube_etl_spark.streaming.cdc import StateTable as _ST
+
+        got = _ST(
+            spark, os.path.join(root, "state", "local"),
+            ["group", "version", "kind", "namespace", "name"], "seq",
+        ).read().select(
+            "group", "version", "kind", "namespace", "name", "seq",
+            F.to_json("spec").alias("spec_j"), F.to_json("status").alias("status_j"),
+        )
+
+        def chk(frame):
+            return frame.agg(
+                F.expr(
+                    "bit_xor(xxhash64(group, version, kind, namespace, name, seq,"
+                    " coalesce(spec_j, '∅'), coalesce(status_j, '∅')))"
+                ).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+
+        g, o = chk(got), chk(lww)
+        out["local_state_rows"] = g["n"]
+        out["local_state_matches_batch_oracle"] = bool(
+            g["n"] == o["n"] and g["c"] == o["c"]
+        )
+        if not out["local_state_matches_batch_oracle"]:
+            out["oracle_rows"] = o["n"]
+            cols = [*key, "seq", "spec_j", "status_j"]
+            out["only_in_state"] = [
+                [str(x) for x in r] for r in got.select(*cols)
+                .exceptAll(lww.select(*cols)).limit(5).collect()
+            ]
+            out["only_in_oracle"] = [
+                [str(x) for x in r] for r in lww.select(*cols)
+                .exceptAll(got.select(*cols)).limit(5).collect()
+            ]
+
+        # ---- part two: lease takeover mid-publish at state size ----
+        from kube_etl_spark.streaming.cdc import StateTable, atomic_overwrite
+        from kube_etl_spark.streaming.lease import LeaseLost, WriterLease
+
+        lease_path = os.path.join(root, "big.lease")
+        old = WriterLease(lease_path, owner="old", ttl_s=600)
+        assert old.acquire()
+        big_path = os.path.join(root, "big-state")
+        t_old = StateTable(spark, big_path, ["k"], "seq", lease=old)
+        big = chunk1.select(
+            F.col("seq").alias("k"), F.col("seq").alias("seq"),
+            F.col("name").alias("v"), F.lit("upsert").alias("op"),
+        )
+        t0 = time.time()
+        t_old.merge_batch(big)
+        out["takeover_initial_merge_wall_s"] = round(time.time() - t0, 2)
+
+        def takeover_then_check():
+            rec = _json.load(open(lease_path))
+            rec["deadline"] = time.time() - 1
+            with open(lease_path, "w") as f:
+                _json.dump(rec, f)
+            assert WriterLease(lease_path, owner="new", ttl_s=600).acquire()
+            old.assert_held()
+
+        import os as _os
+
+        target_before = _os.readlink(big_path)
+        stale = big.withColumn("v", F.lit("stale")).withColumn(
+            "seq", F.col("seq") + 1
+        )
+        t0 = time.time()
+        fenced = False
+        try:
+            atomic_overwrite(stale, big_path, validate=takeover_then_check)
+        except LeaseLost:
+            fenced = True
+        out["stale_publish_fenced"] = fenced
+        out["fenced_write_wall_s"] = round(time.time() - t0, 2)
+        out["pointer_untouched"] = bool(_os.readlink(big_path) == target_before)
+        new = WriterLease(lease_path, owner="new", ttl_s=600)
+        assert new.acquire()
+        t_new = StateTable(spark, big_path, ["k"], "seq", lease=new)
+        upd = big.withColumn("v", F.lit("v2")).withColumn("seq", F.col("seq") + 2)
+        t0 = time.time()
+        t_new.merge_batch(upd)
+        out["new_owner_merge_wall_s"] = round(time.time() - t0, 2)
+        final = t_new.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("v") == "v2").cast("long")).alias("n_v2"),
+            F.sum((F.col("v") == "stale").cast("long")).alias("n_stale"),
+        ).collect()[0]
+        out["takeover_state_rows"] = final["n"]
+        out["takeover_state_clean"] = bool(
+            final["n_stale"] == 0 and final["n_v2"] == final["n"]
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1519,6 +1839,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--semprobe", action="store_true")
     ap.add_argument("--grank", action="store_true")
     ap.add_argument("--imerge", action="store_true")
+    ap.add_argument("--syncer", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1551,6 +1872,8 @@ def main(argv: list[str]) -> None:
         out["grank"] = grank_experiment(spark, args.sf_dir, args.replicas)
     if args.imerge:
         out["imerge"] = imerge_experiment(spark, args.sf_dir, args.replicas)
+    if args.syncer:
+        out["syncer"] = syncer_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

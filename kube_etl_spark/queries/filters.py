@@ -914,3 +914,322 @@ def q_watch_gap_relist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("syncer_name")
     )
+
+
+# Discovery-expansion diff (round 10): the registration-time dual of
+# q_rule_change_audit. The reference re-expands glob rules against LIVE
+# discovery on every reconcile (ServerGroupsAndResources,
+# krmsyncer_controller.go:221-234; expandRule :151-199), so installing
+# or removing a CRD silently changes which GVK watches a re-reconcile
+# registers. Generation 2 of the catalog: a new KCC CRD family appears
+# (pubsub.cnrm.cloud.google.com), the kcc group grows a served version,
+# a non-KCC type appears (matches nothing), and the sql KCC CRD is
+# uninstalled.
+_SYNCER_CATALOG_ROWS_GEN2 = [
+    ("e2e.gkelabs.io", "v1", "TestCRD"),
+    ("kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource"),
+    ("kcc.cnrm.cloud.google.com", "v1beta2", "KCCResource"),
+    ("kcc.cnrm.cloud.google.com", "v1beta3", "KCCResource"),
+    ("pubsub.cnrm.cloud.google.com", "v1beta1", "PubSubTopic"),
+    ("cnrm.cloud.google.com", "v1", "Apex"),
+    ("apps", "v1", "Deployment"),
+    ("apps", "v1", "StatefulSet"),
+    ("batch", "v1", "Job"),
+]
+
+
+@query(
+    "q_discovery_expansion_diff",
+    tags=("P8", "S1"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_SYNCER_RULE_ROWS)}
+),
+val AS ({_RULESET_SQL.format(src='rules')}),
+act AS (
+  SELECT v.* FROM val v
+  WHERE NOT EXISTS (SELECT 1 FROM val x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+cat_old(grp, version, kind) AS (VALUES {_sql_rows(_SYNCER_CATALOG_ROWS)}),
+cat_new(grp, version, kind) AS (VALUES {_sql_rows(_SYNCER_CATALOG_ROWS_GEN2)}),
+cats AS (
+  SELECT *, 'old' AS gen FROM cat_old
+  UNION ALL
+  SELECT *, 'new' AS gen FROM cat_new
+),
+gens AS (
+  SELECT DISTINCT r.syncer_name, c.gen,
+         c.grp || '/' || c.version || '/' || c.kind AS gvk
+  FROM cats c JOIN act r ON {_GVK_MATCH_SQL.format(o='c')}
+),
+per AS (
+  SELECT syncer_name,
+    COALESCE(list_sort(list(DISTINCT gvk) FILTER (WHERE gen = 'old')), []) AS old_set,
+    COALESCE(list_sort(list(DISTINCT gvk) FILTER (WHERE gen = 'new')), []) AS new_set
+  FROM gens GROUP BY syncer_name
+)
+SELECT syncer_name,
+  CAST(len(old_set) AS BIGINT) AS n_old,
+  CAST(len(new_set) AS BIGINT) AS n_new,
+  COALESCE(array_to_string(
+      list_sort(list_filter(new_set, x -> NOT list_contains(old_set, x))), ','
+  ), '') AS gained,
+  COALESCE(array_to_string(
+      list_sort(list_filter(old_set, x -> NOT list_contains(new_set, x))), ','
+  ), '') AS lost
+FROM per ORDER BY syncer_name
+""",
+)
+def q_discovery_expansion_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/S1 extension (round 10): the DISCOVERY-expansion diff — fixed
+    rules, two catalog generations. q_rule_change_audit answers "what
+    does this rule edit change"; this answers the registration-time
+    dual, "what does this CRD install/uninstall change": the reference
+    re-expands every glob rule against live discovery on each reconcile
+    (ServerGroupsAndResources, krmsyncer_controller.go:221-234;
+    expandRule :151-199), so a grown catalog silently widens glob
+    syncers' watch sets and a removed CRD narrows them. Per active
+    syncer: expanded-GVK counts under each catalog generation and the
+    gained/lost GVK lists.
+
+    Expansion is GVK-level (check_namespace=False — server-advertised
+    types carry no namespace, :200-233). Single-path plan: both catalog
+    generations are gen-tagged and unioned BEFORE the one
+    broadcast(rules) join — the q_rule_change_audit twin-broadcast
+    lesson, now machine-fenced by the plan lint.
+
+    Scale: catalogs and rules are both config-sized; the plan is one
+    broadcast join plus a syncer-sized rollup — nothing data-sized
+    anywhere."""
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    rules = spark.createDataFrame(_SYNCER_RULE_ROWS, schema)
+    val = validate_rules(normalize_rules(rules))
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti")
+    cat_schema = "group string, version string, kind string"
+    cats = (
+        spark.createDataFrame(_SYNCER_CATALOG_ROWS, cat_schema)
+        .withColumn("gen", F.lit("old"))
+        .unionByName(
+            spark.createDataFrame(_SYNCER_CATALOG_ROWS_GEN2, cat_schema)
+            .withColumn("gen", F.lit("new"))
+        )
+    )
+    matched = (
+        cats.join(
+            F.broadcast(active),
+            rule_match_condition(cats, active, check_namespace=False),
+        )
+        .select(
+            "syncer_name",
+            "gen",
+            F.concat_ws("/", "group", "version", "kind").alias("gvk"),
+        )
+        .distinct()
+    )
+    per = matched.groupBy("syncer_name").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("gen") == "old", F.col("gvk")))
+        ).alias("old_set"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("gen") == "new", F.col("gvk")))
+        ).alias("new_set"),
+    )
+    return (
+        per.select(
+            "syncer_name",
+            F.size("old_set").cast("bigint").alias("n_old"),
+            F.size("new_set").cast("bigint").alias("n_new"),
+            F.array_join(
+                F.array_sort(F.array_except("new_set", "old_set")), ","
+            ).alias("gained"),
+            F.array_join(
+                F.array_sort(F.array_except("old_set", "new_set")), ","
+            ).alias("lost"),
+        )
+        .orderBy("syncer_name")
+    )
+
+
+# Fan-out amplification (round 10): rules sized so the WRITE-side cost
+# of a rule set is visible — one syncer per patch-shape branch of the
+# reference's sink (krmsyncer_controller.go:586-624: the main SSA apply
+# always happens; a SEPARATE status subresource patch fires only when
+# 'status' is synced, :592-622). sync_fields=None exercises the CRD
+# default (["status"], types.go:37-39).
+_FANOUT_RULE_ROWS = [
+    ("f_status_default", False, "pull", "e2e.gkelabs.io", "v1", "TestCRD", None, None),
+    ("f_spec_only", False, "push", "kcc.cnrm.cloud.google.com", "*", "*", None, ["spec"]),
+    ("f_full", False, "pull", "*.cnrm.cloud.google.com", "*", "*", ["prod"], ["spec", "status"]),
+    ("f_rid", False, "pull", "apps", "v1", "Deployment", ["dev"], ["spec.resourceID"]),
+]
+
+
+@query(
+    "q_fanout_amplification",
+    tags=("J9", "S8", "S10", "ST"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_FANOUT_RULE_ROWS)}
+),
+val AS ({_RULESET_SQL.format(src='rules')}),
+act AS (
+  SELECT v.* FROM val v
+  WHERE NOT EXISTS (SELECT 1 FROM val x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+tot AS (
+  SELECT grp, version, kind, COUNT(*) AS n_events
+  FROM ops GROUP BY grp, version, kind
+),
+m AS (
+  SELECT o.grp, o.version, o.kind, r.syncer_name,
+         1 + CASE WHEN r.sync_fields IS NULL OR len(r.sync_fields) = 0
+                    OR list_contains(r.sync_fields, 'status')
+                  THEN 1 ELSE 0 END AS patches
+  FROM ops o JOIN act r
+    ON ({_GVK_MATCH_SQL.format(o='o')})
+   AND (r.namespaces IS NULL OR len(r.namespaces) = 0
+        OR list_contains(r.namespaces, o.namespace))
+),
+agg AS (
+  SELECT grp, version, kind,
+         COUNT(DISTINCT syncer_name) AS n_syncers,
+         COUNT(*) AS n_sync_ops,
+         SUM(patches) AS n_patches
+  FROM m GROUP BY grp, version, kind
+)
+SELECT t.grp AS "group", t.version, t.kind,
+  CAST(t.n_events AS BIGINT) AS n_events,
+  CAST(COALESCE(a.n_syncers, 0) AS BIGINT) AS n_syncers,
+  CAST(COALESCE(a.n_sync_ops, 0) AS BIGINT) AS n_sync_ops,
+  CAST(COALESCE(a.n_patches, 0) AS BIGINT) AS n_patches,
+  ROUND(COALESCE(a.n_patches, 0) * 1.0 / t.n_events, 6) AS amplification
+FROM tot t LEFT JOIN agg a USING (grp, version, kind)
+ORDER BY "group", version, kind
+""",
+)
+def q_fanout_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/S8/S10 extension (round 10): WRITE AMPLIFICATION of a rule
+    set over the op-log — per source GVK: events arriving, matching
+    syncers, sync operations (event × matching rule — the reference's
+    inner reconcile loop, krmsyncer_controller.go:431-530), and
+    destination PATCHES. Patches per sync = 1 (the main SSA apply,
+    :586-599) + 1 when 'status' is in sync_fields (the separate status
+    subresource patch, :592-622; the CRD default IS ["status"], so a
+    default rule costs 2 patches per event). The capacity-planning
+    answer an operator needs before enabling a fleet-wide glob rule:
+    amplification = destination patches per source event.
+
+    Fixture: one syncer per patch-shape branch (_FANOUT_RULE_ROWS) over
+    the same data-sized op-log as q_syncer_replay (event_id → catalog
+    row by mod-7, namespace by mod-3). The op-log frame feeds TWO
+    consumers (per-GVK totals and the match join) in one job, so it is
+    eagerly checkpointed — the measured rule for concurrent same-job
+    consumers (q_syncer_replay's r9 lesson: column pruning defeats
+    ReuseExchange).
+
+    Scale: rules broadcast; one broadcast join over the event scan;
+    both rollups are GVK-sized (7 rows); the totals side joins back by
+    broadcast. ROUND(·,6) on an integer-ratio display column follows
+    the q_watch_gap_relist precedent."""
+    from ..catalog import load_table
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    rules = spark.createDataFrame(_FANOUT_RULE_ROWS, schema)
+    val = validate_rules(normalize_rules(rules))
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti").withColumn(
+        "patches",
+        (F.lit(1) + F.array_contains("sync_fields", "status").cast("int")).cast(
+            "bigint"
+        ),
+    )
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev"))
+            .alias("namespace"),
+            F.col("event_id").alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = ops.groupBy("group", "version", "kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    agg = (
+        ops.join(F.broadcast(active), rule_match_condition(ops, active))
+        .groupBy("group", "version", "kind")
+        .agg(
+            F.count_distinct("syncer_name").cast("bigint").alias("n_syncers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sync_ops"),
+            F.sum("patches").cast("bigint").alias("n_patches"),
+        )
+    )
+    return (
+        tot.join(F.broadcast(agg), ["group", "version", "kind"], "left")
+        .select(
+            "group",
+            "version",
+            "kind",
+            "n_events",
+            F.coalesce("n_syncers", F.lit(0)).cast("bigint").alias("n_syncers"),
+            F.coalesce("n_sync_ops", F.lit(0)).cast("bigint").alias("n_sync_ops"),
+            F.coalesce("n_patches", F.lit(0)).cast("bigint").alias("n_patches"),
+            F.round(
+                F.coalesce("n_patches", F.lit(0)).cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("amplification"),
+        )
+        .orderBy("group", "version", "kind")
+    )

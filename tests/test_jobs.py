@@ -1977,3 +1977,53 @@ def test_snapshot_sync_slow_drip_reset_fails_loudly(spark, tmp_path):
     drop("snap-7", [7])
     with pytest.raises(SystemExit, match="numbering regression"):
         run_snapshot_sync.main(argv)
+
+
+def test_kube_etl_front_door_covers_every_job():
+    """The single-binary front door (jobs/kube_etl.py — the reference's
+    cobra root command, main.go:25-37) must map a subcommand to EVERY
+    job module under jobs/ and to nothing stale, so a new job cannot
+    ship without a `kube-etl <sub>` spelling."""
+    import glob
+    import os
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import kube_etl
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    modules = {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(repo, "jobs", "*.py"))
+    } - {"kube_etl"}
+    assert set(kube_etl.SUBCOMMANDS.values()) == modules
+    # every mapped module exposes main(argv) (the dispatch contract)
+    import importlib
+
+    for mod_name in kube_etl.SUBCOMMANDS.values():
+        assert callable(getattr(importlib.import_module(mod_name), "main"))
+
+
+def test_kube_etl_dispatch_and_errors(spark, tmp_path, capsys):
+    """`kube-etl export --output ...` must behave exactly like
+    run_export.main (argv forwards verbatim); an unknown subcommand and
+    a bare invocation must exit 2 with the usage text; --help exits 0."""
+    sys.path.insert(0, "/root/repo/jobs")
+    import kube_etl
+
+    out = str(tmp_path / "exp")
+    kube_etl.main(["export", "--input", SMOKE_SF, "--output", out])
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["exported"]["region"] == 5
+    assert spark.read.json(out).count() > 0
+
+    with pytest.raises(SystemExit) as exc:
+        kube_etl.main(["definitely-not-a-job"])
+    assert exc.value.code == 2
+    assert "unknown subcommand" in capsys.readouterr().err
+
+    with pytest.raises(SystemExit) as exc:
+        kube_etl.main([])
+    assert exc.value.code == 2
+
+    kube_etl.main(["--help"])
+    assert "subcommands" in capsys.readouterr().out
