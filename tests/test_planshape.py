@@ -1139,3 +1139,47 @@ def test_attribution_window_rides_shuffle_join(spark):
     assert not _re.search(r"hashpartitioning\(pid#\d+", plan), (
         "the window re-exchanged the fanned-out frame on pid alone"
     )
+
+
+def test_discovery_expansion_diff_single_join_path(spark):
+    """q_discovery_expansion_diff must route BOTH catalog generations
+    through ONE broadcast join (gen-tagged union BEFORE the join — the
+    q_rule_change_audit twin-broadcast lesson): exactly one broadcast
+    join node, no sort-merge join, and a Union present below it."""
+    plan = _plan(spark, "q_discovery_expansion_diff", mode="simple")
+    assert "SortMergeJoin" not in plan
+    n_bc = sum(
+        1 for line in plan.splitlines()
+        if "BroadcastHashJoin" in line or "BroadcastNestedLoopJoin" in line
+    )
+    # exactly two broadcasts: the invalid/suspended anti-join on the
+    # rules table, and the ONE catalog-match join both generations share
+    assert n_bc == 2, f"expected anti-join + one shared match join, got {n_bc}"
+    assert "Union" in plan
+
+
+def test_fanout_amplification_one_scan_broadcast_rules(spark):
+    """q_fanout_amplification: the op-log is eagerly checkpointed (two
+    same-job consumers — per-GVK totals and the match join — the
+    q_syncer_replay rule), so the outer plan reads the frozen RDD, the
+    rules/agg sides ride broadcasts, and nothing sort-merge joins. The
+    event-scan column prune lives inside the checkpoint and is covered
+    by q_syncer_replay's shared derivation; here we pin that BOTH
+    consumers read the checkpoint (two ExistingRDD scans) rather than
+    one consumer re-deriving the op-log from the parquet scan."""
+    plan = _plan(spark, "q_fanout_amplification", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "Scan parquet" not in plan, "a consumer bypassed the op-log checkpoint"
+    # the op-log checkpoint's RDD scan carries the op-log columns
+    # (column-pruned to group/version/kind/namespace/seq — op is unused
+    # here); the rules-table createDataFrame frames are ExistingRDD too
+    # but carry neither seq nor namespace, so they filter out
+    oplog_scans = [
+        line for line in plan.splitlines()
+        if "Scan ExistingRDD" in line and "seq" in line and "namespace" in line
+    ]
+    assert len(oplog_scans) == 2, (
+        f"expected both consumers on the checkpointed op-log, got "
+        f"{len(oplog_scans)}: {oplog_scans}"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
