@@ -1233,3 +1233,242 @@ def q_fanout_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "version", "kind")
     )
+
+
+@query(
+    "q_oplog_compaction_ratio",
+    tags=("ST6", "W6", "A1"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 97 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+per_key AS (
+  SELECT grp, version, kind, namespace, name,
+         COUNT(*) AS n_ops_k,
+         arg_max(op, seq) AS last_op
+  FROM ops GROUP BY grp, version, kind, namespace, name
+)
+SELECT grp AS "group", version, kind,
+  CAST(SUM(n_ops_k) AS BIGINT) AS n_ops,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete') AS BIGINT) AS n_live,
+  ROUND(COUNT(*) FILTER (WHERE last_op <> 'delete') * 1.0 / SUM(n_ops_k), 6)
+    AS compaction_ratio
+FROM per_key GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_oplog_compaction_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/W6 extension (round 10): the INFORMER-CACHE economics — per
+    GVK, how much smaller is the latest-state compaction than the
+    op-log that produced it. The reference's informer cache serves
+    every read from the compacted latest-state-per-key view instead of
+    the watch history (krmsyncer_controller.go:327-375); this query
+    prices that choice: n_ops (watch events), n_keys (distinct
+    objects), n_live (keys whose LATEST op is not a delete — what the
+    cache actually holds), and the compaction ratio live/ops. The
+    capacity answer for sizing state tables vs op-log retention.
+
+    Key lattice: name = event_id mod 97 under the mod-7 GVK and mod-3
+    namespace split (pairwise coprime ⇒ 2,037 distinct keys by CRT), so
+    keys see ~5 updates each at driver scale and ~1/11 of ops are
+    deletes — real compaction traffic at every SF. (First cut used
+    mod 2000, whose 42k-key lattice made every key UNIQUE below sf0.1 —
+    a compaction query with no compaction; caught in the oracle dry
+    run.)
+
+    Scale shape: ONE pass — a per-key aggregate (max_by(op, seq) picks
+    the latest op exactly; seq is unique) followed by the GVK-sized
+    rollup. n_ops rides SUM(per-key counts), so the op-log is never
+    scanned twice and nothing is checkpointed. Both exchanges carry
+    keys, never payloads."""
+    from ..catalog import load_table
+
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev"))
+            .alias("namespace"),
+            F.concat(
+                F.lit("obj-"), F.pmod(F.col("event_id"), F.lit(97)).cast("string")
+            ).alias("name"),
+            F.when(F.col("event_id") % 11 == 0, "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    per_key = ops.groupBy("group", "version", "kind", "namespace", "name").agg(
+        F.count(F.lit(1)).alias("n_ops_k"),
+        F.max_by("op", "seq").alias("last_op"),
+    )
+    live = F.sum((F.col("last_op") != "delete").cast("long"))
+    return (
+        per_key.groupBy("group", "version", "kind")
+        .agg(
+            F.sum("n_ops_k").cast("bigint").alias("n_ops"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            live.cast("bigint").alias("n_live"),
+            F.round(
+                live.cast("double") / F.sum("n_ops_k").cast("double"), 6
+            ).alias("compaction_ratio"),
+        )
+        .orderBy("group", "version", "kind")
+    )
+
+
+# Sync-conflict audit (round 10): pull syncers deliberately OVERLAP —
+# the shared-destination multi-writer configuration smell this query
+# exists to surface (the syncer_experiment fixture had to be designed
+# around exactly this hazard: two pull syncers matching one key race on
+# content at equal seq under SSA last-writer-wins,
+# krmsyncer_controller.go:586-599 ForceOwnership).
+_CONFLICT_RULE_ROWS = [
+    ("c_all_kcc", False, "pull", "kcc.cnrm.cloud.google.com", "*", "*", None, None),
+    ("c_fleet", False, "pull", "*.cnrm.cloud.google.com", "*", "*", ["prod"], None),
+    ("c_exact", False, "pull", "kcc.cnrm.cloud.google.com", "v1beta1", "KCCResource", None, None),
+    ("c_apps_push", False, "push", "apps", "v1", "Deployment", None, None),
+]
+
+
+@query(
+    "q_sync_conflict_audit",
+    tags=("P8", "S8", "J9"),
+    oracle=f"""
+WITH rules(syncer_name, suspend, mode, rule_group, rule_version, rule_kind,
+           namespaces, sync_fields) AS (
+  VALUES {_sql_rows(_CONFLICT_RULE_ROWS)}
+),
+val AS ({_RULESET_SQL.format(src='rules')}),
+act AS (
+  SELECT v.* FROM val v
+  WHERE NOT EXISTS (SELECT 1 FROM val x
+                    WHERE x.syncer_name = v.syncer_name AND (x.invalid OR x.suspend))
+),
+catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 97 AS VARCHAR)) AS name
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+m AS (
+  SELECT DISTINCT r.mode, o.grp, o.version, o.kind, o.namespace, o.name,
+         r.syncer_name
+  FROM ops o JOIN act r
+    ON ({_GVK_MATCH_SQL.format(o='o')})
+   AND (r.namespaces IS NULL OR len(r.namespaces) = 0
+        OR list_contains(r.namespaces, o.namespace))
+),
+per_key AS (
+  SELECT mode, grp, version, kind, namespace, name,
+         COUNT(DISTINCT syncer_name) AS n_writers
+  FROM m GROUP BY mode, grp, version, kind, namespace, name
+)
+SELECT mode, grp AS "group", version, kind,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(COUNT(*) FILTER (WHERE n_writers >= 2) AS BIGINT) AS n_contended,
+  CAST(MAX(n_writers) AS BIGINT) AS max_writers
+FROM per_key GROUP BY mode, grp, version, kind
+ORDER BY mode, "group", version, kind
+""",
+)
+def q_sync_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/S8 extension (round 10): the MULTI-WRITER conflict audit —
+    per destination mode and GVK, how many synced keys have TWO OR MORE
+    active syncers writing them. Pull syncers share one local
+    destination, so overlapping rules make the same key a multi-writer
+    cell: under the reference's SSA apply with ForceOwnership
+    (krmsyncer_controller.go:586-599) the writers silently steal
+    ownership back and forth — last event wins, and which syncer's
+    sync_fields projection lands is timing-dependent. The operator
+    wants this list BEFORE enabling an overlapping glob rule; the
+    engine's own scale harness had to design its fixture around
+    exactly this hazard.
+
+    Fixture: _CONFLICT_RULE_ROWS overlap deliberately (an exact-group
+    KCC glob × a *.cnrm fleet glob × one exact GVK rule): kcc/v1beta1
+    prod keys carry 3 writers, kcc dev 2, sql/apex prod 1 — every
+    contention tier is represented at every SF.
+
+    Scale shape: rules broadcast over one event scan; per-key distinct
+    writers via one keyed aggregate (the DISTINCT collapses each
+    (key, syncer) pair map-side); the GVK rollup is config-sized. The
+    fan-out join output carries only key + syncer columns, never
+    payloads."""
+    from ..catalog import load_table
+    from ..streaming.sync import (
+        normalize_rules,
+        rule_match_condition,
+        validate_rules,
+    )
+
+    schema = (
+        "syncer_name string, suspend boolean, mode string, rule_group string,"
+        " rule_version string, rule_kind string, namespaces array<string>,"
+        " sync_fields array<string>"
+    )
+    rules = spark.createDataFrame(_CONFLICT_RULE_ROWS, schema)
+    val = validate_rules(normalize_rules(rules))
+    bad = (
+        val.filter(~F.col("valid") | F.col("suspend"))
+        .select("syncer_name")
+        .distinct()
+    )
+    active = val.join(F.broadcast(bad), "syncer_name", "left_anti")
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group",
+            "version",
+            "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev"))
+            .alias("namespace"),
+            F.concat(
+                F.lit("obj-"), F.pmod(F.col("event_id"), F.lit(97)).cast("string")
+            ).alias("name"),
+        )
+    )
+    per_key = (
+        ops.join(F.broadcast(active), rule_match_condition(ops, active))
+        .groupBy("mode", "group", "version", "kind", "namespace", "name")
+        .agg(F.count_distinct("syncer_name").alias("n_writers"))
+    )
+    return (
+        per_key.groupBy("mode", "group", "version", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("n_writers") >= 2).cast("long"))
+            .cast("bigint")
+            .alias("n_contended"),
+            F.max("n_writers").cast("bigint").alias("max_writers"),
+        )
+        .orderBy("mode", "group", "version", "kind")
+    )

@@ -166,10 +166,13 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 ROTATE_NEXT: tuple[str, ...] = (
     # round-10 widening batch FIRST (no driver evidence yet — step-2
     # names for the r11 window): the discovery-expansion diff (the
-    # catalog-growth dual of q_rule_change_audit) and the write-
-    # amplification audit over the data-sized op-log
+    # catalog-growth dual of q_rule_change_audit), the write-
+    # amplification audit over the data-sized op-log, the informer-
+    # cache compaction economics, and the multi-writer conflict audit
     "q_discovery_expansion_diff",
     "q_fanout_amplification",
+    "q_oplog_compaction_ratio",
+    "q_sync_conflict_audit",
     # r11 re-pin queue head: the 15 remaining r05-evidence names (the
     # r9 comment queue minus the 5 pulled forward into the r10 window;
     # q_key_skew_audit was the one displaced by q_stream_tumbling's
