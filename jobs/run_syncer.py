@@ -159,6 +159,27 @@ def main(argv: list[str]) -> None:
     if args.secrets:
         with open(args.secrets) as f:
             secrets = json.load(f)
+
+    def _resolve(ns: str, name: str):
+        """Secret → credential, the reference's getRemoteClient chain
+        (krmsyncer_controller.go:534-559). A mapped value shaped like a
+        Secret (data/stringData) must hold a PARSEABLE kubeconfig under
+        the 'kubeconfig' key — parsed via streaming/kubeconfig.py, with
+        malformed/unsupported configs skipping the syncer exactly like
+        the reference's error path (:479-484). Any other truthy value
+        resolves as an opaque demo credential (backward compatible)."""
+        raw = secrets.get(f"{ns}/{name}")
+        if raw is None:
+            return None
+        cred = {"namespace": ns, "secret": name}
+        if isinstance(raw, dict) and ("data" in raw or "stringData" in raw):
+            from kube_etl_spark.streaming.kubeconfig import rest_config_from_secret
+
+            rc = rest_config_from_secret(raw, secret_name=name)  # raises KeyError-like ValueError on bad config
+            cred["server"] = rc.server
+            cred["rest_config"] = rc
+        return cred
+
     registry = DestinationRegistry(
         factory=lambda cred: StateTable(
             spark,
@@ -166,11 +187,7 @@ def main(argv: list[str]) -> None:
             key_cols,
             "seq",
         ),
-        resolve_credential=(
-            (lambda ns, name: {"namespace": ns, "secret": name}
-             if f"{ns}/{name}" in secrets else None)
-            if args.secrets else None
-        ),
+        resolve_credential=_resolve if args.secrets else None,
     )
 
     # STATUS WRITE-BACK (VERDICT r7 #6): the reference updates the CR's

@@ -386,8 +386,10 @@ def sync_to_destinations(
                     continue
                 try:
                     dest = registry.get_or_create(ns, secret)
-                except KeyError as ex:
-                    # "Failed to get remote client" -> continue (:479-484)
+                except (KeyError, ValueError) as ex:
+                    # "Failed to get remote client" -> continue (:479-484);
+                    # ValueError = a present-but-malformed kubeconfig
+                    # Secret (streaming/kubeconfig.py) — same skip path
                     skipped[name] = str(ex)
                     continue
             else:
