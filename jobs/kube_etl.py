@@ -36,6 +36,7 @@ for p in (_REPO, _HERE):
 # each job module pulls in pyspark, and `--help` must stay instant)
 SUBCOMMANDS: dict[str, str] = {
     "export": "run_export",
+    "cluster-export": "run_cluster_export",
     "syncer": "run_syncer",
     "snapshot-sync": "run_snapshot_sync",
     "neardup": "run_neardup",

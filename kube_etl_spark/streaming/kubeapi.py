@@ -1,0 +1,363 @@
+"""Kube-apiserver HTTP client — discovery, paginated list, watch.
+
+The reference talks to the cluster through client-go: discovery
+(`ServerPreferredResources`, pkg/export/export.go:98-128), full
+unpaginated `List` per resource type (export.go:130 — its documented
+scalability cliff), and controller-runtime watches
+(krmsyncer_controller.go:283-325). This module is the engine-side
+equivalent over the PUBLIC Kubernetes REST API shapes (api-machinery's
+documented endpoints; no client library):
+
+  * ``discover()``      — GET /api, /api/v1, /apis, /apis/<g>/<v>:
+    every served resource with its verbs, skipping subresources
+    (``'/' in name``) and non-listable types exactly as export.go:119-124;
+    per-group failures are tolerated and reported, mirroring the
+    partial-discovery tolerance of export.go:100-109.
+  * ``list_all()``      — GET .../<plural>?limit=N&continue=tok: the
+    PAGINATED list the reference lacks (its one-shot List materializes
+    the full result set in memory; SURVEY §3.1 boundary #2), yielding
+    items page by page with the list resourceVersion for watch bootstrap.
+  * ``watch()``         — GET ...?watch=1&resourceVersion=rv: the
+    newline-delimited JSON event stream (ADDED/MODIFIED/DELETED/BOOKMARK),
+    yielded as parsed events.
+  * ``watch_to_landing()`` — drains watch events into the JSON landing
+    zone run_syncer consumes (OBJ_SCHEMA rows: op/seq/GVK/key/payload),
+    bridging a live cluster into the existing streaming sync pipeline.
+  * ``snapshot_rows()`` / ``cluster_export()`` — discovery → list →
+    the reference's export layout (`<ns>/<group>/<kind>/<name>.<ext>`,
+    export.go:136-150) through the existing materialize_tree sink.
+
+Auth/TLS come from streaming/kubeconfig.py's RestConfig: bearer/basic
+headers, custom CA (ssl cadata), insecure-skip-verify, and inline
+client certificates (materialized to 0600 tempfiles because the ssl
+module loads cert chains from paths only). Tested against an
+in-process fake apiserver (tests/test_kubeapi.py) — the network client
+itself is environment-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import ssl
+import tempfile
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Iterator
+
+from .kubeconfig import RestConfig
+
+# the reference's remote discovery timeout (krmsyncer_controller.go:146)
+DEFAULT_TIMEOUT_S = 10.0
+
+
+class KubeApiError(RuntimeError):
+    """HTTP/protocol failure talking to the apiserver."""
+
+
+class KubeApiClient:
+    def __init__(self, config: RestConfig, timeout_s: float = DEFAULT_TIMEOUT_S):
+        self.config = config
+        self.timeout_s = timeout_s
+        self._ctx = self._ssl_context(config)
+
+    @staticmethod
+    def _ssl_context(config: RestConfig) -> ssl.SSLContext | None:
+        if not config.server.startswith("https"):
+            return None
+        ctx = ssl.create_default_context(
+            cadata=config.ca_pem.decode() if config.ca_pem else None
+        )
+        if config.insecure_skip_tls_verify:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        if config.client_cert_pem:
+            # ssl loads cert chains from files only; 0600 tempfiles are
+            # the standard workaround (unlinked right after load)
+            cf = kf = None
+            try:
+                with tempfile.NamedTemporaryFile(delete=False) as f:
+                    cf = f.name
+                    f.write(config.client_cert_pem)
+                with tempfile.NamedTemporaryFile(delete=False) as f:
+                    kf = f.name
+                    f.write(config.client_key_pem)
+                os.chmod(cf, 0o600)
+                os.chmod(kf, 0o600)
+                ctx.load_cert_chain(cf, kf)
+            finally:
+                for p in (cf, kf):
+                    if p:
+                        os.unlink(p)
+        return ctx
+
+    def _request(self, path: str, params: dict | None = None):
+        url = self.config.server + path
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url)
+        auth = self.config.auth_header
+        if auth:
+            req.add_header("Authorization", auth)
+        req.add_header("Accept", "application/json")
+        try:
+            return urllib.request.urlopen(
+                req, timeout=self.timeout_s, context=self._ctx
+            )
+        except urllib.error.HTTPError as ex:
+            body = ex.read(512).decode("utf-8", "replace")
+            raise KubeApiError(f"GET {path} -> HTTP {ex.code}: {body}") from ex
+        except urllib.error.URLError as ex:
+            raise KubeApiError(f"GET {path} failed: {ex.reason}") from ex
+
+    def _get_json(self, path: str, params: dict | None = None) -> dict:
+        with self._request(path, params) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    # -- discovery ---------------------------------------------------
+
+    def discover(self) -> tuple[list[dict], list[str]]:
+        """Every listable, non-subresource type the server advertises:
+        [{group, version, kind, plural, namespaced}], plus the list of
+        per-group errors tolerated along the way (export.go:100-109's
+        ErrGroupDiscoveryFailed handling — partial discovery is a
+        warning, not a failure). Group version choice mirrors
+        ServerPreferredResources: the group's preferredVersion."""
+        resources: list[dict] = []
+        errors: list[str] = []
+
+        def add_from(group: str, version: str, path: str) -> None:
+            rl = self._get_json(path)
+            for r in rl.get("resources", []):
+                name = r.get("name", "")
+                if "/" in name:  # subresource (export.go:124)
+                    continue
+                if "list" not in (r.get("verbs") or []):  # export.go:119
+                    continue
+                resources.append(
+                    {
+                        "group": group,
+                        "version": version,
+                        "kind": r.get("kind", ""),
+                        "plural": name,
+                        "namespaced": bool(r.get("namespaced")),
+                    }
+                )
+
+        try:
+            core = self._get_json("/api")
+            for v in core.get("versions", []):
+                add_from("", v, f"/api/{v}")
+        except KubeApiError as ex:
+            errors.append(str(ex))
+        try:
+            groups = self._get_json("/apis").get("groups", [])
+        except KubeApiError as ex:
+            errors.append(str(ex))
+            groups = []
+        for g in groups:
+            gname = g.get("name", "")
+            pv = (g.get("preferredVersion") or {}).get("version") or next(
+                (v.get("version") for v in g.get("versions", [])), None
+            )
+            if not pv:
+                continue
+            try:
+                add_from(gname, pv, f"/apis/{gname}/{pv}")
+            except KubeApiError as ex:
+                errors.append(str(ex))  # tolerate, keep going
+        return resources, errors
+
+    # -- list (paginated — the cliff export.go:130 has, removed) ------
+
+    def _collection_path(self, group: str, version: str, plural: str) -> str:
+        if group:
+            return f"/apis/{group}/{version}/{plural}"
+        return f"/api/{version}/{plural}"
+
+    def list_all(
+        self, group: str, version: str, plural: str, page_size: int = 500
+    ) -> Iterator[tuple[list[dict], str]]:
+        """Yield (items, resource_version) per page, following the
+        `continue` token until exhausted. The resource_version of the
+        FIRST page is the watch bootstrap point."""
+        token = None
+        while True:
+            params: dict = {"limit": page_size}
+            if token:
+                params["continue"] = token
+            body = self._get_json(
+                self._collection_path(group, version, plural), params
+            )
+            meta = body.get("metadata") or {}
+            yield body.get("items", []), meta.get("resourceVersion", "")
+            token = meta.get("continue")
+            if not token:
+                return
+
+    # -- watch ---------------------------------------------------------
+
+    def watch(
+        self,
+        group: str,
+        version: str,
+        plural: str,
+        resource_version: str | None = None,
+        timeout_seconds: int | None = None,
+    ) -> Iterator[dict]:
+        """Yield parsed watch events ({"type": ..., "object": {...}})
+        from the chunked newline-delimited JSON stream. The caller
+        restarts from the last seen resourceVersion on disconnect — the
+        same contract controller-runtime implements over client-go
+        (and q_watch_gap_relist audits when the restart window is
+        gone)."""
+        params: dict = {"watch": "1"}
+        if resource_version:
+            params["resourceVersion"] = resource_version
+        if timeout_seconds:
+            params["timeoutSeconds"] = timeout_seconds
+        with self._request(
+            self._collection_path(group, version, plural), params
+        ) as resp:
+            for raw in resp:
+                line = raw.strip()
+                if not line:
+                    continue
+                yield json.loads(line.decode("utf-8"))
+
+
+# -- bridges into the existing pipelines --------------------------------
+
+
+def _obj_key(obj: dict) -> tuple[str, str, str]:
+    meta = obj.get("metadata") or {}
+    return (
+        meta.get("namespace") or "",
+        meta.get("name") or "",
+        meta.get("resourceVersion") or "0",
+    )
+
+
+def watch_to_landing(
+    client: KubeApiClient,
+    targets: list[dict],
+    out_dir: str,
+    max_events: int | None = None,
+) -> int:
+    """Drain watch streams into run_syncer's JSON landing zone — one
+    OBJ_SCHEMA-shaped row per event (op = delete for DELETED else
+    upsert; seq = the event object's resourceVersion, the apiserver's
+    own monotone-per-key version — exactly the CDC contract StateTable
+    merges on). BOOKMARK events advance nothing and are skipped.
+    Returns the number of rows landed. One file per drain call keeps
+    the file-stream source's batch boundary aligned with the drain."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows: list[dict] = []
+    for t in targets:
+        for ev in client.watch(t["group"], t["version"], t["plural"]):
+            etype = ev.get("type")
+            if etype == "BOOKMARK":
+                continue
+            obj = ev.get("object") or {}
+            meta = obj.get("metadata") or {}
+            gv = obj.get("apiVersion", t["version"])
+            group, _, version = gv.rpartition("/")
+            try:
+                seq = int(meta.get("resourceVersion") or 0)
+            except ValueError:
+                seq = 0
+            rows.append(
+                {
+                    "seq": seq,
+                    "op": "delete" if etype == "DELETED" else "upsert",
+                    "group": group,
+                    "version": version or gv,
+                    "kind": obj.get("kind", t["kind"]),
+                    "namespace": meta.get("namespace") or "",
+                    "name": meta.get("name") or "",
+                    "labels": meta.get("labels") or {},
+                    "annotations": meta.get("annotations") or {},
+                    "spec": obj.get("spec"),
+                    "status": obj.get("status"),
+                }
+            )
+            if max_events is not None and len(rows) >= max_events:
+                break
+        if max_events is not None and len(rows) >= max_events:
+            break
+    if rows:
+        fd, path = tempfile.mkstemp(suffix=".json", prefix="watch-", dir=out_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+    return len(rows)
+
+
+def snapshot_rows(
+    client: KubeApiClient, resources: list[dict], page_size: int = 500
+) -> Iterator[dict]:
+    """Discovery output → every object of every listable type, as
+    (group, version, kind, namespace, name, path, payload) rows with
+    the reference's path derivation: namespace '' → '_cluster', group
+    '' → 'core', path = ns/group/kind/name.json (export.go:136-150)."""
+    for r in resources:
+        for items, _rv in client.list_all(
+            r["group"], r["version"], r["plural"], page_size=page_size
+        ):
+            for obj in items:
+                ns, name, _ = _obj_key(obj)
+                eff_ns = ns or "_cluster"
+                eff_group = r["group"] or "core"
+                yield {
+                    "group": r["group"],
+                    "version": r["version"],
+                    "kind": r["kind"] or obj.get("kind", ""),
+                    "namespace": ns,
+                    "name": name,
+                    "path": f"{eff_ns}/{eff_group}/{r['kind']}/{name}.json",
+                    "payload": json.dumps(obj, sort_keys=True),
+                }
+
+
+def cluster_export(
+    spark,
+    client: KubeApiClient,
+    out_root: str,
+    archive: bool = False,
+    serialization: str = "json",
+    page_size: int = 500,
+) -> dict:
+    """The reference CLI's full pipeline against a live apiserver:
+    discovery → paginated list of every listable type → one file per
+    object at `<ns>/<group>/<kind>/<name>.<ext>` (export.go:64-168),
+    optionally zipped (pkg/sink/zip.go). Control-plane exports are
+    control-plane-sized, so rows land via the driver into a DataFrame
+    and the existing materialize_tree sink; the 100 TB path remains the
+    partitioned-dataset run_export."""
+    resources, errors = client.discover()
+    rows = list(snapshot_rows(client, resources, page_size=page_size))
+    schema = (
+        "group string, version string, kind string, namespace string,"
+        " name string, path string, payload string"
+    )
+    df = spark.createDataFrame(rows, schema) if rows else None
+    n_files = 0
+    if df is not None:
+        if serialization == "yaml":
+            from pyspark.sql import functions as F
+
+            from ..plans.export_job import _json_payloads_to_yaml
+
+            df = df.withColumn(
+                "path", F.expr("replace(path, '.json', '.yaml')")
+            )
+            df = df.mapInPandas(_json_payloads_to_yaml, df.schema)
+        from ..plans.export_job import materialize_tree
+
+        n_files = materialize_tree(df, out_root, archive=archive)
+    return {
+        "types_discovered": len(resources),
+        "discovery_errors": errors,
+        "objects": len(rows),
+        "files": n_files,
+    }
