@@ -37,6 +37,7 @@ for p in (_REPO, _HERE):
 SUBCOMMANDS: dict[str, str] = {
     "export": "run_export",
     "cluster-export": "run_cluster_export",
+    "watch-bridge": "run_watch_bridge",
     "syncer": "run_syncer",
     "snapshot-sync": "run_snapshot_sync",
     "neardup": "run_neardup",

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the WATCH BRIDGE — the continuous job
+that turns a live cluster's watch streams into the landing zones the
+rest of the engine already consumes. The reference's watch loop
+(controller-runtime sources, krmsyncer_controller.go:283-325) becomes:
+
+  watch events  → --landing   (JSON op-log files; run_syncer's source)
+  410 Gone      → --snapshots (a full PAGINATED relist written as a
+                  parquet snapshot dir; run_snapshot_sync's source,
+                  whose diff recovers the deletes the missed window
+                  contained — plain re-upserts could not)
+
+    run_watch_bridge.py --kubeconfig kc.yaml --targets targets.json \
+        --landing /data/oplog --snapshots /data/snaps --bookmark bm.json \
+        [--interval 30] [--once]
+
+--targets is a JSON list of {group, version, kind, plural}. Per-target
+resourceVersion bookmarks persist in --bookmark, so restarts resume the
+watch where it stopped; a bookmark older than the server's retained
+window raises the 410 path above (the exact contract q_watch_gap_relist
+audits offline). Relists are counted per target in the bookmark file —
+the operator's watch-health signal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _load_bookmarks(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _save_bookmarks(path: str, bm: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(bm, f)
+    os.replace(tmp, path)
+
+
+def _target_key(t: dict) -> str:
+    return f"{t['group']}/{t['version']}/{t['plural']}"
+
+
+def relist_to_snapshot(spark, client, target: dict, snap_root: str, n: int) -> str:
+    """The 410 recovery: a full paginated list written as ONE parquet
+    snapshot dir (name-ordered for run_snapshot_sync), whose
+    snapshot-diff downstream recovers the deletes the compacted watch
+    window contained. Returns the new resourceVersion bookmark."""
+    rows = []
+    rv = ""
+    for items, page_rv in client.list_all(
+        target["group"], target["version"], target["plural"]
+    ):
+        rv = rv or page_rv
+        for obj in items:
+            meta = obj.get("metadata") or {}
+            rows.append(
+                (
+                    target["group"],
+                    target["version"],
+                    target["kind"],
+                    meta.get("namespace") or "",
+                    meta.get("name") or "",
+                    int(meta.get("resourceVersion") or 0),
+                    json.dumps(obj, sort_keys=True),
+                )
+            )
+    out = os.path.join(
+        snap_root, _target_key(target).replace("/", "~"), f"snap-{n}"
+    )
+    df = spark.createDataFrame(
+        rows,
+        "group string, version string, kind string, namespace string,"
+        " name string, seq long, payload string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return rv
+
+
+def main(argv: list[str]) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kubeconfig", required=True)
+    ap.add_argument("--context", default=None)
+    ap.add_argument("--targets", required=True, help="JSON list of {group,version,kind,plural}")
+    ap.add_argument("--landing", required=True, help="op-log landing zone (run_syncer --oplog)")
+    ap.add_argument("--snapshots", required=True, help="relist snapshot root (run_snapshot_sync --watch)")
+    ap.add_argument("--bookmark", required=True, help="resourceVersion bookmark file")
+    ap.add_argument("--interval", type=int, default=30, help="watch timeoutSeconds per poll")
+    ap.add_argument("--max-events", type=int, default=None)
+    ap.add_argument("--once", action="store_true", help="one drain pass per target, then exit")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from kube_etl_spark.session import configure
+    from kube_etl_spark.streaming.kubeapi import (
+        KubeApiClient,
+        WatchExpired,
+        drain_watch,
+    )
+    from kube_etl_spark.streaming.kubeconfig import rest_config_from_kubeconfig
+
+    with open(args.kubeconfig, "rb") as f:
+        rc = rest_config_from_kubeconfig(f.read(), context=args.context)
+    client = KubeApiClient(rc)
+    with open(args.targets) as f:
+        targets = json.load(f)
+    spark = None  # lazy: only the relist path needs a SparkSession
+
+    while True:
+        bm = _load_bookmarks(args.bookmark)
+        for t in targets:
+            key = _target_key(t)
+            entry = bm.get(key) or {}
+            try:
+                n, last_rv = drain_watch(
+                    client,
+                    t,
+                    args.landing,
+                    resource_version=entry.get("rv"),
+                    timeout_seconds=args.interval,
+                    max_events=args.max_events,
+                )
+                if last_rv:
+                    entry["rv"] = last_rv
+                entry["events"] = entry.get("events", 0) + n
+            except WatchExpired as ex:
+                # the compacted-window path: full relist into the
+                # snapshot zone; snapshot-diff downstream recovers the
+                # missed deletes (streaming/snapdiff.py)
+                if spark is None:
+                    spark = configure(
+                        SparkSession.builder.appName("kube-etl-watch-bridge").getOrCreate()
+                    )
+                n_relist = entry.get("relists", 0) + 1
+                entry["rv"] = relist_to_snapshot(
+                    spark, client, t, args.snapshots, n_relist
+                )
+                entry["relists"] = n_relist
+                print(
+                    f"watch expired for {key} ({ex}); relisted into "
+                    f"{args.snapshots} (relist #{n_relist})",
+                    file=sys.stderr,
+                )
+            bm[key] = entry
+        _save_bookmarks(args.bookmark, bm)
+        if args.once:
+            print(json.dumps(bm))
+            return
+        time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -56,6 +56,14 @@ class KubeApiError(RuntimeError):
     """HTTP/protocol failure talking to the apiserver."""
 
 
+class WatchExpired(KubeApiError):
+    """The requested resourceVersion is gone (HTTP 410 / in-stream
+    ERROR Gone): the retained watch window was compacted past the
+    bookmark and the consumer must RELIST — the exact contract
+    q_watch_gap_relist audits and controller-runtime handles via
+    ErrResourceExpired."""
+
+
 class KubeApiClient:
     def __init__(self, config: RestConfig, timeout_s: float = DEFAULT_TIMEOUT_S):
         self.config = config
@@ -239,58 +247,113 @@ def _obj_key(obj: dict) -> tuple[str, str, str]:
     )
 
 
+def event_to_oplog_row(ev: dict, target: dict) -> dict | None:
+    """One watch event → one OBJ_SCHEMA row (op = delete for DELETED
+    else upsert; seq = the object's resourceVersion — the apiserver's
+    monotone version, exactly the CDC contract StateTable merges on).
+    BOOKMARK events return None (they advance only the bookmark);
+    ERROR Gone raises WatchExpired (the relist signal, which the
+    apiserver can deliver IN-STREAM as {"type":"ERROR","object":
+    {"code":410}} rather than as an HTTP status)."""
+    etype = ev.get("type")
+    if etype == "BOOKMARK":
+        return None
+    if etype == "ERROR":
+        obj = ev.get("object") or {}
+        if obj.get("code") == 410 or obj.get("reason") == "Expired":
+            raise WatchExpired(str(obj.get("message") or "watch window expired"))
+        raise KubeApiError(f"watch ERROR event: {obj}")
+    obj = ev.get("object") or {}
+    meta = obj.get("metadata") or {}
+    gv = obj.get("apiVersion", target["version"])
+    group, _, version = gv.rpartition("/")
+    try:
+        seq = int(meta.get("resourceVersion") or 0)
+    except ValueError:
+        seq = 0
+    return {
+        "seq": seq,
+        "op": "delete" if etype == "DELETED" else "upsert",
+        "group": group,
+        "version": version or gv,
+        "kind": obj.get("kind", target["kind"]),
+        "namespace": meta.get("namespace") or "",
+        "name": meta.get("name") or "",
+        "labels": meta.get("labels") or {},
+        "annotations": meta.get("annotations") or {},
+        "spec": obj.get("spec"),
+        "status": obj.get("status"),
+    }
+
+
+def _land_rows(rows: list[dict], out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    fd, _path = tempfile.mkstemp(suffix=".json", prefix="watch-", dir=out_dir)
+    with os.fdopen(fd, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def drain_watch(
+    client: KubeApiClient,
+    target: dict,
+    out_dir: str,
+    resource_version: str | None = None,
+    timeout_seconds: int | None = None,
+    max_events: int | None = None,
+) -> tuple[int, str | None]:
+    """Drain ONE target's watch stream into the JSON landing zone;
+    returns (rows landed, last seen resourceVersion — the next
+    bookmark; BOOKMARK events advance it without landing rows). Raises
+    WatchExpired when the bookmark predates the retained window (HTTP
+    410 or the in-stream ERROR form) — the caller relists. One file per
+    drain keeps the file-stream source's batch boundary aligned with
+    the drain."""
+    rows: list[dict] = []
+    last_rv = None
+    try:
+        for ev in client.watch(
+            target["group"], target["version"], target["plural"],
+            resource_version=resource_version, timeout_seconds=timeout_seconds,
+        ):
+            rv = ((ev.get("object") or {}).get("metadata") or {}).get(
+                "resourceVersion"
+            )
+            row = event_to_oplog_row(ev, target)  # raises WatchExpired on 410
+            if rv:
+                last_rv = rv
+            if row is None:
+                continue
+            rows.append(row)
+            if max_events is not None and len(rows) >= max_events:
+                break
+    except KubeApiError as ex:
+        if isinstance(ex, WatchExpired):
+            raise
+        if "HTTP 410" in str(ex):
+            raise WatchExpired(str(ex)) from ex
+        raise
+    finally:
+        if rows:
+            _land_rows(rows, out_dir)
+    return len(rows), last_rv
+
+
 def watch_to_landing(
     client: KubeApiClient,
     targets: list[dict],
     out_dir: str,
     max_events: int | None = None,
 ) -> int:
-    """Drain watch streams into run_syncer's JSON landing zone — one
-    OBJ_SCHEMA-shaped row per event (op = delete for DELETED else
-    upsert; seq = the event object's resourceVersion, the apiserver's
-    own monotone-per-key version — exactly the CDC contract StateTable
-    merges on). BOOKMARK events advance nothing and are skipped.
-    Returns the number of rows landed. One file per drain call keeps
-    the file-stream source's batch boundary aligned with the drain."""
-    os.makedirs(out_dir, exist_ok=True)
-    rows: list[dict] = []
+    """Drain every target's watch stream once into run_syncer's JSON
+    landing zone (see drain_watch). Returns the total rows landed."""
+    total = 0
     for t in targets:
-        for ev in client.watch(t["group"], t["version"], t["plural"]):
-            etype = ev.get("type")
-            if etype == "BOOKMARK":
-                continue
-            obj = ev.get("object") or {}
-            meta = obj.get("metadata") or {}
-            gv = obj.get("apiVersion", t["version"])
-            group, _, version = gv.rpartition("/")
-            try:
-                seq = int(meta.get("resourceVersion") or 0)
-            except ValueError:
-                seq = 0
-            rows.append(
-                {
-                    "seq": seq,
-                    "op": "delete" if etype == "DELETED" else "upsert",
-                    "group": group,
-                    "version": version or gv,
-                    "kind": obj.get("kind", t["kind"]),
-                    "namespace": meta.get("namespace") or "",
-                    "name": meta.get("name") or "",
-                    "labels": meta.get("labels") or {},
-                    "annotations": meta.get("annotations") or {},
-                    "spec": obj.get("spec"),
-                    "status": obj.get("status"),
-                }
-            )
-            if max_events is not None and len(rows) >= max_events:
-                break
-        if max_events is not None and len(rows) >= max_events:
+        budget = None if max_events is None else max_events - total
+        if budget is not None and budget <= 0:
             break
-    if rows:
-        fd, path = tempfile.mkstemp(suffix=".json", prefix="watch-", dir=out_dir)
-        with os.fdopen(fd, "w") as f:
-            f.write("\n".join(json.dumps(r) for r in rows))
-    return len(rows)
+        n, _rv = drain_watch(client, t, out_dir, max_events=budget)
+        total += n
+    return total
 
 
 def snapshot_rows(

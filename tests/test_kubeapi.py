@@ -120,6 +120,20 @@ class FakeApiServer(BaseHTTPRequestHandler):
                                     "items": NODES})
         if p == "/apis/e2e.gkelabs.io/v1alpha1/testcrds":
             if q.get("watch") == ["1"]:
+                if q.get("resourceVersion") == ["9"]:
+                    # bookmark predates the retained window: the
+                    # apiserver delivers Gone IN-STREAM as an ERROR
+                    # event (the other form is a plain HTTP 410)
+                    ev = {"type": "ERROR", "object": {
+                        "kind": "Status", "code": 410, "reason": "Expired",
+                        "message": "too old resource version: 9 (999)"}}
+                    body = json.dumps(ev).encode() + b"\n"
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 body = b"".join(
                     json.dumps(e).encode() + b"\n" for e in WATCH_EVENTS
                 )
@@ -303,3 +317,72 @@ contexts:
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["objects"] == 9 and printed["files"] == 9
     assert os.path.exists(os.path.join(out, "prod/e2e.gkelabs.io/TestCRD/obj-2.json"))
+
+
+def test_watch_bridge_bookmark_and_410_relist(client, api_server, spark, tmp_path, capsys):
+    """The continuous bridge end-to-end: (1) a drain pass lands events
+    and persists the resourceVersion bookmark; (2) a bookmark older
+    than the retained window (the in-stream ERROR Gone form) triggers a
+    full paginated RELIST into the snapshot zone — which
+    run_snapshot_sync then diffs into state, the composition that
+    recovers deletes a missed watch window contained."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_snapshot_sync
+    import run_watch_bridge
+
+    kubeconfig = f"""
+apiVersion: v1
+kind: Config
+current-context: fake
+clusters: [{{name: fake, cluster: {{server: {api_server}}}}}]
+users: [{{name: fake, user: {{token: {TOKEN}}}}}]
+contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
+"""
+    (tmp_path / "kc.yaml").write_text(kubeconfig)
+    targets = [{"group": "e2e.gkelabs.io", "version": "v1alpha1",
+                "kind": "TestCRD", "plural": "testcrds"}]
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    bookmark = tmp_path / "bm.json"
+    args = [
+        "--kubeconfig", str(tmp_path / "kc.yaml"),
+        "--targets", str(tmp_path / "targets.json"),
+        "--landing", str(tmp_path / "oplog"),
+        "--snapshots", str(tmp_path / "snaps"),
+        "--bookmark", str(bookmark),
+        "--once",
+    ]
+    run_watch_bridge.main(args)
+    bm = json.loads(bookmark.read_text())
+    key = "e2e.gkelabs.io/v1alpha1/testcrds"
+    assert bm[key]["events"] == 3
+    assert bm[key]["rv"] == "303"  # the DELETED event's resourceVersion
+    assert len(os.listdir(tmp_path / "oplog")) == 1
+
+    # age the bookmark past the server's retained window -> 410 path
+    bm[key]["rv"] = "9"
+    bookmark.write_text(json.dumps(bm))
+    run_watch_bridge.main(args)
+    bm2 = json.loads(bookmark.read_text())
+    assert bm2[key]["relists"] == 1
+    assert bm2[key]["rv"] == "1000"  # the relist's list resourceVersion
+    snap_dir = tmp_path / "snaps" / "e2e.gkelabs.io~v1alpha1~testcrds"
+    subdirs = os.listdir(snap_dir)
+    assert subdirs == ["snap-1"]
+
+    # composition: the relist snapshot flows through run_snapshot_sync
+    run_snapshot_sync.main([
+        "--watch", str(snap_dir),
+        "--state", str(tmp_path / "snap-state"),
+        "--keys", "group,version,kind,namespace,name",
+        "--once",
+    ])
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    live = StateTable(
+        spark, str(tmp_path / "snap-state"),
+        ["group", "version", "kind", "namespace", "name"], "seq",
+    ).read().collect()
+    assert {r["name"] for r in live} == {"obj-0", "obj-1", "obj-2"}
