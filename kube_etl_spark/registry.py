@@ -64,17 +64,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-10 window (VERDICT r9 #1): 8 anchors + the 6 round-9 widening
+# Round-11 window (VERDICT r10 #1): 8 anchors + the 4 round-10 widening
 # queries (the ONLY oracle-backed names with zero driver evidence — the
-# r9 ROTATE_NEXT head) + 2 rows-only execution slots (the documented
-# r10 sketch queue: q_quantile_bucket_join_approx +
-# q_profile_columns_approx, the last two rows-only queries with zero
-# driver execution evidence — VERDICT r9 #5's done-by-r11 criterion is
-# met this round) + the 8 r04-evidence re-pins + 26 of the 41
-# r05-evidence re-pins (the 21 queued in r9's ROTATE_NEXT plus 5 pulled
-# forward from the r11 queue: q_stream_tumbling for the streaming quota
-# — also a bench headliner — then q_join_left/q_join_range/
-# q_join_right/q_join_semi in queue order). 8+6+2+8+26 = 50.
+# r10 ROTATE_NEXT head, each locally parity-green and independently
+# verified by the r10 judge) + 2 rows-only execution slots (the
+# documented r11 re-execution queue: q_sample +
+# q_agg_percentile_approx — with these, every rows-only query has a
+# post-r01 driver execution row) + the 15 remaining r05-evidence
+# re-pins (r10 ROTATE_NEXT body) + the first 16 r06-evidence re-pins +
+# 5 pulled from the r12 queue head in r06 window order
+# (q_stream_watermark promoted over q_agg_conditional for the ≥3
+# streaming quota, the same promotion move r10 made with
+# q_stream_tumbling). 8+4+2+15+16+5 = 50.
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -85,100 +86,17 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 6 round-9 widening queries (r9 ROTATE_NEXT
-    # head — zero driver evidence until this window runs)
-    "q_syncer_replay",
-    "q_export_diff",
-    "q_interval_merge",
-    "q_skyline_orders",
-    "q_ks_drift",
-    "q_watch_gap_relist",
-    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
-    "q_quantile_bucket_join_approx",
-    "q_profile_columns_approx",
-    # 3a. oldest-evidence re-pins: the 8 r04-evidence names (r9
-    # ROTATE_NEXT re-pin queue head)
-    "q_winsorize",
-    "q_time_weighted_avg",
-    "q_attribution_last_touch",
-    "q_tpch_q17_small_quantity",
-    "q_tpch_q22_idle_balance",
-    "q_tpch_q4_order_priority",
-    "q_concurrency_profile",
-    "q_histogram_value",
-    # 3b. oldest-evidence re-pins: 26 of the 41 r05-evidence names —
-    # the 21 from r9's ROTATE_NEXT body plus the 5 pulled forward
-    # (q_stream_tumbling promoted for the streaming quota)
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_stats",
-    "q_audit_constraints",
-    "q_bfs_hops",
-    "q_bitmap_distinct_rollup",
-    "q_bucketed_point_lookup",
-    "q_cms_heavy_hitters",
-    "q_dedup_normalized",
-    "q_filter_array_contains",
-    "q_filter_conjunction",
-    "q_filter_isin",
-    "q_filter_like_suffix",
-    "q_filter_not_contains",
-    "q_hapax_ratio",
-    "q_join_broadcast",
-    "q_join_bucketed",
-    "q_join_cross",
-    "q_join_full",
-    "q_join_left",
-    "q_join_range",
-    "q_join_right",
-    "q_join_semi",
-    "q_stream_tumbling",
-)
-
-# Rows-only queries legally occupying window slots THIS round (cap 2,
-# enforced in tests/test_entry.py). The driver records err=no_oracle
-# with spark_rows>0 — weaker than a hash row but the only external
-# execution evidence the rows-only contract allows (VERDICT r7 #4).
-# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows);
-# q_knn_lsh + q_dedup_incremental_capped (r9, 30/56 rows). This round
-# drains the last two ZERO-execution rows-only names; with it, every
-# registered query carries at least one driver row of some kind
-# (VERDICT r9 #5, met a round early). Queue for r11+ (2 per round —
-# these are re-executions, every name below already has r01 evidence):
-# q_sample + q_agg_percentile_approx (r11), q_agg_approx_distinct +
-# q_dedup_fuzzy (r12).
-ROWS_ONLY_WINDOW: tuple[str, ...] = (
-    "q_quantile_bucket_join_approx",
-    "q_profile_columns_approx",
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # round-10 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r11 window): the discovery-expansion diff (the
-    # catalog-growth dual of q_rule_change_audit), the write-
-    # amplification audit over the data-sized op-log, the informer-
-    # cache compaction economics, and the multi-writer conflict audit
+    # 2. newest-unproven: the 4 round-10 widening queries (r10
+    # ROTATE_NEXT head — zero driver evidence until this window runs)
     "q_discovery_expansion_diff",
     "q_fanout_amplification",
     "q_oplog_compaction_ratio",
     "q_sync_conflict_audit",
-    # r11 re-pin queue head: the 15 remaining r05-evidence names (the
-    # r9 comment queue minus the 5 pulled forward into the r10 window;
-    # q_key_skew_audit was the one displaced by q_stream_tumbling's
-    # streaming-quota promotion). Round-10 widening queries, when
-    # registered, are PREPENDED above this block (step-2 names for the
-    # r11 window) — the ≤35 cap leaves 4 slots of headroom for them.
+    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
+    "q_sample",
+    "q_agg_percentile_approx",
+    # 3a. oldest-evidence re-pins: the 15 remaining r05-evidence names
+    # (r10 ROTATE_NEXT re-pin queue head)
     "q_key_skew_audit",
     "q_knn_classify",
     "q_mode_per_group",
@@ -194,13 +112,8 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_triangle_count",
     "q_weighted_median",
     "q_window_running_distinct",
-    # r11 re-pin queue body: the first 16 r06-evidence names in their
-    # r06 window order (the remaining 26 r06 names are the r12 queue;
-    # every deferred query stays locally parity-proven every run).
-    # r11 window math: 8 anchors + 2 rows-only (q_sample +
-    # q_agg_percentile_approx per the ROWS_ONLY_WINDOW queue) + up to
-    # 4 r10 widening queries + these 31 = 45..49; any remaining slots
-    # come from the r12 queue head.
+    # 3b. oldest-evidence re-pins: the first 16 r06-evidence names in
+    # r06 window order (r10 ROTATE_NEXT re-pin queue body)
     "q_user_trend_slope",
     "q_yoy_growth",
     "q_reactivation",
@@ -217,6 +130,74 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_knn_quantized",
     "q_embedding_drift",
     "q_quantile_bucket_join",
+    # 3c. pulled forward from the r12 queue head (r06 window order,
+    # q_stream_watermark promoted for the streaming quota)
+    "q_agg_global",
+    "q_agg_count_distinct",
+    "q_agg_percentile",
+    "q_agg_collect",
+    "q_stream_watermark",
+)
+
+# Rows-only queries legally occupying window slots THIS round (cap 2,
+# enforced in tests/test_entry.py). The driver records err=no_oracle
+# with spark_rows>0 — weaker than a hash row but the only external
+# execution evidence the rows-only contract allows (VERDICT r7 #4).
+# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows);
+# q_knn_lsh + q_dedup_incremental_capped (r9, 30/56 rows);
+# q_quantile_bucket_join_approx + q_profile_columns_approx (r10, the
+# last two ZERO-execution rows-only names — from here on every slot is
+# a RE-execution; every name below already has r01 evidence). Queue:
+# q_sample + q_agg_percentile_approx (r11, this window),
+# q_agg_approx_distinct + q_dedup_fuzzy (r12), q_knn_ivf +
+# q_dedup_semantic (r13, oldest-execution order resumes).
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "q_sample",
+    "q_agg_percentile_approx",
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # r12 re-pin queue: the 21 remaining r06-evidence names in their
+    # r06 window order (the 26 left after the r11 window took 16, plus
+    # q_agg_conditional — displaced from the r11 pull-forward by
+    # q_stream_watermark's streaming-quota promotion — minus the other
+    # 4 pulled forward). Round-11 widening queries, when registered,
+    # are PREPENDED above this block (step-2 names for the r12 window)
+    # — the ≤35 cap leaves 14 slots of headroom for them.
+    # r12 window math: 8 anchors + 2 rows-only (q_agg_approx_distinct +
+    # q_dedup_fuzzy per the ROWS_ONLY_WINDOW queue) + any r11 widening
+    # + these 21 = 31+; remaining slots come from the r13 queue head
+    # (the r07-evidence names, oldest first).
+    "q_agg_conditional",
+    "q_agg_argmax",
+    "q_project_nested",
+    "q_drop_normalize",
+    "q_case_coalesce_concat",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_hash_funcs",
+    "q_string_funcs2",
+    "q_date_funcs2",
+    "q_conditional_funcs",
+    "q_regex_funcs",
+    "q_orderby_multi",
+    "q_tpch_q7_nation_volume",
+    "q_join_star",
+    "q_knn_cosine",
+    "q_text_stats",
+    "q_window_topk_group",
 )
 
 
