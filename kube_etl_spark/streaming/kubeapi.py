@@ -37,6 +37,7 @@ itself is environment-agnostic.
 
 from __future__ import annotations
 
+import http.client
 import json
 import os
 import ssl
@@ -50,6 +51,16 @@ from .kubeconfig import RestConfig
 
 # the reference's remote discovery timeout (krmsyncer_controller.go:146)
 DEFAULT_TIMEOUT_S = 10.0
+# Watch reads get their OWN timeout budget: the server is allowed to
+# stay silent for the full requested timeoutSeconds (plus transit
+# margin) between events — applying the 10 s request timeout to body
+# reads made any quiet 10 s window raise mid-iteration (ADVICE r10
+# high: the continuous bridge crash-looped on every low-traffic
+# target). When the caller requests no server-side timeout, cap reads
+# at the budget below anyway so a silently-hung connection cannot
+# block a drain forever (client-go's informers use a 5-10 min window).
+WATCH_READ_MARGIN_S = 15.0
+DEFAULT_WATCH_BUDGET_S = 300.0
 
 
 class KubeApiError(RuntimeError):
@@ -100,7 +111,9 @@ class KubeApiClient:
                         os.unlink(p)
         return ctx
 
-    def _request(self, path: str, params: dict | None = None):
+    def _request(
+        self, path: str, params: dict | None = None, timeout_s: float | None = None
+    ):
         url = self.config.server + path
         if params:
             url += "?" + urllib.parse.urlencode(params)
@@ -111,7 +124,9 @@ class KubeApiClient:
         req.add_header("Accept", "application/json")
         try:
             return urllib.request.urlopen(
-                req, timeout=self.timeout_s, context=self._ctx
+                req,
+                timeout=self.timeout_s if timeout_s is None else timeout_s,
+                context=self._ctx,
             )
         except urllib.error.HTTPError as ex:
             body = ex.read(512).decode("utf-8", "replace")
@@ -219,20 +234,45 @@ class KubeApiClient:
         restarts from the last seen resourceVersion on disconnect — the
         same contract controller-runtime implements over client-go
         (and q_watch_gap_relist audits when the restart window is
-        gone)."""
-        params: dict = {"watch": "1"}
+        gone).
+
+        allowWatchBookmarks is always requested: real apiservers emit
+        BOOKMARK events only on opt-in (ADVICE r10 — without it quiet
+        streams never advance the bookmark and 410/relist churn
+        multiplies). The read timeout is the watch budget (requested
+        timeoutSeconds, else DEFAULT_WATCH_BUDGET_S) plus margin — NOT
+        the request-phase default — so an event gap inside the server's
+        window is silence, not an error. A trailing line with no
+        newline is a mid-line disconnect: the fragment is dropped if
+        unparseable (the event re-delivers after a restart from the
+        last bookmark, which the dropped fragment never advanced)."""
+        params: dict = {"watch": "1", "allowWatchBookmarks": "true"}
         if resource_version:
             params["resourceVersion"] = resource_version
         if timeout_seconds:
             params["timeoutSeconds"] = timeout_seconds
+        read_timeout = (
+            float(timeout_seconds) if timeout_seconds else DEFAULT_WATCH_BUDGET_S
+        ) + WATCH_READ_MARGIN_S
         with self._request(
-            self._collection_path(group, version, plural), params
+            self._collection_path(group, version, plural),
+            params,
+            timeout_s=read_timeout,
         ) as resp:
             for raw in resp:
+                complete = raw.endswith(b"\n")
                 line = raw.strip()
                 if not line:
                     continue
-                yield json.loads(line.decode("utf-8"))
+                try:
+                    ev = json.loads(line.decode("utf-8"))
+                except (UnicodeDecodeError, json.JSONDecodeError) as ex:
+                    if not complete:  # truncated by a disconnect
+                        return
+                    raise KubeApiError(
+                        f"malformed watch event line: {line[:200]!r}"
+                    ) from ex
+                yield ev
 
 
 # -- bridges into the existing pipelines --------------------------------
@@ -245,6 +285,23 @@ def _obj_key(obj: dict) -> tuple[str, str, str]:
         meta.get("name") or "",
         meta.get("resourceVersion") or "0",
     )
+
+
+def rv_to_seq(rv, what: str = "object") -> int:
+    """resourceVersion → the LWW merge seq. Kubernetes documents rv as
+    an OPAQUE string; on real apiservers it is etcd's global revision
+    (an integer), which is what makes max-seq LWW correct. On a server
+    where it is NOT an integer, silently coercing to 0 would make every
+    event lose the merge (ADVICE r10) — fail loudly instead, matching
+    the repo's convention for unsupported forms (kubeconfig.py:18)."""
+    try:
+        return int(rv)
+    except (TypeError, ValueError):
+        raise KubeApiError(
+            f"{what} has non-integer resourceVersion {rv!r}; this engine's "
+            f"max-seq LWW merge requires etcd-style integer revisions — "
+            f"a non-etcd apiserver needs a different sequencing source"
+        ) from None
 
 
 def event_to_oplog_row(ev: dict, target: dict) -> dict | None:
@@ -267,10 +324,11 @@ def event_to_oplog_row(ev: dict, target: dict) -> dict | None:
     meta = obj.get("metadata") or {}
     gv = obj.get("apiVersion", target["version"])
     group, _, version = gv.rpartition("/")
-    try:
-        seq = int(meta.get("resourceVersion") or 0)
-    except ValueError:
-        seq = 0
+    seq = rv_to_seq(
+        meta.get("resourceVersion"),
+        what=f"{etype} {obj.get('kind', target['kind'])} "
+        f"{meta.get('namespace') or ''}/{meta.get('name') or ''}",
+    )
     return {
         "seq": seq,
         "op": "delete" if etype == "DELETED" else "upsert",
@@ -305,9 +363,12 @@ def drain_watch(
     returns (rows landed, last seen resourceVersion — the next
     bookmark; BOOKMARK events advance it without landing rows). Raises
     WatchExpired when the bookmark predates the retained window (HTTP
-    410 or the in-stream ERROR form) — the caller relists. One file per
-    drain keeps the file-stream source's batch boundary aligned with
-    the drain."""
+    410 or the in-stream ERROR form) — the caller relists. A timed-out
+    or dropped connection mid-stream is a NORMAL end of drain (ADVICE
+    r10 high: watch connections end by timeout/reset by design — the
+    already-drained rows land and the bookmark stands; the next pass
+    resumes from it). One file per drain keeps the file-stream source's
+    batch boundary aligned with the drain."""
     rows: list[dict] = []
     last_rv = None
     try:
@@ -332,6 +393,10 @@ def drain_watch(
         if "HTTP 410" in str(ex):
             raise WatchExpired(str(ex)) from ex
         raise
+    except (TimeoutError, OSError, http.client.HTTPException):
+        # quiet stream past the read budget / server closed the
+        # connection mid-chunk: end of this drain, not an error
+        pass
     finally:
         if rows:
             _land_rows(rows, out_dir)
@@ -354,6 +419,114 @@ def watch_to_landing(
         n, _rv = drain_watch(client, t, out_dir, max_events=budget)
         total += n
     return total
+
+
+# narrow projection of run_syncer's OBJ_SCHEMA — keys + merge seq only,
+# for the relist-delta computation below (payload columns irrelevant)
+_OPLOG_KEY_SCHEMA = (
+    "seq long, op string, group string, version string, kind string,"
+    " namespace string, name string"
+)
+
+
+def relist_delta_rows(
+    spark,
+    target: dict,
+    objects: list[dict],
+    list_rv: str,
+    syncer_state: str,
+    landing_dir: str | None = None,
+) -> tuple[list[dict], int]:
+    """A 410 relist → the op-log DELTA that converges the SYNCER's own
+    state table (ADVICE r10: routing the relist only into a separate
+    snapshot-sync state leaves the syncer's local state holding keys
+    deleted during the compacted window FOREVER). Returns
+    (op-log rows to land, number of delete rows).
+
+    * every relisted object re-upserts at its own resourceVersion
+      (idempotent against already-merged rows — max-seq LWW);
+    * a DELETE row at seq = the relist's list resourceVersion is
+      emitted for every key the pipeline currently believes live but
+      the relist no longer contains. list_rv is the server's global
+      revision at list time, so it outranks every event from the
+      compacted window — including upserts already LANDED but not yet
+      MERGED, which is why believed-live is computed over the union of
+      the merged state table AND the landing zone's op-log rows (state
+      alone would miss a key that was landed, never merged, and
+      deleted inside the gap).
+
+    The relist itself is control-plane-sized (driver-held, like
+    relist_to_snapshot); the state/landing scan and the anti-join are
+    distributed, and only the delta (the deletes) is collected."""
+    from pyspark.sql import functions as F
+
+    from .cdc import StateTable, latest_op
+
+    key_cols = ["group", "version", "kind", "namespace", "name"]
+    del_seq = rv_to_seq(list_rv, what=f"relist of {target['plural']}")
+    upserts = [
+        event_to_oplog_row({"type": "ADDED", "object": o}, target) for o in objects
+    ]
+
+    frames = []
+    state = StateTable(
+        spark, os.path.join(syncer_state, "local"), key_cols, "seq"
+    ).read()
+    if state is not None:
+        frames.append(
+            state.select("seq", F.lit("upsert").alias("op"), *key_cols)
+        )
+    if landing_dir and os.path.isdir(landing_dir) and os.listdir(landing_dir):
+        frames.append(
+            spark.read.schema(_OPLOG_KEY_SCHEMA).json(landing_dir).select(
+                "seq", "op", *key_cols
+            )
+        )
+    if not frames:
+        return upserts, 0
+
+    believed = frames[0]
+    for f in frames[1:]:
+        believed = believed.unionByName(f)
+    live = (
+        latest_op(believed, key_cols, ["seq"])
+        .where(F.col("op") != "delete")
+        .where(
+            (F.col("group") == target["group"])
+            & (F.col("version") == target["version"])
+            & (F.col("kind") == target["kind"])
+        )
+        .select(*key_cols)
+    )
+    relisted = spark.createDataFrame(
+        [
+            (
+                target["group"], target["version"], target["kind"],
+                (o.get("metadata") or {}).get("namespace") or "",
+                (o.get("metadata") or {}).get("name") or "",
+            )
+            for o in objects
+        ],
+        ", ".join(f"{c} string" for c in key_cols),
+    )
+    gone = live.join(relisted, key_cols, "left_anti").collect()  # delta-sized
+    deletes = [
+        {
+            "seq": del_seq,
+            "op": "delete",
+            "group": r["group"],
+            "version": r["version"],
+            "kind": r["kind"],
+            "namespace": r["namespace"],
+            "name": r["name"],
+            "labels": {},
+            "annotations": {},
+            "spec": None,
+            "status": None,
+        }
+        for r in gone
+    ]
+    return upserts + deletes, len(deletes)
 
 
 def snapshot_rows(
@@ -411,8 +584,13 @@ def cluster_export(
 
             from ..plans.export_job import _json_payloads_to_yaml
 
+            # strip ONLY the trailing '.json' (a blanket replace() would
+            # rewrite every '.json' occurrence: an object literally
+            # named 'config.json' must export as 'config.json.yaml' —
+            # the reference's name+ext layout, export.go:150)
             df = df.withColumn(
-                "path", F.expr("replace(path, '.json', '.yaml')")
+                "path",
+                F.expr("concat(substring(path, 1, length(path)-5), '.yaml')"),
             )
             df = df.mapInPandas(_json_payloads_to_yaml, df.schema)
         from ..plans.export_job import materialize_tree

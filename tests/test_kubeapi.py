@@ -57,9 +57,29 @@ WATCH_EVENTS = [
 
 class FakeApiServer(BaseHTTPRequestHandler):
     seen_auth: list = []
+    seen_watch_q: list = []  # query dicts of every watch request
 
     def log_message(self, *a):  # quiet
         pass
+
+    def _stream(self, chunks, stall_after=None, stall_s=0.0):
+        """Write a newline-delimited body, optionally stalling between
+        chunks (the quiet-stream shape real watches have)."""
+        import time as _time
+
+        body = b"".join(chunks)
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        try:
+            for i, c in enumerate(chunks):
+                if stall_after is not None and i == stall_after:
+                    _time.sleep(stall_s)
+                self.wfile.write(c)
+                self.wfile.flush()
+        except OSError:
+            pass  # client hung up mid-stall; expected in timeout tests
 
     def _json(self, code, body):
         payload = json.dumps(body).encode()
@@ -118,8 +138,33 @@ class FakeApiServer(BaseHTTPRequestHandler):
         if p == "/api/v1/nodes":
             return self._json(200, {"metadata": {"resourceVersion": "1000"},
                                     "items": NODES})
+        if p == "/apis/e2e.gkelabs.io/v1alpha1/slowcrds":
+            # one event, then silence longer than the client's read
+            # budget, then another event (never delivered)
+            if q.get("watch") == ["1"]:
+                FakeApiServer.seen_watch_q.append(q)
+                return self._stream(
+                    [
+                        json.dumps(WATCH_EVENTS[0]).encode() + b"\n",
+                        json.dumps(WATCH_EVENTS[2]).encode() + b"\n",
+                    ],
+                    stall_after=1,
+                    stall_s=3.0,
+                )
+        if p == "/apis/e2e.gkelabs.io/v1alpha1/truncatedcrds":
+            # complete event, then a mid-line disconnect (the partial
+            # JSON fragment a dropped connection leaves behind)
+            if q.get("watch") == ["1"]:
+                FakeApiServer.seen_watch_q.append(q)
+                return self._stream(
+                    [
+                        json.dumps(WATCH_EVENTS[0]).encode() + b"\n",
+                        b'{"type":"MODIF',
+                    ]
+                )
         if p == "/apis/e2e.gkelabs.io/v1alpha1/testcrds":
             if q.get("watch") == ["1"]:
+                FakeApiServer.seen_watch_q.append(q)
                 if q.get("resourceVersion") == ["9"]:
                     # bookmark predates the retained window: the
                     # apiserver delivers Gone IN-STREAM as an ERROR
@@ -386,3 +431,227 @@ contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
         ["group", "version", "kind", "namespace", "name"], "seq",
     ).read().collect()
     assert {r["name"] for r in live} == {"obj-0", "obj-1", "obj-2"}
+
+
+def test_watch_requests_bookmarks():
+    """Real apiservers emit BOOKMARK events only on opt-in — the watch
+    MUST send allowWatchBookmarks=true (ADVICE r10) or quiet streams
+    never advance the bookmark and 410 churn multiplies."""
+    assert FakeApiServer.seen_watch_q, "no watch request reached the fake server"
+    assert all(
+        q.get("allowWatchBookmarks") == ["true"]
+        for q in FakeApiServer.seen_watch_q
+    )
+
+
+def test_watch_read_timeout_is_budgeted(client, monkeypatch):
+    """The 10 s request timeout must NOT govern watch body reads: the
+    server may stay silent for the full timeoutSeconds between events.
+    A stall past the budget ends the drain NORMALLY — rows so far land,
+    the bookmark stands, no exception (ADVICE r10 high: this used to
+    crash-loop the bridge on every low-traffic target)."""
+    import tempfile
+    import time
+
+    from kube_etl_spark.streaming import kubeapi
+    from kube_etl_spark.streaming.kubeapi import drain_watch
+
+    monkeypatch.setattr(kubeapi, "WATCH_READ_MARGIN_S", 0.2)
+    target = {"group": "e2e.gkelabs.io", "version": "v1alpha1",
+              "kind": "TestCRD", "plural": "slowcrds"}
+    with tempfile.TemporaryDirectory() as out:
+        t0 = time.monotonic()
+        n, last_rv = drain_watch(client, target, out, timeout_seconds=1)
+        elapsed = time.monotonic() - t0
+    assert n == 1  # the pre-stall event landed
+    assert last_rv == "300"
+    assert elapsed < 2.5  # gave up at ~1.2 s, not the 3 s stall
+
+
+def test_watch_truncated_line_ends_drain(client, tmp_path):
+    """A mid-line disconnect leaves a partial JSON fragment: the
+    fragment is dropped (it re-delivers after restart from the
+    bookmark, which it never advanced) and the drain ends cleanly."""
+    from kube_etl_spark.streaming.kubeapi import drain_watch
+
+    target = {"group": "e2e.gkelabs.io", "version": "v1alpha1",
+              "kind": "TestCRD", "plural": "truncatedcrds"}
+    n, last_rv = drain_watch(client, target, str(tmp_path / "out"))
+    assert n == 1
+    assert last_rv == "300"
+
+
+def test_nonnumeric_resource_version_fails_loud():
+    """Kubernetes documents resourceVersion as opaque; on a server
+    where it is not an etcd integer, coercing to seq=0 would silently
+    lose every LWW merge — the engine fails loudly instead (ADVICE
+    r10), matching the kubeconfig module's unsupported-form
+    convention."""
+    from kube_etl_spark.streaming.kubeapi import event_to_oplog_row
+
+    ev = {"type": "ADDED", "object": {
+        "apiVersion": "v1", "kind": "ConfigMap",
+        "metadata": {"namespace": "d", "name": "x",
+                     "resourceVersion": "not-a-revision"}}}
+    with pytest.raises(KubeApiError) as exc:
+        event_to_oplog_row(ev, {"version": "v1", "kind": "ConfigMap"})
+    assert "not-a-revision" in str(exc.value)
+
+
+def test_yaml_export_rewrites_only_the_extension(spark):
+    """replace(path, '.json', '.yaml') rewrote EVERY '.json' occurrence
+    — an object literally named 'config.json' must export as
+    'config.json.yaml' (the reference's name+ext layout, export.go:150),
+    not 'config.yaml.yaml' (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("default/core/ConfigMap/config.json.json",),
+         ("_cluster/core/Node/node-1.json",)],
+        "path string",
+    ).withColumn(
+        "path",
+        F.expr("concat(substring(path, 1, length(path)-5), '.yaml')"),
+    )
+    assert {r["path"] for r in df.collect()} == {
+        "default/core/ConfigMap/config.json.yaml",
+        "_cluster/core/Node/node-1.yaml",
+    }
+
+
+def test_bridge_tolerates_failing_target_and_persists_per_target(
+    client, api_server, tmp_path, capsys
+):
+    """One broken target (404) must neither crash the bridge nor lose
+    the bookmarks of targets already drained this pass: errors are
+    counted per target and the bookmark file is written after EVERY
+    target (ADVICE r10 high — a mid-pass failure used to drop the
+    whole pass's bookmarks)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_watch_bridge
+
+    kubeconfig = f"""
+apiVersion: v1
+kind: Config
+current-context: fake
+clusters: [{{name: fake, cluster: {{server: {api_server}}}}}]
+users: [{{name: fake, user: {{token: {TOKEN}}}}}]
+contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
+"""
+    (tmp_path / "kc.yaml").write_text(kubeconfig)
+    targets = [
+        {"group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "TestCRD", "plural": "testcrds"},
+        {"group": "e2e.gkelabs.io", "version": "v1alpha1",
+         "kind": "Missing", "plural": "missingcrds"},
+    ]
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    run_watch_bridge.main([
+        "--kubeconfig", str(tmp_path / "kc.yaml"),
+        "--targets", str(tmp_path / "targets.json"),
+        "--landing", str(tmp_path / "oplog"),
+        "--snapshots", str(tmp_path / "snaps"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--once",
+    ])
+    bm = json.loads((tmp_path / "bm.json").read_text())
+    assert bm["e2e.gkelabs.io/v1alpha1/testcrds"]["events"] == 3
+    assert bm["e2e.gkelabs.io/v1alpha1/missingcrds"]["errors"] == 1
+    assert "missingcrds" in capsys.readouterr().err
+
+
+def test_410_relist_with_syncer_state_converges_deletes(
+    client, api_server, spark, tmp_path
+):
+    """The wiring gap ADVICE r10 named: without --syncer-state, a 410
+    relist feeds only a SEPARATE snapshot-sync state, and the syncer's
+    own state keeps gap-deleted keys forever. With it, the bridge diffs
+    the relist against believed-live keys (merged state ∪ landed
+    op-log) and lands the delta — deletes at the relist's list rv —
+    into the landing zone the syncer consumes.
+
+    obj-ghost exercises the merged-state path (synced, then deleted in
+    the gap); obj-9 exercises the landed-but-unmerged path would-be
+    twin via its watch events; both must be gone after the relist."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+    import run_watch_bridge
+
+    from kube_etl_spark.streaming.kubeapi import _land_rows
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    kubeconfig = f"""
+apiVersion: v1
+kind: Config
+current-context: fake
+clusters: [{{name: fake, cluster: {{server: {api_server}}}}}]
+users: [{{name: fake, user: {{token: {TOKEN}}}}}]
+contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
+"""
+    (tmp_path / "kc.yaml").write_text(kubeconfig)
+    targets = [{"group": "e2e.gkelabs.io", "version": "v1alpha1",
+                "kind": "TestCRD", "plural": "testcrds"}]
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    landing, state, ckpt = (
+        str(tmp_path / "oplog"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    rules = [{
+        "syncer_name": "s1", "suspend": False, "mode": "pull",
+        "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+        "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec", "status"],
+    }]
+    (tmp_path / "rules.json").write_text(json.dumps(rules))
+    syncer_args = ["--rules", str(tmp_path / "rules.json"), "--oplog", landing,
+                   "--state", state, "--checkpoint", ckpt, "--once"]
+    bridge_args = [
+        "--kubeconfig", str(tmp_path / "kc.yaml"),
+        "--targets", str(tmp_path / "targets.json"),
+        "--landing", landing,
+        "--snapshots", str(tmp_path / "snaps"),
+        "--bookmark", str(tmp_path / "bm.json"),
+        "--syncer-state", state,
+        "--once",
+    ]
+
+    # 1. a key synced BEFORE the gap, deleted inside it (absent from
+    #    the relist): land its upsert and merge it into syncer state
+    _land_rows([{
+        "seq": 250, "op": "upsert", "group": "e2e.gkelabs.io",
+        "version": "v1alpha1", "kind": "TestCRD", "namespace": "prod",
+        "name": "obj-ghost", "labels": {}, "annotations": {},
+        "spec": {"foo": "g", "resourceID": "rid-ghost"}, "status": {"bar": "g"},
+    }], landing)
+    run_syncer.main(syncer_args)
+
+    # 2. a normal drain pass (obj-9 events land; bookmark = 303)
+    run_watch_bridge.main(bridge_args)
+
+    # 3. age the bookmark past the retained window -> 410 -> relist
+    #    (server holds only obj-0/1/2) with the delta landed
+    bm_path = tmp_path / "bm.json"
+    bm = json.loads(bm_path.read_text())
+    bm["e2e.gkelabs.io/v1alpha1/testcrds"]["rv"] = "9"
+    bm_path.write_text(json.dumps(bm))
+    run_watch_bridge.main(bridge_args)
+
+    # 4. the syncer consumes everything landed; its OWN state converges
+    run_syncer.main(syncer_args)
+    live = StateTable(
+        spark, state + "/local",
+        ["group", "version", "kind", "namespace", "name"], "seq",
+    ).read().collect()
+    by_name = {r["name"]: r for r in live}
+    # ghost (merged-then-gap-deleted) and obj-9 (landed watch adds, gap-
+    # deleted) both fall to the relist delta's deletes at seq=1000.
+    # obj-0 pins the OTHER guarantee: the watch stream tombstoned it at
+    # rv 303, and the fake server (deliberately inconsistently) still
+    # lists it at rv 200 — the stale re-upsert must NOT resurrect the
+    # newer tombstone (on a real apiserver a listed object's rv always
+    # postdates its tombstone, so only the no-resurrection property is
+    # observable through this shape).
+    assert set(by_name) == {"obj-1", "obj-2"}
+    assert all(r["seq"] >= 200 for r in live)
