@@ -91,17 +91,18 @@ class KubeApiClient:
         if config.insecure_skip_tls_verify:
             ctx.check_hostname = False
             ctx.verify_mode = ssl.CERT_NONE
-        if config.client_cert_pem:
+        pair = config.effective_client_cert_pair  # static, or exec-minted
+        if pair:
             # ssl loads cert chains from files only; 0600 tempfiles are
             # the standard workaround (unlinked right after load)
             cf = kf = None
             try:
                 with tempfile.NamedTemporaryFile(delete=False) as f:
                     cf = f.name
-                    f.write(config.client_cert_pem)
+                    f.write(pair[0])
                 with tempfile.NamedTemporaryFile(delete=False) as f:
                     kf = f.name
-                    f.write(config.client_key_pem)
+                    f.write(pair[1])
                 os.chmod(cf, 0o600)
                 os.chmod(kf, 0o600)
                 ctx.load_cert_chain(cf, kf)
