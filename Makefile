@@ -1,4 +1,4 @@
-.PHONY: test parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight
+.PHONY: test parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight live-smoke
 
 # Gate runs tee RAW pytest output to .preflight-logs/ (VERDICT r8 #6:
 # an r8 flake's name was lost to a grep pipe on a background run — the
@@ -40,3 +40,6 @@ audit:           ## data-quality battery on $SPARK_GRAFT_SF_DIR (or sf0.1)
 
 catalog:         ## regenerate docs/operators.md from the registry
 	python -m kube_etl_spark.catalog_doc
+
+live-smoke:      ## OPT-IN real-cluster smoke (needs KUBECONFIG; degrades to a clear skip)
+	python jobs/live_smoke.py

@@ -46,6 +46,12 @@ CMS = [_cm("default", f"cm-{i}", 100 + i) for i in range(5)]
 CRDS = [_crd_obj("prod", f"obj-{i}", 200 + i) for i in range(3)]
 NODES = [{"apiVersion": "v1", "kind": "Node",
           "metadata": {"name": "node-1", "resourceVersion": "50"}}]
+NAMESPACES = [
+    {"apiVersion": "v1", "kind": "Namespace",
+     "metadata": {"name": "default", "resourceVersion": "10"}},
+    {"apiVersion": "v1", "kind": "Namespace",
+     "metadata": {"name": "kube-system", "resourceVersion": "11"}},
+]
 
 WATCH_EVENTS = [
     {"type": "ADDED", "object": _crd_obj("prod", "obj-9", 300, foo="new")},
@@ -102,6 +108,8 @@ class FakeApiServer(BaseHTTPRequestHandler):
                  "verbs": ["get", "list", "watch"]},
                 {"name": "nodes", "kind": "Node", "namespaced": False,
                  "verbs": ["get", "list"]},
+                {"name": "namespaces", "kind": "Namespace", "namespaced": False,
+                 "verbs": ["get", "list", "watch"]},
                 {"name": "pods/status", "kind": "Pod", "namespaced": True,
                  "verbs": ["get", "list"]},                     # subresource -> skipped
                 {"name": "bindings", "kind": "Binding", "namespaced": True,
@@ -138,6 +146,22 @@ class FakeApiServer(BaseHTTPRequestHandler):
         if p == "/api/v1/nodes":
             return self._json(200, {"metadata": {"resourceVersion": "1000"},
                                     "items": NODES})
+        if p == "/api/v1/namespaces":
+            # the real-cluster golden objects the live smoke asserts on
+            # (export_test.go:118-135: every cluster has these two)
+            if q.get("watch") == ["1"]:
+                FakeApiServer.seen_watch_q.append(q)
+                if q.get("resourceVersion") == ["1"]:
+                    ev = {"type": "ERROR", "object": {
+                        "kind": "Status", "code": 410, "reason": "Expired",
+                        "message": "too old resource version: 1 (999)"}}
+                    return self._stream([json.dumps(ev).encode() + b"\n"])
+                bk = {"type": "BOOKMARK",
+                      "object": {"apiVersion": "v1", "kind": "Namespace",
+                                 "metadata": {"resourceVersion": "1000"}}}
+                return self._stream([json.dumps(bk).encode() + b"\n"])
+            return self._json(200, {"metadata": {"resourceVersion": "1000"},
+                                    "items": NAMESPACES})
         if p == "/apis/e2e.gkelabs.io/v1alpha1/slowcrds":
             # one event, then silence longer than the client's read
             # budget, then another event (never delivered)
@@ -215,7 +239,7 @@ def test_discovery_skips_and_tolerates(client):
     reported (export.go:100-109), not fatal."""
     resources, errors = client.discover()
     got = {(r["group"], r["plural"]) for r in resources}
-    assert got == {("", "configmaps"), ("", "nodes"),
+    assert got == {("", "configmaps"), ("", "nodes"), ("", "namespaces"),
                    ("e2e.gkelabs.io", "testcrds")}
     assert len(errors) == 1 and "broken.example.com" in errors[0]
     assert all("HTTP 503" in e for e in errors)
@@ -256,8 +280,9 @@ def test_snapshot_rows_reference_path_rule(client):
     by_path = {r["path"]: r for r in rows}
     assert "default/core/ConfigMap/cm-0.json" in by_path
     assert "_cluster/core/Node/node-1.json" in by_path
+    assert "_cluster/core/Namespace/default.json" in by_path
     assert "prod/e2e.gkelabs.io/TestCRD/obj-1.json" in by_path
-    assert len(rows) == 5 + 1 + 3
+    assert len(rows) == 5 + 1 + 2 + 3
     payload = json.loads(by_path["prod/e2e.gkelabs.io/TestCRD/obj-1.json"]["payload"])
     assert payload["spec"]["resourceID"] == "rid-obj-1"
 
@@ -315,14 +340,14 @@ def test_cluster_export_end_to_end(client, spark, tmp_path):
 
     out = str(tmp_path / "export")
     result = cluster_export(spark, client, out, archive=True)
-    assert result["types_discovered"] == 3
-    assert result["objects"] == 9 and result["files"] == 9
+    assert result["types_discovered"] == 4
+    assert result["objects"] == 11 and result["files"] == 11
     assert len(result["discovery_errors"]) == 1
     assert os.path.exists(os.path.join(out, "_cluster/core/Node/node-1.json"))
     with zipfile.ZipFile(out + ".zip") as zf:
         names = set(zf.namelist())
     assert "default/core/ConfigMap/cm-4.json" in names
-    assert len(names) == 9
+    assert len(names) == 11
 
 
 def test_run_cluster_export_cli(client, api_server, spark, tmp_path, capsys):
@@ -360,7 +385,7 @@ contexts:
         "--output", out,
     ])
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert printed["objects"] == 9 and printed["files"] == 9
+    assert printed["objects"] == 11 and printed["files"] == 11
     assert os.path.exists(os.path.join(out, "prod/e2e.gkelabs.io/TestCRD/obj-2.json"))
 
 
@@ -655,3 +680,42 @@ contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
     # observable through this shape).
     assert set(by_name) == {"obj-1", "obj-2"}
     assert all(r["seq"] >= 200 for r in live)
+
+
+def test_live_smoke_harness_against_fake_server(
+    api_server, spark, tmp_path, capsys, monkeypatch
+):
+    """`make live-smoke` (jobs/live_smoke.py) end-to-end against the
+    fake apiserver: kubeconfig resolution → cluster export with the
+    export_test.go:118-135 golden namespace assertion → watch-bridge
+    pass → 410 probe. The harness itself must not rot while waiting
+    for a real cluster; absence of KUBECONFIG degrades to exit 0."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import live_smoke
+
+    monkeypatch.delenv("KUBECONFIG", raising=False)
+    assert live_smoke.main() == 0
+    assert "no cluster available" in capsys.readouterr().out
+
+    kubeconfig = f"""
+apiVersion: v1
+kind: Config
+current-context: fake
+clusters: [{{name: fake, cluster: {{server: {api_server}}}}}]
+users: [{{name: fake, user: {{token: {TOKEN}}}}}]
+contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
+"""
+    kc = tmp_path / "kc.yaml"
+    kc.write_text(kubeconfig)
+    monkeypatch.setenv("KUBECONFIG", str(kc))
+    assert live_smoke.main() == 0
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines() if ln.startswith("live-smoke OK"))
+    report = json.loads(line.removeprefix("live-smoke OK "))
+    assert report["auth"] == "token"
+    assert report["golden_namespace_path"] == "_cluster/core/Namespace/default.yaml"
+    assert report["objects_exported"] == 11
+    assert report["watch_bookmark_rv"] == "1000"  # BOOKMARK advanced it
+    assert report["relist_path_fired"] is True
