@@ -79,6 +79,16 @@ def main(argv: list[str]) -> None:
     )
     ap.add_argument("--once", action="store_true", help="availableNow instead of continuous")
     ap.add_argument(
+        "--field-merge",
+        action="store_true",
+        help="OPT-IN per-field state merge (the SSA analog for contended "
+        "keys, krmsyncer_controller.go:586-624): spec and status merge "
+        "independently, so two syncers projecting disjoint sync_fields "
+        "onto one key converge instead of nulling each other's field on "
+        "every alternation (see q_sync_conflict_audit for finding such "
+        "keys). Default remains whole-payload LWW",
+    )
+    ap.add_argument(
         "--catalog",
         default=None,
         help="JSON file of discovery GVKs [{group,version,kind},...] for the "
@@ -154,7 +164,10 @@ def main(argv: list[str]) -> None:
     # lazily once per (namespace, secret) — here a per-remote StateTable
     # under state/remote/, in a real deployment the remote catalog the
     # resolved credential points at.
-    local_dest = StateTable(spark, f"{args.state}/local", key_cols, "seq")
+    fm = ["spec", "status"] if args.field_merge else None
+    local_dest = StateTable(
+        spark, f"{args.state}/local", key_cols, "seq", field_merge=fm
+    )
     secrets = {}
     if args.secrets:
         with open(args.secrets) as f:
@@ -186,6 +199,7 @@ def main(argv: list[str]) -> None:
             f"{args.state}/remote/{cred['namespace']}~{cred['secret']}",
             key_cols,
             "seq",
+            field_merge=fm,  # push syncers sharing a remote contend too
         ),
         resolve_credential=_resolve if args.secrets else None,
     )

@@ -175,31 +175,42 @@ def main(argv: list[str]) -> None:
                 # snapshot zone; snapshot-diff downstream recovers the
                 # missed deletes (streaming/snapdiff.py), and with
                 # --syncer-state the delta ALSO lands as op-log rows so
-                # the syncer's state drops gap-deleted keys
+                # the syncer's state drops gap-deleted keys. A relist
+                # that itself fails (transient apiserver error) keeps
+                # the OLD bookmark: the next pass 410s again and
+                # retries — never a crash-loop, never a skipped relist
                 if spark is None:
                     spark = configure(
                         SparkSession.builder.appName("kube-etl-watch-bridge").getOrCreate()
                     )
-                objs, list_rv = _relist(client, t)
-                n_relist = entry.get("relists", 0) + 1
-                entry["rv"] = relist_to_snapshot(
-                    spark, t, args.snapshots, n_relist, objs, list_rv
-                )
-                n_deletes = 0
-                if args.syncer_state:
-                    rows, n_deletes = relist_delta_rows(
-                        spark, t, objs, list_rv, args.syncer_state,
-                        landing_dir=args.landing,
+                try:
+                    objs, list_rv = _relist(client, t)
+                    n_relist = entry.get("relists", 0) + 1
+                    entry["rv"] = relist_to_snapshot(
+                        spark, t, args.snapshots, n_relist, objs, list_rv
                     )
-                    if rows:
-                        _land_rows(rows, args.landing)
-                entry["relists"] = n_relist
-                print(
-                    f"watch expired for {key} ({ex}); relisted "
-                    f"{len(objs)} objects into {args.snapshots} "
-                    f"(relist #{n_relist}, {n_deletes} gap-deletes landed)",
-                    file=sys.stderr,
-                )
+                    n_deletes = 0
+                    if args.syncer_state:
+                        rows, n_deletes = relist_delta_rows(
+                            spark, t, objs, list_rv, args.syncer_state,
+                            landing_dir=args.landing,
+                        )
+                        if rows:
+                            _land_rows(rows, args.landing)
+                    entry["relists"] = n_relist
+                    print(
+                        f"watch expired for {key} ({ex}); relisted "
+                        f"{len(objs)} objects into {args.snapshots} "
+                        f"(relist #{n_relist}, {n_deletes} gap-deletes landed)",
+                        file=sys.stderr,
+                    )
+                except KubeApiError as rex:
+                    entry["errors"] = entry.get("errors", 0) + 1
+                    print(
+                        f"relist failed for {key}: {rex}; bookmark kept, "
+                        f"retrying next pass",
+                        file=sys.stderr,
+                    )
             except KubeApiError as ex:
                 # a failing target must not crash-loop the bridge (nor
                 # lose the other targets' bookmarks — persisted below

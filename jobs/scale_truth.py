@@ -1826,6 +1826,237 @@ def syncer_experiment(spark, sf_dir: str, replicas: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bridge_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the watch-bridge 410-relist composition (VERDICT
+    r10 #6): bookmark expiry mid-stream → relist → delta emission →
+    syncer state ≡ LWW oracle, at the syncer harness's ~1M-row op-log
+    scale. The offline audit (q_watch_gap_relist) and the fake-server
+    e2e (tests/test_kubeapi.py) prove the semantics small; this proves
+    the ONLINE composition at data size, including the two hard edges:
+
+      * keys LANDED but not yet MERGED when the 410 fires, then deleted
+        inside the compacted gap — the believed-live union (merged
+        state ∪ landing zone) must still tombstone them;
+      * GVK isolation — the relist is per-target, so gap-deletes of a
+        NON-relisted GVK must remain (that target's own relist recovers
+        them later), and no spurious deletes may leak across GVKs.
+
+    Three event phases over shared key space (names mod 40k, 2 GVKs):
+      phase1  (~replicas×|events| rows) landed + merged   = pre-gap
+      phase1b (2 reps)                  landed, UNMERGED  = in-flight
+      phase2  (2 reps, delete-heavy)    never seen        = the gap
+    The 'apiserver truth' is an independent LWW over all three phases;
+    the relist for the target GVK is its live keys collected driver-
+    side (state-sized — the same boundary the bridge documents), fed
+    through the REAL relist_delta_rows, landed, and merged by
+    run_syncer --once. Oracle equality is exceptAll in both directions
+    over the full payload projection."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.kubeapi import _land_rows, relist_delta_rows
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import run_syncer
+
+    gvks = [
+        ("e2e.gkelabs.io", "v1", "TestCRD"),       # the relisted target
+        ("apps", "v1", "Deployment"),              # the isolation control
+    ]
+    target = {"group": "e2e.gkelabs.io", "version": "v1",
+              "kind": "TestCRD", "plural": "testcrds"}
+    rules = [
+        {"syncer_name": "s_target", "syncer_namespace": "default",
+         "suspend": False, "mode": "pull", "rule_group": "e2e.gkelabs.io",
+         "rule_version": "v1", "rule_kind": "TestCRD", "namespaces": [],
+         "sync_fields": ["spec", "status"]},
+        {"syncer_name": "s_apps", "syncer_namespace": "default",
+         "suspend": False, "mode": "pull", "rule_group": "apps",
+         "rule_version": "v1", "rule_kind": "Deployment", "namespaces": [],
+         "sync_fields": ["spec", "status"]},
+    ]
+
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(gvks)],
+        "idx long, group string, version string, kind string",
+    )
+
+    def gen(base: int, reps: int, del_mod: int):
+        seq = (
+            F.lit(base) + F.col("event_id") * reps + F.col("rep")
+        ).cast("long")
+        return (
+            load_table(spark, sf_dir, "events")
+            .select("event_id")
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+            .select(seq.alias("seq"))
+            .join(F.broadcast(cat), F.pmod(F.col("seq"), F.lit(2)) == F.col("idx"))
+            .select(
+                "seq",
+                F.when(F.col("seq") % del_mod == 0, "delete")
+                .otherwise("upsert").alias("op"),
+                "group", "version", "kind",
+                F.when(F.col("seq") % 3 == 0, F.lit("prod"))
+                .otherwise(F.lit("dev")).alias("namespace"),
+                F.concat(F.lit("obj-"), F.pmod(F.col("seq"), F.lit(40000))).alias("name"),
+                F.create_map(
+                    F.lit("team"),
+                    F.concat(F.lit("t"), (F.col("seq") % 5).cast("string")),
+                ).alias("labels"),
+                F.create_map().cast("map<string,string>").alias("annotations"),
+                F.struct(
+                    F.concat(F.lit("foo-"), F.col("seq")).alias("foo"),
+                    F.concat(F.lit("rid-"), F.pmod(F.col("seq"), F.lit(40000))).alias("resourceID"),
+                ).alias("spec"),
+                F.struct(F.concat(F.lit("bar-"), F.col("seq")).alias("bar")).alias("status"),
+            )
+        )
+
+    def land_chunk(frame, oplog_dir: str, tag: str) -> None:
+        staging = tempfile.mkdtemp(prefix=f"bridge-chunk-{tag}-")
+        try:
+            frame.coalesce(8).write.mode("overwrite").json(staging)
+            n = 0
+            for f in sorted(os.listdir(staging)):
+                if f.startswith("part-") and f.endswith(".json"):
+                    shutil.move(
+                        os.path.join(staging, f),
+                        os.path.join(oplog_dir, f"{tag}-{n:03d}.json"),
+                    )
+                    n += 1
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def lww_live(frame):
+        w = Window.partitionBy(
+            "group", "version", "kind", "namespace", "name"
+        ).orderBy(
+            F.col("seq").desc(), (F.col("op") == "delete").cast("int").desc()
+        )
+        return (
+            frame.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn")
+            .filter(F.col("op") != "delete").drop("op")
+        )
+
+    def canon(frame):
+        return frame.select(
+            "group", "version", "kind", "namespace", "name", "seq",
+            F.col("spec.foo").alias("foo"),
+            F.col("spec.resourceID").alias("rid"),
+            F.col("status.bar").alias("bar"),
+            F.col("labels")["team"].alias("team"),
+        )
+
+    root = tempfile.mkdtemp(prefix="bridge-truth-")
+    out: dict = {}
+    try:
+        oplog_dir = os.path.join(root, "oplog")
+        os.makedirs(oplog_dir)
+        state = os.path.join(root, "state")
+        n_events = load_table(spark, sf_dir, "events").count()
+        base1b = n_events * replicas
+        base2 = base1b + n_events * 2
+        phase1 = gen(0, replicas, 7).localCheckpoint(eager=True)
+        phase1b = gen(base1b, 2, 7).localCheckpoint(eager=True)
+        phase2 = gen(base2, 2, 5).localCheckpoint(eager=True)  # delete-heavy gap
+        out["oplog_rows"] = phase1.count()
+        out["inflight_rows"] = phase1b.count()
+        out["gap_rows"] = phase2.count()
+
+        rules_path = os.path.join(root, "rules.json")
+        with open(rules_path, "w") as f:
+            _json.dump(rules, f)
+        args = [
+            "--rules", rules_path, "--oplog", oplog_dir,
+            "--state", state,
+            "--checkpoint", os.path.join(root, "ckpt"), "--once",
+        ]
+
+        # pre-gap: phase1 lands and merges
+        land_chunk(phase1, oplog_dir, "c1")
+        t0 = time.time()
+        run_syncer.main(args)
+        out["merge1_wall_s"] = round(time.time() - t0, 2)
+
+        # in-flight: phase1b lands but the 410 fires before it merges
+        land_chunk(phase1b, oplog_dir, "c2")
+
+        # apiserver truth at list time = LWW over EVERYTHING the server
+        # saw, including the compacted gap
+        truth_all = lww_live(
+            phase1.unionByName(phase1b).unionByName(phase2)
+        ).localCheckpoint(eager=True)
+        t_truth = truth_all.filter(F.col("group") == target["group"])
+        relist_rows = t_truth.collect()  # state-sized, the documented boundary
+        out["relist_objects"] = len(relist_rows)
+        objects = [
+            {
+                "apiVersion": f"{target['group']}/{target['version']}",
+                "kind": target["kind"],
+                "metadata": {
+                    "namespace": r["namespace"], "name": r["name"],
+                    "resourceVersion": str(r["seq"]),
+                    "labels": dict(r["labels"]),
+                },
+                "spec": r["spec"].asDict(),
+                "status": r["status"].asDict(),
+            }
+            for r in relist_rows
+        ]
+        list_rv = str(
+            phase2.agg(F.max("seq")).collect()[0][0] + 1
+        )
+
+        t0 = time.time()
+        rows, n_deletes = relist_delta_rows(
+            spark, target, objects, list_rv, state, landing_dir=oplog_dir
+        )
+        out["delta_wall_s"] = round(time.time() - t0, 2)
+        out["delta_rows"] = len(rows)
+        out["delta_deletes"] = n_deletes
+        _land_rows(rows, oplog_dir)
+
+        # the syncer drains everything still pending: phase1b + delta
+        t0 = time.time()
+        run_syncer.main(args)
+        out["merge2_wall_s"] = round(time.time() - t0, 2)
+
+        live = spark.read.parquet(os.path.join(state, "local"))
+        live = live.filter(F.col("__op") != "delete").drop(
+            *[c for c in live.columns if c.startswith("__")]
+        )
+        got_t = canon(live.filter(F.col("group") == target["group"]))
+        want_t = canon(t_truth)
+        out["target_state_rows"] = got_t.count()
+        out["target_truth_rows"] = want_t.count()
+        out["target_matches_truth"] = (
+            got_t.exceptAll(want_t).count() == 0
+            and want_t.exceptAll(got_t).count() == 0
+        )
+
+        # isolation: the apps GVK saw no relist, so its state is the
+        # LWW of what actually LANDED (phase1 ∪ phase1b) — gap events
+        # absent, and no cross-GVK deletes leaked
+        want_a = canon(lww_live(phase1.unionByName(phase1b)).filter(
+            F.col("group") == "apps"
+        ))
+        got_a = canon(live.filter(F.col("group") == "apps"))
+        out["apps_state_rows"] = got_a.count()
+        out["apps_matches_landed_lww"] = (
+            got_a.exceptAll(want_a).count() == 0
+            and want_a.exceptAll(got_a).count() == 0
+        )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -1840,6 +2071,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--grank", action="store_true")
     ap.add_argument("--imerge", action="store_true")
     ap.add_argument("--syncer", action="store_true")
+    ap.add_argument("--bridge", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -1874,6 +2106,8 @@ def main(argv: list[str]) -> None:
         out["imerge"] = imerge_experiment(spark, args.sf_dir, args.replicas)
     if args.syncer:
         out["syncer"] = syncer_experiment(spark, args.sf_dir, args.replicas)
+    if args.bridge:
+        out["bridge"] = bridge_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

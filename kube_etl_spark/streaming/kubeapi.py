@@ -346,10 +346,18 @@ def event_to_oplog_row(ev: dict, target: dict) -> dict | None:
 
 
 def _land_rows(rows: list[dict], out_dir: str) -> None:
+    """Publish one op-log JSON file ATOMICALLY: written under a
+    dot-prefixed name (Spark file sources ignore hidden files), then
+    renamed into place — a consumer stream listing the landing zone
+    mid-write must never observe a half-written file (adversarial
+    review r11; the old mkstemp-in-place form was listable while
+    still being written)."""
     os.makedirs(out_dir, exist_ok=True)
-    fd, _path = tempfile.mkstemp(suffix=".json", prefix="watch-", dir=out_dir)
+    fd, tmp = tempfile.mkstemp(suffix=".json", prefix=".watch-", dir=out_dir)
     with os.fdopen(fd, "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows))
+    final = os.path.join(out_dir, os.path.basename(tmp)[1:])
+    os.rename(tmp, final)
 
 
 def drain_watch(

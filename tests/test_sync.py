@@ -411,3 +411,131 @@ def test_mode_routing_distinct_destinations(spark, tmp_path):
     assert remote_rows["obj1"]["spec"]["foo"] == "foo-v2"  # spec synced
     assert local_rows["obj1"]["spec"] is None  # default = status only
     assert local_rows["obj1"]["status"]["bar"] == "bar-v2"
+
+
+# -- per-field merge: the SSA analog for contended keys (VERDICT r10) ----
+
+
+KEYS = ["group", "version", "kind", "namespace", "name"]
+
+
+def _crd_row(seq, op, name, spec, status):
+    return (seq, op, "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default",
+            name, {}, {}, spec, status)
+
+
+def test_field_merge_contended_key_converges(spark, tmp_path):
+    """The golden contended-key case (q_sync_conflict_audit's hazard):
+    writer A asserts spec only, writer B asserts status only, same key.
+    Whole-payload LWW loses A's spec the moment B merges; field_merge
+    keeps each field's latest assertion — the per-document SSA
+    semantics of krmsyncer_controller.go:586-624."""
+    a = spark.createDataFrame(
+        [_crd_row(5, "upsert", "k", ("spec-A", "rid"), None)], OBJ_SCHEMA)
+    b = spark.createDataFrame(
+        [_crd_row(6, "upsert", "k", None, ("status-B",))], OBJ_SCHEMA)
+
+    lww = StateTable(spark, str(tmp_path / "lww"), KEYS, "seq")
+    lww.merge_batch(a)
+    lww.merge_batch(b)
+    row = lww.read().collect()[0]
+    assert row["spec"] is None  # the documented LWW loss...
+
+    ssa = StateTable(spark, str(tmp_path / "ssa"), KEYS, "seq",
+                     field_merge=["spec", "status"])
+    ssa.merge_batch(a)
+    ssa.merge_batch(b)
+    row = ssa.read().collect()[0]
+    assert row["spec"]["foo"] == "spec-A"      # ...fixed by field merge
+    assert row["status"]["bar"] == "status-B"
+    assert row["seq"] == 6  # row-level seq is the freshest assertion
+    assert "__seq_spec" not in row.asDict()  # internals hidden by read()
+
+
+def test_field_merge_alternating_writers_stable(spark, tmp_path):
+    """Alternating single-field writers must converge to both fields
+    regardless of merge order or repetition (the steady state of two
+    overlapping pull syncers)."""
+    ssa = StateTable(spark, str(tmp_path / "ssa"), KEYS, "seq",
+                     field_merge=["spec", "status"])
+    for seq, spec, status in [
+        (1, ("s1", "r"), None), (2, None, ("t2",)),
+        (3, ("s3", "r"), None), (4, None, ("t4",)),
+    ]:
+        ssa.merge_batch(spark.createDataFrame(
+            [_crd_row(seq, "upsert", "k", spec, status)], OBJ_SCHEMA))
+    row = ssa.read().collect()[0]
+    assert row["spec"]["foo"] == "s3" and row["status"]["bar"] == "t4"
+
+
+def test_field_merge_delete_dominates_and_no_resurrection(spark, tmp_path):
+    """A delete asserts EVERY field to null: the key disappears, and a
+    later single-field upsert recreates the object with only its own
+    field — the pre-delete other field must not resurrect."""
+    ssa = StateTable(spark, str(tmp_path / "ssa"), KEYS, "seq",
+                     field_merge=["spec", "status"])
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(5, "upsert", "k", ("s5", "r"), ("t5",))], OBJ_SCHEMA))
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(7, "delete", "k", None, None)], OBJ_SCHEMA))
+    assert ssa.read().count() == 0  # tombstoned
+    # late-arriving pre-delete assertion stays dead (seq 6 < 7)
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(6, "upsert", "k", None, ("t6",))], OBJ_SCHEMA))
+    assert ssa.read().count() == 0
+    # post-delete recreation asserting spec only: status must be null
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(8, "upsert", "k", ("s8", "r"), None)], OBJ_SCHEMA))
+    row = ssa.read().collect()[0]
+    assert row["spec"]["foo"] == "s8" and row["status"] is None
+
+
+def test_field_merge_replay_idempotent(spark, tmp_path):
+    ssa = StateTable(spark, str(tmp_path / "ssa"), KEYS, "seq",
+                     field_merge=["spec", "status"])
+    a = spark.createDataFrame(
+        [_crd_row(5, "upsert", "k", ("s", "r"), None),
+         _crd_row(6, "upsert", "k", None, ("t",))], OBJ_SCHEMA)
+    import json as _json
+
+    def _canon(st):
+        return sorted(
+            _json.dumps(r.asDict(recursive=True), sort_keys=True)
+            for r in st.read().collect()
+        )
+
+    ssa.merge_batch(a)
+    first = _canon(ssa)
+    ssa.merge_batch(a)  # at-least-once redelivery
+    assert _canon(ssa) == first
+
+
+def test_field_merge_end_to_end_disjoint_sync_fields(spark, tmp_path):
+    """Through the real engine path: two overlapping PULL rules with
+    disjoint sync_fields compile against one event and land in the
+    shared local destination. With --field-merge semantics the local
+    state carries BOTH projections; with default LWW one is lost
+    (asserted, as the documented contrast)."""
+    from kube_etl_spark.streaming.sync import DestinationRegistry, sync_to_destinations
+
+    rules = _rules(spark, [
+        ("spec_writer", False, "pull", "e2e.gkelabs.io", "v1alpha1",
+         "TestCRD", None, ["spec"]),
+        ("status_writer", False, "pull", "e2e.gkelabs.io", "v1alpha1",
+         "TestCRD", None, ["status"]),
+    ])
+    oplog = spark.createDataFrame(
+        [_crd_row(9, "upsert", "obj", ("S", "rid"), ("T",))], OBJ_SCHEMA)
+    changes = compile_sync(oplog, rules)
+    registry = DestinationRegistry(factory=lambda cred: None)
+
+    for mode, field_merge in (("lww", None), ("ssa", ["spec", "status"])):
+        dest = StateTable(spark, str(tmp_path / mode), KEYS, "seq",
+                          field_merge=field_merge)
+        sync_to_destinations(changes, rules, dest, registry)
+        row = dest.read().collect()[0]
+        if mode == "ssa":
+            assert row["spec"]["foo"] == "S" and row["status"]["bar"] == "T"
+        else:
+            # whole-payload LWW: same seq, one writer's field survives
+            assert (row["spec"] is None) != (row["status"] is None)
