@@ -1472,3 +1472,321 @@ def q_sync_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mode", "group", "version", "kind")
     )
+
+
+# Round-11 widening: the offline audit twins of the r11 engine work —
+# the 410-relist recovery delta (jobs/run_watch_bridge.py
+# --syncer-state) and the per-field merge divergence (StateTable
+# field_merge). Shared op-log lattice: catalog by mod-7, namespace by
+# mod-3, names by a coprime modulus so keys collide across phases.
+
+
+@query(
+    "q_relist_delta",
+    tags=("S3", "ST7", "J5"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 97 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+b AS (SELECT CAST((MAX(seq) * 3) // 5 AS BIGINT) AS bm FROM ops),
+believed AS (
+  SELECT grp, version, kind, namespace, name FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY o.grp, o.version, o.kind, o.namespace, o.name
+      ORDER BY o.seq DESC) AS rn
+    FROM ops o, b WHERE o.seq <= b.bm
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+truth AS (
+  SELECT grp, version, kind, namespace, name FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY o.grp, o.version, o.kind, o.namespace, o.name
+      ORDER BY o.seq DESC) AS rn
+    FROM ops o
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+j AS (
+  SELECT COALESCE(bl.grp, t.grp) AS grp,
+         COALESCE(bl.version, t.version) AS version,
+         COALESCE(bl.kind, t.kind) AS kind,
+         (bl.name IS NOT NULL) AS in_believed,
+         (t.name IS NOT NULL) AS in_truth
+  FROM believed bl FULL OUTER JOIN truth t
+    ON bl.grp = t.grp AND bl.version = t.version AND bl.kind = t.kind
+   AND bl.namespace = t.namespace AND bl.name = t.name
+)
+SELECT grp AS "group", version, kind,
+  CAST(COUNT(*) FILTER (WHERE in_believed) AS BIGINT) AS n_believed,
+  CAST(COUNT(*) FILTER (WHERE in_truth) AS BIGINT) AS n_truth,
+  CAST(COUNT(*) FILTER (WHERE in_believed AND NOT in_truth) AS BIGINT)
+    AS n_gap_deletes,
+  CAST(COUNT(*) FILTER (WHERE in_truth AND NOT in_believed) AS BIGINT)
+    AS n_gap_creates,
+  CAST(COUNT(*) FILTER (WHERE in_truth) + COUNT(*) FILTER (WHERE in_believed AND NOT in_truth) AS BIGINT)
+    AS n_delta_rows
+FROM j GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_relist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/ST7 extension (round 11): the 410-RECOVERY DELTA, priced per
+    GVK — the offline audit twin of the watch bridge's --syncer-state
+    emission (jobs/run_watch_bridge.py, kubeapi.relist_delta_rows; the
+    contract controller-runtime implements on ErrResourceExpired). A
+    consumer whose bookmark froze at 3/5 of the stream BELIEVES the
+    LWW-live keys of the prefix; the relist reveals the LWW-live truth
+    of the whole stream. The delta that converges the consumer is every
+    truth key re-upserted plus a DELETE for every believed-live key the
+    truth no longer contains: n_believed, n_truth (= re-upserts),
+    n_gap_deletes (what plain re-upserting would leak forever),
+    n_gap_creates, n_delta_rows. The capacity answer for how much
+    landing-zone traffic a relist costs at each GVK's churn.
+
+    Scale shape: one op-log scan feeds BOTH sides (the bookmark is a
+    1-row broadcast scalar, never a collect); each side compacts with a
+    key-partitioned row_number window (seq unique ⇒ deterministic); the
+    reconciliation is a key-equi full-outer join of two compacted
+    (state-sized, not op-log-sized) frames; the rollup is GVK-sized.
+    Mirrors q_oplog_compaction_ratio's key lattice (mod 97 names) so
+    ~1/11 deletes land in the gap window at every SF."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(F.col("event_id"), F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(F.col("event_id") % 3 == 0, F.lit("prod"))
+            .otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(
+                F.lit("obj-"), F.pmod(F.col("event_id"), F.lit(97)).cast("string")
+            ).alias("name"),
+            F.when(F.col("event_id") % 11 == 0, "delete")
+            .otherwise("upsert").alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    bm = ops.agg(
+        F.expr("CAST(MAX(seq) * 3 DIV 5 AS BIGINT)").alias("bm")
+    )
+
+    def lww_live(frame):
+        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+        return (
+            frame.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .filter(F.col("op") != "delete")
+            .select(*keys)
+        )
+
+    believed = lww_live(
+        ops.crossJoin(F.broadcast(bm)).filter(F.col("seq") <= F.col("bm"))
+    )
+    truth = lww_live(ops)
+    j = believed.withColumn("in_believed", F.lit(True)).join(
+        truth.withColumn("in_truth", F.lit(True)), keys, "full_outer"
+    ).select(
+        "group", "version", "kind",
+        F.coalesce("in_believed", F.lit(False)).alias("in_believed"),
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+    )
+    cnt = lambda c: F.sum(c.cast("long")).cast("bigint")  # noqa: E731
+    gap_del = cnt(F.col("in_believed") & ~F.col("in_truth"))
+    n_truth = cnt(F.col("in_truth"))
+    return (
+        j.groupBy("group", "version", "kind")
+        .agg(
+            cnt(F.col("in_believed")).alias("n_believed"),
+            n_truth.alias("n_truth"),
+            gap_del.alias("n_gap_deletes"),
+            cnt(F.col("in_truth") & ~F.col("in_believed")).alias("n_gap_creates"),
+            (n_truth + gap_del).cast("bigint").alias("n_delta_rows"),
+        )
+        .orderBy("group", "version", "kind")
+    )
+
+
+@query(
+    "q_field_merge_divergence",
+    tags=("ST6", "P8", "W6"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         -- mod-5 namespace: coprime to the mod-3 WRITER class below, so
+         -- every namespace sees all three writer classes (a mod-3 split
+         -- would alias namespace==writer and make status drops vacuous)
+         CASE WHEN e.event_id % 5 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 53 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (0, 2)
+              THEN CONCAT('foo-', CAST(e.event_id AS VARCHAR)) END AS spec_val,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (1, 2)
+              THEN CONCAT('bar-', CAST(e.event_id AS VARCHAR)) END AS status_val,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+winner AS (
+  SELECT * FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY grp, version, kind, namespace, name
+      ORDER BY seq DESC) AS rn
+    FROM ops o
+  ) WHERE rn = 1
+),
+fspec AS (
+  SELECT grp, version, kind, namespace, name,
+         CASE WHEN op = 'delete' THEN NULL ELSE spec_val END AS fm_spec
+  FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY grp, version, kind, namespace, name
+      ORDER BY seq DESC) AS rn
+    FROM ops o WHERE spec_val IS NOT NULL OR op = 'delete'
+  ) WHERE rn = 1
+),
+fstatus AS (
+  SELECT grp, version, kind, namespace, name,
+         CASE WHEN op = 'delete' THEN NULL ELSE status_val END AS fm_status
+  FROM (
+    SELECT o.*, ROW_NUMBER() OVER (
+      PARTITION BY grp, version, kind, namespace, name
+      ORDER BY seq DESC) AS rn
+    FROM ops o WHERE status_val IS NOT NULL OR op = 'delete'
+  ) WHERE rn = 1
+),
+k AS (
+  SELECT w.grp, w.version, w.kind, w.op AS last_op,
+         w.spec_val AS row_spec, w.status_val AS row_status,
+         s.fm_spec, t.fm_status
+  FROM winner w
+  LEFT JOIN fspec s ON w.grp = s.grp AND w.version = s.version
+    AND w.kind = s.kind AND w.namespace = s.namespace AND w.name = s.name
+  LEFT JOIN fstatus t ON w.grp = t.grp AND w.version = t.version
+    AND w.kind = t.kind AND w.namespace = t.namespace AND w.name = t.name
+)
+SELECT grp AS "group", version, kind,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete') AS BIGINT) AS n_live,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete'
+        AND fm_spec IS NOT NULL AND row_spec IS NULL) AS BIGINT)
+    AS n_lww_drops_spec,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete'
+        AND fm_status IS NOT NULL AND row_status IS NULL) AS BIGINT)
+    AS n_lww_drops_status,
+  ROUND((COUNT(*) FILTER (WHERE last_op <> 'delete'
+           AND fm_spec IS NOT NULL AND row_spec IS NULL)
+       + COUNT(*) FILTER (WHERE last_op <> 'delete'
+           AND fm_status IS NOT NULL AND row_status IS NULL)) * 1.0
+      / GREATEST(COUNT(*) FILTER (WHERE last_op <> 'delete'), 1), 6)
+    AS divergence_ratio
+FROM k GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_field_merge_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/P8 extension (round 11): per GVK, how many live keys LOSE a
+    field under whole-payload LWW that per-field merge preserves — the
+    offline audit twin of StateTable field_merge (run_syncer
+    --field-merge; the SSA ownership semantics of
+    krmsyncer_controller.go:586-624). Three writer classes by seq mod 3
+    (spec-only, status-only, both — the disjoint-sync_fields shape
+    q_sync_conflict_audit flags); deletes (mod 13) assert both fields
+    to null, so no pre-delete field resurrects into the count. A key
+    diverges when its row-LWW winner carries NULL for a field whose
+    per-field latest assertion is non-null: exactly the rows the
+    default merge silently erases on every writer alternation.
+
+    Scale shape: one op-log scan; the row winner and the two per-field
+    winners are key-partitioned row_number windows over the SAME
+    partitioning (one exchange, reused — the field scans are filtered
+    subsets, not re-shuffles); reconciliation is two key-equi joins of
+    compacted state-sized frames; the rollup is GVK-sized. The engine
+    twin (cdc._field_merge_winners) does the same contest in ONE hash
+    aggregate via max_by — this audit form keeps the two LWW flavors
+    side by side, which is its point."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    e = F.col("event_id")
+    not_del = e % 13 != 0
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(e, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            # mod-5 namespace, coprime to the mod-3 writer class (see SQL)
+            F.when(e % 5 == 0, F.lit("prod")).otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), F.pmod(e, F.lit(53)).cast("string")).alias("name"),
+            F.when(~not_del, "delete").otherwise("upsert").alias("op"),
+            F.when(
+                not_del & F.pmod(e, F.lit(3)).isin(0, 2),
+                F.concat(F.lit("foo-"), e.cast("string")),
+            ).alias("spec_val"),
+            F.when(
+                not_del & F.pmod(e, F.lit(3)).isin(1, 2),
+                F.concat(F.lit("bar-"), e.cast("string")),
+            ).alias("status_val"),
+            e.alias("seq"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
+
+    def top1(frame):
+        return frame.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+
+    winner = top1(ops).select(
+        *keys,
+        F.col("op").alias("last_op"),
+        F.col("spec_val").alias("row_spec"),
+        F.col("status_val").alias("row_status"),
+    )
+
+    def field_winner(col, out):
+        asserted = ops.filter(
+            F.col(col).isNotNull() | (F.col("op") == "delete")
+        )
+        return top1(asserted).select(
+            *keys,
+            F.when(F.col("op") != "delete", F.col(col)).alias(out),
+        )
+
+    k = (
+        winner.join(field_winner("spec_val", "fm_spec"), keys, "left")
+        .join(field_winner("status_val", "fm_status"), keys, "left")
+    )
+    live = F.col("last_op") != "delete"
+    drops_spec = live & F.col("fm_spec").isNotNull() & F.col("row_spec").isNull()
+    drops_status = (
+        live & F.col("fm_status").isNotNull() & F.col("row_status").isNull()
+    )
+    cnt = lambda c: F.sum(c.cast("long")).cast("bigint")  # noqa: E731
+    return (
+        k.groupBy("group", "version", "kind")
+        .agg(
+            cnt(live).alias("n_live"),
+            cnt(drops_spec).alias("n_lww_drops_spec"),
+            cnt(drops_status).alias("n_lww_drops_status"),
+            F.round(
+                (cnt(drops_spec) + cnt(drops_status))
+                / F.greatest(cnt(live), F.lit(1)),
+                6,
+            ).alias("divergence_ratio"),
+        )
+        .orderBy("group", "version", "kind")
+    )
