@@ -50,6 +50,7 @@ SUBCOMMANDS: dict[str, str] = {
     "freq": "run_freq",
     "maintenance": "run_maintenance",
     "scale-truth": "scale_truth",
+    "live-smoke": "live_smoke",
 }
 
 

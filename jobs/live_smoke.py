@@ -36,7 +36,15 @@ import tempfile
 import zipfile
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="kube-etl live-smoke",
+        description="opt-in real-cluster smoke; reads KUBECONFIG from the "
+        "environment and degrades to a clear skip without it",
+    )
+    ap.parse_args(argv or [])
     kc_path = os.environ.get("KUBECONFIG", "")
     if not kc_path or not os.path.exists(kc_path):
         print(
