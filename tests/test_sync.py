@@ -539,3 +539,47 @@ def test_field_merge_end_to_end_disjoint_sync_fields(spark, tmp_path):
         else:
             # whole-payload LWW: same seq, one writer's field survives
             assert (row["spec"] is None) != (row["status"] is None)
+
+
+def test_field_merge_cli_flag_wires_local_destination(spark, tmp_path):
+    """`run_syncer --field-merge` end-to-end through the CLI: the two
+    overlapping pull syncers with disjoint sync_fields converge in the
+    shared local state (the library-level golden above proves the
+    semantics; this pins the FLAG wiring — a --field-merge that
+    silently constructed a plain StateTable would pass every other
+    test)."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+
+    rules = [
+        {"syncer_name": "spec_writer", "suspend": False, "mode": "pull",
+         "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+         "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec"]},
+        {"syncer_name": "status_writer", "suspend": False, "mode": "pull",
+         "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+         "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["status"]},
+    ]
+    (tmp_path / "rules.json").write_text(_json.dumps(rules))
+    row = {
+        "seq": 9, "op": "upsert", "group": "e2e.gkelabs.io",
+        "version": "v1alpha1", "kind": "TestCRD", "namespace": "default",
+        "name": "obj", "labels": {}, "annotations": {},
+        "spec": {"foo": "S", "resourceID": "rid"}, "status": {"bar": "T"},
+    }
+    (tmp_path / "oplog").mkdir()
+    (tmp_path / "oplog" / "b1.json").write_text(_json.dumps(row))
+    run_syncer.main([
+        "--rules", str(tmp_path / "rules.json"),
+        "--oplog", str(tmp_path / "oplog"),
+        "--state", str(tmp_path / "state"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--field-merge", "--once",
+    ])
+    live = StateTable(
+        spark, str(tmp_path / "state" / "local"), KEYS, "seq",
+    ).read().collect()
+    assert len(live) == 1
+    assert live[0]["spec"]["foo"] == "S" and live[0]["status"]["bar"] == "T"
