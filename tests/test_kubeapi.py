@@ -719,3 +719,36 @@ contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
     assert report["objects_exported"] == 11
     assert report["watch_bookmark_rv"] == "1000"  # BOOKMARK advanced it
     assert report["relist_path_fired"] is True
+
+
+def test_exec_plugin_token_reaches_the_wire(api_server, tmp_path):
+    """Integration of the two r11 seams: a kubeconfig whose ONLY auth is
+    an exec credential plugin must drive real HTTP requests with the
+    plugin-minted bearer token (kubeconfig.py mints it; kubeapi.py puts
+    it on the wire per request)."""
+    import sys
+
+    plugin = tmp_path / "plugin.py"
+    plugin.write_text(
+        "import json\n"
+        "print(json.dumps({'apiVersion': 'client.authentication.k8s.io/v1',"
+        " 'kind': 'ExecCredential', 'status': {'token': 'exec-wire-tok'}}))\n"
+    )
+    kubeconfig = {
+        "apiVersion": "v1", "kind": "Config", "current-context": "c",
+        "clusters": [{"name": "c", "cluster": {"server": api_server}}],
+        "users": [{"name": "u", "user": {"exec": {
+            "apiVersion": "client.authentication.k8s.io/v1",
+            "command": sys.executable, "args": [str(plugin)],
+            "interactiveMode": "Never"}}}],
+        "contexts": [{"name": "c", "context": {"cluster": "c", "user": "u"}}],
+    }
+    from kube_etl_spark.streaming.kubeconfig import rest_config_from_kubeconfig
+
+    rc = rest_config_from_kubeconfig(json.dumps(kubeconfig))
+    client = KubeApiClient(rc, timeout_s=5)
+    FakeApiServer.seen_auth.clear()
+    resources, _ = client.discover()
+    assert {r["plural"] for r in resources} >= {"configmaps", "namespaces"}
+    assert FakeApiServer.seen_auth
+    assert all(a == "Bearer exec-wire-tok" for a in FakeApiServer.seen_auth)
