@@ -1550,13 +1550,20 @@ def q_relist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_gap_creates, n_delta_rows. The capacity answer for how much
     landing-zone traffic a relist costs at each GVK's churn.
 
-    Scale shape: one op-log scan feeds BOTH sides (the bookmark is a
-    1-row broadcast scalar, never a collect); each side compacts with a
-    key-partitioned row_number window (seq unique ⇒ deterministic); the
-    reconciliation is a key-equi full-outer join of two compacted
-    (state-sized, not op-log-sized) frames; the rollup is GVK-sized.
-    Mirrors q_oplog_compaction_ratio's key lattice (mod 97 names) so
-    ~1/11 deletes land in the gap window at every SF."""
+    Scale shape: ONE op-log scan and ONE key-partitioned hash
+    aggregate compute BOTH compactions together — max_by(op, seq) for
+    the truth side and max_by(op, seq | seq ≤ bookmark) for the
+    believed side (max_by skips null orderings, which scopes the
+    second contest to the prefix; seq unique ⇒ deterministic). The
+    bookmark is a 1-row broadcast scalar, never a collect; no window,
+    no self-join, no full-outer reconciliation — the per-key frame
+    collapses straight into the GVK-sized rollup. This is the same
+    single-shuffle shape as the engine twin (cdc._field_merge_winners'
+    aggregate) and of q_oplog_compaction_ratio, whose key lattice
+    (mod 97 names) it mirrors so ~1/11 deletes land in the gap window
+    at every SF. (First cut compacted each side with its own
+    row_number window and full-outer-joined them — 30+ exchanges of
+    the SAME scan; the plan audit collapsed it to this form.)"""
     keys = ["group", "version", "kind", "namespace", "name"]
     cat = spark.createDataFrame(
         [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
@@ -1581,32 +1588,31 @@ def q_relist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = ops.agg(
         F.expr("CAST(MAX(seq) * 3 DIV 5 AS BIGINT)").alias("bm")
     )
-
-    def lww_live(frame):
-        w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
-        return (
-            frame.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .filter(F.col("op") != "delete")
-            .select(*keys)
+    per_key = (
+        ops.crossJoin(F.broadcast(bm))
+        .groupBy(*keys)
+        .agg(
+            F.max_by("op", "seq").alias("last_all"),
+            F.max_by(
+                "op", F.when(F.col("seq") <= F.col("bm"), F.col("seq"))
+            ).alias("last_pre"),
         )
-
-    believed = lww_live(
-        ops.crossJoin(F.broadcast(bm)).filter(F.col("seq") <= F.col("bm"))
+        .select(
+            "group", "version", "kind",
+            (F.col("last_all") != "delete").alias("in_truth"),
+            (
+                F.col("last_pre").isNotNull() & (F.col("last_pre") != "delete")
+            ).alias("in_believed"),
+        )
     )
-    truth = lww_live(ops)
-    j = believed.withColumn("in_believed", F.lit(True)).join(
-        truth.withColumn("in_truth", F.lit(True)), keys, "full_outer"
-    ).select(
-        "group", "version", "kind",
-        F.coalesce("in_believed", F.lit(False)).alias("in_believed"),
-        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
-    )
+    # keys dead on BOTH sides must not manufacture all-zero GVK groups
+    # the oracle's join form never emits
+    per_key = per_key.filter(F.col("in_truth") | F.col("in_believed"))
     cnt = lambda c: F.sum(c.cast("long")).cast("bigint")  # noqa: E731
     gap_del = cnt(F.col("in_believed") & ~F.col("in_truth"))
     n_truth = cnt(F.col("in_truth"))
     return (
-        j.groupBy("group", "version", "kind")
+        per_key.groupBy("group", "version", "kind")
         .agg(
             cnt(F.col("in_believed")).alias("n_believed"),
             n_truth.alias("n_truth"),
@@ -1709,14 +1715,17 @@ def q_field_merge_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-field latest assertion is non-null: exactly the rows the
     default merge silently erases on every writer alternation.
 
-    Scale shape: one op-log scan; the row winner and the two per-field
-    winners are key-partitioned row_number windows over the SAME
-    partitioning (one exchange, reused — the field scans are filtered
-    subsets, not re-shuffles); reconciliation is two key-equi joins of
-    compacted state-sized frames; the rollup is GVK-sized. The engine
-    twin (cdc._field_merge_winners) does the same contest in ONE hash
-    aggregate via max_by — this audit form keeps the two LWW flavors
-    side by side, which is its point."""
+    Scale shape: ONE op-log scan and ONE key-partitioned hash
+    aggregate compute all three contests together, exactly like the
+    engine twin (cdc._field_merge_winners): the row winner is
+    max_by((op, spec, status), seq); each per-field winner is
+    max_by(value-or-null-on-delete, seq | the row asserts the field) —
+    max_by skips null orderings, which scopes each field's contest to
+    its asserting rows. seq unique ⇒ deterministic; no windows, no
+    joins; the per-key frame collapses straight into the GVK-sized
+    rollup. (First cut used three row_number windows over filtered
+    subsets reconciled by two joins — 15+ exchanges of the same scan;
+    the plan audit collapsed it to this form.)"""
     keys = ["group", "version", "kind", "namespace", "name"]
     cat = spark.createDataFrame(
         [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
@@ -1745,30 +1754,22 @@ def q_field_merge_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.alias("seq"),
         )
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("seq").desc())
-
-    def top1(frame):
-        return frame.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
-
-    winner = top1(ops).select(
-        *keys,
-        F.col("op").alias("last_op"),
-        F.col("spec_val").alias("row_spec"),
-        F.col("status_val").alias("row_status"),
-    )
-
-    def field_winner(col, out):
-        asserted = ops.filter(
-            F.col(col).isNotNull() | (F.col("op") == "delete")
-        )
-        return top1(asserted).select(
-            *keys,
-            F.when(F.col("op") != "delete", F.col(col)).alias(out),
+    def field_winner(col):
+        # latest ASSERTION of the field: a non-null value, or a delete
+        # (which asserts null); non-asserting rows get a null ordering
+        # and are skipped by max_by
+        asserts = F.col(col).isNotNull() | (F.col("op") == "delete")
+        return F.max_by(
+            F.when(F.col("op") != "delete", F.col(col)),
+            F.when(asserts, F.col("seq")),
         )
 
-    k = (
-        winner.join(field_winner("spec_val", "fm_spec"), keys, "left")
-        .join(field_winner("status_val", "fm_status"), keys, "left")
+    k = ops.groupBy(*keys).agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("spec_val", "seq").alias("row_spec"),
+        F.max_by("status_val", "seq").alias("row_status"),
+        field_winner("spec_val").alias("fm_spec"),
+        field_winner("status_val").alias("fm_status"),
     )
     live = F.col("last_op") != "delete"
     drops_spec = live & F.col("fm_spec").isNotNull() & F.col("row_spec").isNull()
