@@ -1562,8 +1562,9 @@ def q_relist_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) and of q_oplog_compaction_ratio, whose key lattice
     (mod 97 names) it mirrors so ~1/11 deletes land in the gap window
     at every SF. (First cut compacted each side with its own
-    row_number window and full-outer-joined them — 30+ exchanges of
-    the SAME scan; the plan audit collapsed it to this form.)"""
+    row_number window and full-outer-joined them, re-exchanging the
+    same scan for every contest; the plan audit collapsed it to this
+    form.)"""
     keys = ["group", "version", "kind", "namespace", "name"]
     cat = spark.createDataFrame(
         [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
@@ -1724,8 +1725,8 @@ def q_field_merge_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     its asserting rows. seq unique ⇒ deterministic; no windows, no
     joins; the per-key frame collapses straight into the GVK-sized
     rollup. (First cut used three row_number windows over filtered
-    subsets reconciled by two joins — 15+ exchanges of the same scan;
-    the plan audit collapsed it to this form.)"""
+    subsets reconciled by two joins, re-exchanging the same scan for
+    every contest; the plan audit collapsed it to this form.)"""
     keys = ["group", "version", "kind", "namespace", "name"]
     cat = spark.createDataFrame(
         [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
