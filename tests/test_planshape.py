@@ -1183,3 +1183,31 @@ def test_fanout_amplification_one_scan_broadcast_rules(spark):
         f"{len(oplog_scans)}: {oplog_scans}"
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_relist_delta_single_aggregate_no_window_no_wide_join(spark):
+    """The r11 rewrite's guarantee: believed and truth liveness come
+    from ONE per-key aggregate (max_by pair with a conditional
+    ordering), never from per-side windows reconciled by a wide join —
+    the first cut's window+full-outer shape re-exchanged the op-log
+    once per side. The only joins allowed are broadcasts (the catalog
+    and the 1-row bookmark scalar)."""
+    plan = _plan(spark, "q_relist_delta")
+    assert "Window" not in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_field_merge_divergence_single_aggregate(spark):
+    """Same guarantee for the field-merge audit: the row winner and
+    both per-field winners collapse into one per-key aggregate — no
+    windows, no non-broadcast joins (the engine twin,
+    cdc._field_merge_winners, has the same shape)."""
+    plan = _plan(spark, "q_field_merge_divergence")
+    assert "Window" not in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
