@@ -583,3 +583,28 @@ def test_field_merge_cli_flag_wires_local_destination(spark, tmp_path):
     ).read().collect()
     assert len(live) == 1
     assert live[0]["spec"]["foo"] == "S" and live[0]["status"]["bar"] == "T"
+
+
+def test_field_merge_purge_tombstones_compacts_safely(spark, tmp_path):
+    """purge_tombstones on a field-merged state: a tombstone past the
+    horizon compacts away; one at the horizon survives and keeps
+    suppressing pre-delete redeliveries (the same resurrection-window
+    contract as row-LWW states, now with per-field seqs in play)."""
+    ssa = StateTable(spark, str(tmp_path / "ssa"), KEYS, "seq",
+                     field_merge=["spec", "status"])
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(5, "upsert", "old", ("s", "r"), ("t",)),
+         _crd_row(6, "upsert", "new", ("s", "r"), ("t",))], OBJ_SCHEMA))
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(10, "delete", "old", None, None),
+         _crd_row(20, "delete", "new", None, None)], OBJ_SCHEMA))
+    assert ssa.read().count() == 0
+    ssa.purge_tombstones(before_seq=15)  # drops old@10, keeps new@20
+    raw = spark.read.parquet(str(tmp_path / "ssa"))
+    assert {r["name"] for r in raw.collect()} == {"new"}
+    # the surviving tombstone still wins over a redelivered pre-delete
+    # upsert; the purged key's redelivery resurrects (the documented
+    # horizon contract — callers purge only below the replay floor)
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(18, "upsert", "new", ("late", "r"), None)], OBJ_SCHEMA))
+    assert ssa.read().count() == 0
