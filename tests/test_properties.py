@@ -1198,3 +1198,87 @@ def test_global_cumsums_output_name_shadowing_an_input(spark):
     got = global_cumsums(df, ["id"], {"d": "d", "e": "d"}, n_parts=3).collect()
     assert {r["id"]: r["d"] for r in got} == expect
     assert {r["id"]: r["e"] for r in got} == expect
+
+
+# -- per-field merge (cdc.StateTable field_merge) vs a sequential SSA
+#    model, under arbitrary batch chunking (round 11) -------------------
+
+_fm_ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),                  # key
+        st.sampled_from(["upsert", "delete"]),          # op
+        st.sampled_from([None, "a", "b"]),              # spec assertion
+        st.sampled_from([None, "x", "y"]),              # status assertion
+    ),
+    min_size=1,
+    max_size=14,
+).flatmap(
+    lambda ops: st.tuples(
+        st.just(ops),
+        # chunk boundaries: which batch each op lands in (merge order is
+        # by batch index; seqs inside are arbitrary — the CDC contract)
+        st.lists(
+            st.integers(min_value=0, max_value=3),
+            min_size=len(ops), max_size=len(ops),
+        ),
+    )
+)
+
+
+def _fm_model(ops):
+    """Sequential SSA reference: apply in GLOBAL seq order; a delete
+    kills the key and clears every field; an upsert (re)creates the key
+    and overwrites exactly the fields it asserts (non-null)."""
+    state: dict = {}
+    for seq, (key, op, spec, status) in enumerate(ops, start=1):
+        if op == "delete":
+            state[key] = {"alive": False, "spec": None, "status": None, "seq": seq}
+            continue
+        cur = state.get(key)
+        if cur is None or not cur["alive"]:
+            cur = {"alive": True, "spec": None, "status": None, "seq": seq}
+        cur = dict(cur, alive=True, seq=seq)
+        if spec is not None:
+            cur["spec"] = spec
+        if status is not None:
+            cur["status"] = status
+        state[key] = cur
+    return {
+        k: (v["spec"], v["status"])
+        for k, v in state.items()
+        if v["alive"]
+    }
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_fm_ops_strategy)
+def test_field_merge_equals_sequential_ssa_model(spark, tmp_path_factory, data):
+    """StateTable(field_merge=[spec,status]) must converge to the
+    sequential SSA model REGARDLESS of how the op-log is chunked into
+    merge batches (ops land in arbitrary batches; seqs carry the global
+    order) — the chunking-independence theorem row-LWW already has,
+    extended to per-field winners and their persisted __seq_<f>
+    sidecars."""
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    ops, chunk_of = data
+    root = tmp_path_factory.mktemp("fm-prop")
+    table = StateTable(
+        spark, str(root / "state"), ["key"], "seq",
+        field_merge=["spec", "status"],
+    )
+    batches: dict[int, list] = {}
+    for seq, ((key, op, spec, status), b) in enumerate(
+        zip(ops, chunk_of), start=1
+    ):
+        batches.setdefault(b, []).append((seq, op, key, spec, status))
+    for b in sorted(batches):
+        table.merge_batch(spark.createDataFrame(
+            batches[b],
+            "seq long, op string, key string, spec string, status string",
+        ))
+    got = {
+        r["key"]: (r["spec"], r["status"]) for r in table.read().collect()
+    }
+    assert got == _fm_model(ops)
