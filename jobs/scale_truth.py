@@ -2057,6 +2057,174 @@ def bridge_experiment(spark, sf_dir: str, replicas: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def fieldmerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the per-field SSA merge (VERDICT r10 missing #3,
+    SURVEY §15.6): the golden/hypothesis suite pins the semantics at
+    hundreds of rows; this proves them — and the "same single-shuffle
+    shape as row LWW" cost claim — at the syncer harness's ~1M-row
+    scale, through the REAL StateTable(field_merge=["spec","status"]).
+
+    Corpus: two writer classes contend on a shared key space — even
+    seqs assert ONLY spec, odd seqs assert ONLY status (the disjoint
+    sync_fields hazard q_sync_conflict_audit audits; the key modulus is
+    ODD so every key's seq stream alternates classes), with ~11%
+    interleaved deletes (a delete asserts every field to null, so
+    delete-then-single-field-reassert keys must surface with the OTHER
+    field null). Merges run in four seq-range chunks delivered OUT of
+    order (2,0,3,1) — per-field assertion seqs, not arrival order, must
+    decide every contest.
+
+    Checks:
+      * final field-merged state ≡ an INDEPENDENTLY formulated SSA
+        oracle (row_number windows over the full op-log: row winner for
+        liveness/base cols; per field, the latest asserting row) —
+        exceptAll both ways;
+      * contention materialized: keys where whole-payload LWW loses a
+        field that field merge preserves (counted vs a row-LWW
+        StateTable fed the same chunks), and live keys with exactly one
+        field null — both must be nonzero or the run is vacuous;
+      * cost: total merge wall, field-merge vs row-LWW, same chunks —
+        the single-hash-aggregate claim as a measured ratio."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    key_cols = ["group", "version", "kind", "namespace", "name"]
+    k_names = 40001  # ODD: an even modulus would pin each name to one parity
+    n_events = load_table(spark, sf_dir, "events").count()
+    n_rows = n_events * replicas
+
+    seq = (F.col("event_id") * replicas + F.col("rep")).cast("long") + 1
+    is_up = F.col("op") != "delete"
+    oplog = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(seq.alias("seq"))
+        .select(
+            "seq",
+            F.when(F.col("seq") % 9 == 0, "delete").otherwise("upsert").alias("op"),
+            F.lit("e2e.gkelabs.io").alias("group"),
+            F.lit("v1").alias("version"),
+            F.lit("TestCRD").alias("kind"),
+            F.when(F.col("seq") % 3 == 0, "prod").otherwise("dev").alias("namespace"),
+            F.concat(F.lit("obj-"), F.pmod(F.col("seq"), F.lit(k_names))).alias("name"),
+        )
+        .select(
+            "*",
+            F.when(
+                is_up,
+                F.when(F.col("seq") % 2 == 0, "writer-spec").otherwise("writer-status"),
+            ).alias("origin"),
+            F.when(
+                is_up & (F.col("seq") % 2 == 0),
+                F.struct(F.concat(F.lit("foo-"), F.col("seq")).alias("foo")),
+            ).alias("spec"),
+            F.when(
+                is_up & (F.col("seq") % 2 == 1),
+                F.struct(F.concat(F.lit("bar-"), F.col("seq")).alias("bar")),
+            ).alias("status"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def ssa_oracle(frame):
+        # deliberately a DIFFERENT mechanism from _field_merge_winners'
+        # max_by aggregate: row_number windows + joins, so the oracle
+        # cannot share a bug with the implementation
+        tagged = frame.withColumn("__d", (F.col("op") == "delete").cast("int"))
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("seq").desc(), F.col("__d").desc()
+        )
+        base = tagged.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+        out = base.filter(F.col("op") != "delete").select(*key_cols, "seq", "origin")
+        for fld in ("spec", "status"):
+            asserting = tagged.filter(F.col(fld).isNotNull() | (F.col("__d") == 1))
+            fw = asserting.withColumn("__rn", F.row_number().over(w)).filter(
+                "__rn = 1"
+            )
+            out = out.join(
+                fw.select(
+                    *key_cols, F.when(F.col("__d") == 0, F.col(fld)).alias(fld)
+                ),
+                key_cols,
+                "left",
+            )
+        return out
+
+    def canon(frame):
+        return frame.select(
+            *key_cols, "seq", "origin",
+            F.col("spec.foo").alias("foo"),
+            F.col("status.bar").alias("bar"),
+        )
+
+    bounds = [(i * n_rows) // 4 for i in range(5)]
+    chunks = [
+        oplog.filter(
+            (F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1])
+        )
+        for i in range(4)
+    ]
+    order = [2, 0, 3, 1]
+
+    root = tempfile.mkdtemp(prefix="fieldmerge-truth-")
+    out: dict = {"oplog_rows": oplog.count(), "chunk_order": order}
+    try:
+        st_field = StateTable(
+            spark, os.path.join(root, "field"), key_cols, "seq",
+            field_merge=["spec", "status"],
+        )
+        st_row = StateTable(spark, os.path.join(root, "row"), key_cols, "seq")
+        walls = {"field": 0.0, "row": 0.0}
+        for name, st in (("field", st_field), ("row", st_row)):
+            for i in order:
+                t0 = time.time()
+                st.merge_batch(chunks[i])
+                walls[name] += time.time() - t0
+        out["merge_wall_field_s"] = round(walls["field"], 2)
+        out["merge_wall_row_s"] = round(walls["row"], 2)
+        out["field_over_row_wall"] = round(walls["field"] / walls["row"], 3)
+
+        got = canon(st_field.read()).localCheckpoint(eager=True)
+        want = canon(ssa_oracle(oplog))
+        out["live_keys"] = got.count()
+        out["matches_ssa_oracle"] = (
+            got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        )
+
+        # vacuity guards: the contested shapes must actually occur
+        out["one_field_null_keys"] = got.filter(
+            (F.col("foo").isNull() & F.col("bar").isNotNull())
+            | (F.col("foo").isNotNull() & F.col("bar").isNull())
+        ).count()
+        r_ = canon(st_row.read()).select(
+            *key_cols,
+            F.col("foo").alias("r_foo"), F.col("bar").alias("r_bar"),
+        )
+        out["lww_divergent_keys"] = (
+            got.join(r_, key_cols)
+            .filter(
+                (~F.col("foo").eqNullSafe(F.col("r_foo")))
+                | (~F.col("bar").eqNullSafe(F.col("r_bar")))
+            )
+            .count()
+        )
+        if not (out["one_field_null_keys"] and out["lww_divergent_keys"]):
+            raise AssertionError(
+                f"vacuous run: the contested shapes never materialized "
+                f"({out}) — raise replicas until keys see multiple writers"
+            )
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main(argv: list[str]) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lsh", action="store_true")
@@ -2072,6 +2240,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--imerge", action="store_true")
     ap.add_argument("--syncer", action="store_true")
     ap.add_argument("--bridge", action="store_true")
+    ap.add_argument("--fieldmerge", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -2108,6 +2277,8 @@ def main(argv: list[str]) -> None:
         out["syncer"] = syncer_experiment(spark, args.sf_dir, args.replicas)
     if args.bridge:
         out["bridge"] = bridge_experiment(spark, args.sf_dir, args.replicas)
+    if args.fieldmerge:
+        out["fieldmerge"] = fieldmerge_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:
