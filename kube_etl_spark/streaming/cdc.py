@@ -60,6 +60,79 @@ def latest_op(oplog: DataFrame, key_cols: list[str], seq_cols: list[str]) -> Dat
     )
 
 
+def field_merge_winners(
+    tagged: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    field_merge: list[str],
+    op_col: str = "op",
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Per-field LWW, the SSA-apply analog for contended keys
+    (krmsyncer_controller.go:586-624 patches spec and the status
+    subresource as separate per-owner documents): the row-level
+    winner (max seq, deletes win ties) contributes the base columns
+    and liveness; each ``field_merge`` column independently keeps
+    its latest ASSERTION — a non-null value, or a delete, which
+    asserts every field to null, so deletes still dominate and
+    nothing resurrects. A writer that never projects a field (its
+    projection leaves it NULL, sync.project_sync_fields) therefore
+    cannot null out another writer's field; asserting an EXPLICIT
+    null is not expressible, the same boundary the syncer's own
+    omit-don't-null projection has.
+
+    Per-field assertion seqs persist as hidden ``__seq_<field>``
+    columns (stripped by read()), so out-of-order delivery across
+    merges resolves by assertion time, not state-compaction time.
+    One hash aggregate on the key — the same single-shuffle scale
+    shape as the row-level latest_op path; max_by skips null
+    ordering values, which is what scopes each field's contest to
+    its asserting rows. ``tagged`` must carry a ``__del`` int column
+    (1 on delete rows) — both StateTable.merge_batch and
+    BucketedStateTable.merge_batch call through here, so the flat
+    and bucketed layouts cannot drift semantically."""
+    seq = F.col(seq_col)
+    is_del = F.col(op_col) == delete_value
+    base_cols = [
+        c
+        for c in tagged.columns
+        if c not in (*key_cols, *field_merge, "__del")
+        and not c.startswith("__seq_")
+    ]
+    aggs = [
+        F.max_by(
+            F.struct(*base_cols), F.struct(seq, F.col("__del"))
+        ).alias("__w")
+    ]
+    for f in field_merge:
+        prev = (
+            F.col(f"__seq_{f}")
+            if f"__seq_{f}" in tagged.columns
+            else F.lit(None).cast("long")
+        )
+        fseq = F.coalesce(
+            prev, F.when(F.col(f).isNotNull() | is_del, seq)
+        )
+        aggs.append(
+            F.max_by(
+                F.struct(
+                    F.when(~is_del, F.col(f)).alias("v"), fseq.alias("s")
+                ),
+                F.when(fseq.isNotNull(), F.struct(fseq, F.col("__del"))),
+            ).alias(f"__fw_{f}")
+        )
+    won = tagged.groupBy(*key_cols).agg(*aggs)
+    return won.select(
+        *key_cols,
+        *[F.col(f"__w.{c}").alias(c) for c in base_cols if c != op_col],
+        *[F.col(f"__fw_{f}.v").alias(f) for f in field_merge],
+        *[F.col(f"__fw_{f}.s").alias(f"__seq_{f}") for f in field_merge],
+        F.when(F.col(f"__w.{op_col}") == delete_value, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("__op"),
+    )
+
+
 class StateTable:
     """Parquet-backed keyed state with idempotent MERGE (the destination
     cluster analog). Not concurrency-safe across writers — one streaming
@@ -201,65 +274,13 @@ class StateTable:
     def _field_merge_winners(
         self, tagged: DataFrame, op_col: str, delete_value: str
     ) -> DataFrame:
-        """Per-field LWW, the SSA-apply analog for contended keys
-        (krmsyncer_controller.go:586-624 patches spec and the status
-        subresource as separate per-owner documents): the row-level
-        winner (max seq, deletes win ties) contributes the base columns
-        and liveness; each ``field_merge`` column independently keeps
-        its latest ASSERTION — a non-null value, or a delete, which
-        asserts every field to null, so deletes still dominate and
-        nothing resurrects. A writer that never projects a field (its
-        projection leaves it NULL, sync.project_sync_fields) therefore
-        cannot null out another writer's field; asserting an EXPLICIT
-        null is not expressible, the same boundary the syncer's own
-        omit-don't-null projection has.
-
-        Per-field assertion seqs persist as hidden ``__seq_<field>``
-        columns (stripped by read()), so out-of-order delivery across
-        merges resolves by assertion time, not state-compaction time.
-        One hash aggregate on the key — the same single-shuffle scale
-        shape as the row-level latest_op path; max_by skips null
-        ordering values, which is what scopes each field's contest to
-        its asserting rows."""
-        seq = F.col(self.seq_cols[0])
-        is_del = F.col(op_col) == delete_value
-        base_cols = [
-            c
-            for c in tagged.columns
-            if c not in (*self.key_cols, *self.field_merge, "__del")
-            and not c.startswith("__seq_")
-        ]
-        aggs = [
-            F.max_by(
-                F.struct(*base_cols), F.struct(seq, F.col("__del"))
-            ).alias("__w")
-        ]
-        for f in self.field_merge:
-            prev = (
-                F.col(f"__seq_{f}")
-                if f"__seq_{f}" in tagged.columns
-                else F.lit(None).cast("long")
-            )
-            fseq = F.coalesce(
-                prev, F.when(F.col(f).isNotNull() | is_del, seq)
-            )
-            aggs.append(
-                F.max_by(
-                    F.struct(
-                        F.when(~is_del, F.col(f)).alias("v"), fseq.alias("s")
-                    ),
-                    F.when(fseq.isNotNull(), F.struct(fseq, F.col("__del"))),
-                ).alias(f"__fw_{f}")
-            )
-        won = tagged.groupBy(*self.key_cols).agg(*aggs)
-        return won.select(
-            *self.key_cols,
-            *[F.col(f"__w.{c}").alias(c) for c in base_cols if c != op_col],
-            *[F.col(f"__fw_{f}.v").alias(f) for f in self.field_merge],
-            *[F.col(f"__fw_{f}.s").alias(f"__seq_{f}") for f in self.field_merge],
-            F.when(F.col(f"__w.{op_col}") == delete_value, F.lit("delete"))
-            .otherwise(F.lit("upsert"))
-            .alias("__op"),
+        return field_merge_winners(
+            tagged,
+            self.key_cols,
+            self.seq_cols[0],
+            self.field_merge,
+            op_col,
+            delete_value,
         )
 
     def purge_tombstones(self, before_seq: int) -> None:
@@ -570,6 +591,7 @@ class BucketedStateTable:
         n_buckets: int = 16,
         bucket_col: F.Column | None = None,
         lease=None,
+        field_merge: list[str] | None = None,
         _purge_only: bool = False,
     ):
         """bucket_col overrides the default hash bucketing with any
@@ -604,6 +626,15 @@ class BucketedStateTable:
             )
         os.makedirs(path, exist_ok=True)
         self.lease = lease  # see StateTable — per-bucket fencing below
+        # opt-in per-field SSA merge, same contract as StateTable's
+        # (field_merge_winners is shared, so the layouts cannot drift);
+        # recorded in the layout sidecar because a row-LWW opener would
+        # silently COMPACT AWAY the per-field assertion history a
+        # field-merge opener depends on — that's spec drift, not a
+        # compatible read
+        self.field_merge = list(field_merge or [])
+        if self.field_merge and len(self.seq_cols) != 1:
+            raise ValueError("field_merge requires a single seq column")
         self._purge_only = _purge_only
         if not _purge_only:
             self._check_layout_sidecar()
@@ -631,6 +662,7 @@ class BucketedStateTable:
             "n_buckets": int(self.n_buckets),
             "key_cols": list(self.key_cols),
             "bucket_expr": str(self._bucket_expr),
+            "field_merge": list(self.field_merge),
         }
         side = os.path.join(self.path, self._SIDECAR)
         if os.path.exists(side):
@@ -641,6 +673,11 @@ class BucketedStateTable:
                 for k in ("n_buckets", "key_cols", "bucket_expr")
                 if stored.get(k) != spec[k]
             }
+            # pre-field-merge sidecars lack the key: missing ≡ []
+            if (stored.get("field_merge") or []) != spec["field_merge"]:
+                drift["field_merge"] = (
+                    stored.get("field_merge") or [], spec["field_merge"]
+                )
             if drift:
                 raise ValueError(
                     f"{self.path} was laid out under a different bucket spec "
@@ -727,7 +764,8 @@ class BucketedStateTable:
         raw = self.spark.read.parquet(*live)
         if "__op" not in raw.columns:
             return raw
-        return raw.filter(F.col("__op") != "delete").drop("__op")
+        internal = [c for c in raw.columns if c.startswith("__")]
+        return raw.filter(F.col("__op") != "delete").drop(*internal)
 
     def buckets_for(self, df: DataFrame) -> list[int]:
         """Distinct storage buckets the frame's rows map to under this
@@ -769,17 +807,24 @@ class BucketedStateTable:
             with_del = incoming.withColumn(
                 "__del", (F.col(op_col) == delete_value).cast("int")
             )
-            winners = latest_op(
-                with_del, self.key_cols, [*self.seq_cols, "__del"]
-            ).drop("__del")
-            # delete winners persist as tombstones (hidden by read()) —
-            # same anti-resurrection contract as StateTable.merge_batch
-            new_state = winners.withColumn(
-                "__op",
-                F.when(F.col(op_col) == delete_value, F.lit("delete")).otherwise(
-                    F.lit("upsert")
-                ),
-            ).drop(op_col)
+            if self.field_merge:
+                new_state = field_merge_winners(
+                    with_del, self.key_cols, self.seq_cols[0],
+                    self.field_merge, op_col, delete_value,
+                )
+            else:
+                winners = latest_op(
+                    with_del, self.key_cols, [*self.seq_cols, "__del"]
+                ).drop("__del")
+                # delete winners persist as tombstones (hidden by
+                # read()) — same anti-resurrection contract as
+                # StateTable.merge_batch
+                new_state = winners.withColumn(
+                    "__op",
+                    F.when(
+                        F.col(op_col) == delete_value, F.lit("delete")
+                    ).otherwise(F.lit("upsert")),
+                ).drop(op_col)
             # per-bucket fencing, validated INSIDE each publish (after
             # the bucket's version write, before its pointer rename —
             # review r9): a writer fenced off mid-loop stops at the
