@@ -1259,13 +1259,19 @@ def test_field_merge_equals_sequential_ssa_model(spark, tmp_path_factory, data):
     merge batches (ops land in arbitrary batches; seqs carry the global
     order) — the chunking-independence theorem row-LWW already has,
     extended to per-field winners and their persisted __seq_<f>
-    sidecars."""
-    from kube_etl_spark.streaming.cdc import StateTable
+    sidecars. The BUCKETED layout merges every chunk too (it shares
+    field_merge_winners, but its per-bucket slice/union path is its
+    own — a drift there would pass a flat-only property)."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
 
     ops, chunk_of = data
     root = tmp_path_factory.mktemp("fm-prop")
     table = StateTable(
         spark, str(root / "state"), ["key"], "seq",
+        field_merge=["spec", "status"],
+    )
+    bucketed = BucketedStateTable(
+        spark, str(root / "bucketed"), ["key"], "seq", n_buckets=2,
         field_merge=["spec", "status"],
     )
     batches: dict[int, list] = {}
@@ -1274,11 +1280,23 @@ def test_field_merge_equals_sequential_ssa_model(spark, tmp_path_factory, data):
     ):
         batches.setdefault(b, []).append((seq, op, key, spec, status))
     for b in sorted(batches):
-        table.merge_batch(spark.createDataFrame(
+        batch = spark.createDataFrame(
             batches[b],
             "seq long, op string, key string, spec string, status string",
-        ))
+        )
+        table.merge_batch(batch)
+        bucketed.merge_batch(batch)
+    want = _fm_model(ops)
     got = {
         r["key"]: (r["spec"], r["status"]) for r in table.read().collect()
     }
-    assert got == _fm_model(ops)
+    assert got == want
+    bucketed_live = bucketed.read()
+    got_b = (
+        {}
+        if bucketed_live is None
+        else {
+            r["key"]: (r["spec"], r["status"]) for r in bucketed_live.collect()
+        }
+    )
+    assert got_b == want
