@@ -84,11 +84,16 @@ def field_merge_winners(
     Per-field assertion seqs persist as hidden ``__seq_<field>``
     columns (stripped by read()), so out-of-order delivery across
     merges resolves by assertion time, not state-compaction time.
-    One hash aggregate on the key — the same single-shuffle scale
-    shape as the row-level latest_op path; max_by skips null
-    ordering values, which is what scopes each field's contest to
-    its asserting rows. ``tagged`` must carry a ``__del`` int column
-    (1 on delete rows) — both StateTable.merge_batch and
+    One per-key aggregate on one key exchange with map-side partial
+    combine — the same single-shuffle scale shape as the row-level
+    latest_op path (physically a SortAggregate: max_by's struct
+    buffer is ineligible for hash aggregation, so each merge pays
+    two per-partition sorts — the bulk of the measured 1.68× over
+    row LWW, architecture.md §r11b; shape pinned in
+    tests/test_planshape.py). max_by skips null ordering values,
+    which is what scopes each field's contest to its asserting
+    rows. ``tagged`` must carry a ``__del`` int column (1 on delete
+    rows) — both StateTable.merge_batch and
     BucketedStateTable.merge_batch call through here, so the flat
     and bucketed layouts cannot drift semantically."""
     seq = F.col(seq_col)

@@ -1211,3 +1211,45 @@ def test_field_merge_divergence_single_aggregate(spark):
         assert node not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan
+
+
+def test_field_merge_winners_single_exchange(spark):
+    """The ENGINE's field_merge_winners itself: ONE key exchange with a
+    map-side partial aggregate in front of it — the row-LWW-equal
+    shuffle shape the 1M scale-truth (architecture.md §r11b) prices at
+    a 1.68× constant factor. A refactor that reintroduced per-field
+    windows or joins would turn every StateTable/BucketedStateTable
+    merge into a multi-exchange plan; this pins the shape at the
+    function boundary. (Simple mode: formatted mode lists each node
+    twice — tree + details — so counting there is wrong, the r11
+    audit-query lesson.) The aggregate is physically a SortAggregate:
+    max_by's struct-typed buffer is ineligible for hash aggregation,
+    so each merge pays two per-partition sorts — a known, measured
+    constant, not a shape bug."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import field_merge_winners
+
+    tagged = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(7))).alias("key"),
+            F.when(F.col("id") % 9 == 0, "delete").otherwise("upsert").alias("op"),
+            F.when(F.col("id") % 2 == 0, F.concat(F.lit("s"), F.col("id"))).alias("spec"),
+            F.when(F.col("id") % 2 == 1, F.concat(F.lit("t"), F.col("id"))).alias("status"),
+        )
+        .withColumn("__del", (F.col("op") == "delete").cast("int"))
+    )
+    out = field_merge_winners(tagged, ["key"], "seq", ["spec", "status"])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Window" not in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in plan
+    assert plan.count("Exchange") == 1, plan
+    # map-side combine: the shuffle carries one row per (task, key),
+    # not the raw op-log — the property that makes this shape hold at
+    # 100 TB batch sizes
+    assert "partial_max_by" in plan, plan
