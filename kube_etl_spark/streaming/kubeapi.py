@@ -118,22 +118,36 @@ class KubeApiClient:
         url = self.config.server + path
         if params:
             url += "?" + urllib.parse.urlencode(params)
-        req = urllib.request.Request(url)
-        auth = self.config.auth_header
-        if auth:
-            req.add_header("Authorization", auth)
-        req.add_header("Accept", "application/json")
-        try:
-            return urllib.request.urlopen(
-                req,
-                timeout=self.timeout_s if timeout_s is None else timeout_s,
-                context=self._ctx,
-            )
-        except urllib.error.HTTPError as ex:
-            body = ex.read(512).decode("utf-8", "replace")
-            raise KubeApiError(f"GET {path} -> HTTP {ex.code}: {body}") from ex
-        except urllib.error.URLError as ex:
-            raise KubeApiError(f"GET {path} failed: {ex.reason}") from ex
+        for attempt in (0, 1):
+            req = urllib.request.Request(url)
+            auth = self.config.auth_header  # re-resolved per attempt
+            if auth:
+                req.add_header("Authorization", auth)
+            req.add_header("Accept", "application/json")
+            try:
+                return urllib.request.urlopen(
+                    req,
+                    timeout=self.timeout_s if timeout_s is None else timeout_s,
+                    context=self._ctx,
+                )
+            except urllib.error.HTTPError as ex:
+                if (
+                    ex.code == 401
+                    and attempt == 0
+                    and self.config.exec_plugin is not None
+                    and not self.config.token
+                ):
+                    # the cached exec credential was revoked BEFORE its
+                    # expirationTimestamp: client-go's exec transport
+                    # invalidates the cache and re-execs the plugin for
+                    # exactly one retry — without it every request 401s
+                    # until the stale timestamp passes
+                    self.config.exec_plugin.invalidate()
+                    continue
+                body = ex.read(512).decode("utf-8", "replace")
+                raise KubeApiError(f"GET {path} -> HTTP {ex.code}: {body}") from ex
+            except urllib.error.URLError as ex:
+                raise KubeApiError(f"GET {path} failed: {ex.reason}") from ex
 
     def _get_json(self, path: str, params: dict | None = None) -> dict:
         with self._request(path, params) as resp:

@@ -170,6 +170,14 @@ class ExecCredentialPlugin:
         self._status, self._deadline = status, deadline
         return status
 
+    def invalidate(self) -> None:
+        """Drop the cached credential. client-go's exec transport does
+        this when a request using the cached token comes back 401 —
+        the server revoked it BEFORE its expirationTimestamp — and
+        re-execs the plugin once for the retry (otherwise every call
+        401s until the stale timestamp passes)."""
+        self._status, self._deadline = None, None
+
     # -- what RestConfig consumes ---------------------------------------
     def token(self) -> str | None:
         return self._fresh().get("token")

@@ -97,6 +97,10 @@ class FakeApiServer(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: C901 - a routing table, plainly
         FakeApiServer.seen_auth.append(self.headers.get("Authorization"))
+        if self.headers.get("Authorization") == "Bearer revoked-tok":
+            # a token the server no longer honors (revoked before its
+            # expirationTimestamp) — the 401-retry tests' trigger
+            return self._json(401, {"message": "Unauthorized"})
         u = urlparse(self.path)
         q = parse_qs(u.query)
         p = u.path
@@ -752,3 +756,68 @@ def test_exec_plugin_token_reaches_the_wire(api_server, tmp_path):
     assert {r["plural"] for r in resources} >= {"configmaps", "namespaces"}
     assert FakeApiServer.seen_auth
     assert all(a == "Bearer exec-wire-tok" for a in FakeApiServer.seen_auth)
+
+
+def _counting_exec_rc(api_server, tmp_path, tokens):
+    """RestConfig whose exec plugin serves tokens[n] on its n-th spawn
+    (n persisted in a sidecar file), each with a far-future
+    expirationTimestamp — so a second spawn can only mean the client
+    INVALIDATED the cache, never natural expiry."""
+    import sys
+
+    plugin = tmp_path / "plugin.py"
+    count = tmp_path / "count"
+    plugin.write_text(
+        "import json, pathlib\n"
+        f"c = pathlib.Path({str(count)!r})\n"
+        "n = int(c.read_text()) if c.exists() else 0\n"
+        "c.write_text(str(n + 1))\n"
+        f"toks = {list(tokens)!r}\n"
+        "print(json.dumps({'apiVersion': 'client.authentication.k8s.io/v1',"
+        " 'kind': 'ExecCredential', 'status': {"
+        " 'token': toks[min(n, len(toks) - 1)],"
+        " 'expirationTimestamp': '2099-01-01T00:00:00Z'}}))\n"
+    )
+    kubeconfig = {
+        "apiVersion": "v1", "kind": "Config", "current-context": "c",
+        "clusters": [{"name": "c", "cluster": {"server": api_server}}],
+        "users": [{"name": "u", "user": {"exec": {
+            "apiVersion": "client.authentication.k8s.io/v1",
+            "command": sys.executable, "args": [str(plugin)],
+            "interactiveMode": "Never"}}}],
+        "contexts": [{"name": "c", "context": {"cluster": "c", "user": "u"}}],
+    }
+    from kube_etl_spark.streaming.kubeconfig import rest_config_from_kubeconfig
+
+    return rest_config_from_kubeconfig(json.dumps(kubeconfig)), count
+
+
+def test_exec_plugin_401_invalidates_and_retries_once(api_server, tmp_path):
+    """A cached exec token the server revoked BEFORE its
+    expirationTimestamp answers 401; client-go's exec transport
+    invalidates the cache and re-execs the plugin for exactly one
+    retry — the request succeeds with the fresh token and the plugin
+    ran exactly twice (a natural-expiry respawn cannot explain it:
+    the timestamps are in 2099)."""
+    rc, count = _counting_exec_rc(
+        api_server, tmp_path, ["revoked-tok", "fresh-tok"]
+    )
+    client = KubeApiClient(rc, timeout_s=5)
+    FakeApiServer.seen_auth.clear()
+    body = client._get_json("/api")
+    assert body == {"versions": ["v1"]}
+    assert FakeApiServer.seen_auth == ["Bearer revoked-tok", "Bearer fresh-tok"]
+    assert count.read_text() == "2"
+
+
+def test_exec_plugin_persistent_401_fails_after_one_retry(api_server, tmp_path):
+    """If the re-exec'd credential is ALSO rejected, the second 401 is
+    a real error (no retry loop): exactly two requests, then
+    KubeApiError."""
+    rc, count = _counting_exec_rc(api_server, tmp_path, ["revoked-tok"])
+    client = KubeApiClient(rc, timeout_s=5)
+    FakeApiServer.seen_auth.clear()
+    with pytest.raises(KubeApiError, match="HTTP 401"):
+        client._get_json("/api")
+    assert FakeApiServer.seen_auth == ["Bearer revoked-tok"] * 2
+    assert count.read_text() == "2"
