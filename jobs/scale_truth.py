@@ -2084,7 +2084,11 @@ def fieldmerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
         StateTable fed the same chunks), and live keys with exactly one
         field null — both must be nonzero or the run is vacuous;
       * cost: total merge wall, field-merge vs row-LWW, same chunks —
-        the single-hash-aggregate claim as a measured ratio."""
+        the single-aggregate claim as a measured ratio — plus the
+        BUCKETED field-merged layout on the same chunks (uniform
+        batches touch every bucket, the documented worst regime for
+        hash bucketing — this prices it for THIS state family) with
+        its live state asserted identical to the flat table's."""
     import shutil
     import tempfile
 
@@ -2092,7 +2096,7 @@ def fieldmerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
     from pyspark.sql.window import Window
 
     from kube_etl_spark.catalog import load_table
-    from kube_etl_spark.streaming.cdc import StateTable
+    from kube_etl_spark.streaming.cdc import BucketedStateTable, StateTable
 
     key_cols = ["group", "version", "kind", "namespace", "name"]
     k_names = 40001  # ODD: an even modulus would pin each name to one parity
@@ -2181,8 +2185,14 @@ def fieldmerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
             field_merge=["spec", "status"],
         )
         st_row = StateTable(spark, os.path.join(root, "row"), key_cols, "seq")
-        walls = {"field": 0.0, "row": 0.0}
-        for name, st in (("field", st_field), ("row", st_row)):
+        st_bucketed = BucketedStateTable(
+            spark, os.path.join(root, "bucketed"), key_cols, "seq",
+            n_buckets=32, field_merge=["spec", "status"],
+        )
+        walls = {"field": 0.0, "row": 0.0, "bucketed": 0.0}
+        for name, st in (
+            ("field", st_field), ("row", st_row), ("bucketed", st_bucketed)
+        ):
             for i in order:
                 t0 = time.time()
                 st.merge_batch(chunks[i])
@@ -2190,12 +2200,18 @@ def fieldmerge_experiment(spark, sf_dir: str, replicas: int) -> dict:
         out["merge_wall_field_s"] = round(walls["field"], 2)
         out["merge_wall_row_s"] = round(walls["row"], 2)
         out["field_over_row_wall"] = round(walls["field"] / walls["row"], 3)
+        out["merge_wall_bucketed_field_s"] = round(walls["bucketed"], 2)
 
         got = canon(st_field.read()).localCheckpoint(eager=True)
         want = canon(ssa_oracle(oplog))
         out["live_keys"] = got.count()
         out["matches_ssa_oracle"] = (
             got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        )
+        got_b = canon(st_bucketed.read())
+        out["bucketed_matches_flat"] = (
+            got_b.exceptAll(got).count() == 0
+            and got.exceptAll(got_b).count() == 0
         )
 
         # vacuity guards: the contested shapes must actually occur
