@@ -1792,3 +1792,116 @@ def q_field_merge_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "version", "kind")
     )
+
+
+@query(
+    "q_purge_horizon_audit",
+    tags=("ST6", "A10"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN (e.event_id // 37) % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id // 37 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON (e.event_id // 37) % 7 = c.idx
+),
+per_key AS (
+  SELECT grp, version, kind, namespace, name,
+         arg_max(op, seq) AS last_op, MAX(seq) AS last_seq
+  FROM ops GROUP BY grp, version, kind, namespace, name
+),
+f AS (SELECT MAX(last_seq) * 4 // 5 AS floor_seq FROM per_key)
+SELECT grp AS "group", version, kind,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(COUNT(*) FILTER (WHERE last_op = 'delete') AS BIGINT) AS n_tombstones,
+  CAST(COUNT(*) FILTER (WHERE last_op = 'delete' AND last_seq < floor_seq)
+    AS BIGINT) AS n_purgeable,
+  CAST(COUNT(*) FILTER (WHERE last_op = 'delete' AND last_seq >= floor_seq)
+    AS BIGINT) AS n_retained
+FROM per_key, f
+GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_purge_horizon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/A10 extension (round 11): the purge_tombstones OPERATOR INPUT
+    — per GVK, how many delete tombstones a state compaction at a given
+    replay floor may drop (seq < floor: no replay can resurrect them,
+    cdc.StateTable.purge_tombstones' horizon contract) and how many it
+    must RETAIN (seq >= floor: still suppressing in-window
+    redeliveries). The floor models the stream checkpoint's committed
+    seq at 80% of the log (MAX(seq)*4 div 5, integer arithmetic — no
+    float parity risk). This is the capacity/compliance dashboard for
+    tombstone growth: retained tombstones are the steady-state extra
+    rows a state table carries per GVK, the same accounting the
+    reference gets from etcd's compaction of old revisions
+    (krmsyncer_controller.go:327-375 trusts the informer cache because
+    etcd compacts behind it).
+
+    Key lattice: BLOCK keys (name = seq div 37, namespace/GVK from the
+    block) — keys live for one 37-seq window and never recur, so
+    per-GVK last seqs spread uniformly over the log and BOTH branches
+    materialize at every SF (2/1, 20/6, 197/49 purgeable/retained at
+    the three SFs). The recurring mod-97 lattice the sibling audits use
+    would be VACUOUS here: every key recurs within 2,037 seqs, so every
+    last_seq sits above any sane floor and n_purgeable is identically
+    zero — the same class of fixture bug q_oplog_compaction_ratio's
+    dry run caught (its mod-2000 first cut).
+
+    Scale shape (mirrors q_relist_delta): the floor is a 1-row
+    broadcast scalar cross-joined BEFORE the per-key aggregate — one
+    per-key hash aggregate on one key exchange, then the GVK-sized
+    rollup; no window, no non-broadcast join, nothing checkpointed."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    block = F.expr("event_id div 37")
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(block, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(F.pmod(block, F.lit(3)) == 0, F.lit("prod"))
+            .otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), block.cast("string")).alias("name"),
+            F.when(F.col("event_id") % 11 == 0, "delete")
+            .otherwise("upsert").alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    fl = ops.agg(F.expr("MAX(seq) * 4 DIV 5").alias("floor_seq"))
+    per_key = (
+        ops.crossJoin(F.broadcast(fl))
+        .groupBy(*keys)
+        .agg(
+            F.max_by("op", "seq").alias("last_op"),
+            F.max("seq").alias("last_seq"),
+            F.max("floor_seq").alias("floor_seq"),
+        )
+    )
+    tomb = F.col("last_op") == "delete"
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        per_key.groupBy("group", "version", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            _cnt(tomb).alias("n_tombstones"),
+            _cnt(tomb & (F.col("last_seq") < F.col("floor_seq"))).alias(
+                "n_purgeable"
+            ),
+            _cnt(tomb & (F.col("last_seq") >= F.col("floor_seq"))).alias(
+                "n_retained"
+            ),
+        )
+        .orderBy("group", "version", "kind")
+    )

@@ -167,11 +167,14 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
     # round-11 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r12 window): the 410-recovery delta audit and the
-    # per-field merge divergence audit, the offline twins of the r11
-    # engine work (relist_delta_rows / StateTable field_merge)
+    # names for the r12 window): the 410-recovery delta audit, the
+    # per-field merge divergence audit (the offline twins of the r11
+    # engine work: relist_delta_rows / StateTable field_merge), and the
+    # purge-horizon audit (session 2 — the purge_tombstones operator
+    # input, block-keyed so both branches materialize at every SF)
     "q_relist_delta",
     "q_field_merge_divergence",
+    "q_purge_horizon_audit",
     # r12 re-pin queue: the 21 remaining r06-evidence names in their
     # r06 window order (the 26 left after the r11 window took 16, plus
     # q_agg_conditional — displaced from the r11 pull-forward by

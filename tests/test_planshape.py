@@ -1213,6 +1213,19 @@ def test_field_merge_divergence_single_aggregate(spark):
         assert node not in plan
 
 
+def test_purge_horizon_audit_single_aggregate(spark):
+    """The purge-horizon audit mirrors q_relist_delta's shape: the
+    replay floor is a 1-row broadcast scalar cross-joined BEFORE the
+    per-key aggregate — no windows, no non-broadcast joins, no Python
+    eval; the per-key frame collapses straight into the GVK rollup."""
+    plan = _plan(spark, "q_purge_horizon_audit")
+    assert "Window" not in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
 def test_field_merge_winners_single_exchange(spark):
     """The ENGINE's field_merge_winners itself: ONE key exchange with a
     map-side partial aggregate in front of it — the row-LWW-equal
