@@ -26,6 +26,10 @@ def render() -> str:
         "twin is a separate row), and the first line of the implementation's",
         "docstring. All of these run as `queries()[name](spark, sf_dir)`.",
         "",
+        "Fresh-context orientation — current registry counts, gate battery,",
+        "rotation queue, and the evidence map — lives in SURVEY.md §0",
+        "(“Current state”), one page, ahead of the round appendices.",
+        "",
         f"**{len(specs)} queries** — {sum(1 for s in specs.values() if s.oracle)} oracle-checked, "
         f"{sum(1 for s in specs.values() if not s.oracle)} rows-only; "
         f"the first {len(PRIORITY)} form the driver's correctness window.",

@@ -1905,3 +1905,191 @@ def q_purge_horizon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "version", "kind")
     )
+
+
+# Round-12 widening: the offline audit twin of the r12 engine work —
+# manager-aware per-field OWNERSHIP (cdc.owned_field_merge_winners, the
+# SSA managedFields analog). Same coprime op-log lattice as
+# q_field_merge_divergence, plus a writer IDENTITY: three managers by
+# seq mod 3 (alpha: spec, beta: status, gamma: BOTH — gamma contends
+# with alpha on spec and beta on status on every shared key).
+
+
+@query(
+    "q_field_ownership_audit",
+    tags=("S8", "ST6", "P8"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 5 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 53 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         CASE e.event_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+              ELSE 'gamma' END AS mgr,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (0, 2)
+              THEN CONCAT('foo-', CAST(e.event_id AS VARCHAR)) END AS spec_val,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (1, 2)
+              THEN CONCAT('bar-', CAST(e.event_id AS VARCHAR)) END AS status_val,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+epo AS (
+  SELECT o.*, MAX(CASE WHEN op = 'delete' THEN seq END) OVER kw AS epoch
+  FROM ops o
+  WINDOW kw AS (PARTITION BY grp, version, kind, namespace, name)
+),
+v AS (
+  SELECT *, (epoch IS NULL OR seq > epoch) AS post FROM epo
+),
+w AS (
+  SELECT *,
+    arg_min(mgr, CASE WHEN spec_val IS NOT NULL AND post THEN seq END)
+      OVER kw AS owner_spec,
+    arg_max(mgr, CASE WHEN spec_val IS NOT NULL AND post THEN seq END)
+      OVER kw AS lastm_spec,
+    arg_min(mgr, CASE WHEN status_val IS NOT NULL AND post THEN seq END)
+      OVER kw AS owner_status,
+    arg_max(mgr, CASE WHEN status_val IS NOT NULL AND post THEN seq END)
+      OVER kw AS lastm_status
+  FROM v
+  WINDOW kw AS (PARTITION BY grp, version, kind, namespace, name)
+),
+k AS (
+  SELECT grp, version, kind, namespace, name,
+    arg_max(op, seq) AS last_op,
+    MAX(owner_spec) AS owner_spec, MAX(lastm_spec) AS lastm_spec,
+    MAX(owner_status) AS owner_status, MAX(lastm_status) AS lastm_status,
+    MAX(CASE WHEN spec_val IS NOT NULL AND post AND mgr <> owner_spec
+             THEN 1 ELSE 0 END) AS contested_spec,
+    MAX(CASE WHEN status_val IS NOT NULL AND post AND mgr <> owner_status
+             THEN 1 ELSE 0 END) AS contested_status
+  FROM w GROUP BY grp, version, kind, namespace, name
+)
+SELECT grp AS "group", version, kind,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete') AS BIGINT) AS n_live,
+  CAST(COUNT(owner_spec) AS BIGINT) AS n_owned_spec,
+  CAST(SUM(contested_spec) AS BIGINT) AS n_contested_spec,
+  CAST(COUNT(*) FILTER (WHERE owner_spec IS NOT NULL
+         AND lastm_spec <> owner_spec) AS BIGINT) AS n_stolen_spec,
+  CAST(COUNT(owner_status) AS BIGINT) AS n_owned_status,
+  CAST(SUM(contested_status) AS BIGINT) AS n_contested_status,
+  CAST(COUNT(*) FILTER (WHERE owner_status IS NOT NULL
+         AND lastm_status <> owner_status) AS BIGINT) AS n_stolen_status
+FROM k GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_field_ownership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/ST6/P8 extension (round 12): the OWNERSHIP audit — per GVK,
+    how many live keys have each managed field OWNED, how many of those
+    fields are CONTESTED (a post-epoch assertion by a non-owner
+    manager: the write non-forced SSA rejects as a conflict), and how
+    many would be STOLEN under ForceOwnership (the LATEST asserter is
+    not the owner — exactly the keys where forced and non-forced merge
+    outcomes diverge, krmsyncer_controller.go:586-599). The offline
+    twin of cdc.owned_field_merge_winners / StateTable(manager_col=…),
+    and the dashboard an operator reads before flipping ForceOwnership
+    on an overlapping syncer pair (q_sync_conflict_audit says WHERE
+    multi-writer keys exist; this says what force would DO to them).
+
+    Ownership semantics match the engine: owner = manager of the
+    earliest assertion in the current delete epoch (deletes clear
+    managedFields, so ownership restarts after each delete); stolen
+    compares the latest asserter against that owner.
+
+    Fixture: three managers by seq mod 3 — alpha asserts spec, beta
+    status, gamma BOTH — over the mod-53/5/7 coprime key lattice with
+    mod-13 deletes, so every key sees all three writer classes over
+    time and both contested and stolen materialize at every SF for
+    both fields.
+
+    Scale shape: the same plan family as the engine merge — one key
+    exchange carrying the epoch window, one owner-per-field window
+    (sharing the exchange and sort), then the per-key aggregate and
+    the GVK-sized rollup. No self-joins, nothing data-sized leaves the
+    key partitioning; max_by/min_by skip null orderings, which scopes
+    each field's contest to its asserting rows (the same trick as
+    q_field_merge_divergence)."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    e = F.col("event_id")
+    not_del = e % 13 != 0
+    cls = F.pmod(e, F.lit(3))
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(e, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(e % 5 == 0, F.lit("prod")).otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), F.pmod(e, F.lit(53)).cast("string")).alias("name"),
+            F.when(~not_del, "delete").otherwise("upsert").alias("op"),
+            F.when(cls == 0, "alpha").when(cls == 1, "beta").otherwise("gamma").alias("mgr"),
+            F.when(
+                not_del & cls.isin(0, 2), F.concat(F.lit("foo-"), e.cast("string"))
+            ).alias("spec_val"),
+            F.when(
+                not_del & cls.isin(1, 2), F.concat(F.lit("bar-"), e.cast("string"))
+            ).alias("status_val"),
+            e.alias("seq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*keys)
+    cur = ops.withColumn(
+        "epoch", F.max(F.when(F.col("op") == "delete", F.col("seq"))).over(wk)
+    )
+    post = F.col("epoch").isNull() | (F.col("seq") > F.col("epoch"))
+    for f in ("spec", "status"):
+        valid = F.col(f"{f}_val").isNotNull() & post
+        cur = cur.withColumn(f"valid_{f}", valid).withColumn(
+            f"owner_{f}",
+            F.min_by("mgr", F.when(valid, F.col("seq"))).over(wk),
+        )
+    aggs = [F.max_by("op", "seq").alias("last_op")]
+    for f in ("spec", "status"):
+        aggs.extend(
+            [
+                F.max(F.col(f"owner_{f}")).alias(f"owner_{f}"),
+                F.max_by("mgr", F.when(F.col(f"valid_{f}"), F.col("seq"))).alias(
+                    f"lastm_{f}"
+                ),
+                F.max(
+                    F.when(
+                        F.col(f"valid_{f}") & (F.col("mgr") != F.col(f"owner_{f}")),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"contested_{f}"),
+            ]
+        )
+    k = cur.groupBy(*keys).agg(*aggs)
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    rollup = [_cnt(F.col("last_op") != "delete").alias("n_live")]
+    for f in ("spec", "status"):
+        owner = F.col(f"owner_{f}")
+        rollup.extend(
+            [
+                _cnt(owner.isNotNull()).alias(f"n_owned_{f}"),
+                F.sum(F.col(f"contested_{f}")).cast("bigint").alias(
+                    f"n_contested_{f}"
+                ),
+                _cnt(owner.isNotNull() & (F.col(f"lastm_{f}") != owner)).alias(
+                    f"n_stolen_{f}"
+                ),
+            ]
+        )
+    return (
+        k.groupBy("group", "version", "kind")
+        .agg(*rollup)
+        .orderBy("group", "version", "kind")
+    )

@@ -64,18 +64,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their prior rounds' driver evidence. Rows-only sketches
 # (approx/sampling/LSH scale paths) never occupy a window slot.
 #
-# Round-11 window (VERDICT r10 #1): 8 anchors + the 4 round-10 widening
+# Round-12 window (VERDICT r11 #1): 8 anchors + the 3 round-11 widening
 # queries (the ONLY oracle-backed names with zero driver evidence — the
-# r10 ROTATE_NEXT head, each locally parity-green and independently
-# verified by the r10 judge) + 2 rows-only execution slots (the
-# documented r11 re-execution queue: q_sample +
-# q_agg_percentile_approx — with these, every rows-only query has a
-# post-r01 driver execution row) + the 15 remaining r05-evidence
-# re-pins (r10 ROTATE_NEXT body) + the first 16 r06-evidence re-pins +
-# 5 pulled from the r12 queue head in r06 window order
-# (q_stream_watermark promoted over q_agg_conditional for the ≥3
-# streaming quota, the same promotion move r10 made with
-# q_stream_tumbling). 8+4+2+15+16+5 = 50.
+# r11 ROTATE_NEXT head, each locally parity-green and independently
+# verified by the r11 judge at sf0.01) + 2 rows-only RE-execution slots
+# (the documented queue: q_agg_approx_distinct + q_dedup_fuzzy) + the
+# 21 remaining r06-evidence re-pins (r11 ROTATE_NEXT body, r06 window
+# order) + the first 16 r07-evidence re-pins in r07 window order
+# (q_snapshot_diff … q_stream_stream_join — includes 4 q_stream_*
+# names, so the streaming quota holds without promotion).
+# 8+3+2+21+16 = 50.
 PRIORITY: tuple[str, ...] = (
     # 1. pinned anchors — one per §2 family
     "q_agg_groupby",        # A1 flagship
@@ -86,106 +84,16 @@ PRIORITY: tuple[str, ...] = (
     "q_udf_pandas",         # U2
     "q_cdc_upsert",         # ST6 — reference upsert sink semantics
     "q_cdc_apply_oplog",    # ST7 — reference delete propagation
-    # 2. newest-unproven: the 4 round-10 widening queries (r10
+    # 2. newest-unproven: the 3 round-11 widening queries (r11
     # ROTATE_NEXT head — zero driver evidence until this window runs)
-    "q_discovery_expansion_diff",
-    "q_fanout_amplification",
-    "q_oplog_compaction_ratio",
-    "q_sync_conflict_audit",
-    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
-    "q_sample",
-    "q_agg_percentile_approx",
-    # 3a. oldest-evidence re-pins: the 15 remaining r05-evidence names
-    # (r10 ROTATE_NEXT re-pin queue head)
-    "q_key_skew_audit",
-    "q_knn_classify",
-    "q_mode_per_group",
-    "q_ngram_novelty",
-    "q_pareto_concentration",
-    "q_percent_of_parent",
-    "q_recursive_cte",
-    "q_rolling_active_users",
-    "q_sample_weighted",
-    "q_seasonality_index",
-    "q_time_to_convert",
-    "q_tpch_q3_shipping_priority",
-    "q_triangle_count",
-    "q_weighted_median",
-    "q_window_running_distinct",
-    # 3b. oldest-evidence re-pins: the first 16 r06-evidence names in
-    # r06 window order (r10 ROTATE_NEXT re-pin queue body)
-    "q_user_trend_slope",
-    "q_yoy_growth",
-    "q_reactivation",
-    "q_attribution_linear",
-    "q_window_ntile_cume",
-    "q_partition_pruned_scan",
-    "q_schema_evolution_read",
-    "q_dedup_incremental",
-    "q_sample_user_consistent",
-    "q_gapfill_interpolate",
-    "q_cohort_ltv",
-    "q_join_nearest_event",
-    "q_dedup_savings",
-    "q_knn_quantized",
-    "q_embedding_drift",
-    "q_quantile_bucket_join",
-    # 3c. pulled forward from the r12 queue head (r06 window order,
-    # q_stream_watermark promoted for the streaming quota)
-    "q_agg_global",
-    "q_agg_count_distinct",
-    "q_agg_percentile",
-    "q_agg_collect",
-    "q_stream_watermark",
-)
-
-# Rows-only queries legally occupying window slots THIS round (cap 2,
-# enforced in tests/test_entry.py). The driver records err=no_oracle
-# with spark_rows>0 — weaker than a hash row but the only external
-# execution evidence the rows-only contract allows (VERDICT r7 #4).
-# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows);
-# q_knn_lsh + q_dedup_incremental_capped (r9, 30/56 rows);
-# q_quantile_bucket_join_approx + q_profile_columns_approx (r10, the
-# last two ZERO-execution rows-only names — from here on every slot is
-# a RE-execution; every name below already has r01 evidence). Queue:
-# q_sample + q_agg_percentile_approx (r11, this window),
-# q_agg_approx_distinct + q_dedup_fuzzy (r12), q_knn_ivf +
-# q_dedup_semantic (r13, oldest-execution order resumes).
-ROWS_ONLY_WINDOW: tuple[str, ...] = (
-    "q_sample",
-    "q_agg_percentile_approx",
-)
-
-# Two roles, in order (see ROTATION POLICY above):
-#   a. Oracle-backed queries registered AFTER the current window
-#      filled (no driver evidence yet) — guaranteed a slot next round;
-#      tests/test_entry.py enforces they cannot be parked here once a
-#      newer CORRECTNESS file exists.
-#   b. Once (a) is empty — as it is after the r5 drain — the
-#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
-#      hash row is the oldest, pre-curated for the next round's step-3
-#      slots so future rotations are a mechanical copy.
-ROTATE_NEXT: tuple[str, ...] = (
-    # round-11 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r12 window): the 410-recovery delta audit, the
-    # per-field merge divergence audit (the offline twins of the r11
-    # engine work: relist_delta_rows / StateTable field_merge), and the
-    # purge-horizon audit (session 2 — the purge_tombstones operator
-    # input, block-keyed so both branches materialize at every SF)
     "q_relist_delta",
     "q_field_merge_divergence",
     "q_purge_horizon_audit",
-    # r12 re-pin queue: the 21 remaining r06-evidence names in their
-    # r06 window order (the 26 left after the r11 window took 16, plus
-    # q_agg_conditional — displaced from the r11 pull-forward by
-    # q_stream_watermark's streaming-quota promotion — minus the other
-    # 4 pulled forward). Round-11 widening queries, when registered,
-    # are PREPENDED above this block (step-2 names for the r12 window)
-    # — the ≤35 cap leaves 14 slots of headroom for them.
-    # r12 window math: 8 anchors + 2 rows-only (q_agg_approx_distinct +
-    # q_dedup_fuzzy per the ROWS_ONLY_WINDOW queue) + any r11 widening
-    # + these 21 = 31+; remaining slots come from the r13 queue head
-    # (the r07-evidence names, oldest first).
+    # 2b. rows-only execution slots (see ROWS_ONLY_WINDOW below)
+    "q_agg_approx_distinct",
+    "q_dedup_fuzzy",
+    # 3a. oldest-evidence re-pins: the 21 remaining r06-evidence names
+    # (r11 ROTATE_NEXT re-pin queue, r06 window order)
     "q_agg_conditional",
     "q_agg_argmax",
     "q_project_nested",
@@ -207,6 +115,93 @@ ROTATE_NEXT: tuple[str, ...] = (
     "q_knn_cosine",
     "q_text_stats",
     "q_window_topk_group",
+    # 3b. oldest-evidence re-pins: the first 16 r07-evidence names in
+    # r07 window order (r12 queue head — see ROTATE_NEXT for the rest)
+    "q_snapshot_diff",
+    "q_profile_incremental",
+    "q_dedup_keep_best",
+    "q_mixture_rebalance",
+    "q_dedup_prefix_cluster",
+    "q_dedup_events_window",
+    "q_catalog_scan",
+    "q_scan_project",
+    "q_sink_partitioned",
+    "q_split_spec_status",
+    "q_rules_fanout",
+    "q_join_asof",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stream_join",
+)
+
+# Rows-only queries legally occupying window slots THIS round (cap 2,
+# enforced in tests/test_entry.py). The driver records err=no_oracle
+# with spark_rows>0 — weaker than a hash row but the only external
+# execution evidence the rows-only contract allows (VERDICT r7 #4).
+# Executed so far: q_knn_ivf + q_dedup_semantic (r8, 30/10 rows);
+# q_knn_lsh + q_dedup_incremental_capped (r9, 30/56 rows);
+# q_quantile_bucket_join_approx + q_profile_columns_approx (r10);
+# q_sample + q_agg_percentile_approx (r11). Every slot from r11 on is
+# a RE-execution in oldest-execution order. Queue: q_agg_approx_distinct
+# + q_dedup_fuzzy (r12, this window), q_knn_ivf + q_dedup_semantic
+# (r13), q_knn_lsh + q_dedup_incremental_capped (r14).
+ROWS_ONLY_WINDOW: tuple[str, ...] = (
+    "q_agg_approx_distinct",
+    "q_dedup_fuzzy",
+)
+
+# Two roles, in order (see ROTATION POLICY above):
+#   a. Oracle-backed queries registered AFTER the current window
+#      filled (no driver evidence yet) — guaranteed a slot next round;
+#      tests/test_entry.py enforces they cannot be parked here once a
+#      newer CORRECTNESS file exists.
+#   b. Once (a) is empty — as it is after the r5 drain — the
+#      OLDEST-EVIDENCE re-pin queue: the names whose newest driver
+#      hash row is the oldest, pre-curated for the next round's step-3
+#      slots so future rotations are a mechanical copy.
+ROTATE_NEXT: tuple[str, ...] = (
+    # round-12 widening batch FIRST (no driver evidence yet — step-2
+    # names for the r13 window): the ownership audit, the offline twin
+    # of the r12 engine work (cdc.owned_field_merge_winners — the SSA
+    # managedFields analog, VERDICT r11 #3)
+    "q_field_ownership_audit",
+    # r13 re-pin queue: the 26 remaining r07-evidence names in their
+    # r07 window order (the 42-name r07 cohort minus the 16 the r12
+    # window took). Round-12 widening queries, when registered, are
+    # PREPENDED above this block (step-2 names for the r13 window) —
+    # the ≤35 cap leaves 9 slots of headroom for them.
+    # r13 window math: 8 anchors + 2 rows-only (q_knn_ivf +
+    # q_dedup_semantic per the ROWS_ONLY_WINDOW queue) + any r12
+    # widening + these 26 = 36+; remaining slots come from the r14
+    # queue head (the r07 stragglers below, then r08-evidence names,
+    # oldest first).
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_fingerprint",
+    "q_multimodal_join",
+    "q_text_tf",
+    "q_token_count",
+    "q_udaf_grouped_map",
+    "q_udf_scalar",
+    "q_udtf_explode",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_topk",
+    "q_pivot",
+    "q_json_funcs",
+    "q_from_json_explode",
+    "q_to_json",
+    "q_window_last_state",
+    "q_window_running_sum",
+    "q_window_rank",
+    "q_window_range_frame",
+    "q_window_lag_lead",
+    "q_tpch_q5_local_volume",
+    "q_join_skew_salted",
+    "q_media_frames",
 )
 
 

@@ -99,3 +99,74 @@ def test_attribution_linear_splits_exactly(spark, tmp_path):
     # conservation: total credited micro-cents == total purchase value
     total = sum(r["credit_microcents"] for r in out.values())
     assert total == (300 + 250 + 100) * 1_000_000, total
+
+
+def test_purge_horizon_audit_matches_purge_execution(spark, tmp_path):
+    """VERDICT r11 #6: the purge-horizon audit's EXECUTION twin — drive
+    cdc.StateTable.purge_tombstones with q_purge_horizon_audit's floor
+    on REAL state built from the same op lattice, and assert the
+    tombstones the state retains ≡ the audit's n_retained per GVK (and
+    live rows ≡ n_keys - n_tombstones). The audit is the dashboard; this
+    pins that the dashboard predicts exactly what the operator does."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+    from kube_etl_spark.registry import all_specs
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    sf_dir = "/root/testdata/sf0.001"
+    audit = {
+        (r["group"], r["version"], r["kind"]): r
+        for r in all_specs()["q_purge_horizon_audit"].fn(spark, sf_dir).collect()
+    }
+
+    # the audit's exact op lattice (filters.py q_purge_horizon_audit):
+    # block keys = seq div 37, GVK by block mod 7, delete at seq%11==0
+    cat_rows = sorted({(g, v, k) for (g, v, k) in audit})
+    from kube_etl_spark.queries.filters import _SYNCER_CATALOG_ROWS
+
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    block = F.expr("event_id div 37")
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(block, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(F.pmod(block, F.lit(3)) == 0, F.lit("prod"))
+            .otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), block.cast("string")).alias("name"),
+            F.when(F.col("event_id") % 11 == 0, "delete")
+            .otherwise("upsert").alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    floor_seq = ops.agg(F.expr("MAX(seq) * 4 DIV 5").alias("f")).collect()[0]["f"]
+
+    keys = ["group", "version", "kind", "namespace", "name"]
+    st = StateTable(spark, str(tmp_path / "state"), keys, "seq")
+    st.merge_batch(ops)
+    st.purge_tombstones(before_seq=floor_seq)
+
+    raw = st._read_raw()
+    got = {
+        (r["group"], r["version"], r["kind"]): r
+        for r in raw.groupBy("group", "version", "kind")
+        .agg(
+            F.sum((F.col("__op") == "delete").cast("long")).alias("tombs"),
+            F.sum((F.col("__op") != "delete").cast("long")).alias("live"),
+        )
+        .collect()
+    }
+    assert set(got) == set(audit) == set(cat_rows)
+    for gvk, a in audit.items():
+        assert got[gvk]["tombs"] == a["n_retained"], gvk
+        assert got[gvk]["live"] == a["n_keys"] - a["n_tombstones"], gvk
+    # vacuity guard: the purge actually dropped rows somewhere (at
+    # sf0.001 the audit reads 2 purgeable / 1 retained ACROSS GVKs —
+    # individual GVKs may legitimately have 0)
+    assert sum(a["n_purgeable"] for a in audit.values()) > 0
+    assert sum(a["n_retained"] for a in audit.values()) > 0
