@@ -164,6 +164,14 @@ class ExecCredentialPlugin:
                     f"exec plugin {self.command!r} returned unparseable "
                     f"expirationTimestamp {exp!r}: {ex}"
                 ) from ex
+            if parsed.tzinfo is None:
+                # RFC3339 requires an offset, but a plugin emitting a
+                # zoneless timestamp means UTC in practice (metav1.Time
+                # marshals UTC); astimezone() on a naive datetime would
+                # read it as host-LOCAL time and skew the refresh
+                # deadline by the UTC offset — a stale token served for
+                # hours, or a re-exec on every call (ADVICE r11)
+                parsed = parsed.replace(tzinfo=timezone.utc)
             deadline = (
                 parsed.astimezone(timezone.utc).timestamp() - _EXEC_EXPIRY_SKEW_S
             )

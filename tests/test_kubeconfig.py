@@ -382,3 +382,43 @@ def test_exec_plugin_missing_binary_fails_loudly(tmp_path):
     with pytest.raises(ValueError) as exc:
         rc.auth_header  # noqa: B018
     assert "not found on PATH" in str(exc.value)
+
+
+def test_exec_plugin_zoneless_expiry_is_utc(monkeypatch):
+    """ADVICE r11: a plugin emitting a ZONELESS expirationTimestamp
+    (metav1.Time marshals UTC; some plugins drop the offset) parsed
+    naive and astimezone()'d as host-LOCAL time, skewing the refresh
+    deadline by the UTC offset — a stale token served for hours, or a
+    re-exec on every call. Pinned under a non-UTC host TZ so the bug
+    cannot hide on UTC CI hosts."""
+    import os
+    import time as _time
+    from datetime import datetime, timezone
+
+    from kube_etl_spark.streaming.kubeconfig import (
+        _EXEC_EXPIRY_SKEW_S,
+        ExecCredentialPlugin,
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Tokyo"  # UTC+9, no DST
+    _time.tzset()
+    try:
+        plugin = ExecCredentialPlugin("true")
+        monkeypatch.setattr(
+            plugin,
+            "_spawn",
+            lambda: {"token": "t", "expirationTimestamp": "2030-06-01T12:00:00"},
+        )
+        plugin._fresh()
+        want = (
+            datetime(2030, 6, 1, 12, 0, 0, tzinfo=timezone.utc).timestamp()
+            - _EXEC_EXPIRY_SKEW_S
+        )
+        assert plugin._deadline == want  # local-time reading would be 9h off
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
