@@ -1266,3 +1266,42 @@ def test_field_merge_winners_single_exchange(spark):
     # not the raw op-log — the property that makes this shape hold at
     # 100 TB batch sizes
     assert "partial_max_by" in plan, plan
+
+
+def test_owned_field_merge_single_exchange(spark):
+    """The manager-aware ownership merge (cdc.owned_field_merge_winners,
+    r12 — the SSA managedFields analog): everything rides ONE key
+    exchange — the delete-epoch window, the per-field owner window, the
+    winner/conflict windows, and the final per-key aggregate share the
+    exchange and its sort. No joins; nothing data-sized leaves the key
+    partitioning. Unlike the unmanaged merge there ARE Window nodes
+    (ownership needs the epoch before validity and the owner before the
+    winner — three chained window stages), so the pin here is exchange
+    count + join absence, not window absence. Both force modes pinned."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.streaming.cdc import owned_field_merge_winners
+
+    tagged = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("seq"),
+            F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(7))).alias("key"),
+            F.when(F.col("id") % 9 == 0, "delete").otherwise("upsert").alias("op"),
+            F.when(F.col("id") % 3 == 0, "alpha").otherwise("beta").alias("mgr"),
+            F.when(F.col("id") % 2 == 0, F.concat(F.lit("s"), F.col("id"))).alias("spec"),
+            F.when(F.col("id") % 2 == 1, F.concat(F.lit("t"), F.col("id"))).alias("status"),
+        )
+        .withColumn("__del", (F.col("op") == "delete").cast("int"))
+    )
+    for force in (False, True):
+        out = owned_field_merge_winners(
+            tagged, ["key"], "seq", ["spec", "status"], "mgr", force=force
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, (force, plan)
+        assert plan.count("Exchange") == 1, (force, plan)

@@ -578,8 +578,13 @@ def test_field_merge_cli_flag_wires_local_destination(spark, tmp_path):
         "--checkpoint", str(tmp_path / "ckpt"),
         "--field-merge", "--once",
     ])
-    live = StateTable(
-        spark, str(tmp_path / "state" / "local"), KEYS, "seq",
+    # merge-mode-blind read handle: a plain (row-LWW) opener is now
+    # REFUSED by the merge-mode sidecar (ADVICE r11) — which doubles as
+    # the flag-wiring assertion this test exists for
+    with pytest.raises(ValueError, match="field_merge"):
+        StateTable(spark, str(tmp_path / "state" / "local"), KEYS, "seq")
+    live = StateTable.open_read(
+        spark, str(tmp_path / "state" / "local")
     ).read().collect()
     assert len(live) == 1
     assert live[0]["spec"]["foo"] == "S" and live[0]["status"]["bar"] == "T"
@@ -695,3 +700,254 @@ def test_field_merge_bucketed_sidecar_rejects_semantic_drift(spark, tmp_path):
     with pytest.raises(ValueError, match="field_merge"):
         BucketedStateTable(spark, path, KEYS, "seq", n_buckets=4,
                            field_merge=["spec", "status"])
+
+
+def test_flat_state_merge_mode_sidecar_rejects_drift(spark, tmp_path):
+    """ADVICE r11 (medium): the FLAT layout — the one run_syncer
+    actually uses — must also persist its merge mode and refuse a
+    toggled reopen: a row-LWW opener compacts away the __seq_<field>
+    assertion history a field-merge opener depends on, in either
+    direction. Purge-only opens stay permissive (dir-driven, never
+    compact by merge mode)."""
+    path = str(tmp_path / "ssa")
+    ssa = StateTable(spark, path, KEYS, "seq", field_merge=["spec", "status"])
+    ssa.merge_batch(spark.createDataFrame(
+        [_crd_row(1, "upsert", "k", ("s", "rid"), None)], OBJ_SCHEMA))
+    # same mode reopens fine and reads the merged row
+    again = StateTable(spark, path, KEYS, "seq", field_merge=["spec", "status"])
+    assert again.read().count() == 1
+    with pytest.raises(ValueError, match="field_merge"):
+        StateTable(spark, path, KEYS, "seq")
+    # the reverse direction: a row-LWW state refuses a field-merge opener
+    lww_path = str(tmp_path / "lww")
+    StateTable(spark, lww_path, KEYS, "seq")
+    with pytest.raises(ValueError, match="field_merge"):
+        StateTable(spark, lww_path, KEYS, "seq", field_merge=["spec"])
+    # read-only maintenance stays permissive on both
+    assert StateTable.open_for_purge(spark, path).read().count() == 1
+    StateTable.open_for_purge(spark, lww_path)
+
+
+def test_flat_state_sidecar_grandfathers_presidecar_state(spark, tmp_path):
+    """A state directory written by a pre-sidecar build has no spec
+    file: the first opener stamps its own mode (one-time grandfather,
+    same contract as the bucketed layout) and every later open
+    validates against it."""
+    path = str(tmp_path / "old")
+    t = StateTable(spark, path, KEYS, "seq", field_merge=["spec"])
+    t.merge_batch(spark.createDataFrame(
+        [_crd_row(1, "upsert", "k", ("s", "rid"), None)], OBJ_SCHEMA))
+    import os
+
+    os.remove(path + StateTable._SIDECAR_SUFFIX)  # simulate pre-sidecar state
+    stamped = StateTable(spark, path, KEYS, "seq", field_merge=["spec"])
+    assert stamped.read().count() == 1
+    assert os.path.exists(path + StateTable._SIDECAR_SUFFIX)
+    with pytest.raises(ValueError, match="field_merge"):
+        StateTable(spark, path, KEYS, "seq")
+
+
+def test_read_keeps_user_dunder_columns(spark, tmp_path):
+    """ADVICE r11: read() must hide exactly the MERGE internals (__op,
+    and __seq_<f> for a payload twin f) — a payload column that
+    legitimately starts with '__' belongs to the user and must
+    survive the read, in both layouts."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    schema = "k string, seq long, op string, __custom string, spec string"
+    batch = spark.createDataFrame([("a", 1, "upsert", "user-data", "sp")], schema)
+    flat = StateTable(spark, str(tmp_path / "flat"), ["k"], "seq",
+                      field_merge=["spec"])
+    flat.merge_batch(batch)
+    row = flat.read().collect()[0]
+    assert row["__custom"] == "user-data"
+    assert "__op" not in row.asDict() and "__seq_spec" not in row.asDict()
+
+    bkt = BucketedStateTable(spark, str(tmp_path / "bkt"), ["k"], "seq",
+                             n_buckets=2, field_merge=["spec"])
+    bkt.merge_batch(batch)
+    row = bkt.read().collect()[0]
+    assert row["__custom"] == "user-data"
+    assert "__op" not in row.asDict() and "__seq_spec" not in row.asDict()
+
+
+OWN_SCHEMA = (
+    "seq long, op string, group string, version string, kind string, "
+    "namespace string, name string, manager string, "
+    "spec struct<foo:string,resourceID:string>, status struct<bar:string>"
+)
+
+
+def _own_row(seq, op, name, mgr, spec, status):
+    return (seq, op, "e2e.gkelabs.io", "v1alpha1", "TestCRD", "default",
+            name, mgr, spec, status)
+
+
+def _mk_owned(spark, tmp_path, sub, force=False):
+    return StateTable(
+        spark, str(tmp_path / sub), KEYS, "seq",
+        field_merge=["spec", "status"], manager_col="manager",
+        force_ownership=force,
+    )
+
+
+def test_owned_merge_conflict_rejected_vs_forced_taken(spark, tmp_path):
+    """VERDICT r11 #3 golden: manager A establishes spec at seq 5;
+    manager B writes spec at seq 8. Non-forced (SSA without
+    ForceOwnership): B's write is a CONFLICT — rejected, counted, A's
+    value stands. Forced (krmsyncer_controller.go:586-599's option):
+    B takes ownership and the value. The two outcomes must DIFFER on
+    the same input."""
+    a = spark.createDataFrame(
+        [_own_row(5, "upsert", "k", "mgr-a", ("spec-A", "rid"), None)], OWN_SCHEMA)
+    b = spark.createDataFrame(
+        [_own_row(8, "upsert", "k", "mgr-b", ("spec-B", "rid"), None)], OWN_SCHEMA)
+
+    soft = _mk_owned(spark, tmp_path, "soft", force=False)
+    soft.merge_batch(a)
+    soft.merge_batch(b)
+    row = soft.read().collect()[0]
+    assert row["spec"]["foo"] == "spec-A"  # owner's assertion stands
+    own = {r["field"]: r for r in soft.ownership().collect()}
+    assert own["spec"]["owner"] == "mgr-a"
+    assert own["spec"]["owned_since_seq"] == 5
+    assert own["spec"]["conflicts"] == 1  # B's rejected write, surfaced
+
+    hard = _mk_owned(spark, tmp_path, "hard", force=True)
+    hard.merge_batch(a)
+    hard.merge_batch(b)
+    row = hard.read().collect()[0]
+    assert row["spec"]["foo"] == "spec-B"  # ForceOwnership: theft wins
+    own = {r["field"]: r for r in hard.ownership().collect()}
+    assert own["spec"]["owner"] == "mgr-b"
+    assert own["spec"]["owned_since_seq"] == 8  # ownership restarted
+    assert own["spec"]["conflicts"] == 1  # the takeover, surfaced
+
+
+def test_owned_merge_owner_updates_freely_and_fields_independent(spark, tmp_path):
+    """The owner's own later assertion is NOT a conflict; different
+    managers owning DIFFERENT fields of one key coexist (the disjoint
+    sync_fields steady state)."""
+    t = _mk_owned(spark, tmp_path, "own")
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(5, "upsert", "k", "mgr-a", ("s1", "rid"), None)], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(6, "upsert", "k", "mgr-b", None, ("t1",))], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(9, "upsert", "k", "mgr-a", ("s2", "rid"), None)], OWN_SCHEMA))
+    row = t.read().collect()[0]
+    assert row["spec"]["foo"] == "s2"    # owner re-asserts freely
+    assert row["status"]["bar"] == "t1"  # b owns status, untouched
+    own = {r["field"]: r for r in t.ownership().collect()}
+    assert own["spec"]["owner"] == "mgr-a" and own["spec"]["conflicts"] == 0
+    assert own["spec"]["owned_since_seq"] == 5   # kept across re-asserts
+    assert own["spec"]["last_assert_seq"] == 9
+    assert own["status"]["owner"] == "mgr-b" and own["status"]["conflicts"] == 0
+
+
+def test_owned_merge_delete_resets_ownership(spark, tmp_path):
+    """A delete clears values AND ownership (object deletion clears
+    managedFields): the first asserter after the delete owns the field,
+    even if the pre-delete owner re-asserts later without force."""
+    t = _mk_owned(spark, tmp_path, "reset")
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(5, "upsert", "k", "mgr-a", ("old", "rid"), None)], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(10, "delete", "k", "mgr-a", None, None)], OWN_SCHEMA))
+    assert t.read().count() == 0  # tombstoned
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(12, "upsert", "k", "mgr-b", ("new-b", "rid"), None)], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(15, "upsert", "k", "mgr-a", ("back-a", "rid"), None)], OWN_SCHEMA))
+    row = t.read().collect()[0]
+    assert row["spec"]["foo"] == "new-b"  # b owns the new epoch
+    own = {r["field"]: r for r in t.ownership().collect()}
+    assert own["spec"]["owner"] == "mgr-b"
+    assert own["spec"]["owned_since_seq"] == 12
+    assert own["spec"]["conflicts"] == 1  # a's post-delete write rejected
+
+
+def test_owned_merge_replay_and_chunking_invariant(spark, tmp_path):
+    """Winners/ownership are decided by assertion seq, not arrival:
+    replaying a merged batch is a no-op, and one-batch vs row-at-a-time
+    delivery of the same ops converges to identical state (the
+    commutativity the batch engine substitutes for apply-order SSA —
+    see owned_field_merge_winners' honest-delta note)."""
+    ops = [
+        _own_row(5, "upsert", "k", "mgr-a", ("a5", "rid"), None),
+        _own_row(6, "upsert", "k", "mgr-b", ("b6", "rid"), ("t6",)),
+        _own_row(9, "upsert", "k", "mgr-a", ("a9", "rid"), None),
+        _own_row(11, "upsert", "k", "mgr-b", None, ("t11",)),
+    ]
+    one = _mk_owned(spark, tmp_path, "one")
+    one.merge_batch(spark.createDataFrame(ops, OWN_SCHEMA))
+    drip = _mk_owned(spark, tmp_path, "drip")
+    for r in ops:
+        drip.merge_batch(spark.createDataFrame([r], OWN_SCHEMA))
+    cols = [*KEYS, "seq", "spec", "status"]
+    assert (
+        one.read().select(*cols).exceptAll(drip.read().select(*cols)).count() == 0
+        and drip.read().select(*cols).exceptAll(one.read().select(*cols)).count() == 0
+    )
+    o1 = {r["field"]: (r["owner"], r["owned_since_seq"])
+          for r in one.ownership().collect()}
+    o2 = {r["field"]: (r["owner"], r["owned_since_seq"])
+          for r in drip.ownership().collect()}
+    assert o1 == o2 == {"spec": ("mgr-a", 5), "status": ("mgr-b", 6)}
+    # replay of the full batch: winners unchanged (idempotent effect)
+    before = one.read().select(*cols).collect()
+    one.merge_batch(spark.createDataFrame(ops, OWN_SCHEMA))
+    assert one.read().select(*cols).collect() == before
+
+
+def test_owned_merge_sidecar_guards_manager_mode(spark, tmp_path):
+    """manager_col is merge SPEC: toggling it against existing state
+    would drop (or fabricate) the __mgr_/__own_/__cf_ audit trail on
+    the first compaction — refuse, like the field_merge toggle. The
+    bucketed layout shares the guard via its layout sidecar."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    t = _mk_owned(spark, tmp_path, "spec")
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(1, "upsert", "k", "mgr-a", ("s", "rid"), None)], OWN_SCHEMA))
+    with pytest.raises(ValueError, match="manager_col"):
+        StateTable(spark, str(tmp_path / "spec"), KEYS, "seq",
+                   field_merge=["spec", "status"])
+    # force_ownership is an APPLY-TIME option, not spec: toggling it
+    # must NOT be refused (the reference sets ForceOwnership per apply)
+    _mk_owned(spark, tmp_path, "spec", force=True)
+    b = BucketedStateTable(
+        spark, str(tmp_path / "bspec"), KEYS, "seq", n_buckets=2,
+        field_merge=["spec"], manager_col="manager")
+    with pytest.raises(ValueError, match="manager_col"):
+        BucketedStateTable(spark, str(tmp_path / "bspec"), KEYS, "seq",
+                           n_buckets=2, field_merge=["spec"])
+    del b
+
+
+def test_owned_merge_bucketed_matches_flat(spark, tmp_path):
+    """The bucketed layout routes through the SAME ownership merge:
+    conflict rejection, ownership, and state must match the flat table
+    on the contended sequence (the layouts-cannot-drift contract the
+    unmanaged field merge already carries)."""
+    from kube_etl_spark.streaming.cdc import BucketedStateTable
+
+    ops = [
+        _own_row(5, "upsert", "k", "mgr-a", ("a5", "rid"), None),
+        _own_row(8, "upsert", "k", "mgr-b", ("b8", "rid"), ("t8",)),
+        _own_row(9, "upsert", "k2", "mgr-b", ("b9", "rid"), None),
+        _own_row(11, "upsert", "k", "mgr-a", ("a11", "rid"), None),
+    ]
+    flat = _mk_owned(spark, tmp_path, "flat")
+    bkt = BucketedStateTable(
+        spark, str(tmp_path / "bkt"), KEYS, "seq", n_buckets=4,
+        field_merge=["spec", "status"], manager_col="manager")
+    for st in (flat, bkt):
+        for r in ops:
+            st.merge_batch(spark.createDataFrame([r], OWN_SCHEMA))
+    cols = [*KEYS, "seq", "spec", "status"]
+    f, b = flat.read().select(*cols), bkt.read().select(*cols)
+    assert f.exceptAll(b).count() == 0 and b.exceptAll(f).count() == 0
+    row = {r["name"]: r for r in f.collect()}
+    assert row["k"]["spec"]["foo"] == "a11"     # owner a holds spec
+    assert row["k"]["status"]["bar"] == "t8"    # b owns status
