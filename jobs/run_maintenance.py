@@ -52,7 +52,24 @@ def main(argv: list[str]) -> None:
         "fresh version). Without it, only run gc while the owner is "
         "stopped.",
     )
+    p = sub.add_parser(
+        "prune-landing",
+        help="delete landing-zone files the syncer stream has COMMITTED "
+        "(checkpoint sources/commits logs) — the retention valve that "
+        "keeps relist_delta_rows' landing scan O(unmerged backlog) "
+        "instead of O(deployment age). Safe against a live stream: a "
+        "file source never re-lists committed files.",
+    )
+    p.add_argument("--landing", required=True)
+    p.add_argument("--checkpoint", required=True)
     args = ap.parse_args(argv)
+
+    if args.cmd == "prune-landing":  # pure-filesystem: no SparkSession
+        from kube_etl_spark.streaming.kubeapi import prune_committed_landing
+
+        n = prune_committed_landing(args.checkpoint, args.landing)
+        print(json.dumps({"cmd": args.cmd, "deleted_files": n}))
+        return
 
     import os
 

@@ -186,7 +186,7 @@ def main(argv: list[str]) -> None:
                 try:
                     objs, list_rv = _relist(client, t)
                     n_relist = entry.get("relists", 0) + 1
-                    entry["rv"] = relist_to_snapshot(
+                    new_rv = relist_to_snapshot(
                         spark, t, args.snapshots, n_relist, objs, list_rv
                     )
                     n_deletes = 0
@@ -197,6 +197,13 @@ def main(argv: list[str]) -> None:
                         )
                         if rows:
                             _land_rows(rows, args.landing)
+                    # bookmark advances only after the WHOLE recovery
+                    # block lands: advancing it on relist_to_snapshot
+                    # alone meant a delta failure below left rv past
+                    # the gap — the next pass would not 410 again and
+                    # the gap-deletes were silently lost (ADVICE r11
+                    # follow-on, pinned in test_kubeapi.py)
+                    entry["rv"] = new_rv
                     entry["relists"] = n_relist
                     print(
                         f"watch expired for {key} ({ex}); relisted "
@@ -204,10 +211,18 @@ def main(argv: list[str]) -> None:
                         f"(relist #{n_relist}, {n_deletes} gap-deletes landed)",
                         file=sys.stderr,
                     )
-                except KubeApiError as rex:
+                except Exception as rex:  # noqa: BLE001 — see below
+                    # KubeApiError (transient apiserver) AND Spark-side
+                    # failures (Py4J/AnalysisException while scanning
+                    # the landing zone or syncer state in
+                    # relist_delta_rows) — either escaping would crash
+                    # the whole bridge, contradicting the per-target
+                    # never-crash-loop design (ADVICE r11). Bookmark
+                    # kept either way: the next pass 410s and retries.
                     entry["errors"] = entry.get("errors", 0) + 1
                     print(
-                        f"relist failed for {key}: {rex}; bookmark kept, "
+                        f"relist failed for {key}: "
+                        f"{type(rex).__name__}: {rex}; bookmark kept, "
                         f"retrying next pass",
                         file=sys.stderr,
                     )

@@ -374,6 +374,71 @@ def _land_rows(rows: list[dict], out_dir: str) -> None:
     os.rename(tmp, final)
 
 
+def prune_committed_landing(checkpoint_dir: str, landing_dir: str) -> int:
+    """Delete landing-zone files the consuming stream has COMMITTED —
+    the retention valve for the landing zone's one-file-per-drain
+    growth (ADVICE r11: relist_delta_rows scans the whole landing dir,
+    so an unpruned zone makes every 410 relist cost grow with
+    deployment age rather than unmerged-backlog size).
+
+    Sound criterion: run_syncer consumes the zone as a file-source
+    stream; the checkpoint's ``sources/0/<batchId>`` logs name each
+    batch's files and ``commits/<batchId>`` appears only after
+    foreachBatch RETURNED — i.e. after the merge published — so a file
+    in a committed batch is fully represented in the state table and
+    relist_delta_rows no longer needs it (its believed-live union reads
+    state ∪ landing precisely because landing may hold
+    landed-but-unmerged rows). Files NOT yet committed are kept.
+    Seq-horizon pruning would be UNSOUND here: seqs are global
+    resourceVersions, so state's max seq from one target says nothing
+    about whether another target's file was merged.
+
+    Deletes only paths that resolve inside ``landing_dir``; missing
+    files (already pruned) are skipped. Returns files deleted. Run from
+    maintenance (run_maintenance.py prune-landing) while the syncer is
+    between availableNow runs or live — a file source never re-lists
+    committed files, so deleting them never perturbs the stream."""
+    from urllib.parse import unquote, urlparse
+
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    sources_dir = os.path.join(checkpoint_dir, "sources", "0")
+    if not (os.path.isdir(commits_dir) and os.path.isdir(sources_dir)):
+        return 0
+    committed = {
+        int(n) for n in os.listdir(commits_dir) if n.lstrip("-").isdigit()
+    }
+    if not committed:
+        return 0
+    max_commit = max(committed)
+    root = os.path.realpath(landing_dir)
+    deleted = 0
+    for entry in os.listdir(sources_dir):
+        stem = entry.split(".", 1)[0]  # "<batchId>" or "<batchId>.compact"
+        if not stem.lstrip("-").isdigit() or int(stem) > max_commit:
+            continue
+        with open(os.path.join(sources_dir, entry)) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue  # "v1" version header
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                # compact logs carry the full history incl. batches
+                # past max_commit — honor each entry's own batchId
+                if int(rec.get("batchId", -1)) > max_commit:
+                    continue
+                p = rec.get("path")
+                if not p:
+                    continue
+                local = os.path.realpath(unquote(urlparse(p).path))
+                if local.startswith(root + os.sep) and os.path.isfile(local):
+                    os.remove(local)
+                    deleted += 1
+    return deleted
+
+
 def drain_watch(
     client: KubeApiClient,
     target: dict,
@@ -480,7 +545,14 @@ def relist_delta_rows(
 
     The relist itself is control-plane-sized (driver-held, like
     relist_to_snapshot); the state/landing scan and the anti-join are
-    distributed, and only the delta (the deletes) is collected."""
+    distributed, and only the delta (the deletes) is collected.
+
+    Retention (ADVICE r11): the landing scan reads EVERY file in the
+    zone, so its cost tracks unpruned history, not backlog. The policy
+    is checkpoint-committed pruning — ``prune_committed_landing``
+    deletes files run_syncer's stream has committed (those rows are in
+    the state table this function already unions), keeping the scan
+    O(unmerged backlog)."""
     from pyspark.sql import functions as F
 
     from .cdc import StateTable, latest_op
@@ -492,8 +564,11 @@ def relist_delta_rows(
     ]
 
     frames = []
-    state = StateTable(
-        spark, os.path.join(syncer_state, "local"), key_cols, "seq"
+    # merge-mode-blind read: the syncer may run with --field-merge, and
+    # a plain (row-LWW) opener would be refused by the merge-mode
+    # sidecar; this path only READS believed-live keys
+    state = StateTable.open_read(
+        spark, os.path.join(syncer_state, "local")
     ).read()
     if state is not None:
         frames.append(

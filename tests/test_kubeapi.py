@@ -821,3 +821,124 @@ def test_exec_plugin_persistent_401_fails_after_one_retry(api_server, tmp_path):
         client._get_json("/api")
     assert FakeApiServer.seen_auth == ["Bearer revoked-tok"] * 2
     assert count.read_text() == "2"
+
+
+def test_prune_committed_landing(spark, tmp_path):
+    """ADVICE r11: the landing zone grows one file per drain forever,
+    so relist_delta_rows' believed-live scan costs O(deployment age).
+    The retention valve deletes files the syncer stream has COMMITTED
+    (their rows are fully merged into state); uncommitted files must
+    survive, and a post-prune relist must still see the landed-but-
+    unmerged rows."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_maintenance
+    import run_syncer
+
+    from kube_etl_spark.streaming.kubeapi import (
+        _land_rows,
+        prune_committed_landing,
+        relist_delta_rows,
+    )
+
+    landing = str(tmp_path / "oplog")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    rules = [{
+        "syncer_name": "s1", "suspend": False, "mode": "pull",
+        "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+        "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec", "status"],
+    }]
+    (tmp_path / "rules.json").write_text(json.dumps(rules))
+    syncer_args = ["--rules", str(tmp_path / "rules.json"), "--oplog", landing,
+                   "--state", state, "--checkpoint", ckpt, "--once"]
+
+    def _row(seq, name):
+        return {
+            "seq": seq, "op": "upsert", "group": "e2e.gkelabs.io",
+            "version": "v1alpha1", "kind": "TestCRD", "namespace": "prod",
+            "name": name, "labels": {}, "annotations": {},
+            "spec": {"foo": "x", "resourceID": f"rid-{name}"},
+            "status": {"bar": "y"},
+        }
+
+    _land_rows([_row(10, "merged-a")], landing)
+    _land_rows([_row(11, "merged-b")], landing)
+    run_syncer.main(syncer_args)  # commits both files into state
+    assert len(os.listdir(landing)) == 2
+    _land_rows([_row(20, "unmerged")], landing)  # landed AFTER the commit
+
+    n = prune_committed_landing(ckpt, landing)
+    assert n == 2
+    survivors = os.listdir(landing)
+    assert len(survivors) == 1  # only the uncommitted file remains
+
+    # believed-live after the prune = merged state ∪ surviving landing:
+    # a relist containing nothing must still emit deletes for all three
+    target = {"group": "e2e.gkelabs.io", "version": "v1alpha1",
+              "kind": "TestCRD", "plural": "testcrds"}
+    rows, n_del = relist_delta_rows(
+        spark, target, [], "1000", state, landing_dir=landing)
+    assert n_del == 3
+    assert {r["name"] for r in rows} == {"merged-a", "merged-b", "unmerged"}
+
+    # idempotent + CLI face; the syncer still converges afterwards
+    run_maintenance.main(["prune-landing", "--landing", landing,
+                          "--checkpoint", ckpt])
+    assert prune_committed_landing(ckpt, landing) == 0
+    run_syncer.main(syncer_args)
+    assert len(os.listdir(landing)) >= 1  # newly committed file not pruned
+
+
+def test_bridge_survives_spark_side_relist_failure(
+    client, api_server, spark, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r11: a Spark-side exception inside the relist+delta block
+    (e.g. AnalysisException scanning the landing zone) used to escape
+    the KubeApiError-only handler and crash the whole bridge. It must
+    now count as a per-target error, keep the old bookmark, and leave
+    the loop alive for the other targets."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_watch_bridge
+
+    kubeconfig = f"""
+apiVersion: v1
+kind: Config
+current-context: fake
+clusters: [{{name: fake, cluster: {{server: {api_server}}}}}]
+users: [{{name: fake, user: {{token: {TOKEN}}}}}]
+contexts: [{{name: fake, context: {{cluster: fake, user: fake}}}}]
+"""
+    (tmp_path / "kc.yaml").write_text(kubeconfig)
+    targets = [{"group": "e2e.gkelabs.io", "version": "v1alpha1",
+                "kind": "TestCRD", "plural": "testcrds"}]
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+    bookmark = tmp_path / "bm.json"
+    bookmark.write_text(json.dumps(
+        {"e2e.gkelabs.io/v1alpha1/testcrds": {"rv": "9"}}  # 410s immediately
+    ))
+    # the bridge imports relist_delta_rows inside main(), so patch the
+    # defining module
+    from kube_etl_spark.streaming import kubeapi as _kubeapi_mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("spark-side boom")
+
+    monkeypatch.setattr(_kubeapi_mod, "relist_delta_rows", _boom)
+    run_watch_bridge.main([
+        "--kubeconfig", str(tmp_path / "kc.yaml"),
+        "--targets", str(tmp_path / "targets.json"),
+        "--landing", str(tmp_path / "oplog"),
+        "--snapshots", str(tmp_path / "snaps"),
+        "--bookmark", str(bookmark),
+        "--syncer-state", str(tmp_path / "state"),
+        "--once",
+    ])  # must NOT raise
+    bm = json.loads(bookmark.read_text())
+    entry = bm["e2e.gkelabs.io/v1alpha1/testcrds"]
+    assert entry["errors"] == 1
+    assert entry["rv"] == "9"  # bookmark kept -> next pass retries
+    assert "RuntimeError: spark-side boom" in capsys.readouterr().err
