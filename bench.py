@@ -9,6 +9,9 @@ through the noop sink — .count() would let Catalyst prune final
 projections/sorts and under-measure non-aggregating queries (ADVICE r1).
 
 Extras beyond the contract keys:
+  * "warm_steady": non-binding 5th-run wall for the checkpoint-heavy
+    headliners (_WARM_STEADY) — adjudicates cold-start-dominated
+    ledger trips from the JSON alone (VERDICT r11 #2).
   * "vs_r01": per-query ratio against BENCH_r01.json's parsed numbers —
     the like-for-like regression gate (VERDICT r1 #5); only queries
     measured in r01 appear.
@@ -163,6 +166,33 @@ def _timed(fn, runs: int = 3) -> float:
         fn()
         ts.append(time.perf_counter() - t0)
     return round(statistics.median(ts), 4)
+
+
+# Checkpoint-heavy headliners (eager/lazy localCheckpoint in their
+# plan): their in-bench median carries first-run checkpoint-write cost
+# that can triple on the host's slow mode while the steady-state plan
+# is healthy (the r11 q_dedup_fuzzy trip: in-bench 1.88-1.90 raw vs
+# warm steady-state 0.93 — BASELINE.md r11 note). VERDICT r11 #2: a
+# supplementary NON-BINDING "warm_steady" reading — the 5th-run wall
+# (3 median runs + 2 extra) — lands in bench_full.json / the non-final
+# stdout line so a 1.5×-raw ledger trip on these queries can be
+# adjudicated from BENCH_r{N}.json alone, without a manual profiling
+# session. The comparable median-of-3 protocol is untouched.
+_WARM_STEADY = (
+    "q_dedup_fuzzy",      # eager signature checkpoint (llm.py)
+    "q_interval_merge",   # checkpointed interval fence
+    "q_media_neardup",    # eager signature checkpoint (media.py)
+    "q_triangle_count",   # lazy checkpoints on the oriented edge list
+)
+
+
+def _warm_steady(fn) -> float:
+    """5th-run wall: the caller has already run `fn` 3 times (the timed
+    median); one more untimed warm run, then the timed 5th."""
+    fn()
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 4)
 
 
 def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
@@ -413,6 +443,11 @@ def _neardup_bench(spark, sf_dir: str) -> dict[str, float]:
             )
             pair_counts[name] = idx.pairs_df().count()
         assert pair_counts["flat"] == pair_counts["bucketed"], pair_counts
+        # vacuity guard (harness sweep r12): equal-and-ZERO would mean
+        # both timed loops ingested without detecting anything — the
+        # per-batch walls would measure an empty screen and the equality
+        # assert would pass vacuously
+        assert pair_counts["flat"] > 0, "neardup bench detected no pairs"
         out["pairs_detected"] = float(pair_counts["flat"])
         return out
     finally:
@@ -548,8 +583,13 @@ def main() -> None:
     _materialize(specs[0][1].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    warm_steady: dict[str, float] = {}
     for name, spec in specs:
         timings[name] = _timed(lambda: _materialize(spec.fn(spark, sf_dir)))
+        if name in _WARM_STEADY:
+            warm_steady[name] = _warm_steady(
+                lambda: _materialize(spec.fn(spark, sf_dir))
+            )
 
     vs_r01: dict[str, float] = {}
     try:
@@ -616,6 +656,7 @@ def main() -> None:
             "vs_baseline": vs_baseline,
             "vs_baseline_queries": vs_baseline_queries,
             "vs_baseline_queries_vmadj": vs_vmadj,
+            "warm_steady": warm_steady,
             "skew": skew,
             "udf": udf,
             "index": index,
