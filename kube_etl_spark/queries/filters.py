@@ -2093,3 +2093,135 @@ def q_field_ownership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*rollup)
         .orderBy("group", "version", "kind")
     )
+
+
+@query(
+    "q_ownership_takeover_timeline",
+    tags=("W3", "S8", "ST6"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN e.event_id % 5 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id % 53 AS VARCHAR)) AS name,
+         CASE e.event_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+              ELSE 'gamma' END AS mgr,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (0, 2)
+              THEN 1 ELSE 0 END AS a_spec,
+         CASE WHEN e.event_id % 13 <> 0 AND e.event_id % 3 IN (1, 2)
+              THEN 1 ELSE 0 END AS a_status,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON e.event_id % 7 = c.idx
+),
+tspec AS (
+  SELECT grp, version, kind, namespace, name,
+    COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev <> mgr) AS takeovers
+  FROM (
+    SELECT o.*, LAG(mgr) OVER (
+      PARTITION BY grp, version, kind, namespace, name ORDER BY seq) AS prev
+    FROM ops o WHERE a_spec = 1
+  ) GROUP BY grp, version, kind, namespace, name
+),
+tstatus AS (
+  SELECT grp, version, kind, namespace, name,
+    COUNT(*) FILTER (WHERE prev IS NOT NULL AND prev <> mgr) AS takeovers
+  FROM (
+    SELECT o.*, LAG(mgr) OVER (
+      PARTITION BY grp, version, kind, namespace, name ORDER BY seq) AS prev
+    FROM ops o WHERE a_status = 1
+  ) GROUP BY grp, version, kind, namespace, name
+)
+SELECT s.grp AS "group", s.version, s.kind,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(s.takeovers) AS BIGINT) AS spec_takeovers,
+  CAST(COUNT(*) FILTER (WHERE s.takeovers > 0) AS BIGINT) AS n_keys_spec_churn,
+  CAST(MAX(s.takeovers) AS BIGINT) AS max_spec_takeovers,
+  CAST(SUM(t.takeovers) AS BIGINT) AS status_takeovers,
+  CAST(COUNT(*) FILTER (WHERE t.takeovers > 0) AS BIGINT) AS n_keys_status_churn
+FROM tspec s JOIN tstatus t
+  ON s.grp = t.grp AND s.version = t.version AND s.kind = t.kind
+ AND s.namespace = t.namespace AND s.name = t.name
+GROUP BY s.grp, s.version, s.kind
+ORDER BY "group", s.version, s.kind
+""",
+)
+def q_ownership_takeover_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/S8/ST6 extension (round 12): the FORCED-ownership churn
+    timeline — per GVK, how many ownership TRANSFERS each managed field
+    would suffer under ForceOwnership (every assertion whose manager
+    differs from the field's previous asserter takes the field,
+    krmsyncer_controller.go:586-599), plus how many keys churn at all
+    and the worst per-key count. Where q_field_ownership_audit prices
+    the END-STATE divergence (stolen = latest asserter ≠ first owner),
+    this prices the PATH: a key with 2 writers alternating N times
+    suffers N-1 transfers — the flapping that makes forced mode
+    operationally noisy even when the end state looks settled. Same
+    manager lattice as the audit (alpha: spec, beta: status, gamma:
+    both), so the two queries read together.
+
+    Scale shape: one lag() window per field over the SAME key exchange
+    (the windows share the exchange and its sort — only the ordering
+    column differs in null-scoping), then the per-key aggregate and
+    GVK rollup; an inner join on the per-key frames is key-partitioned
+    and config-small after aggregation. max_by/lag null-scoping keeps
+    each field's timeline to its asserting rows only.
+
+    Determinism: seq unique per key (event_id), lag ordered by seq;
+    counts only — no floats."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    e = F.col("event_id")
+    not_del = e % 13 != 0
+    cls = F.pmod(e, F.lit(3))
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(e, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(e % 5 == 0, F.lit("prod")).otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), F.pmod(e, F.lit(53)).cast("string")).alias("name"),
+            F.when(cls == 0, "alpha").when(cls == 1, "beta").otherwise("gamma").alias("mgr"),
+            (not_del & cls.isin(0, 2)).cast("int").alias("a_spec"),
+            (not_del & cls.isin(1, 2)).cast("int").alias("a_status"),
+            e.alias("seq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    per_key = None
+    for f in ("spec", "status"):
+        w = Window.partitionBy(*keys).orderBy("seq")
+        tl = (
+            ops.filter(F.col(f"a_{f}") == 1)
+            .withColumn("prev", F.lag("mgr").over(w))
+            .groupBy(*keys)
+            .agg(
+                F.sum(
+                    (F.col("prev").isNotNull() & (F.col("prev") != F.col("mgr")))
+                    .cast("long")
+                ).alias(f"takeovers_{f}")
+            )
+        )
+        per_key = tl if per_key is None else per_key.join(tl, keys)
+    return (
+        per_key.groupBy("group", "version", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("takeovers_spec").cast("bigint").alias("spec_takeovers"),
+            F.sum((F.col("takeovers_spec") > 0).cast("long"))
+            .cast("bigint")
+            .alias("n_keys_spec_churn"),
+            F.max("takeovers_spec").cast("bigint").alias("max_spec_takeovers"),
+            F.sum("takeovers_status").cast("bigint").alias("status_takeovers"),
+            F.sum((F.col("takeovers_status") > 0).cast("long"))
+            .cast("bigint")
+            .alias("n_keys_status_churn"),
+        )
+        .orderBy("group", "version", "kind")
+    )

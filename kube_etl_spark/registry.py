@@ -162,10 +162,12 @@ ROWS_ONLY_WINDOW: tuple[str, ...] = (
 #      slots so future rotations are a mechanical copy.
 ROTATE_NEXT: tuple[str, ...] = (
     # round-12 widening batch FIRST (no driver evidence yet — step-2
-    # names for the r13 window): the ownership audit, the offline twin
-    # of the r12 engine work (cdc.owned_field_merge_winners — the SSA
-    # managedFields analog, VERDICT r11 #3)
+    # names for the r13 window): the ownership audit + the forced-mode
+    # churn timeline, the offline twins of the r12 engine work
+    # (cdc.owned_field_merge_winners — the SSA managedFields analog,
+    # VERDICT r11 #3)
     "q_field_ownership_audit",
+    "q_ownership_takeover_timeline",
     # r13 re-pin queue: the 26 remaining r07-evidence names in their
     # r07 window order (the 42-name r07 cohort minus the 16 the r12
     # window took). Round-12 widening queries, when registered, are
