@@ -89,6 +89,24 @@ def main(argv: list[str]) -> None:
         "keys). Default remains whole-payload LWW",
     )
     ap.add_argument(
+        "--ownership",
+        action="store_true",
+        help="manager-aware field ownership on top of --field-merge (the "
+        "managedFields analog, r12): each syncer OWNS the fields it "
+        "asserted first; another syncer's write to an owned field is a "
+        "CONFLICT — rejected and counted in the state's __cf_<field> "
+        "audit columns — unless --force-ownership. The manager is the "
+        "syncer_name, exactly the reference's field manager for its SSA "
+        "applies (krmsyncer_controller.go:586-599)",
+    )
+    ap.add_argument(
+        "--force-ownership",
+        action="store_true",
+        help="with --ownership: a conflicting write TAKES the field and "
+        "transfers ownership (the reference's ForceOwnership apply "
+        "option) instead of being rejected",
+    )
+    ap.add_argument(
         "--catalog",
         default=None,
         help="JSON file of discovery GVKs [{group,version,kind},...] for the "
@@ -165,8 +183,14 @@ def main(argv: list[str]) -> None:
     # under state/remote/, in a real deployment the remote catalog the
     # resolved credential points at.
     fm = ["spec", "status"] if args.field_merge else None
+    if args.ownership and not fm:
+        raise SystemExit("--ownership requires --field-merge")
+    own = dict(
+        manager_col="syncer_name" if args.ownership else None,
+        force_ownership=args.force_ownership,
+    )
     local_dest = StateTable(
-        spark, f"{args.state}/local", key_cols, "seq", field_merge=fm
+        spark, f"{args.state}/local", key_cols, "seq", field_merge=fm, **own
     )
     secrets = {}
     if args.secrets:
@@ -200,6 +224,7 @@ def main(argv: list[str]) -> None:
             key_cols,
             "seq",
             field_merge=fm,  # push syncers sharing a remote contend too
+            **own,
         ),
         resolve_credential=_resolve if args.secrets else None,
     )

@@ -248,12 +248,22 @@ def owned_field_merge_winners(
             )
         )
     # stage 1: the owner of each field (epoch-scoped earliest assertion;
-    # forced mode takes the LATEST assertion's manager instead)
+    # forced mode takes the LATEST assertion's manager instead).
+    # Same-seq assertions by DIFFERENT managers (two symmetric syncers
+    # relaying one source event) tie-break deterministically by manager
+    # name: non-forced ownership to the lexicographically FIRST (struct
+    # min), forced takeover to the lexicographically LAST (the ordering
+    # struct carries the manager) — the reference's equivalent is
+    # arrival order, which a commutative batch merge cannot use.
     for f in field_merge:
         own_struct = F.struct(F.col(f"__ao_{f}"), F.col(f"__am_{f}"))
         owner = (
             F.max_by(
-                own_struct, F.when(F.col(f"__valid_{f}"), F.col(f"__as_{f}"))
+                own_struct,
+                F.when(
+                    F.col(f"__valid_{f}"),
+                    F.struct(F.col(f"__as_{f}"), F.col(f"__am_{f}")),
+                ),
             )
             if force
             else F.min(F.when(F.col(f"__valid_{f}"), own_struct))

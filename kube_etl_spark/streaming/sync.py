@@ -394,8 +394,16 @@ def sync_to_destinations(
                     continue
             else:
                 dest = local_dest
+            # a manager-aware destination (StateTable(manager_col=
+            # "syncer_name") — the managedFields analog, r12) consumes
+            # the syncer identity as the field MANAGER instead of
+            # having it dropped: the reference's field manager for an
+            # SSA apply IS the applying controller
+            # (krmsyncer_controller.go:586-599 applies as the syncer)
+            keep_mgr = getattr(dest, "manager_col", None)
+            drops = [c for c in ("syncer_name", "mode") if c != keep_mgr]
             dest.merge_batch(
-                changes.filter(F.col("syncer_name") == name).drop("syncer_name", "mode")
+                changes.filter(F.col("syncer_name") == name).drop(*drops)
             )
             written[name] = dest
         return written, skipped

@@ -951,3 +951,78 @@ def test_owned_merge_bucketed_matches_flat(spark, tmp_path):
     row = {r["name"]: r for r in f.collect()}
     assert row["k"]["spec"]["foo"] == "a11"     # owner a holds spec
     assert row["k"]["status"]["bar"] == "t8"    # b owns status
+
+
+def test_ownership_cli_flag_end_to_end(spark, tmp_path):
+    """`run_syncer --field-merge --ownership [--force-ownership]` through
+    the CLI: two overlapping pull syncers BOTH sync spec on the same key
+    (the multi-writer hazard q_sync_conflict_audit flags). The manager
+    is the syncer_name — the reference's field manager for its SSA
+    applies. Within ONE source op-log, symmetric rules relay identical
+    events, so every contention is a same-seq tie; the engine resolves
+    it deterministically (non-forced ownership → lexicographically
+    FIRST manager; forced takeover → lexicographically LAST), where the
+    reference's equivalent is arrival order. The two CLI modes must
+    disagree on the owner, and the state sidecar must refuse a
+    plain-field-merge reopen (manager mode is merge spec)."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_syncer
+
+    rules = [
+        {"syncer_name": "a_writer", "suspend": False, "mode": "pull",
+         "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+         "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec"]},
+        {"syncer_name": "b_writer", "suspend": False, "mode": "pull",
+         "rule_group": "e2e.gkelabs.io", "rule_version": "v1alpha1",
+         "rule_kind": "TestCRD", "namespaces": [], "sync_fields": ["spec"]},
+    ]
+    (tmp_path / "rules.json").write_text(_json.dumps(rules))
+    ev = [
+        {"seq": 9, "op": "upsert", "group": "e2e.gkelabs.io",
+         "version": "v1alpha1", "kind": "TestCRD", "namespace": "default",
+         "name": "obj", "labels": {}, "annotations": {},
+         "spec": {"foo": "first", "resourceID": "rid"}, "status": {"bar": "t"}},
+        {"seq": 12, "op": "upsert", "group": "e2e.gkelabs.io",
+         "version": "v1alpha1", "kind": "TestCRD", "namespace": "default",
+         "name": "obj", "labels": {}, "annotations": {},
+         "spec": {"foo": "second", "resourceID": "rid"}, "status": {"bar": "t"}},
+    ]
+
+    def run(sub, extra):
+        (tmp_path / sub).mkdir()
+        (tmp_path / sub / "oplog").mkdir()
+        (tmp_path / sub / "oplog" / "b1.json").write_text(_json.dumps(ev[0]))
+        (tmp_path / sub / "oplog" / "b2.json").write_text(_json.dumps(ev[1]))
+        run_syncer.main([
+            "--rules", str(tmp_path / "rules.json"),
+            "--oplog", str(tmp_path / sub / "oplog"),
+            "--state", str(tmp_path / sub / "state"),
+            "--checkpoint", str(tmp_path / sub / "ckpt"),
+            "--field-merge", "--ownership", *extra, "--once",
+        ])
+        return StateTable(
+            spark, str(tmp_path / sub / "state" / "local"),
+            KEYS, "seq", field_merge=["spec", "status"],
+            manager_col="syncer_name",
+        )
+
+    soft = run("soft", [])
+    row = soft.read().collect()[0]
+    own = {r["field"]: r for r in soft.ownership().collect()}
+    assert own["spec"]["owner"] == "a_writer"  # lexicographic-first tie
+    assert own["spec"]["owned_since_seq"] == 9
+    assert row["spec"]["foo"] == "second"      # the owner's latest assert
+    assert "syncer_name" not in row.asDict()   # manager consumed, not payload
+
+    hard = run("hard", ["--force-ownership"])
+    own = {r["field"]: r for r in hard.ownership().collect()}
+    assert own["spec"]["owner"] == "b_writer"  # forced: lexicographic-last
+    assert hard.read().collect()[0]["spec"]["foo"] == "second"
+
+    # manager mode is merge SPEC: a plain field-merge opener refuses
+    with pytest.raises(ValueError, match="manager_col"):
+        StateTable(spark, str(tmp_path / "soft" / "state" / "local"),
+                   KEYS, "seq", field_merge=["spec", "status"])
