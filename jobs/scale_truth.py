@@ -2174,6 +2174,248 @@ def _field_merge_winners_fetchjoin(
     return out
 
 
+def _ownership_oplog(spark, sf_dir: str, replicas: int):
+    """Three-manager contended op-log for the ownership scale-truth:
+    manager by seq mod 3 — m-alpha asserts ONLY spec, m-beta ONLY
+    status, m-gamma BOTH (contending with alpha on spec and beta on
+    status), over an ODD key modulus coprime to 3 so every key sees all
+    three classes; ~11% deletes reset ownership epochs. The modulus
+    adapts to corpus size (~25 ops/key) so contention materializes at
+    smoke scale too — a fixed 40001 left a 2k-row smoke run with zero
+    key collisions and a vacuous conflict count."""
+    from pyspark.sql import functions as F
+
+    from kube_etl_spark.catalog import load_table
+
+    n_rows = load_table(spark, sf_dir, "events").count() * replicas
+    k_names = max(67, n_rows // 25) | 1  # odd
+    if k_names % 3 == 0:
+        k_names += 2  # keep classes cycling per key (coprime to 3)
+    seq = (F.col("event_id") * replicas + F.col("rep")).cast("long") + 1
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .select(seq.alias("seq"))
+        .select(
+            "seq",
+            F.when(F.col("seq") % 9 == 0, "delete").otherwise("upsert").alias("op"),
+            F.lit("e2e.gkelabs.io").alias("group"),
+            F.lit("v1").alias("version"),
+            F.lit("TestCRD").alias("kind"),
+            # namespace modulus COPRIME to the class modulus: seq%3
+            # would make namespace ≡ manager class, splitting every
+            # would-be contention across two keys (alpha's spec asserts
+            # all in prod, gamma's all in dev — cs identically zero;
+            # caught by this experiment's own vacuity guard)
+            F.when(F.col("seq") % 5 == 0, "prod").otherwise("dev").alias("namespace"),
+            F.concat(F.lit("obj-"), F.pmod(F.col("seq"), F.lit(k_names))).alias("name"),
+            F.when(F.pmod(F.col("seq"), F.lit(3)) == 0, "m-alpha")
+            .when(F.pmod(F.col("seq"), F.lit(3)) == 1, "m-beta")
+            .otherwise("m-gamma")
+            .alias("manager"),
+        )
+        .select(
+            "*",
+            F.when(
+                (F.col("op") != "delete") & F.pmod(F.col("seq"), F.lit(3)).isin(0, 2),
+                F.struct(F.concat(F.lit("foo-"), F.col("seq")).alias("foo")),
+            ).alias("spec"),
+            F.when(
+                (F.col("op") != "delete") & F.pmod(F.col("seq"), F.lit(3)).isin(1, 2),
+                F.struct(F.concat(F.lit("bar-"), F.col("seq")).alias("bar")),
+            ).alias("status"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def ownership_experiment(spark, sf_dir: str, replicas: int) -> dict:
+    """Scale-truth for the manager-aware ownership merge (r12,
+    cdc.owned_field_merge_winners — the managedFields analog): the
+    golden suite pins the semantics at tens of rows; this proves them,
+    and prices the three-window stack, at ~1M contended rows through
+    the REAL StateTable(manager_col=...), merged in four out-of-order
+    chunks.
+
+    Delivery model (the boundary this experiment ALSO establishes):
+    chunks arrive in seq order — the per-key ordering a watch stream
+    guarantees (a key's delete is delivered before any later event of
+    that key; relist deltas only append deletes ABOVE everything
+    landed). Under that contract the incremental merge is exact.
+    At-least-once REDELIVERY of already-merged chunks (including
+    arbitrarily late low-seq ones) must be a no-op — checked. What the
+    contract excludes — merging assertions ABOVE a delete before the
+    delete itself arrives — is genuinely unresolvable from compacted
+    state (the non-owners' post-delete assertions were already
+    rejected and discarded), and a shuffled-chunk dry run of this
+    harness confirmed the divergence; documented in
+    owned_field_merge_winners.
+
+    Checks:
+      * non-forced state ≡ an INDEPENDENTLY formulated ownership oracle
+        (row_number windows + joins over the full op-log: per (key,
+        field), epoch = last delete; owner = FIRST asserter post-epoch,
+        mgr-name tie-break; value = owner's LAST assertion — a
+        different mechanism from the engine's min/max_by window
+        aggregates, so they cannot share a bug), exceptAll both ways;
+      * FORCED state values ≡ plain field_merge's values on the same
+        chunks (forced ownership is per-field LWW plus ownership
+        metadata — the cross-implementation identity that pins both);
+      * replay idempotence: re-merging chunks 1 and 3 (and the very
+        first chunk, the late-low-seq case) leaves state bit-equal;
+      * vacuity: rejected-conflict counts > 0 in the final state, and
+        keys where forced and non-forced values DIVERGE > 0;
+      * cost: merge wall for non-forced/forced vs plain field_merge
+        (the price of the ownership windows) and vs row-LWW."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    key_cols = ["group", "version", "kind", "namespace", "name"]
+    oplog = _ownership_oplog(spark, sf_dir, replicas)
+    n_rows = oplog.count()
+    bounds = [(i * n_rows) // 4 for i in range(5)]
+    chunks = [
+        oplog.filter((F.col("seq") > bounds[i]) & (F.col("seq") <= bounds[i + 1]))
+        for i in range(4)
+    ]
+    # IN-ORDER chunk delivery — the watch contract (see docstring);
+    # the shuffled order the sibling experiments use would cross delete
+    # epochs backwards, which compacted ownership state cannot resolve
+    order = [0, 1, 2, 3]
+
+    def canon(df):
+        return df.select(
+            *key_cols,
+            F.col("spec.foo").alias("foo"),
+            F.col("status.bar").alias("bar"),
+        )
+
+    def ownership_oracle():
+        # independent mechanism: row_number windows + joins
+        tagged = oplog.withColumn("__d", (F.col("op") == "delete").cast("int"))
+        wk = Window.partitionBy(*key_cols)
+        epo = tagged.withColumn(
+            "epoch", F.max(F.when(F.col("__d") == 1, F.col("seq"))).over(wk)
+        )
+        post = F.col("epoch").isNull() | (F.col("seq") > F.col("epoch"))
+        wrow = Window.partitionBy(*key_cols).orderBy(
+            F.col("seq").desc(), F.col("__d").desc()
+        )
+        base = (
+            epo.withColumn("rn", F.row_number().over(wrow))
+            .filter("rn = 1")
+            .filter(F.col("op") != "delete")
+            .select(*key_cols)
+        )
+        out = base
+        for f in ("spec", "status"):
+            asserting = epo.filter(F.col(f).isNotNull() & post)
+            wfirst = Window.partitionBy(*key_cols).orderBy(
+                F.col("seq").asc(), F.col("manager").asc()
+            )
+            first = (
+                asserting.withColumn("rn", F.row_number().over(wfirst))
+                .filter("rn = 1")
+                .select(*key_cols, F.col("manager").alias(f"owner_{f}"))
+            )
+            wlast = Window.partitionBy(*key_cols, "manager").orderBy(
+                F.col("seq").desc()
+            )
+            last_by_mgr = (
+                asserting.withColumn("rn", F.row_number().over(wlast))
+                .filter("rn = 1")
+                .select(*key_cols, "manager", f)
+            )
+            winner = last_by_mgr.join(
+                first,
+                [*key_cols],
+            ).filter(F.col("manager") == F.col(f"owner_{f}")).select(*key_cols, f)
+            out = out.join(winner, key_cols, "left")
+        return canon(out.withColumn("spec", F.col("spec")).withColumn("status", F.col("status")))
+
+    root = tempfile.mkdtemp(prefix="ownership-truth-")
+    out: dict = {"oplog_rows": n_rows, "chunk_order": order}
+    try:
+        tables = {}
+        walls = {}
+        variants = {
+            "owned": dict(field_merge=["spec", "status"], manager_col="manager"),
+            "forced": dict(field_merge=["spec", "status"], manager_col="manager",
+                           force_ownership=True),
+            "plain_fm": dict(field_merge=["spec", "status"]),
+            "row_lww": {},
+        }
+        for name, kw in variants.items():
+            st = StateTable(spark, os.path.join(root, name), key_cols, "seq", **kw)
+            t0 = time.time()
+            for i in order:
+                batch = chunks[i]
+                if not kw.get("manager_col"):
+                    batch = batch.drop("manager")
+                st.merge_batch(batch)
+            walls[name] = round(time.time() - t0, 2)
+            tables[name] = st
+        out["merge_wall_s"] = walls
+
+        # at-least-once replay: redeliver a mid chunk, the last chunk,
+        # and the very FIRST chunk (arbitrarily late low-seq redelivery)
+        # — state must be bit-equal afterwards
+        before = canon(tables["owned"].read()).localCheckpoint(eager=True)
+        for i in (1, 3, 0):
+            tables["owned"].merge_batch(chunks[i])
+        after = canon(tables["owned"].read())
+        out["replay_idempotent"] = (
+            before.exceptAll(after).count() == 0
+            and after.exceptAll(before).count() == 0
+        )
+        out["owned_over_plain_fm"] = round(walls["owned"] / walls["plain_fm"], 3)
+        out["owned_over_row_lww"] = round(walls["owned"] / walls["row_lww"], 3)
+
+        got = canon(tables["owned"].read()).localCheckpoint(eager=True)
+        want = ownership_oracle().localCheckpoint(eager=True)
+        out["live_keys"] = got.count()
+        out["matches_ownership_oracle"] = (
+            got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        )
+
+        forced = canon(tables["forced"].read()).localCheckpoint(eager=True)
+        plain = canon(tables["plain_fm"].read())
+        out["forced_values_match_plain_field_merge"] = (
+            forced.exceptAll(plain).count() == 0
+            and plain.exceptAll(forced).count() == 0
+        )
+
+        # vacuity: conflicts were rejected, and the modes diverge
+        raw = tables["owned"]._read_raw()
+        conf = raw.agg(
+            F.sum(F.coalesce(F.col("__cf_spec"), F.lit(0))).alias("cs"),
+            F.sum(F.coalesce(F.col("__cf_status"), F.lit(0))).alias("ct"),
+        ).collect()[0]
+        out["rejected_conflicts_spec"] = int(conf["cs"])
+        out["rejected_conflicts_status"] = int(conf["ct"])
+        assert conf["cs"] > 0 and conf["ct"] > 0, "vacuous: no conflicts rejected"
+        div = (
+            got.alias("s")
+            .join(forced.alias("h"), key_cols)
+            .filter(
+                ~F.col("s.foo").eqNullSafe(F.col("h.foo"))
+                | ~F.col("s.bar").eqNullSafe(F.col("h.bar"))
+            )
+            .count()
+        )
+        out["keys_forced_diverges_from_owned"] = div
+        assert div > 0, "vacuous: forced ≡ non-forced — contention missing"
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def fieldmerge_encoding_experiment(spark, sf_dir: str, replicas: int) -> dict:
     """VERDICT r11 #4: can a different ENCODING make the field-merge
     aggregate hash-agg eligible and recover the measured 1.68× over
@@ -2566,6 +2808,7 @@ def main(argv: list[str]) -> None:
     ap.add_argument("--bridge", action="store_true")
     ap.add_argument("--fieldmerge", action="store_true")
     ap.add_argument("--fieldmerge-encoding", action="store_true")
+    ap.add_argument("--ownership", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--json", default=None)
@@ -2608,6 +2851,8 @@ def main(argv: list[str]) -> None:
         out["fieldmerge_encoding"] = fieldmerge_encoding_experiment(
             spark, args.sf_dir, args.replicas
         )
+    if args.ownership:
+        out["ownership"] = ownership_experiment(spark, args.sf_dir, args.replicas)
     line = json.dumps(out)
     print(line)
     if args.json:

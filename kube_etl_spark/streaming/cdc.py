@@ -54,7 +54,8 @@ _INTERNAL_FIELD_PREFIXES = ("__seq_", "__mgr_", "__own_", "__cf_")
 
 
 def _internal_state_cols(columns: list[str]) -> list[str]:
-    """The MERGE-internal columns of a persisted state frame: ``__op``
+    """The MERGE-internal columns of a persisted state frame: ``__op``,
+    the ownership merge's per-key delete-epoch marker ``__epoch``,
     plus the per-field merge artifacts (``__seq_<field>`` assertion
     seqs; under manager-aware ownership also ``__mgr_<field>`` owner,
     ``__own_<field>`` ownership-established seq, ``__cf_<field>``
@@ -66,7 +67,7 @@ def _internal_state_cols(columns: list[str]) -> list[str]:
     return [
         c
         for c in columns
-        if c == "__op"
+        if c in ("__op", "__epoch")
         or any(
             c.startswith(p) and c[len(p):] in columns
             for p in _INTERNAL_FIELD_PREFIXES
@@ -194,7 +195,24 @@ def owned_field_merge_winners(
         ``__cf_<f>``;
       * a delete asserts every field to null AND resets ownership —
         the next asserter after the delete owns the field, mirroring
-        object deletion clearing managedFields.
+        object deletion clearing managedFields. The key's delete
+        epoch persists as a hidden ``__epoch`` column on LIVE rows
+        too: without it, an at-least-once REDELIVERY of pre-delete
+        assertions after the key went live again would pass the
+        epoch filter, flip ownership back to a pre-delete asserter,
+        and resurrect its value (caught by the --ownership
+        scale-truth's replay leg).
+
+    Delivery contract: chunks must respect per-key seq order for
+    DELETES — a watch delivers a key's delete before any later event
+    of that key, and relist deltas only append deletes above
+    everything landed. Redelivering already-merged batches (including
+    arbitrarily late low-seq ones) is a no-op on values and ownership.
+    What the contract excludes — merging assertions ABOVE a delete
+    before the delete itself arrives — is unresolvable from compacted
+    state: the non-owners' post-delete assertions were rejected and
+    discarded by earlier merges, so the post-delete first-asserter
+    cannot be recomputed.
 
     Honest semantic delta from true SSA: the reference resolves
     conflicts at APPLY time (arrival order); a distributed batch merge
@@ -214,7 +232,7 @@ def owned_field_merge_winners(
     is_del = F.col(op_col) == delete_value
     internal = {
         f"{p}{f}" for p in _INTERNAL_FIELD_PREFIXES for f in field_merge
-    }
+    } | {"__epoch"}
     base_cols = [
         c
         for c in tagged.columns
@@ -228,8 +246,19 @@ def owned_field_merge_winners(
             F.col(name) if name in tagged.columns else F.lit(None).cast(typ)
         )
 
-    # stage 0: per-row assertion material for each managed field
-    cur = tagged.withColumn("__epoch", F.max(F.when(is_del, seq)).over(wk))
+    # stage 0: the key's delete epoch — max over the batch's delete
+    # seqs AND the epoch persisted on state rows (live rows carry it
+    # too; see docstring), then per-row assertion material per field
+    if "__epoch" in tagged.columns:
+        work0 = tagged.withColumnRenamed("__epoch", "__prev_epoch")
+        prev_epoch = F.col("__prev_epoch")
+    else:
+        work0 = tagged
+        prev_epoch = F.lit(None).cast("long")
+    cur = work0.withColumn(
+        "__epoch",
+        F.max(F.greatest(F.when(is_del, seq), prev_epoch)).over(wk),
+    )
     post_epoch = lambda s: F.col("__epoch").isNull() | (s > F.col("__epoch"))  # noqa: E731
     for f in field_merge:
         fseq = F.coalesce(col_or_null(f"__seq_{f}", "long"), seq)
@@ -318,7 +347,8 @@ def owned_field_merge_winners(
     # the base columns is the same (seq, deletes-win-ties) contest as
     # the unmanaged paths)
     aggs = [
-        F.max_by(F.struct(*base_cols), F.struct(seq, F.col("__del"))).alias("__w")
+        F.max_by(F.struct(*base_cols), F.struct(seq, F.col("__del"))).alias("__w"),
+        F.max(F.col("__epoch")).alias("__epoch"),  # persisted on live rows
     ]
     for f in field_merge:
         aggs.extend(
@@ -346,6 +376,7 @@ def owned_field_merge_winners(
         *key_cols,
         *[F.col(f"__w.{c}").alias(c) for c in base_cols if c != op_col],
         *out_fields,
+        F.col("__epoch"),
         F.when(F.col(f"__w.{op_col}") == delete_value, F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias("__op"),

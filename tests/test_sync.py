@@ -1026,3 +1026,29 @@ def test_ownership_cli_flag_end_to_end(spark, tmp_path):
     with pytest.raises(ValueError, match="manager_col"):
         StateTable(spark, str(tmp_path / "soft" / "state" / "local"),
                    KEYS, "seq", field_merge=["spec", "status"])
+
+
+def test_owned_merge_replayed_predelete_batch_cannot_resurrect(spark, tmp_path):
+    """The --ownership scale-truth's replay-leg catch, as a golden: a
+    LIVE key's compacted row must carry its delete epoch (__epoch), or
+    an at-least-once REDELIVERY of pre-delete assertions — after the
+    key went live again under a new owner — passes the epoch filter,
+    flips ownership back to the pre-delete asserter, and resurrects its
+    value."""
+    t = _mk_owned(spark, tmp_path, "resurrect")
+    pre = spark.createDataFrame(
+        [_own_row(5, "upsert", "k", "mgr-a", ("old-a", "rid"), None)], OWN_SCHEMA)
+    t.merge_batch(pre)
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(10, "delete", "k", "mgr-a", None, None)], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(12, "upsert", "k", "mgr-b", ("new-b", "rid"), None)], OWN_SCHEMA))
+    before = {r["field"]: (r["owner"], r["owned_since_seq"])
+              for r in t.ownership().collect()}
+    assert before["spec"] == ("mgr-b", 12)
+    t.merge_batch(pre)  # at-least-once: the pre-delete batch again
+    row = t.read().collect()[0]
+    assert row["spec"]["foo"] == "new-b"  # no resurrection
+    after = {r["field"]: (r["owner"], r["owned_since_seq"])
+             for r in t.ownership().collect()}
+    assert after["spec"] == ("mgr-b", 12)  # ownership stable
