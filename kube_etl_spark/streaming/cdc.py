@@ -383,6 +383,32 @@ def owned_field_merge_winners(
     )
 
 
+def _ownership_report(
+    raw: DataFrame, key_cols: list[str], field_merge: list[str]
+) -> DataFrame:
+    """One row per (key, field) with an owner: owner manager, the seq
+    that established ownership, the owner's latest assertion seq, and
+    the cumulative conflict counter — shared by the flat and bucketed
+    tables' ``ownership()`` so the report cannot drift between
+    layouts."""
+    per_field = []
+    for f in field_merge:
+        per_field.append(
+            raw.filter(F.col(f"__mgr_{f}").isNotNull()).select(
+                *key_cols,
+                F.lit(f).alias("field"),
+                F.col(f"__mgr_{f}").alias("owner"),
+                F.col(f"__own_{f}").alias("owned_since_seq"),
+                F.col(f"__seq_{f}").alias("last_assert_seq"),
+                F.coalesce(F.col(f"__cf_{f}"), F.lit(0)).alias("conflicts"),
+            )
+        )
+    out = per_field[0]
+    for df in per_field[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 class StateTable:
     """Parquet-backed keyed state with idempotent MERGE (the destination
     cluster analog). Not concurrency-safe across writers — one streaming
@@ -631,22 +657,7 @@ class StateTable:
         raw = self._read_raw()
         if raw is None:
             return None
-        per_field = []
-        for f in self.field_merge:
-            per_field.append(
-                raw.filter(F.col(f"__mgr_{f}").isNotNull()).select(
-                    *self.key_cols,
-                    F.lit(f).alias("field"),
-                    F.col(f"__mgr_{f}").alias("owner"),
-                    F.col(f"__own_{f}").alias("owned_since_seq"),
-                    F.col(f"__seq_{f}").alias("last_assert_seq"),
-                    F.coalesce(F.col(f"__cf_{f}"), F.lit(0)).alias("conflicts"),
-                )
-            )
-        out = per_field[0]
-        for df in per_field[1:]:
-            out = out.unionByName(df)
-        return out
+        return _ownership_report(raw, self.key_cols, self.field_merge)
 
     def purge_tombstones(self, before_seq: int) -> None:
         """Drop tombstones whose seq predates a caller-chosen horizon —
@@ -1145,6 +1156,25 @@ class BucketedStateTable:
             return raw
         internal = _internal_state_cols(raw.columns)
         return raw.filter(F.col("__op") != "delete").drop(*internal)
+
+    def ownership(self) -> DataFrame | None:
+        """Per-field ownership report (manager-aware states) — see
+        StateTable.ownership; the report helper is shared so the
+        layouts cannot drift."""
+        if not self.manager_col:
+            raise RuntimeError("ownership() requires manager_col")
+        live = [
+            os.path.join(self.path, d)
+            for d in sorted(os.listdir(self.path))
+            if d.startswith("bucket-")
+            and os.path.islink(os.path.join(self.path, d))
+            and os.path.exists(os.path.join(self.path, d, "_SUCCESS"))
+        ]
+        if not live:
+            return None
+        return _ownership_report(
+            self.spark.read.parquet(*live), self.key_cols, self.field_merge
+        )
 
     def buckets_for(self, df: DataFrame) -> list[int]:
         """Distinct storage buckets the frame's rows map to under this

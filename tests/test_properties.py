@@ -1300,3 +1300,138 @@ def test_field_merge_equals_sequential_ssa_model(spark, tmp_path_factory, data):
         }
     )
     assert got_b == want
+
+
+# -- manager-aware ownership merge (cdc.StateTable manager_col) vs a
+#    sequential SSA-ownership model, chunked per the delivery
+#    contract (round 12) ------------------------------------------------
+
+_own_ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),                  # key
+        st.sampled_from(["upsert", "upsert", "delete"]),  # op (deletes rarer)
+        st.sampled_from(["ma", "mb", "mc"]),            # manager
+        st.sampled_from([None, "a", "b"]),              # spec assertion
+        st.sampled_from([None, "x", "y"]),              # status assertion
+    ),
+    min_size=1,
+    max_size=12,
+).flatmap(
+    lambda ops: st.tuples(
+        st.just(ops),
+        st.lists(
+            st.integers(min_value=0, max_value=3),
+            min_size=len(ops), max_size=len(ops),
+        ),
+        st.booleans(),  # force_ownership
+    )
+)
+
+
+def _own_model(ops, force):
+    """Sequential ownership reference: apply in GLOBAL seq order. A
+    delete kills the key, clears fields AND ownership. An upsert's
+    asserted field goes to its owner's value if the writer owns it (or
+    the field is unowned — first asserter owns); a foreign write is
+    rejected (non-forced) or takes the field and its ownership
+    (forced)."""
+    state: dict = {}
+    for seq, (key, op, mgr, spec, status) in enumerate(ops, start=1):
+        if op == "delete":
+            state[key] = {"alive": False, "fields": {}}
+            continue
+        cur = state.get(key)
+        if cur is None or not cur["alive"]:
+            cur = {"alive": True, "fields": {}}
+        cur = {"alive": True, "fields": dict(cur["fields"])}
+        for f, v in (("spec", spec), ("status", status)):
+            if v is None:
+                continue
+            fd = cur["fields"].get(f)
+            if fd is None:
+                cur["fields"][f] = {"v": v, "owner": mgr}
+            elif fd["owner"] == mgr or force:
+                cur["fields"][f] = {"v": v, "owner": mgr}
+            # else: rejected (non-owner write, non-forced)
+        state[key] = cur
+    return {
+        k: {f: (d["v"], d["owner"]) for f, d in v["fields"].items()}
+        for k, v in state.items()
+        if v["alive"]
+    }
+
+
+def _repair_chunks_for_delete_order(ops, chunk_of):
+    """Enforce the ownership merge's delivery contract (per-key, a
+    delete merges no later than any op above it): any op whose seq
+    exceeds an earlier delete of its key is pushed into that delete's
+    batch or later. Assertion-only reordering stays free — that part of
+    chunking independence IS the property."""
+    floor: dict[str, int] = {}
+    out = []
+    for (key, op, mgr, spec, status), b in zip(ops, chunk_of):
+        b = max(b, floor.get(key, 0))
+        if op == "delete":
+            floor[key] = max(floor.get(key, 0), b)
+        out.append(b)
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_own_ops_strategy)
+def test_ownership_merge_equals_sequential_model(spark, tmp_path_factory, data):
+    """StateTable(manager_col=...) must converge to the sequential
+    ownership model for BOTH force modes, under any chunking that
+    respects the delete-order delivery contract (assertions still land
+    in arbitrary batches — that freedom is the commutativity claim),
+    with the ownership() report's owners matching the model's and a
+    full replay of the first batch being a no-op."""
+    from kube_etl_spark.streaming.cdc import StateTable
+
+    ops, chunk_of, force = data
+    chunk_of = _repair_chunks_for_delete_order(ops, chunk_of)
+    root = tmp_path_factory.mktemp("own-prop")
+    table = StateTable(
+        spark, str(root / "state"), ["key"], "seq",
+        field_merge=["spec", "status"], manager_col="manager",
+        force_ownership=force,
+    )
+    batches: dict[int, list] = {}
+    for seq, ((key, op, mgr, spec, status), b) in enumerate(
+        zip(ops, chunk_of), start=1
+    ):
+        batches.setdefault(b, []).append((seq, op, key, mgr, spec, status))
+    schema = ("seq long, op string, key string, manager string, "
+              "spec string, status string")
+    for b in sorted(batches):
+        table.merge_batch(spark.createDataFrame(batches[b], schema))
+    want = _own_model(ops, force)
+    got_rows = table.read().collect()
+    own = table.ownership()
+    owners = {} if own is None else {
+        (r["key"], r["field"]): r["owner"] for r in own.collect()
+    }
+    got: dict = {}
+    for r in got_rows:
+        fields = {}
+        for f in ("spec", "status"):
+            if r[f] is not None:
+                fields[f] = (r[f], owners[(r["key"], f)])
+        got[r["key"]] = fields
+    assert got == want
+    # replay the first merged batch: values and owners must not move
+    first = sorted(batches)[0]
+    table.merge_batch(spark.createDataFrame(batches[first], schema))
+    own2 = table.ownership()
+    owners2 = {} if own2 is None else {
+        (r["key"], r["field"]): r["owner"] for r in own2.collect()
+    }
+    assert owners2 == owners
+    got2 = {
+        r["key"]: {f: r[f] for f in ("spec", "status") if r[f] is not None}
+        for r in table.read().collect()
+    }
+    assert got2 == {
+        k: {f: v for f, (v, _m) in fd.items()} for k, fd in want.items()
+    }

@@ -951,6 +951,13 @@ def test_owned_merge_bucketed_matches_flat(spark, tmp_path):
     row = {r["name"]: r for r in f.collect()}
     assert row["k"]["spec"]["foo"] == "a11"     # owner a holds spec
     assert row["k"]["status"]["bar"] == "t8"    # b owns status
+    # the ownership REPORT matches across layouts too (shared helper)
+    rep = lambda t: {  # noqa: E731
+        (r["name"], r["field"]): (r["owner"], r["owned_since_seq"], r["conflicts"])
+        for r in t.ownership().collect()
+    }
+    assert rep(flat) == rep(bkt)
+    assert rep(flat)[("k", "spec")][0] == "mgr-a"
 
 
 def test_ownership_cli_flag_end_to_end(spark, tmp_path):
