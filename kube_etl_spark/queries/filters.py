@@ -2161,12 +2161,16 @@ def q_ownership_takeover_timeline(spark: SparkSession, sf_dir: str) -> DataFrame
     manager lattice as the audit (alpha: spec, beta: status, gamma:
     both), so the two queries read together.
 
-    Scale shape: one lag() window per field over the SAME key exchange
-    (the windows share the exchange and its sort — only the ordering
-    column differs in null-scoping), then the per-key aggregate and
-    GVK rollup; an inner join on the per-key frames is key-partitioned
-    and config-small after aggregation. max_by/lag null-scoping keeps
-    each field's timeline to its asserting rows only.
+    Scale shape: ONE event scan — the two per-field timelines unpivot
+    (stack) into (key, field, mgr, seq) rows, so a single
+    (key, field)-partitioned lag() window computes both fields'
+    transfer flags on one exchange; the per-(key, field) aggregate
+    reuses that partitioning, then one per-key regroup (keys with both
+    fields asserted — the same key set as the oracle's inner join) and
+    the GVK rollup. The first cut built each field's timeline as its
+    own scan + window + aggregate and joined them (2 scans, 5 shuffles,
+    a SortMergeJoin); the plan audit collapsed it to this form (1 scan,
+    no join) — the same collapse discipline as the r11 audit queries.
 
     Determinism: seq unique per key (event_id), lag ordered by seq;
     counts only — no floats."""
@@ -2194,21 +2198,31 @@ def q_ownership_takeover_timeline(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from pyspark.sql import Window
 
-    per_key = None
-    for f in ("spec", "status"):
-        w = Window.partitionBy(*keys).orderBy("seq")
-        tl = (
-            ops.filter(F.col(f"a_{f}") == 1)
-            .withColumn("prev", F.lag("mgr").over(w))
-            .groupBy(*keys)
-            .agg(
-                F.sum(
-                    (F.col("prev").isNotNull() & (F.col("prev") != F.col("mgr")))
-                    .cast("long")
-                ).alias(f"takeovers_{f}")
-            )
+    ex = ops.select(
+        *keys, "mgr", "seq",
+        F.expr("stack(2, 'spec', a_spec, 'status', a_status) as (field, asserted)"),
+    ).filter(F.col("asserted") == 1)
+    w = Window.partitionBy(*keys, "field").orderBy("seq")
+    tk = (
+        ex.withColumn("prev", F.lag("mgr").over(w))
+        .groupBy(*keys, "field")
+        .agg(
+            F.sum(
+                (F.col("prev").isNotNull() & (F.col("prev") != F.col("mgr")))
+                .cast("long")
+            ).alias("takeovers")
         )
-        per_key = tl if per_key is None else per_key.join(tl, keys)
+    )
+    is_f = lambda f: F.col("field") == f  # noqa: E731
+    per_key = (
+        tk.groupBy(*keys)
+        .agg(
+            F.sum(F.when(is_f("spec"), F.col("takeovers"))).alias("takeovers_spec"),
+            F.sum(F.when(is_f("status"), F.col("takeovers"))).alias("takeovers_status"),
+            F.count(F.lit(1)).alias("__nf"),
+        )
+        .filter(F.col("__nf") == 2)  # keys with BOTH fields asserted
+    )
     return (
         per_key.groupBy("group", "version", "kind")
         .agg(

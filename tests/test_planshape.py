@@ -1305,3 +1305,29 @@ def test_owned_field_merge_single_exchange(spark):
                      "CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan, (force, plan)
         assert plan.count("Exchange") == 1, (force, plan)
+
+
+def test_ownership_audit_queries_plan_shape(spark):
+    """The r12 ownership widening pair stays join-free (the takeover
+    timeline's first cut scanned events once PER FIELD and reconciled
+    with a SortMergeJoin — collapsed to a single stack() unpivot and
+    one (key, field) window; the audit runs its owner windows and
+    aggregate on one key exchange). Pin: no sort-merge/shuffled-hash
+    joins anywhere (broadcasts of the config-sized catalog are fine),
+    and exactly ONE Window spec in the takeover plan."""
+    from kube_etl_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    for name, max_windows in (
+        ("q_field_ownership_audit", 3),
+        ("q_ownership_takeover_timeline", 1),
+    ):
+        plan = specs[name].fn(spark, sf)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+            assert node not in plan, (name, plan)
+        assert plan.count("Window") <= max_windows, (name, plan)
