@@ -273,7 +273,17 @@ def owned_field_merge_winners(
             )
             .withColumn(
                 f"__valid_{f}",
-                F.col(f).isNotNull() & ~is_del & post_epoch(fseq),
+                # a NULL-manager assertion cannot contest a field: it
+                # would win the struct-min owner contest with a null
+                # manager that nothing can then match, silently nulling
+                # the field for everyone. SSA requires a field manager
+                # (the reference always applies AS some controller), so
+                # manager-less rows carry row-level liveness/base
+                # columns only — pinned in test_sync.py
+                F.col(f).isNotNull()
+                & ~is_del
+                & post_epoch(fseq)
+                & F.col(f"__am_{f}").isNotNull(),
             )
         )
     # stage 1: the owner of each field (epoch-scoped earliest assertion;

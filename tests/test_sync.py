@@ -1059,3 +1059,23 @@ def test_owned_merge_replayed_predelete_batch_cannot_resurrect(spark, tmp_path):
     after = {r["field"]: (r["owner"], r["owned_since_seq"])
              for r in t.ownership().collect()}
     assert after["spec"] == ("mgr-b", 12)  # ownership stable
+
+
+def test_owned_merge_null_manager_cannot_null_a_field(spark, tmp_path):
+    """A NULL-manager row (a producer that omitted the identity column)
+    must not contest fields: before the guard, its assertion won the
+    struct-min owner contest with a null manager nothing could match,
+    silently nulling the field for everyone. It still carries row-level
+    liveness (the key stays live at its seq); named managers' ownership
+    and values are untouched."""
+    t = _mk_owned(spark, tmp_path, "nullmgr")
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(5, "upsert", "k", "mgr-a", ("a5", "rid"), None)], OWN_SCHEMA))
+    t.merge_batch(spark.createDataFrame(
+        [_own_row(8, "upsert", "k", None, ("anon", "rid"), None)], OWN_SCHEMA))
+    row = t.read().collect()[0]
+    assert row["spec"]["foo"] == "a5"   # a's value stands
+    assert row["seq"] == 8              # liveness/base follow the row winner
+    own = {r["field"]: r for r in t.ownership().collect()}
+    assert own["spec"]["owner"] == "mgr-a"
+    assert own["spec"]["conflicts"] == 0  # not a contest at all
