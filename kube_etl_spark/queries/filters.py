@@ -2239,3 +2239,109 @@ def q_ownership_takeover_timeline(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("group", "version", "kind")
     )
+
+
+@query(
+    "q_landing_backlog_audit",
+    tags=("S3", "ST6", "A1"),
+    oracle=f"""
+WITH catalog(idx, grp, version, kind) AS (
+  VALUES {_sql_rows([(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)])}
+),
+ops AS (
+  SELECT c.grp, c.version, c.kind,
+         CASE WHEN (e.event_id // 37) % 3 = 0 THEN 'prod' ELSE 'dev' END AS namespace,
+         CONCAT('obj-', CAST(e.event_id // 37 AS VARCHAR)) AS name,
+         CASE WHEN e.event_id % 11 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         e.event_id AS seq
+  FROM events e JOIN catalog c ON (e.event_id // 37) % 7 = c.idx
+),
+w AS (SELECT MAX(seq) * 4 // 5 AS wm FROM ops),
+per_key AS (
+  SELECT grp, version, kind, namespace, name,
+         arg_max(op, seq) AS last_op,
+         MIN(seq) AS first_seq,
+         COUNT(*) FILTER (WHERE seq > wm) AS n_backlog_ops,
+         MAX(wm) AS wm
+  FROM ops, w GROUP BY grp, version, kind, namespace, name
+)
+SELECT grp AS "group", version, kind,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(COUNT(*) FILTER (WHERE last_op <> 'delete') AS BIGINT) AS n_live,
+  CAST(SUM(n_backlog_ops) AS BIGINT) AS n_backlog_rows,
+  CAST(COUNT(*) FILTER (WHERE n_backlog_ops > 0) AS BIGINT) AS n_backlog_keys,
+  CAST(COUNT(*) FILTER (WHERE first_seq > wm) AS BIGINT) AS n_keys_backlog_only
+FROM per_key GROUP BY grp, version, kind
+ORDER BY "group", version, kind
+""",
+)
+def q_landing_backlog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/ST6/A1 extension (round 12): the LANDING-ZONE BACKLOG audit —
+    per GVK, how much of the op-log sits ABOVE the syncer stream's
+    committed watermark (modeled at 80% of the log, the same floor
+    convention as q_purge_horizon_audit): backlog rows, keys touched by
+    the backlog, and keys that exist ONLY in the backlog (born after
+    the watermark — the rows relist_delta_rows' believed-live union
+    must read from the LANDING ZONE because no state row covers them,
+    and exactly what checkpoint-committed pruning must retain;
+    kubeapi.prune_committed_landing deletes only committed files for
+    this reason). The capacity dashboard for the retention valve: a
+    growing n_backlog_rows under a stationary watermark means the
+    syncer is falling behind its feed; n_keys_backlog_only prices the
+    410-recovery exposure if the backlog were lost.
+
+    Key lattice: BLOCK keys (name = seq div 37 — the purge-horizon
+    lattice) so keys are born throughout the log and the backlog-only
+    branch materializes at every SF; the recurring mod-97 lattice
+    would make n_keys_backlog_only identically zero.
+
+    Scale shape: the watermark is a 1-row broadcast scalar
+    cross-joined before ONE per-key hash aggregate on one key
+    exchange, then the GVK-sized rollup — the q_purge_horizon_audit
+    plan family. All counts, no floats."""
+    keys = ["group", "version", "kind", "namespace", "name"]
+    cat = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(_SYNCER_CATALOG_ROWS)],
+        "idx long, group string, version string, kind string",
+    )
+    block = F.expr("event_id div 37")
+    ops = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .join(F.broadcast(cat), F.pmod(block, F.lit(7)) == F.col("idx"))
+        .select(
+            "group", "version", "kind",
+            F.when(F.pmod(block, F.lit(3)) == 0, F.lit("prod"))
+            .otherwise(F.lit("dev")).alias("namespace"),
+            F.concat(F.lit("obj-"), block.cast("string")).alias("name"),
+            F.when(F.col("event_id") % 11 == 0, "delete")
+            .otherwise("upsert").alias("op"),
+            F.col("event_id").alias("seq"),
+        )
+    )
+    wm = ops.agg(F.expr("MAX(seq) * 4 DIV 5").alias("wm"))
+    per_key = (
+        ops.crossJoin(F.broadcast(wm))
+        .groupBy(*keys)
+        .agg(
+            F.max_by("op", "seq").alias("last_op"),
+            F.min("seq").alias("first_seq"),
+            F.sum((F.col("seq") > F.col("wm")).cast("long")).alias("n_backlog_ops"),
+            F.max("wm").alias("wm"),
+        )
+    )
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return (
+        per_key.groupBy("group", "version", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            _cnt(F.col("last_op") != "delete").alias("n_live"),
+            F.sum("n_backlog_ops").cast("bigint").alias("n_backlog_rows"),
+            _cnt(F.col("n_backlog_ops") > 0).alias("n_backlog_keys"),
+            _cnt(F.col("first_seq") > F.col("wm")).alias("n_keys_backlog_only"),
+        )
+        .orderBy("group", "version", "kind")
+    )

@@ -168,6 +168,9 @@ ROTATE_NEXT: tuple[str, ...] = (
     # VERDICT r11 #3)
     "q_field_ownership_audit",
     "q_ownership_takeover_timeline",
+    # + the landing-zone backlog audit (the dashboard twin of the r12
+    # retention valve, kubeapi.prune_committed_landing)
+    "q_landing_backlog_audit",
     # r13 re-pin queue: the 26 remaining r07-evidence names in their
     # r07 window order (the 42-name r07 cohort minus the 16 the r12
     # window took). Round-12 widening queries, when registered, are
