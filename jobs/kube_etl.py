@@ -51,6 +51,7 @@ SUBCOMMANDS: dict[str, str] = {
     "maintenance": "run_maintenance",
     "scale-truth": "scale_truth",
     "live-smoke": "live_smoke",
+    "plan-audit": "plan_audit",
 }
 
 
