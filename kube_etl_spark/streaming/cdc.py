@@ -203,23 +203,29 @@ def owned_field_merge_winners(
         and resurrect its value (caught by the --ownership
         scale-truth's replay leg).
 
-    Delivery contract: chunks must respect per-key seq order for
-    DELETES — a watch delivers a key's delete before any later event
-    of that key, and relist deltas only append deletes above
-    everything landed. Redelivering already-merged batches (including
-    arbitrarily late low-seq ones) is a no-op on values and ownership.
-    What the contract excludes — merging assertions ABOVE a delete
-    before the delete itself arrives — is unresolvable from compacted
-    state: the non-owners' post-delete assertions were rejected and
-    discarded by earlier merges, so the post-delete first-asserter
-    cannot be recomputed.
+    Delivery contract: chunks must respect PER-KEY seq order for ALL
+    ops — a watch delivers each key's events in order, and relist
+    deltas only append above everything landed. Redelivering
+    already-merged batches (including arbitrarily late low-seq ones)
+    is a no-op on values and ownership. The contract is required, not
+    just convenient, because compaction keeps only each field OWNER's
+    latest assertion: a non-owner's newer assertion is discarded at
+    merge time, so a lower-seq FIRST delivery arriving later could
+    flip ownership to a manager whose discarded newer assertion can no
+    longer be recovered (the round-12 property-test counterexample),
+    and the same argument covers assertions ABOVE a delete merging
+    before the delete itself. Under ordered delivery, neither
+    situation can arise: every new batch row of a key outranks
+    everything compacted for that key, so ownership decisions are
+    final when made with the full batch in hand.
 
     Honest semantic delta from true SSA: the reference resolves
     conflicts at APPLY time (arrival order); a distributed batch merge
-    must be commutative and replay-idempotent, so ownership is decided
-    by the earliest ASSERTION SEQ instead — identical under ordered
-    delivery, deterministic under replay/out-of-order, and the same
-    seq-not-arrival substitution the whole CDC layer already makes.
+    must be replay-idempotent, so ownership is decided by the earliest
+    ASSERTION SEQ instead — identical under the ordered per-key
+    delivery contracted above, deterministic under redelivery/replay,
+    and the same seq-not-arrival substitution the whole CDC layer
+    already makes.
 
     Scale shape: ONE hash exchange on the key carrying three window
     passes (delete epoch → per-field owner → per-field winner/conflict

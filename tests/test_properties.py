@@ -1362,17 +1362,25 @@ def _own_model(ops, force):
 
 
 def _repair_chunks_for_delete_order(ops, chunk_of):
-    """Enforce the ownership merge's delivery contract (per-key, a
-    delete merges no later than any op above it): any op whose seq
-    exceeds an earlier delete of its key is pushed into that delete's
-    batch or later. Assertion-only reordering stays free — that part of
-    chunking independence IS the property."""
+    """Enforce the ownership merge's delivery contract: PER-KEY, ops
+    merge in seq order (batch index nondecreasing with seq — exactly
+    what a watch stream batched by drains delivers). Cross-key
+    interleaving, batch boundaries, and the replay leg stay free.
+
+    This is deliberately tighter than the delete-only repair this test
+    first shipped with (round 12 found the falsifying example): the
+    compacted state keeps only each field OWNER's latest assertion, so
+    a non-owner's newer assertion is discarded at merge time — if a
+    lower-seq FIRST delivery then arrives and flips ownership to that
+    manager, its discarded assertion is unrecoverable and the merge
+    cannot match the sequential model. Ordered per-key delivery (the
+    real pipeline's guarantee) excludes retroactive ownership flips;
+    see owned_field_merge_winners' "Delivery contract" paragraph."""
     floor: dict[str, int] = {}
     out = []
     for (key, op, mgr, spec, status), b in zip(ops, chunk_of):
         b = max(b, floor.get(key, 0))
-        if op == "delete":
-            floor[key] = max(floor.get(key, 0), b)
+        floor[key] = b
         out.append(b)
     return out
 
@@ -1383,10 +1391,11 @@ def _repair_chunks_for_delete_order(ops, chunk_of):
 def test_ownership_merge_equals_sequential_model(spark, tmp_path_factory, data):
     """StateTable(manager_col=...) must converge to the sequential
     ownership model for BOTH force modes, under any chunking that
-    respects the delete-order delivery contract (assertions still land
-    in arbitrary batches — that freedom is the commutativity claim),
-    with the ownership() report's owners matching the model's and a
-    full replay of the first batch being a no-op."""
+    respects the per-key ordered-delivery contract (batch boundaries
+    and cross-key interleaving stay free — that freedom is the
+    chunking-independence claim), with the ownership() report's owners
+    matching the model's and a full replay of the first batch being a
+    no-op."""
     from kube_etl_spark.streaming.cdc import StateTable
 
     ops, chunk_of, force = data
