@@ -66,24 +66,119 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
+# ---------------------------------------------------------------------------
+# Scan-parallelism floor (optimization r12, guide §2.5 "input skew" +
+# §1.2 "the distributed algorithm").
+#
+# A parquet ROW GROUP is the atomic scan split: split planning is by
+# byte range, but a reader only processes row groups whose start falls
+# inside its range, so a table written as one row group scans as ONE
+# task regardless of spark.sql.files.maxPartitionBytes — and the whole
+# first stage (decode, tokenize/shingle maps, filters, partial
+# aggregates, broadcast builds — everything below the first exchange)
+# inherits that single thread. Every shipped fixture table is exactly
+# that shape (1 row group per file, checked via footer metadata), so on
+# local[32] the scan stage of every query ran at 1/32 of the host.
+#
+# Fix: callers whose first stage does HEAVY per-row work (tokenize/
+# shingle/JSON-parse/vector folds) pass ``parallel=True`` to
+# load_table; when the table's atomic split count is below the
+# session's parallelism and the file clears a size floor, one
+# deterministic round-robin repartition is appended to the cached
+# relation. OPT-IN, not blanket, on measurement (r12 A/B at sf0.1/32,
+# all 22 headliners): the blanket form won 2.6× on q_ngram_novelty and
+# 2× on q_bm25_topk but LOST on every cheap-scan query (q_join_inner
+# 2.2×, q_stream_tumbling 5×) because the extra exchange outweighs a
+# scan whose per-row work is trivial — the same reasoning
+# q_dedup_fuzzy's in-query repartition documented in r1. Properties:
+#   * Scale-adaptive, not local-tuned: at production scale file x
+#     row-group counts exceed core counts, so the branch never fires
+#     (the file-count early-exit below never reads a footer); in the
+#     driver's lower-core bench run defaultParallelism shrinks with
+#     the core count. Thresholds are env-tunable, defaults local;
+#     SPARK_GRAFT_PARALLEL_READ=0 kills the whole path.
+#   * Plan-safe: filters/column pruning push BELOW a Repartition node,
+#     so PushedFilters/ReadSchema at the scan are unchanged; a query's
+#     own repartition on top collapses with it (CollapseRepartition).
+#   * Deterministic: round-robin repartition sorts before exchanging
+#     (spark.sql.execution.sortBeforeRepartition, default on), so task
+#     retries reproduce the same placement; results at every
+#     partitioning are already pinned by the hostile-parallelism gate.
+# ---------------------------------------------------------------------------
+_PARALLEL_READ = os.environ.get("SPARK_GRAFT_PARALLEL_READ", "1") != "0"
+_PARALLEL_READ_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PARALLEL_READ_MIN_BYTES", str(256 * 1024))
+)
+_SPLITS_CACHE: dict[str, tuple[int, int]] = {}
 
-def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with schema + relation memoization (see above)."""
+
+def _atomic_splits(path: str, target: int) -> tuple[int, int]:
+    """(atomic scan splits, total bytes) for a parquet file or directory.
+
+    Footer metadata only — no data read, no Spark job (the
+    table_rowcount argument). Early-exits without reading any footer
+    once the FILE count alone reaches ``target``: at scale that is the
+    common case and keeps this O(1) footer reads per session."""
+    got = _SPLITS_CACHE.get(path)
+    if got is not None:
+        return got
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        size = sum(os.path.getsize(f) for f in files)
+        if len(files) >= target:
+            got = (len(files), size)
+        else:
+            got = (
+                sum(pq.ParquetFile(f).metadata.num_row_groups for f in files),
+                size,
+            )
+    else:
+        got = (pq.ParquetFile(path).metadata.num_row_groups, os.path.getsize(path))
+    _SPLITS_CACHE[path] = got
+    return got
+
+
+def _read_parquet(spark: SparkSession, path: str, parallel: bool = False) -> DataFrame:
+    """spark.read.parquet with schema + relation memoization (see above).
+
+    ``parallel=True`` additionally applies the scan-parallelism floor;
+    the raw and floored relations cache under distinct keys."""
     per_session = _DF_CACHE.setdefault(spark, {})
-    df = per_session.get(path)
+    parallel = parallel and _PARALLEL_READ
+    key = f"{path}|par" if parallel else path
+    df = per_session.get(key)
     if df is not None:
         return df
     schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        base = per_session.get(path)
+        if base is not None:
+            schema = base.schema
+            _SCHEMA_CACHE[path] = schema
     if schema is None:
         df = spark.read.parquet(path)
         _SCHEMA_CACHE[path] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
-    per_session[path] = df
+    if parallel:
+        target = spark.sparkContext.defaultParallelism
+        splits, nbytes = _atomic_splits(path, target)
+        if nbytes >= _PARALLEL_READ_MIN_BYTES and splits < target:
+            df = df.repartition(target)
+    per_session[key] = df
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Read one fixture table with normalized types.
 
     This branch exists for NS-TYPED inputs only: a fixture whose
@@ -98,10 +193,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     quietly lose its low digits. The guard is a JVM-side integer mod
     in the rarely-taken branch — no extra pass, no cost to the
     µs-typed fixtures.
+
+    ``parallel=True`` opts the caller into the scan-parallelism floor
+    (see the block comment above _atomic_splits): pass it when the
+    first stage over this table does heavy per-row work and the floor
+    decides, from footer metadata, whether a repartition is needed at
+    this layout/core count. Callers with cheap scans should leave it
+    off — the A/B showed the extra exchange is a net loss there.
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = _read_parquet(spark, path)
+    df = _read_parquet(spark, path, parallel=parallel)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",

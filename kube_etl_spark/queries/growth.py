@@ -286,6 +286,13 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SATISFIES it (partition exprs ⊆ window keys), so the fanned-out
     frame is never re-exchanged for the window at the scale where that
     matters; final agg is channel-sized (≤5 keys)."""
+    # NOT floored (r12): a parallel=True read was tried here (the click
+    # leg JSON-parses props below the first exchange) but the clean
+    # interleaved A/B at sf0.1/32 measured the floored read 1.52×
+    # SLOWER warm (0.89 s → 1.35 s; bench-protocol medians a wash) —
+    # the events table is small enough that the extra round-robin
+    # exchange outweighs parallelizing the parse (guide §2.5's
+    # cheap-scan caveat)
     ev = load_table(spark, sf_dir, "events")
     purch = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),

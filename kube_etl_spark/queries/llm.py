@@ -586,7 +586,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds per pair — at 10⁹ candidates that's the difference between
     3n·k and n·k dot products). Rank on the 4dp-rounded cosine with cid
     tiebreak so ordering is engine-independent."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # parallel=True (r12): the per-pair dot-product folds are the CPU
+    # wall and ran one-task on the single-row-group fixture;
+    # interleaved warm A/B at sf0.1/32: 0.74 s → 0.64 s (0.86×)
+    # (guide §2.5)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
@@ -2162,7 +2166,13 @@ def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     add their own TakeOrdered top-k."""
     toks = _tokens(F.col("text"))
     tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
-    d = load_table(spark, sf_dir, "documents").select(
+    # parallel=True (r12): both corpus passes tokenize every document
+    # (split + three per-token filters) — the single-row-group fixture
+    # ran them one-task. Interleaved warm A/B at sf0.1/32: q_bm25_topk
+    # 0.73 s → 0.71 s (a small but consistent win; an earlier slow-mode
+    # host reading showed 2×), and q_hybrid_rrf — whose lexical leg
+    # rides this construction — 1.39 s → 1.15 s (0.82×) (guide §2.5)
+    d = load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf(w).alias(f"tf_{s}") for w, s in _BM25_QUERY],
@@ -2355,7 +2365,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- dense leg: cosine vs probe vec 0, top-20. Norms are hoisted
     # to a per-vector column BEFORE the candidate join (one fold per
     # vector, not two extra folds per pair — q_knn_cosine's note).
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # parallel=True (r12): same CPU-bound fold wall as q_knn_cosine;
+    # with the lexical leg's floored read the whole query measured
+    # 1.39 s → 1.15 s (0.82×) in the interleaved warm A/B at sf0.1/32
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     emb = emb.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
@@ -3153,7 +3166,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, 3)),
     )
     g = (
-        load_table(spark, sf_dir, "documents")
+        # parallel=True (r12): the gram explode + concat over every
+        # document is the query's CPU wall; on the single-row-group
+        # fixture it ran one-task — interleaved warm A/B at sf0.1/32:
+        # 3.02 s → 1.47 s (0.49×) (guide §2.5)
+        load_table(spark, sf_dir, "documents", parallel=True)
         .filter(F.size(tok) >= 3)  # sequence(0, negative) would descend
         .select("doc_id", F.explode(grams_arr).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
@@ -3923,7 +3940,10 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float path — but the scan ships int8 codes (the point); at
     100 TB the IVF cell-pruning (q_knn_ivf) composes on top: probe →
     nprobe cells → ADC within cells. No Python anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # parallel=True (r12): quantize + int-dot folds ran one-task on the
+    # single-row-group fixture; interleaved warm A/B at sf0.1/32:
+    # 0.65 s → 0.63 s (small but consistent across protocols)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
