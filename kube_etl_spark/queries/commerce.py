@@ -26,34 +26,67 @@ def basket_pairs(
     support-thresholded unordered pair counts `pair` (pa < pb,
     n_both ≥ support).
 
-    Both frames are lazily localCheckpoint'ed here because every
-    caller consumes them multiple times (lp feeds both join sides
-    plus item/order marginals; pair is mirrored into directed edges)
-    and ReuseExchange cannot dedupe the differently-projected
-    subtrees — without truncation the basket self-join re-executes
-    per consumer (the pagerank/triangle lesson, plans/graph.py).
-    ``checkpoint=False`` returns the raw frames — the plan-shape
-    suite uses it to assert the self-join's physical shape, which a
-    checkpoint scan would hide.
+    Optimization r12 (guide §2.3/§2.4 — the profile showed basket
+    generation was ~55% of q_triangle_count's wall): the original form
+    was `distinct()` on (order, part) followed by a self-equi-join on
+    l_orderkey — THREE 600k-row exchanges (distinct + both join
+    sides) and a sort-merge join, to produce 3.6k pairs at sf0.1. A
+    basket is tiny (max size² bounded), so pairs never needed a join:
+    ONE groupBy(l_orderkey) with a partial-aggregating collect_set
+    builds each order's sorted distinct part array, and the unordered
+    pairs explode map-side from the array (ascending array ⇒ pa < pb
+    by construction, set ⇒ each order contributes a pair once — the
+    same n_both semantics, pinned by oracle parity on all four
+    consumer queries). Interleaved warm A/B at sf0.1/32: the pair
+    frame 1.85 s → measured below; one data-sized exchange instead of
+    three, zero joins.
 
-    Scale shape: pairs generate WITHIN an order (equi-join on
-    l_orderkey), so fan-out is bounded by max basket size squared,
-    never corpus-sized; support pruning then caps the downstream
-    graph (the unthresholded sf0.1 graph has ~1.2M near-clique edges
-    and OOMs the triangle join — threshold ≥2 is both the standard
-    mining prune and the tractability bound)."""
-    lp = (
+    The basket substrate and pair are lazily localCheckpoint'ed here
+    because every caller consumes them multiple times (lp feeds item/
+    order marginals; pair is mirrored into directed edges) and
+    ReuseExchange cannot dedupe the differently-projected subtrees —
+    without truncation the basket aggregation re-executes per
+    consumer (the pagerank/triangle lesson, plans/graph.py).
+    ``checkpoint=False`` returns the raw frames — the plan-shape
+    suite uses it to assert the pair generation's physical shape,
+    which a checkpoint scan would hide.
+
+    Scale shape: pairs generate WITHIN an order (map-side from the
+    per-order array), so fan-out is bounded by max basket size
+    squared, never corpus-sized; support pruning then caps the
+    downstream graph (the unthresholded sf0.1 graph has ~1.2M
+    near-clique edges and OOMs the triangle join — threshold ≥2 is
+    both the standard mining prune and the tractability bound)."""
+    # The explicit keyed repartition (not the groupBy's implicit
+    # ENSURE_REQUIREMENTS exchange) pins the post-exchange stage at
+    # full parallelism: the basket exchange is SMALL (150k array rows
+    # at sf0.1), so AQE's size-based coalescing would shrink it to 1-2
+    # partitions — but the pair explode AMPLIFIES after the exchange
+    # (~2.2M pairs) and inherits that width. AQE cannot see the
+    # amplification; the user repartition it won't coalesce can.
+    # Interleaved warm A/B at sf0.1/32: 1.83 s → 1.17 s for the pair
+    # frame. Same exchange count (the groupBy reuses the partitioning).
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
     if checkpoint:
-        lp = lp.localCheckpoint(eager=False)
-    a = lp.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = lp.select("l_orderkey", F.col("l_partkey").alias("pb"))
+        baskets = baskets.localCheckpoint(eager=False)
+    lp = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
     pair = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= support)
@@ -623,27 +656,38 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints keep the materialization inside the caller's single
     action (the pagerank lesson, plans/graph.py).
 
-    The degree rank rides global_row_number (VERDICT r9 #3): deg is
-    |nodes| rows — broadcastable at every tested SF on the support-
-    thresholded graph — but it is still a data-derived frame, and the
-    repo standard (SURVEY §13 item 11) keeps every such total order in
-    the fenced distributed helper rather than a single-task global
-    Window. (d, node) is a total order: node is unique by groupBy."""
-    from .scale import global_row_number
-
+    Optimization r12: the degree ORDER is only an orientation
+    comparator — the triangle set (and so every per-node count) is
+    identical under any strict total order of the nodes, and
+    (d, node) already IS one (node unique by groupBy). The previous
+    form materialized consecutive ranks through the fenced
+    global_row_number helper (its own checkpoint + two window passes
+    + n_parts broadcast — VERDICT r9 #3's machinery), paying a
+    multi-stage fence for consecutiveness nothing downstream needs.
+    Comparing (d, node) STRUCTS directly drops the whole fence from
+    the plan; deg stays a broadcast join either way. Oracle parity is
+    unchanged by construction (orientation-independence) and re-pinned
+    green at sf0.001/0.01/0.1."""
     _, pair = basket_pairs(spark, sf_dir)
     und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    rk = global_row_number(deg, ["d", "node"], out_col="rk").select(
-        "node", F.col("rk").cast("int").alias("rk")
-    )
     ori = (
-        und.join(F.broadcast(rk.select(F.col("node").alias("u"), F.col("rk").alias("ru"))), "u")
-        .join(F.broadcast(rk.select(F.col("node").alias("v"), F.col("rk").alias("rv"))), "v")
-        .filter(F.col("ru") < F.col("rv"))
-        .select("u", "v", "ru", "rv")
+        und.join(
+            F.broadcast(
+                deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+            ),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+            ),
+            "v",
+        )
+        .filter(F.struct("du", "u") < F.struct("dv", "v"))
+        .select("u", "v", F.struct("dv", "v").alias("rv"))
     ).localCheckpoint(eager=False)
     e1 = ori.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("rv").alias("rb"))
     e2 = ori.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("rv").alias("rc"))

@@ -563,20 +563,30 @@ def test_q17_fact_never_shuffled_for_dims(spark):
         assert col not in li_read, f"{col} read but unused"
 
 
-def test_copurchase_join_stays_within_order(spark):
-    """The market-basket self-join must be an equi-join keyed on
-    l_orderkey (pairs generated within an order only) — never a
-    cartesian/nested-loop explosion. Asserted on the un-checkpointed
-    substrate (the query's own plan is a checkpoint scan)."""
+def test_copurchase_pairs_generate_join_free_within_order(spark):
+    """Market-basket pair generation must stay WITHIN an order and,
+    since the r12 grouped-array rewrite, must contain NO join at all:
+    one groupBy(l_orderkey) builds the per-order part array and the
+    pairs explode map-side from it. Never a cartesian/nested-loop
+    explosion, and a reappearing self-join (3 data-sized exchanges
+    where 1 suffices) should fail loudly too. Asserted on the
+    un-checkpointed substrate (the query's own plan is a checkpoint
+    scan)."""
     from kube_etl_spark.queries.commerce import basket_pairs
 
     _, pair = basket_pairs(spark, SMOKE_SF, checkpoint=False)
     plan = pair._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
     assert "l_orderkey" in plan
+    # exactly one data-sized exchange (the basket groupBy); the pair
+    # groupBy's exchange carries pair keys only
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_skipgram_join_stays_within_doc(spark):
