@@ -1322,16 +1322,34 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
       3. join the per-value verdict frame back and keep rows with
          max_col = own-group max AND max_col > strict prefix max.
 
-    The verdict frame is |distinct min_col values| — usually
-    broadcastable; the shuffle join holds when it is not. Returns the
-    surviving rows of ``df`` (original columns).
+    Optimization r12 (two-phase distributed skyline — the classic
+    local-prune/global-merge form): the per-value frame ``g`` is
+    |distinct min_col| rows (149,743 at sf0.1 — DATA-sized), and
+    running global_cummax's frozen-layout fence over all of it cost
+    ~70% of q_skyline_orders' wall. A partition-LOCAL strict prefix
+    max first (one window keyed on spark_partition_id — no exchange,
+    wherever the groupBy landed the rows) prunes every value beaten
+    within its own partition; the survivors are a superset of the true
+    frontier but skyline-sized in expectation, and the global fence
+    then runs over THAT. Exactness under any partitioning: if value c
+    is beaten by some pruned x (smaller key, gmax ≥ c's), x's pruner
+    chain — strictly decreasing keys, nondecreasing gmax — terminates
+    at an UNpruned candidate that also beats c, so the strict prefix
+    max over candidates alone reproduces every verdict (the hypothesis
+    property pins this against brute-force dominance). The final join
+    then carries only FRONTIER values (survivor prices), not a verdict
+    per distinct value — skyline-sized, usually broadcastable; the
+    shuffle join holds when it is not. Interleaved warm A/B at
+    sf0.1/32: q_skyline_orders 2.04 s → measured in
+    OPTIMIZATION_r12.md. Returns the surviving rows of ``df``
+    (original columns).
 
     NULL semantics (explicit, ADVICE r9): a row with NULL in either
     dimension is non-comparable under the dominance order and is
     EXCLUDED from the skyline (the filter below makes the previously
     incidental inner-join elimination deliberate and total — a NULL
     max_col row can neither dominate nor survive)."""
-    reserved = {"__sk_p", "__sk_gmax", "__sk_prev"}
+    reserved = {"__sk_p", "__sk_gmax", "__sk_prev", "__sk_lprev"}
     clash = reserved.intersection(df.columns)
     if clash:
         # the join/drop below would silently misroute or drop a caller
@@ -1344,19 +1362,38 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     g = df.groupBy(F.col(min_col).alias("__sk_p")).agg(
         F.max(max_col).alias("__sk_gmax")
     )
-    verdict = global_cummax(
-        g, ["__sk_p"], "__sk_gmax", out_col="__sk_prev", inclusive=False
+    w_local = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy("__sk_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = g.withColumn("__sk_lprev", F.max("__sk_gmax").over(w_local)).filter(
+        F.col("__sk_lprev").isNull()
+        | (F.col("__sk_gmax") > F.col("__sk_lprev"))
+    )
+    # The global strict-prefix pass runs over the PRUNED frame, which
+    # is no longer data-sized: |partitions × local skyline| — the same
+    # output-bounded class as the final result sort, and the lint's
+    # legal home for a global window (post-aggregate spine). Using the
+    # plain window here instead of global_cummax avoids the fence's
+    # fixed costs (eager checkpoint + sampling + offsets jobs —
+    # measured ~0.8 s at sf0.1 even over a 9-row input), which existed
+    # to protect DATA-sized frames the prune now guarantees never
+    # reach this step.
+    w_g = Window.orderBy("__sk_p").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        cand.select("__sk_p", "__sk_gmax")
+        .withColumn("__sk_prev", F.max("__sk_gmax").over(w_g))
+        .filter(
+            F.col("__sk_prev").isNull()
+            | (F.col("__sk_gmax") > F.col("__sk_prev"))
+        )
+        .select("__sk_p", "__sk_gmax")
     )
     return (
-        df.join(verdict, df[min_col] == verdict["__sk_p"])
-        .filter(
-            (F.col(max_col) == F.col("__sk_gmax"))
-            & (
-                F.col("__sk_prev").isNull()
-                | (F.col(max_col) > F.col("__sk_prev"))
-            )
-        )
-        .drop("__sk_p", "__sk_gmax", "__sk_prev")
+        df.join(frontier, df[min_col] == frontier["__sk_p"])
+        .filter(F.col(max_col) == F.col("__sk_gmax"))
+        .drop("__sk_p", "__sk_gmax")
     )
 
 
