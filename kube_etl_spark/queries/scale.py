@@ -526,6 +526,47 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHECKPOINT_RANGE_LAYOUT = True
 
 
+_RANGE_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_RANGE_PART_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _adaptive_range_parts(spark, df: DataFrame) -> int:
+    """Size-adaptive partition count for the fenced range layouts
+    (optimization r12, guide §2.2 "fewer, larger partitions" + §1.2).
+
+    The fence's explicit repartitionByRange BYPASSES AQE's partition
+    coalescing (which only rewrites ENSURE_REQUIREMENTS exchanges), so
+    a small frame paid the full defaultParallelism task count through
+    every fence job — sampling, checkpoint, offsets, windows — pure
+    scheduling overhead (measured: global_interval_merge spent 1.37 s
+    on a 19,810-row frame at 32 parts). Mirror AQE's own rule instead:
+    partitions sized to ~64 MB from the optimizer's size ESTIMATE,
+    clamped to [1, defaultParallelism]. The clamp makes estimate
+    errors safe in the direction that matters: an unknown or inflated
+    estimate (checkpointed inputs report huge/unknown sizes) maps to
+    the cap — the pre-r12 behavior — never to an undersized layout;
+    at production scale any data-sized frame's estimate exceeds
+    cap × 64 MB, so the fence keeps full parallelism there and this
+    branch only ever shrinks genuinely small local frames. Partition
+    count never affects the helpers' OUTPUT (offset + local rank is
+    layout-independent — the adversarial-parallelism parity sweep pins
+    it); env knob SPARK_GRAFT_RANGE_PART_BYTES tunes the target. The
+    floor is 2, not 1: a 1-partition repartitionByRange compiles to
+    Exchange SinglePartition, which is textually indistinguishable
+    from the lost-fence regression the plan pins exist to catch — two
+    partitions keep the distributed rangepartitioning shape visible in
+    every plan for the cost of one near-empty task."""
+    cap = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if est <= 0:
+        return cap
+    return max(2, min(cap, -(-est // _RANGE_PART_BYTES)))
+
+
 def _range_parted(df: DataFrame, order_cols: list, n_parts: int | None) -> DataFrame:
     """Range-partition df on the order key, stamp the physical
     partition id, and EAGERLY localCheckpoint the result — the one
@@ -551,7 +592,7 @@ def _range_parted(df: DataFrame, order_cols: list, n_parts: int | None) -> DataF
     to shuffle files anyway."""
     spark = df.sparkSession
     if n_parts is None:
-        n_parts = spark.sparkContext.defaultParallelism
+        n_parts = _adaptive_range_parts(spark, df)
     reserved = {"__pid", "__off", "__cnt", "__tot", "__rn", "__n"}
     clash = reserved.intersection(df.columns)
     if clash:

@@ -1057,17 +1057,25 @@ def test_interval_merge_pushes_the_error_filter(spark):
 
 
 def test_skyline_strict_prefix_stays_partitioned(spark):
-    """q_skyline_orders' cross-group dominance pass (strict prefix max
-    of group-max date over ascending price) must run __pid-partitioned
-    on the aggregated per-price frame — never a global single-task
-    window over distinct prices.
+    """q_skyline_orders' cross-group dominance pass must never run as
+    a global single-task window over the DATA-sized distinct-price
+    frame.
 
     ADVICE r9 (medium): the first form filtered on 'pmax_d' — the
     DuckDB oracle's alias, which never appears in the Spark physical
     plan — so zero lines matched and the test was vacuous. Filter on
     the engine's own working column ('__sk_gmax', the strict-prefix-max
     argument) and assert the match set is NON-empty so a renamed
-    working column re-vacuizes loudly instead of silently."""
+    working column re-vacuizes loudly instead of silently.
+
+    r12 two-phase update: the DATA-sized pass is now the partition-
+    LOCAL prune (window keyed on SPARK_PARTITION_ID over the per-price
+    aggregate); the only unpartitioned __sk_gmax window legal in the
+    plan is the frontier pass over the PRUNED candidate frame
+    (output-bounded, the lint's post-aggregate home). Pin: the local
+    prune window exists and is partitioned; at most one unpartitioned
+    __sk_gmax window remains, and the general lint sweep
+    (test_planlint) guards its spine mechanically."""
     plan = _plan(spark, "q_skyline_orders")
     gmax_windows = [
         line
@@ -1075,8 +1083,25 @@ def test_skyline_strict_prefix_stays_partitioned(spark):
         if "windowspecdefinition" in line and "__sk_gmax" in line
     ]
     assert gmax_windows, "strict-prefix-max window not found in plan (filter went vacuous)"
-    for line in gmax_windows:
-        assert "__pid" in line, f"strict prefix max regressed to a global window: {line}"
+
+    def _partitioned(line: str) -> bool:
+        # windowspecdefinition(<part cols...>, <order cols ASC/DESC>, frame):
+        # a spec whose FIRST argument carries a sort direction has no
+        # partition columns (the lint's own detection rule). The
+        # partition key may be an aliased projection (_w0 for the
+        # spark_partition_id expression), so match structurally.
+        first = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        return " ASC" not in first and " DESC" not in first
+
+    local_prune = [
+        l for l in gmax_windows if "__sk_lprev" in l and _partitioned(l)
+    ]
+    assert local_prune, (
+        "partition-local skyline prune window missing or unpartitioned — "
+        f"the data-sized frame would hit a global pass unpruned: {gmax_windows}"
+    )
+    unpart = [l for l in gmax_windows if not _partitioned(l)]
+    assert len(unpart) <= 1, f"unexpected extra global windows: {unpart}"
 
 
 def test_ks_drift_one_fused_cumulative_window(spark):
