@@ -1144,7 +1144,23 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The forward bracket comes from lead() over observations — the
     O(n²) UnboundedFollowing frame pitfall (measured 24 s vs 2.4 s on
     the grid form) no longer has a surface to regress on: no window
-    ever spans generated rows."""
+    ever spans generated rows.
+
+    Optimization r12 (guide §2.4 "two operations keyed the same way can
+    share one exchange"): the hour-pick window was keyed
+    (user_id, hour) and the successor window user_id — two data-sized
+    exchanges, because hashpartitioning(user_id, hour) does NOT satisfy
+    a user_id clustering. Keying the pick window on user_id alone and
+    ordering (hour ASC, ts DESC, event_id DESC) makes the first row of
+    each hour block the same (latest ts, id) pick via one lag()
+    comparison, and the successor window's (hour) ordering is a PREFIX
+    of that sort — so both windows share ONE exchange and ONE sort.
+    The explicit repartition pins the stage's width: the events
+    exchange is small (~2 MB at sf0.1) so AQE would coalesce it to 1-2
+    partitions, but the gap explode AMPLIFIES after it (251k observed
+    hours -> 1.05M grid rows) — the basket_pairs lesson. Interleaved
+    warm A/B at sf0.1/32: 1.90 s -> 1.18 s (0.62×); plan: 3 data-sized
+    exchanges -> 2."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         "user_id",
@@ -1152,13 +1168,13 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)").alias("cents"),
         "ts",
         "event_id",
-    )
-    w_pick = Window.partitionBy("user_id", "hour").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    ).repartition(spark.sparkContext.defaultParallelism, "user_id")
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("hour").asc(), F.col("ts").desc(), F.col("event_id").desc()
     )
     hv = (
-        b.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
+        b.withColumn("prev_hour", F.lag("hour").over(w_pick))
+        .filter(F.col("prev_hour").isNull() | (F.col("prev_hour") != F.col("hour")))
         .select("user_id", "hour", "cents")
     )
     w_u = Window.partitionBy("user_id").orderBy("hour")
