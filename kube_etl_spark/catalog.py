@@ -145,14 +145,27 @@ def _atomic_splits(path: str, target: int) -> tuple[int, int]:
     return got
 
 
-def _read_parquet(spark: SparkSession, path: str, parallel: bool = False) -> DataFrame:
+def _read_parquet(
+    spark: SparkSession, path: str, parallel: bool | str = False
+) -> DataFrame:
     """spark.read.parquet with schema + relation memoization (see above).
 
     ``parallel=True`` additionally applies the scan-parallelism floor;
-    the raw and floored relations cache under distinct keys."""
+    ``parallel=<column name>`` applies the KEYED form of the floor —
+    a hash repartition on that column instead of round-robin. Round-
+    robin pays a partition-local sort of its input before exchanging
+    (spark.sql.execution.sortBeforeRepartition, needed so task retries
+    reproduce placement); a keyed repartition is deterministic without
+    the sort, so for LARGE single-row-group tables the sort cost
+    dominates the floor's win (measured on q_agg_groupby's 600k-row
+    lineitem: round-robin floor 0.94×, keyed floor 0.69×). Callers
+    pass a HIGH-cardinality column so the hash spreads evenly (guide
+    §2.5's synthetic-key rule). The raw and each floored relation
+    cache under distinct keys."""
     per_session = _DF_CACHE.setdefault(spark, {})
-    parallel = parallel and _PARALLEL_READ
-    key = f"{path}|par" if parallel else path
+    if not _PARALLEL_READ:
+        parallel = False
+    key = f"{path}|par:{parallel}" if parallel else path
     df = per_session.get(key)
     if df is not None:
         return df
@@ -171,13 +184,16 @@ def _read_parquet(spark: SparkSession, path: str, parallel: bool = False) -> Dat
         target = spark.sparkContext.defaultParallelism
         splits, nbytes = _atomic_splits(path, target)
         if nbytes >= _PARALLEL_READ_MIN_BYTES and splits < target:
-            df = df.repartition(target)
+            if isinstance(parallel, str):
+                df = df.repartition(target, F.col(parallel))
+            else:
+                df = df.repartition(target)
     per_session[key] = df
     return df
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool | str = False
 ) -> DataFrame:
     """Read one fixture table with normalized types.
 
@@ -198,8 +214,11 @@ def load_table(
     (see the block comment above _atomic_splits): pass it when the
     first stage over this table does heavy per-row work and the floor
     decides, from footer metadata, whether a repartition is needed at
-    this layout/core count. Callers with cheap scans should leave it
-    off — the A/B showed the extra exchange is a net loss there.
+    this layout/core count. ``parallel=<high-cardinality column>``
+    selects the keyed floor (no round-robin pre-sort — see
+    _read_parquet), the right form for large tables. Callers with
+    cheap scans should leave it off — the A/B showed the extra
+    exchange is a net loss there.
     """
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")

@@ -66,8 +66,18 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 flagship: hash group-by with sum/avg/count (TPC-H Q1 shape)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """A1 flagship: hash group-by with sum/avg/count (TPC-H Q1 shape).
+
+    Keyed scan-parallelism floor (r12): the eight decimal aggregates
+    below the group exchange are the CPU wall, and the single-row-
+    group fixture ran them one-task. parallel="l_extendedprice" (a
+    high-cardinality column already in the aggregate's input — no
+    extra bytes read) spreads the partial aggregation without
+    round-robin's pre-sort of 600k rows; interleaved warm A/B at
+    sf0.1/32: 1.25 s → 0.86 s (0.69×; the round-robin floor form
+    measured only 0.94×). At production layouts the floor never fires
+    and the plan is the textbook scan → partial agg → 6-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem", parallel="l_extendedprice")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -71,6 +71,27 @@ def test_floored_read_is_row_identical(spark, fresh_caches):
     assert sorted(par.collect()) == sorted(base.collect())
 
 
+def test_keyed_floor_hash_partitions_without_presort(spark, fresh_caches):
+    """parallel=<column> must floor via a HASH repartition on that
+    column (deterministic without round-robin's partition-local
+    pre-sort — the large-table form), stay row-identical to the raw
+    read, and cache under its own key so bool and keyed floors of the
+    same table do not collide."""
+    cat._PARALLEL_READ_MIN_BYTES = 0
+    df = cat.load_table(spark, SMOKE_SF, "lineitem", parallel="l_extendedprice")
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "hashpartitioning(l_extendedprice" in plan
+    assert "RoundRobinPartitioning" not in plan
+    base = cat.load_table(spark, SMOKE_SF, "lineitem")
+    assert df.schema == base.schema
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
+    rr = cat.load_table(spark, SMOKE_SF, "lineitem", parallel=True)
+    assert rr is not df  # distinct cache entries per floor form
+
+
 def test_split_probe_is_cached_metadata(spark, fresh_caches):
     import os
 
