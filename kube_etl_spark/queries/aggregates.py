@@ -68,16 +68,15 @@ ORDER BY l_returnflag, l_linestatus
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 flagship: hash group-by with sum/avg/count (TPC-H Q1 shape).
 
-    Keyed scan-parallelism floor (r12): the eight decimal aggregates
-    below the group exchange are the CPU wall, and the single-row-
-    group fixture ran them one-task. parallel="l_extendedprice" (a
-    high-cardinality column already in the aggregate's input — no
-    extra bytes read) spreads the partial aggregation without
-    round-robin's pre-sort of 600k rows; interleaved warm A/B at
-    sf0.1/32: 1.25 s → 0.86 s (0.69×; the round-robin floor form
-    measured only 0.94×). At production layouts the floor never fires
-    and the plan is the textbook scan → partial agg → 6-row exchange."""
-    li = load_table(spark, sf_dir, "lineitem", parallel="l_extendedprice")
+    NOT floored (r12, a split verdict recorded honestly): the keyed
+    scan-parallelism floor (parallel="l_extendedprice") wins the warm
+    steady state decisively (interleaved A/B 1.66 s → 1.07 s) but
+    LOSES the bench's median-of-3-after-one-warmup channel (isolated
+    bench-protocol pairs: 2.65/1.66 s unfloored vs 4.12/2.12 s
+    floored; in-bench 1.45 → 2.02) — a floored plan's extra exchange
+    stage warms over ~5 executions, and the comparable protocol never
+    gets there. The textbook single-task-scan plan stays."""
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
