@@ -1,4 +1,4 @@
-.PHONY: test parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight live-smoke
+.PHONY: test test-full parity parity-driver-scale parity-full-scale parity-adversarial vacuity bench smoke preflight live-smoke
 
 # Gate runs tee RAW pytest output to .preflight-logs/ (VERDICT r8 #6:
 # an r8 flake's name was lost to a grep pipe on a background run â€” the
@@ -7,8 +7,11 @@ SHELL := /bin/bash
 LOGDIR := .preflight-logs
 TEE = mkdir -p $(LOGDIR) && set -o pipefail &&
 
-test:            ## full suite (oracle parity + streaming + golden + plan-shape)
+test:            ## fast tier (default -m "not slow": parity + plan pins + unit logic, <10 min)
 	$(TEE) python -m pytest tests/ -q 2>&1 | tee $(LOGDIR)/test.log
+
+test-full:       ## FULL battery including @slow (hypothesis/scale-truth depth suites)
+	$(TEE) python -m pytest tests/ -q -m "" 2>&1 | tee $(LOGDIR)/test-full.log
 
 parity:          ## oracle parity at smoke scale (fast)
 	$(TEE) python -m pytest tests/test_parity.py -q 2>&1 | tee $(LOGDIR)/parity.log
@@ -25,7 +28,7 @@ parity-adversarial:   ## parity at hostile parallelism (3 cpus / 5 partitions) â
 vacuity:         ## DuckDB-only: every oracle non-empty at every SF (seconds, no Spark)
 	$(TEE) python -m pytest tests/test_vacuity.py -q 2>&1 | tee $(LOGDIR)/vacuity.log
 
-preflight: test parity-driver-scale parity-adversarial vacuity  ## the end-of-round gate battery
+preflight: test-full parity-driver-scale parity-adversarial vacuity  ## the end-of-round gate battery (full suite, not the fast tier)
 
 bench:           ## headline bench (one JSON line; sf from SPARK_GRAFT_SF_DIR)
 	python bench.py

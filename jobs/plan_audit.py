@@ -40,7 +40,12 @@ NODE_PATTERNS = {
     "cartesian": r"CartesianProduct",
     "py_row": r"BatchEvalPython",
     "py_arrow": r"ArrowEvalPython|MapInPandas|MapInArrow|FlatMapGroupsInPandas",
-    "window": r"(?<!RunningWindowFunction)Window",
+    # Anchor to the node position (like "sort") so the audit counts
+    # Window OPERATOR nodes only: the old (?<!RunningWindowFunction)
+    # lookbehind was a no-op ("Window" inside that token is preceded by
+    # "Running", not the full token) and WindowGroupLimit rows were
+    # counted as windows too (ADVICE r12).
+    "window": r"^\s*(?:[:+\- ]*)\*?\(?\d*\)?\s*Window(?!GroupLimit)",
     "codegen": r"WholeStageCodegen",
     "scan": r"Scan parquet|FileScan parquet",
     "ckpt_scan": r"Scan ExistingRDD",

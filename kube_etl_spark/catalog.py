@@ -109,7 +109,7 @@ _PARALLEL_READ = os.environ.get("SPARK_GRAFT_PARALLEL_READ", "1") != "0"
 _PARALLEL_READ_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_PARALLEL_READ_MIN_BYTES", str(256 * 1024))
 )
-_SPLITS_CACHE: dict[str, tuple[int, int]] = {}
+_SPLITS_CACHE: dict[str, tuple[int, int, bool]] = {}
 
 
 def _atomic_splits(path: str, target: int) -> tuple[int, int]:
@@ -118,10 +118,14 @@ def _atomic_splits(path: str, target: int) -> tuple[int, int]:
     Footer metadata only — no data read, no Spark job (the
     table_rowcount argument). Early-exits without reading any footer
     once the FILE count alone reaches ``target``: at scale that is the
-    common case and keeps this O(1) footer reads per session."""
+    common case and keeps this O(1) footer reads per session. An
+    early-exited value is a LOWER BOUND on the true split count, so
+    the cache records the early-exit flag and recomputes when a later
+    caller's target exceeds the cached bound (ADVICE r12: a session
+    whose defaultParallelism grows must not reuse the stale bound)."""
     got = _SPLITS_CACHE.get(path)
-    if got is not None:
-        return got
+    if got is not None and not (got[2] and got[0] < target):
+        return got[0], got[1]
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -133,16 +137,21 @@ def _atomic_splits(path: str, target: int) -> tuple[int, int]:
         ]
         size = sum(os.path.getsize(f) for f in files)
         if len(files) >= target:
-            got = (len(files), size)
+            got = (len(files), size, True)
         else:
             got = (
                 sum(pq.ParquetFile(f).metadata.num_row_groups for f in files),
                 size,
+                False,
             )
     else:
-        got = (pq.ParquetFile(path).metadata.num_row_groups, os.path.getsize(path))
+        got = (
+            pq.ParquetFile(path).metadata.num_row_groups,
+            os.path.getsize(path),
+            False,
+        )
     _SPLITS_CACHE[path] = got
-    return got
+    return got[0], got[1]
 
 
 def _read_parquet(

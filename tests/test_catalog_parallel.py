@@ -99,5 +99,11 @@ def test_split_probe_is_cached_metadata(spark, fresh_caches):
     first = cat._atomic_splits(path, 8)
     assert first[0] >= 1 and first[1] == os.path.getsize(path)
     # cached: a second call must not re-read the footer
-    cat._SPLITS_CACHE[path] = (999, 999)
+    cat._SPLITS_CACHE[path] = (999, 999, False)
     assert cat._atomic_splits(path, 8) == (999, 999)
+    # an early-exited (lower-bound) entry is reused only while the
+    # target stays within the bound; a LARGER target must recompute
+    # (ADVICE r12: the bound depends on the first caller's target)
+    cat._SPLITS_CACHE[path] = (4, 999, True)
+    assert cat._atomic_splits(path, 4) == (4, 999)  # bound covers target
+    assert cat._atomic_splits(path, 8) == first  # recomputed for real
