@@ -90,6 +90,7 @@ def test_run_syncer_cli_once(spark, tmp_path):
     assert lgot[0]["status"]["bar"] == "b1"
 
 
+@pytest.mark.slow
 def test_run_syncer_status_publish_skipped_on_unreadable_prev(spark, tmp_path, capsys):
     """ADVICE r8: a transient failure reading the PREVIOUS status must
     not publish a status with the carry-forward silently dropped (that
@@ -427,6 +428,7 @@ def test_run_retrieval_index_cli(spark, tmp_path, capsys):
     assert len(printed["probe_top5"]) == 5
 
 
+@pytest.mark.slow
 def test_retrieval_index_incremental_append(spark, tmp_path):
     """append ≡ rebuild for the content-keyed tables: build the index
     on half the corpus, append the other half, and the lexical probe
@@ -788,6 +790,7 @@ def test_run_index_stream_cli(spark, tmp_path, capsys):
     assert spark.read.parquet(idx + "/cells").count() == 500
 
 
+@pytest.mark.slow
 def test_retrieval_index_compliance_delete(spark, tmp_path):
     """delete_from_index must remove the docs everywhere (cells,
     postings, doclens, stats), rewrite ONLY the touched cell
@@ -852,6 +855,7 @@ def test_retrieval_index_compliance_delete(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_retrieval_index_delete_recovers_from_mid_commit_crash(spark, tmp_path):
     """Review r9: the dense-side rewrite is an in-place dynamic
     partition overwrite — a crash mid-commit could lose a touched
@@ -991,6 +995,7 @@ def test_vocab_build_and_encode_roundtrip(spark, tmp_path):
                 assert id2tok[i] == t
 
 
+@pytest.mark.slow
 def test_run_audit_cli(spark, tmp_path, capsys):
     """The audit battery over clean fixtures: integrity intact (zero
     orphans), stationary stream (PSI under the 0.1 alarm), synthetic
@@ -1930,6 +1935,7 @@ def test_snapshot_sync_numbering_reset_fails_loudly(spark, tmp_path):
         run_snapshot_sync.main(argv)
 
 
+@pytest.mark.slow
 def test_snapshot_sync_slow_drip_reset_fails_loudly(spark, tmp_path):
     """ADVICE r7 (medium): a reset exporter emitting at (or slower
     than) the poll cadence yields at most ONE below-horizon snapshot

@@ -6,6 +6,7 @@ convergence tests — and replaying a micro-batch must be a no-op."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kube_etl_spark.queries.llm import _neardup_corpus
@@ -67,6 +68,7 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert {(a, b): j for a, b, j in pairs_after} == _batch_pairs(spark)
 
 
+@pytest.mark.slow
 def test_bucketed_index_equals_flat(spark, tmp_path):
     """The RANGE-bucketed variant (monotone doc-id ingest → one-bucket
     rewrites for the corpus tables) must detect the identical pair set,
@@ -98,6 +100,7 @@ def test_bucketed_index_equals_flat(spark, tmp_path):
     assert fp == bp and fp, "bucketed index diverged from flat"
 
 
+@pytest.mark.slow
 def test_neardup_band_pruned_mode_matches_flat(spark, tmp_path):
     """The text-index mirror of the simdup point-lookup swap: with a
     bucketed signature table AND a value-bucketed band index, the full
@@ -828,6 +831,7 @@ def test_bucketed_open_of_flat_state_refuses(spark, tmp_path):
         BucketedStateTable(spark, str(tmp_path / "t"), ["k"], "seq", 4)
 
 
+@pytest.mark.slow
 def test_simdup_bucket_pruned_mode_matches_flat(spark, tmp_path):
     """The executed point-lookup swap (VERDICT r7 #3): with a bucketed
     signature table AND a value-bucketed band index, the full lifecycle
@@ -1033,6 +1037,7 @@ def test_semdedup_changed_vector_retracts_stale_pairs(spark, tmp_path):
     assert {(r["vec_a"], r["vec_b"]) for r in index.pairs_df().collect()} == after
 
 
+@pytest.mark.slow
 def test_semdedup_cell_bucketed_mode_matches_flat(spark, tmp_path):
     """The semantic-index mirror of the point-lookup swap
     (cell_buckets=True): members bucketed by centroid_id with

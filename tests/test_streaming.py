@@ -1731,6 +1731,7 @@ def test_failed_unnamed_query_superseded_by_restart(tmp_path):
     assert h["queries"]["uuid-run-2"]["status"] == "started"
 
 
+@pytest.mark.slow
 def test_materialized_agg_survives_crash_between_merges(spark, tmp_path):
     """Review r9: the delta design derived the view update from
     PRE-merge fact state, so a crash between fact.merge_batch and
